@@ -1,0 +1,643 @@
+"""Reference-derived queries, generalized onto the test corpus.
+
+Each query generalizes an operator family from SURVEY.md §2 (the
+reference's pandas analytics spine — filter → groupby-sum → sort/top-k →
+pivot/unpivot, /root/reference/main.py and /root/reference/streamlit_app.py)
+to the TPC-H-ish tables, with a DuckDB SQL oracle.
+
+Plan-quality invariants (asserted by tests/test_plans.py):
+- dimension joins broadcast (nation/region always; others via AQE),
+- filters and column pruning reach the parquet scan,
+- top-k compiles to TakeOrderedAndProject,
+- single shuffle per aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.functions.scalar import clean_text, norm_state
+from healthcare_aihw_etl_pipeline_spark.operators.relational import (
+    distinct_domain,
+    top_k,
+    union_by_name,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.reshape import pivot_sum, unpivot
+from healthcare_aihw_etl_pipeline_spark.operators.windows import (
+    argmax_row,
+    first_last_pct_change,
+    top_k_per_group,
+)
+from healthcare_aihw_etl_pipeline_spark.plans.registry import (
+    DEC_IN,
+    dec_out,
+    money,
+    register,
+)
+from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+# Shared SQL fragment: exact-decimal revenue expression (oracle side).
+SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * "
+    "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
+)
+
+
+def _revenue() -> F.Column:
+    """Exact-decimal revenue: extendedprice * (1 - discount)."""
+    return money("l_extendedprice") * (F.lit(1).cast(DEC_IN) - money("l_discount"))
+
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation → revenue per nation.
+
+    The physical spine of the flagship path (SURVEY §7.2): fact-side
+    filters push to the scan; nation is broadcast explicitly (25 rows at
+    any scale factor); customer/orders join strategy is left to AQE.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.select("l_orderkey", _revenue().alias("rev"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").alias("rev"))
+        .select(F.col("n_name"), dec_out(F.col("rev"), "revenue"))
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name, SUM({SQL_REV}) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Flagship: revenue per nation (A3 generalized; joins per SURVEY §2.4).",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _revenue_by_nation(spark, sf_dir)
+
+
+@register(
+    "top_nation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name, SUM({SQL_REV}) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, revenue FROM rev
+    ORDER BY revenue DESC, n_name DESC LIMIT 1
+    """,
+    doc="W2/O4 top-1 by measure — the reference's 'top state' insight "
+    "(/root/reference/streamlit_app.py:82-85) via max_by aggregation.",
+)
+def top_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = _revenue_by_nation(spark, sf_dir)
+    return argmax_row(rev, by="n_name", measure="revenue")
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1 multi-aggregate groupBy with pushed-down date filter "
+    "(the ETL clean-table aggregation, /root/reference/main.py:160-164, "
+    "widened to several measures).",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).alias("sum_qty"),
+            F.sum(money("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_revenue()).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            dec_out(F.col("sum_qty"), "sum_qty"),
+            dec_out(F.col("sum_base_price"), "sum_base_price"),
+            dec_out(F.col("sum_disc_price"), "sum_disc_price"),
+            "count_order",
+        )
+    )
+
+
+@register(
+    "filter_in_agg",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_returnflag IN ('A','R')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    doc="F4/F5 IN-list + conjunctive range predicates feeding an aggregate "
+    "(the sidebar filter→aggregate path, /root/reference/streamlit_app.py:63-74).",
+)
+def filter_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = (
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return (
+        li.where(pred)
+        .groupBy("l_linestatus")
+        .agg(F.sum(money("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select("l_linestatus", dec_out(F.col("sum_qty"), "sum_qty"), "n_rows")
+    )
+
+
+@register(
+    "distinct_event_types",
+    oracle="""
+    SELECT DISTINCT event_type FROM events
+    WHERE event_type IS NOT NULL AND event_type <> ''
+    ORDER BY event_type
+    """,
+    doc="A12/F7/O6 sorted distinct filter-domain "
+    "(/root/reference/streamlit_app.py:57,60,68).",
+)
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_domain(load_table(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "count_distinct_years",
+    oracle="""
+    SELECT COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) AS n_years,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+    doc="A11/A13 distinct-count + total count "
+    "(`df['year'].nunique()`, /root/reference/streamlit_app.py:98; len(), main.py:150).",
+)
+def count_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "top10_brands_by_revenue",
+    oracle=f"""
+    SELECT p.p_brand, SUM({SQL_REV}) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY revenue DESC, p.p_brand ASC
+    LIMIT 10
+    """,
+    doc="O3 top-k after aggregation — the top-10 pie input "
+    "(/root/reference/streamlit_app.py:129). Plans TakeOrderedAndProject; "
+    "deterministic tiebreak on the key.",
+)
+def top10_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.select("l_partkey", _revenue().alias("rev"))
+        .join(part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum("rev").alias("rev"))
+        .select("p_brand", dec_out(F.col("rev"), "revenue"))
+    )
+    return top_k(rev, "revenue", 10, tiebreak=["p_brand"])
+
+
+@register(
+    "pivot_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS "F",
+           SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS "O",
+           SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="R2 pivot with explicit value list — the heatmap matrix "
+    "(/root/reference/streamlit_app.py:138-139). Explicit values avoid the "
+    "distinct-discovery pass (a full extra fact-table scan at 100 TB).",
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = pivot_sum(
+        orders.select("o_orderpriority", "o_orderstatus", money("o_totalprice").alias("tp")),
+        row_key="o_orderpriority",
+        pivot_col="o_orderstatus",
+        pivot_values=["F", "O", "P"],
+        measure="tp",
+    )
+    return wide.select(
+        "o_orderpriority",
+        dec_out(F.col("F"), "F"),
+        dec_out(F.col("O"), "O"),
+        dec_out(F.col("P"), "P"),
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH long AS (
+      SELECT l_orderkey, 'l_quantity' AS measure, CAST(l_quantity AS DECIMAL(18,6)) AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,6)) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'l_discount', CAST(l_discount AS DECIMAL(18,6)) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'l_tax', CAST(l_tax AS DECIMAL(18,6)) FROM lineitem
+    )
+    SELECT measure, SUM(value) AS total, COUNT(*) AS n_rows
+    FROM long GROUP BY measure
+    """,
+    doc="R1 unpivot/melt — the reference's signature wide→long step "
+    "(/root/reference/main.py:126-127) on lineitem's numeric measures, "
+    "re-aggregated to stay compact. Narrow Expand node, no shuffle before "
+    "the final groupBy.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        money("l_quantity").alias("l_quantity"),
+        money("l_extendedprice").alias("l_extendedprice"),
+        money("l_discount").alias("l_discount"),
+        money("l_tax").alias("l_tax"),
+    )
+    long = unpivot(
+        li,
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .select("measure", dec_out(F.col("total"), "total"), "n_rows")
+    )
+
+
+@register(
+    "union_parties",
+    oracle="""
+    SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment, 'customer' AS party
+    FROM customer
+    UNION ALL
+    SELECT s_name, s_acctbal, NULL, 'supplier' FROM supplier
+    """,
+    doc="U1 heterogeneous-schema UNION ALL aligned by name, NULL-filling "
+    "missing columns — pd.concat semantics (/root/reference/main.py:149) via "
+    "unionByName(allowMissingColumns=True). Metadata-only; no shuffle.",
+)
+def union_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("party"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("party"),
+    )
+    return union_by_name([customer, supplier]).select("name", "acctbal", "mktsegment", "party")
+
+
+# Yearly revenue (shared by the two trend queries below).
+SQL_YEARLY = """
+  SELECT EXTRACT(year FROM o_orderdate) AS year,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM orders GROUP BY 1
+"""
+
+
+def _yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.year("o_orderdate").alias("year"), money("o_totalprice").alias("tp"))
+        .groupBy("year")
+        .agg(F.sum("tp").alias("rev"))
+    )
+
+
+@register(
+    "pct_change_trend",
+    oracle=f"""
+    WITH yearly AS ({SQL_YEARLY})
+    SELECT MIN(year) AS first_year, MAX(year) AS last_year,
+           ROUND((CAST(ARG_MAX(rev, year) AS DOUBLE) - CAST(ARG_MIN(rev, year) AS DOUBLE))
+                 / CAST(ARG_MIN(rev, year) AS DOUBLE) * 100, 4) AS pct_change
+    FROM yearly
+    """,
+    doc="W1 first/last-over-ordered-series pct change — the trend insight "
+    "(/root/reference/streamlit_app.py:99-102) as a min_by/max_by aggregation "
+    "(no global-sort window).",
+)
+def pct_change_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yearly = _yearly_revenue(spark, sf_dir).select(
+        "year", F.col("rev").cast("double").alias("rev")
+    )
+    return first_last_pct_change(yearly, order_col="year", measure="rev")
+
+
+@register(
+    "yearly_revenue_window",
+    oracle=f"""
+    WITH yearly AS ({SQL_YEARLY})
+    SELECT year,
+           rev AS revenue,
+           rev - LAG(rev) OVER (ORDER BY year) AS delta,
+           SUM(rev) OVER (ORDER BY year ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+    FROM yearly
+    """,
+    doc="Driver-mandated window surface (SURVEY §2.6): lag + running frame "
+    "over the yearly series. Tiny input (one row per year) — the "
+    "single-partition window is intentional and cheap *after* aggregation.",
+)
+def yearly_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    yearly = _yearly_revenue(spark, sf_dir)
+    w = Window.orderBy("year")
+    run = Window.orderBy("year").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return yearly.select(
+        "year",
+        dec_out(F.col("rev"), "revenue"),
+        dec_out(F.col("rev") - F.lag("rev").over(w), "delta"),
+        dec_out(F.sum("rev").over(run), "running_total"),
+    )
+
+
+@register(
+    "top3_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Ranking window (SURVEY §2.6 driver mandate): top-3 per group via "
+    "row_number with deterministic tiebreak.",
+)
+def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        partition_by=["o_orderpriority"],
+        order_col="o_totalprice",
+        k=3,
+        tiebreak=["o_orderkey"],
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND EXTRACT(year FROM o.o_orderdate) = 1995
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="Anti join (SURVEY §2.4 driver mandate): customers with no 1995 "
+    "order — NOT EXISTS via left_anti with a pushed-down build-side filter.",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    orders_1995 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    return (
+        customer.join(orders_1995, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "customer_order_stats",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS total_spend
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Left outer equi join + aggregation (SURVEY §2.4 driver mandate).",
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey", money("o_totalprice").alias("tp"))
+        .join(customer.select("c_custkey", "c_mktsegment"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("tp").alias("ts"))
+        .select("c_mktsegment", "n_orders", dec_out(F.col("ts"), "total_spend"))
+    )
+
+
+@register(
+    "json_props_agg",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON-in-string extraction (driver mandate, SURVEY §2.9 note): "
+    "get_json_object over events.props.",
+)
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "events_hourly_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window as a batch groupBy (streaming-shaped "
+    "aggregation, SURVEY §2.11; the streaming module reuses the identical "
+    "expression over readStream).",
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).alias("sv"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            dec_out(F.col("sv"), "sum_value"),
+        )
+    )
+
+
+# X1/X2 scalar parity: synthetic dirty strings built deterministically from
+# corpus rows, cleaned identically in both engines.
+_DIRTY_STATES = [
+    "nsw", "N.S.W.", " vic ", "Vic", "QLD!", "xyz", "", "w a", "tas;", "nt",
+    "a c t", "aust ralia",
+]
+_SQL_STATE_LIST = ", ".join(f"'{s}'" for s in _DIRTY_STATES)
+
+
+@register(
+    "scalar_clean_norm",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             '("' || source || '", ' || CAST(doc_id % 100 AS VARCHAR) || '.5)' AS dirty_text,
+             list_extract([{_SQL_STATE_LIST}], CAST(doc_id % 12 AS INTEGER) + 1) AS dirty_state
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id,
+             TRIM(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(dirty_text,
+                 '^\\("?\\s*', '', 'g'), '"?\\)$', '', 'g'),
+                 ',\\s*[-+]?[0-9]*\\.?[0-9]+$', '', 'g')), '"') AS cleaned_text,
+             CASE WHEN REGEXP_REPLACE(UPPER(dirty_state), '[^A-Z]', '', 'g')
+                       IN ('NSW','VIC','QLD','SA','WA','TAS','NT','ACT','AUST')
+                  THEN REGEXP_REPLACE(UPPER(dirty_state), '[^A-Z]', '', 'g')
+             END AS state
+      FROM base
+    )
+    SELECT cleaned_text, state, COUNT(*) AS n
+    FROM cleaned GROUP BY 1, 2
+    """,
+    doc="X1 norm_state + X2 clean_text (/root/reference/main.py:42-68) as "
+    "pure Catalyst expressions — tuple-artifact stripping and state-code "
+    "normalization, checked value-for-value against DuckDB regexes.",
+)
+def scalar_clean_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    states_arr = F.array(*[F.lit(s) for s in _DIRTY_STATES])
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('("'), F.col("source"), F.lit('", '),
+            (F.col("doc_id") % 100).cast("string"), F.lit(".5)"),
+        ).alias("dirty_text"),
+        F.element_at(states_arr, (F.col("doc_id") % 12).cast("int") + 1).alias("dirty_state"),
+    )
+    cleaned = base.select(
+        "doc_id",
+        clean_text("dirty_text").alias("cleaned_text"),
+        norm_state("dirty_state").alias("state"),
+    )
+    return cleaned.groupBy("cleaned_text", "state").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "range_join_ship_lag",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS shipped_within_60d
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Theta/range predicate on top of an equi join (SURVEY §2.4 driver "
+    "mandate): ship-lag classification. The range condition is evaluated "
+    "post-join as a projection, not a nested-loop join.",
+)
+def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    within = (
+        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    ).cast("long")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(within).alias("shipped_within_60d"),
+        )
+    )
+
+
+@register(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Rollup multi-granularity aggregation — supersedes the reference's "
+    "per-widget re-aggregation pattern (SURVEY §2.5: A3–A10 re-run groupby "
+    "per chart; one rollup pass serves all grains).",
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(money("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            dec_out(F.col("sq"), "sum_qty"),
+            "n_rows",
+        )
+    )

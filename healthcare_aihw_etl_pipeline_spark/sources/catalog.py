@@ -1,0 +1,76 @@
+"""Parquet table catalog over the test corpus (SURVEY §2.1 S9).
+
+The reference reads from PostgreSQL (`SELECT * FROM clean_admissions`,
+/root/reference/streamlit_app.py:30); here the canonical storage is
+Parquet, scanned lazily so Catalyst pushes filters and prunes columns
+into the file scan.
+
+Scale notes: at 100 TB these would be partitioned/bucketed table roots
+(fact tables partitioned by date, bucketed by join key) rather than
+single files; the loading surface is identical (`spark.read.parquet` on
+a directory). Never cache here — callers decide persistence (the
+reference's `st.cache_data`, SURVEY §2.13 C2, maps to `df.persist()` at
+the serving layer, not the scan layer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should be broadcast in joins at any scale.
+SMALL_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one corpus table.
+
+    `events.ts` is physically INT64 TIMESTAMP(NANOS), which the Spark
+    vectorized reader rejects; we read nanos as long (legacy conf) and
+    rebuild a microsecond timestamp with *integer* division (a double
+    division would lose precision above 2^53 ≈ 9e15 ns).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # Rebuild as TIMESTAMP_NTZ (matching how Spark reads the other
+            # non-UTC-adjusted parquet timestamps) so results do not depend
+            # on the session timezone.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the full corpus as a dict of lazy DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view for the `spark.sql` surface.
+
+    Redeems the reference's latent SQL-on-DataFrames intent (pandasql is
+    declared in /root/reference/requirements.txt:12 but never imported).
+    """
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
