@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice; the second (steady-state: code already
+JIT-compiled, file footers cached) is reported. With --duckdb, also times
+the DuckDB oracle SQL for the same queries (the operative baseline per
+BASELINE.md) to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from healthcare_aihw_etl_pipeline_spark import get_spark
+from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the queries that exercise the physical spine — multi-join
+# agg, wide agg, top-k, window, reshape, dedup, text, array math.
+HEADLINE = [
+    "revenue_by_nation",
+    "pricing_summary",
+    "top10_brands_by_revenue",
+    "filter_in_agg",
+    "pivot_priority_status",
+    "unpivot_lineitem_measures",
+    "top3_orders_per_priority",
+    "events_hourly_window",
+    "json_props_agg",
+    "dedup_prefix_keepers",
+    "text_token_stats",
+    "embedding_norms",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_spark() -> dict[str, float]:
+    spark = get_spark(app_name="bench")
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # collect() forces full execution of every output column —
+            # count() would let Catalyst prune the aggregates away and
+            # under-measure. All headline results are small (≤ ~3.5k rows).
+            q.fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+    return times
+
+
+def run_duckdb() -> dict[str, float]:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        if not q.oracle:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(q.oracle).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+    return times
+
+
+def main() -> None:
+    times = run_spark()
+    out = {
+        "metric": "headline_query_wall_sec",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if "--duckdb" in sys.argv:
+        duck = run_duckdb()
+        print(
+            json.dumps({"duckdb_baseline": duck, "duckdb_total": round(sum(duck.values()), 4)}),
+            file=sys.stderr,
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

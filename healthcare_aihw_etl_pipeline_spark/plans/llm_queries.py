@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from healthcare_aihw_etl_pipeline_spark.plans.registry import dec_out, money, register
+from healthcare_aihw_etl_pipeline_spark.plans.registry import dollars, register
 from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
 
 
@@ -91,8 +91,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vectors,
-           SUM(CAST(round(sqrt(list_sum(list_transform(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DECIMAL(18,6))) AS sum_norm
+           CAST(SUM(CAST(round(round(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS sum_norm
     FROM embeddings
     GROUP BY label
     """,
@@ -107,9 +108,11 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    norm = F.round(F.sqrt(sq_sum), 4).cast("decimal(18,6)")
+    # round to 4dp (bit-identical doubles on both engines), then exact
+    # integer-1e-4 units for the associative sum (see plans.registry).
+    norm_e4 = F.round(F.round(F.sqrt(sq_sum), 4) * 10000).cast("long")
     return (
         emb.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum(norm).alias("sn"))
-        .select("label", "n_vectors", dec_out(F.col("sn"), "sum_norm"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum(norm_e4).alias("sn"))
+        .select("label", "n_vectors", dollars(F.col("sn"), "sum_norm", 4))
     )

@@ -5,6 +5,10 @@ reference's pandas analytics spine — filter → groupby-sum → sort/top-k →
 pivot/unpivot, /root/reference/main.py and /root/reference/streamlit_app.py)
 to the TPC-H-ish tables, with a DuckDB SQL oracle.
 
+Numeric policy: exact integer-cents arithmetic (see plans.registry) —
+associative long sums that both engines compute bit-identically, at
+whole-stage-codegen speed.
+
 Plan-quality invariants (asserted by tests/test_plans.py):
 - dimension joins broadcast (nation/region always; others via AQE),
 - filters and column pruning reach the parquet scan,
@@ -30,57 +34,67 @@ from healthcare_aihw_etl_pipeline_spark.operators.windows import (
     top_k_per_group,
 )
 from healthcare_aihw_etl_pipeline_spark.plans.registry import (
-    DEC_IN,
-    dec_out,
-    money,
+    cents,
+    dollars,
     register,
+    sql_cents,
 )
 from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
 
-# Shared SQL fragment: exact-decimal revenue expression (oracle side).
-SQL_REV = (
-    "CAST(l_extendedprice AS DECIMAL(18,6)) * "
-    "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
-)
+# Revenue in 1e-4-dollar units: price_cents * (100 - discount_pct).
+# Exact long arithmetic on both sides (discount is a 2-decimal fraction
+# in [0, 0.1] → discount*100 is an integer percentage in [0, 10]).
+SQL_REV = f"{sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})"
 
 
 def _revenue() -> F.Column:
-    """Exact-decimal revenue: extendedprice * (1 - discount)."""
-    return money("l_extendedprice") * (F.lit(1).cast(DEC_IN) - money("l_discount"))
+    """Exact revenue in 1e-4-dollar units: extendedprice*(1-discount)."""
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
 
 
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ orders ⋈ customer ⋈ nation → revenue per nation.
 
-    The physical spine of the flagship path (SURVEY §7.2): fact-side
-    filters push to the scan; nation is broadcast explicitly (25 rows at
-    any scale factor); customer/orders join strategy is left to AQE.
+    The physical spine of the flagship path (SURVEY §7.2). Join order is
+    deliberate: the dimension chain (orders ⋈ customer ⋈ nation) is
+    reduced to a two-column (o_orderkey, n_name) relation FIRST, so the
+    fact stream is probed exactly once instead of three times. nation is
+    broadcast explicitly (25 rows at any scale); the orders/customer and
+    fact-side strategies are left to AQE — broadcast at bench scale,
+    sort-merge on a real cluster where orders outgrows the threshold.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    return (
-        lineitem.select("l_orderkey", _revenue().alias("rev"))
-        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+    order_nation = (
+        orders.select("o_orderkey", "o_custkey")
         .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", "n_name")
+    )
+    return (
+        lineitem.select("l_orderkey", _revenue().alias("rev"))
+        .join(order_nation, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(F.sum("rev").alias("rev"))
-        .select(F.col("n_name"), dec_out(F.col("rev"), "revenue"))
+        .select(F.col("n_name"), dollars(F.col("rev"), "revenue", 4))
     )
+
+
+SQL_REV_BY_NATION = f"""
+  SELECT n.n_name, CAST(SUM({SQL_REV}) AS DOUBLE) / 10000.0 AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+"""
 
 
 @register(
     "revenue_by_nation",
-    oracle=f"""
-    SELECT n.n_name, SUM({SQL_REV}) AS revenue
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
+    oracle=SQL_REV_BY_NATION,
     doc="Flagship: revenue per nation (A3 generalized; joins per SURVEY §2.4).",
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,14 +104,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_nation",
     oracle=f"""
-    WITH rev AS (
-      SELECT n.n_name, SUM({SQL_REV}) AS revenue
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN nation n ON c.c_nationkey = n.n_nationkey
-      GROUP BY n.n_name
-    )
+    WITH rev AS ({SQL_REV_BY_NATION})
     SELECT n_name, revenue FROM rev
     ORDER BY revenue DESC, n_name DESC LIMIT 1
     """,
@@ -111,12 +118,11 @@ def top_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price,
+           SUM({sql_cents("l_quantity", 0)}) AS sum_qty,
+           CAST(SUM({sql_cents("l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM({SQL_REV}) AS DOUBLE) / 10000.0 AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
@@ -132,17 +138,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).alias("sum_qty"),
-            F.sum(money("l_extendedprice")).alias("sum_base_price"),
-            F.sum(_revenue()).alias("sum_disc_price"),
+            F.sum(cents("l_quantity", 0)).alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("bp"),
+            F.sum(_revenue()).alias("dp"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .select(
             "l_returnflag",
             "l_linestatus",
-            dec_out(F.col("sum_qty"), "sum_qty"),
-            dec_out(F.col("sum_base_price"), "sum_base_price"),
-            dec_out(F.col("sum_disc_price"), "sum_disc_price"),
+            "sum_qty",
+            dollars(F.col("bp"), "sum_base_price", 2),
+            dollars(F.col("dp"), "sum_disc_price", 4),
             "count_order",
         )
     )
@@ -150,9 +156,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filter_in_agg",
-    oracle="""
+    oracle=f"""
     SELECT l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+           SUM({sql_cents("l_quantity", 0)}) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_returnflag IN ('A','R')
@@ -173,8 +179,7 @@ def filter_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.where(pred)
         .groupBy("l_linestatus")
-        .agg(F.sum(money("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
-        .select("l_linestatus", dec_out(F.col("sum_qty"), "sum_qty"), "n_rows")
+        .agg(F.sum(cents("l_quantity", 0)).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
     )
 
 
@@ -213,7 +218,7 @@ def count_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top10_brands_by_revenue",
     oracle=f"""
-    SELECT p.p_brand, SUM({SQL_REV}) AS revenue
+    SELECT p.p_brand, CAST(SUM({SQL_REV}) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     ORDER BY revenue DESC, p.p_brand ASC
@@ -231,18 +236,18 @@ def top10_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.sum("rev").alias("rev"))
-        .select("p_brand", dec_out(F.col("rev"), "revenue"))
+        .select("p_brand", dollars(F.col("rev"), "revenue", 4))
     )
     return top_k(rev, "revenue", 10, tiebreak=["p_brand"])
 
 
 @register(
     "pivot_priority_status",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS "F",
-           SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS "O",
-           SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS "P"
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN {sql_cents("o_totalprice")} END) AS DOUBLE) / 100.0 AS "F",
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN {sql_cents("o_totalprice")} END) AS DOUBLE) / 100.0 AS "O",
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN {sql_cents("o_totalprice")} END) AS DOUBLE) / 100.0 AS "P"
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -253,7 +258,7 @@ def top10_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     wide = pivot_sum(
-        orders.select("o_orderpriority", "o_orderstatus", money("o_totalprice").alias("tp")),
+        orders.select("o_orderpriority", "o_orderstatus", cents("o_totalprice").alias("tp")),
         row_key="o_orderpriority",
         pivot_col="o_orderstatus",
         pivot_values=["F", "O", "P"],
@@ -261,25 +266,25 @@ def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.select(
         "o_orderpriority",
-        dec_out(F.col("F"), "F"),
-        dec_out(F.col("O"), "O"),
-        dec_out(F.col("P"), "P"),
+        dollars(F.col("F"), "F", 2),
+        dollars(F.col("O"), "O", 2),
+        dollars(F.col("P"), "P", 2),
     )
 
 
 @register(
     "unpivot_lineitem_measures",
-    oracle="""
+    oracle=f"""
     WITH long AS (
-      SELECT l_orderkey, 'l_quantity' AS measure, CAST(l_quantity AS DECIMAL(18,6)) AS value FROM lineitem
+      SELECT l_orderkey, 'l_quantity' AS measure, {sql_cents("l_quantity")} AS value FROM lineitem
       UNION ALL
-      SELECT l_orderkey, 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,6)) FROM lineitem
+      SELECT l_orderkey, 'l_extendedprice', {sql_cents("l_extendedprice")} FROM lineitem
       UNION ALL
-      SELECT l_orderkey, 'l_discount', CAST(l_discount AS DECIMAL(18,6)) FROM lineitem
+      SELECT l_orderkey, 'l_discount', {sql_cents("l_discount")} FROM lineitem
       UNION ALL
-      SELECT l_orderkey, 'l_tax', CAST(l_tax AS DECIMAL(18,6)) FROM lineitem
+      SELECT l_orderkey, 'l_tax', {sql_cents("l_tax")} FROM lineitem
     )
-    SELECT measure, SUM(value) AS total, COUNT(*) AS n_rows
+    SELECT measure, CAST(SUM(value) AS DOUBLE) / 100.0 AS total, COUNT(*) AS n_rows
     FROM long GROUP BY measure
     """,
     doc="R1 unpivot/melt — the reference's signature wide→long step "
@@ -290,10 +295,10 @@ def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
-        money("l_quantity").alias("l_quantity"),
-        money("l_extendedprice").alias("l_extendedprice"),
-        money("l_discount").alias("l_discount"),
-        money("l_tax").alias("l_tax"),
+        cents("l_quantity").alias("l_quantity"),
+        cents("l_extendedprice").alias("l_extendedprice"),
+        cents("l_discount").alias("l_discount"),
+        cents("l_tax").alias("l_tax"),
     )
     long = unpivot(
         li,
@@ -305,7 +310,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         long.groupBy("measure")
         .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_rows"))
-        .select("measure", dec_out(F.col("total"), "total"), "n_rows")
+        .select("measure", dollars(F.col("total"), "total", 2), "n_rows")
     )
 
 
@@ -336,10 +341,10 @@ def union_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_by_name([customer, supplier]).select("name", "acctbal", "mktsegment", "party")
 
 
-# Yearly revenue (shared by the two trend queries below).
-SQL_YEARLY = """
+# Yearly revenue in dollars-as-double from exact cent sums (shared below).
+SQL_YEARLY = f"""
   SELECT EXTRACT(year FROM o_orderdate) AS year,
-         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+         CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0 AS rev
   FROM orders GROUP BY 1
 """
 
@@ -347,9 +352,10 @@ SQL_YEARLY = """
 def _yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.select(F.year("o_orderdate").alias("year"), money("o_totalprice").alias("tp"))
+        orders.select(F.year("o_orderdate").alias("year"), cents("o_totalprice").alias("tp"))
         .groupBy("year")
-        .agg(F.sum("tp").alias("rev"))
+        .agg(F.sum("tp").alias("rev_cents"))
+        .select("year", dollars(F.col("rev_cents"), "rev", 2))
     )
 
 
@@ -358,8 +364,8 @@ def _yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH yearly AS ({SQL_YEARLY})
     SELECT MIN(year) AS first_year, MAX(year) AS last_year,
-           ROUND((CAST(ARG_MAX(rev, year) AS DOUBLE) - CAST(ARG_MIN(rev, year) AS DOUBLE))
-                 / CAST(ARG_MIN(rev, year) AS DOUBLE) * 100, 4) AS pct_change
+           ROUND((ARG_MAX(rev, year) - ARG_MIN(rev, year))
+                 / ARG_MIN(rev, year) * 100, 4) AS pct_change
     FROM yearly
     """,
     doc="W1 first/last-over-ordered-series pct change — the trend insight "
@@ -367,9 +373,7 @@ def _yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(no global-sort window).",
 )
 def pct_change_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    yearly = _yearly_revenue(spark, sf_dir).select(
-        "year", F.col("rev").cast("double").alias("rev")
-    )
+    yearly = _yearly_revenue(spark, sf_dir)
     return first_last_pct_change(yearly, order_col="year", measure="rev")
 
 
@@ -395,9 +399,9 @@ def yearly_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = Window.orderBy("year").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return yearly.select(
         "year",
-        dec_out(F.col("rev"), "revenue"),
-        dec_out(F.col("rev") - F.lag("rev").over(w), "delta"),
-        dec_out(F.sum("rev").over(run), "running_total"),
+        F.col("rev").alias("revenue"),
+        (F.col("rev") - F.lag("rev").over(w)).alias("delta"),
+        F.sum("rev").over(run).alias("running_total"),
     )
 
 
@@ -453,10 +457,10 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_order_stats",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_orders,
-           SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS total_spend
+           CAST(SUM({sql_cents("o.o_totalprice")}) AS DOUBLE) / 100.0 AS total_spend
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -466,11 +470,11 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.select("o_custkey", money("o_totalprice").alias("tp"))
+        orders.select("o_custkey", cents("o_totalprice").alias("tp"))
         .join(customer.select("c_custkey", "c_mktsegment"), F.col("o_custkey") == F.col("c_custkey"), "left")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("tp").alias("ts"))
-        .select("c_mktsegment", "n_orders", dec_out(F.col("ts"), "total_spend"))
+        .select("c_mktsegment", "n_orders", dollars(F.col("ts"), "total_spend", 2))
     )
 
 
@@ -500,11 +504,11 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly_window",
-    oracle="""
+    oracle=f"""
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+           CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -518,13 +522,13 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(money("value")).alias("sv"),
+            F.sum(cents("value")).alias("sv"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n_events",
-            dec_out(F.col("sv"), "sum_value"),
+            dollars(F.col("sv"), "sum_value", 2),
         )
     )
 
@@ -618,9 +622,9 @@ def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_returnflag_status",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+           SUM({sql_cents("l_quantity", 0)}) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -633,11 +637,5 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(money("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("n_rows"))
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            dec_out(F.col("sq"), "sum_qty"),
-            "n_rows",
-        )
+        .agg(F.sum(cents("l_quantity", 0)).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
     )
