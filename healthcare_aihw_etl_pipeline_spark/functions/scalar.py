@@ -54,14 +54,14 @@ def try_double(col: Column | str) -> Column:
     `try_cast` never raises, even under ANSI mode.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_cast(F.trim(c.cast("string")), "double")
+    return F.trim(c.cast("string")).try_cast("double")
 
 
 def try_int(col: Column | str) -> Column:
     """X4 — nullable integer cast (`astype("Int64")`,
     /root/reference/streamlit_app.py:47). Non-integral numerics truncate,
     junk becomes NULL."""
-    return F.try_cast(try_double(col), "int")
+    return try_double(col).try_cast("int")
 
 
 def year_from_url(col: Column | str) -> Column:
@@ -73,7 +73,7 @@ def year_from_url(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     two = F.regexp_extract(c, r"(\d{4})-(\d{2})", 2)
     return F.when(two == "", F.lit(9999)).otherwise(
-        F.try_cast(two, "int") + F.lit(2000)
+        two.try_cast("int") + F.lit(2000)
     )
 
 

@@ -5,5 +5,6 @@ from healthcare_aihw_etl_pipeline_spark.plans.registry import REGISTRY, Query, r
 # Import for registration side effects.
 from healthcare_aihw_etl_pipeline_spark.plans import reference_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import llm_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import ingest_queries  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,259 @@
+"""Header-sniffing, dynamic-schema wide-sheet ingestion (SURVEY §1.4) —
+the reference's `parse_sheet` pipeline (/root/reference/main.py:48-131)
+re-expressed as driver-side schema inference + distributed DataFrame
+algebra.
+
+Split of responsibilities, chosen for the Spark execution model:
+- *Schema inference* (header-row detection, column-role classification,
+  positional renames, validity predicate) runs on the driver over the
+  first ≤40 rows of each sheet — metadata-sized work, pure Python,
+  unit-testable.
+- *Data transformation* (clean-text regexes, numeric coercion, unpivot,
+  null filtering, year stamping, heterogeneous union, fill-then-group
+  aggregation) is lazy DataFrame algebra — Catalyst expressions only, so
+  the same code path scales from one worksheet to a 100 TB landing zone
+  of wide files (each sheet's rows can come from any distributed source;
+  inference needs only the tiny header slice).
+
+Pandas-quirk parity (deliberately reproduced, per SURVEY §7.3 hard part 1):
+- empty header cells are named ``Unnamed: N`` before slugging (pandas
+  read_excel behavior);
+- duplicate columns keep the first occurrence (/root/reference/main.py:79);
+- `_clean_text` stringifies missing id-cells to the literal ``"nan"``
+  (pandas ``astype(str)`` on NaN, /root/reference/main.py:60-68) — nulls
+  introduced *later* by the heterogeneous union stay NULL and are filled
+  to ``""`` before grouping (/root/reference/main.py:161-162).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from healthcare_aihw_etl_pipeline_spark.functions.scalar import (
+    STATE_CODES,
+    clean_text,
+    slug,
+    try_double,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.relational import union_by_name
+
+# Fixed output columns of the tidy fact table (/root/reference/README.md:93-105).
+FIXED = {"year", "state", "separations"}
+
+HEADER_SCAN_ROWS = 40  # /root/reference/main.py:50
+
+
+def norm_state_py(cell: object) -> str | None:
+    """Driver-side twin of functions.scalar.norm_state
+    (/root/reference/main.py:42-45)."""
+    s = re.sub(r"[^A-Z]", "", str(cell).upper())
+    return s if s in STATE_CODES else None
+
+
+def header_row(rows: Sequence[Sequence[object]]) -> int | None:
+    """F8 — first of the top 40 rows containing ≥2 recognizable state codes
+    (/root/reference/main.py:48-53)."""
+    for i, row in enumerate(rows[:HEADER_SCAN_ROWS]):
+        if sum(1 for v in row if v is not None and norm_state_py(v)) >= 2:
+            return i
+    return None
+
+
+@dataclass
+class SheetSchema:
+    """Inferred roles for one sheet's columns."""
+
+    header_idx: int
+    id_cols: list[str] = field(default_factory=list)
+    state_cols: list[str] = field(default_factory=list)
+    # positional mapping raw-column-index -> output name (None = dropped)
+    colmap: list[str | None] = field(default_factory=list)
+
+    @property
+    def valid(self) -> bool:
+        """F9 — ≥2 state columns and ≥1 id column
+        (/root/reference/main.py:115-116)."""
+        return len(self.state_cols) >= 2 and len(self.id_cols) >= 1
+
+
+def infer_schema(rows: Sequence[Sequence[object]]) -> SheetSchema | None:
+    """Column-role inference (/root/reference/main.py:78-116).
+
+    Header cells that normalize to a state code become value columns;
+    everything else becomes a slugged id column, with positional renaming
+    of unnamed columns (first → ``category``, next → ``principal_diagnosis``
+    then ``dimension_N``) and the helper column ``total`` dropped.
+    """
+    hdr = header_row(rows)
+    if hdr is None:
+        return None
+    header = list(rows[hdr])
+
+    # pandas-style naming of empty header cells: "Unnamed: N".
+    raw_names = [
+        f"Unnamed: {i}" if (c is None or str(c).strip() == "") else str(c)
+        for i, c in enumerate(header)
+    ]
+
+    schema = SheetSchema(header_idx=hdr)
+    seen: set[str] = set()
+    names: list[str | None] = []
+    for name in raw_names:
+        st = norm_state_py(name)
+        out: str | None
+        if st:
+            out = st
+        else:
+            out = slug(name)
+        if out in seen:  # P1: duplicate columns keep first occurrence
+            names.append(None)
+            continue
+        seen.add(out)
+        names.append(out)
+        if st:
+            schema.state_cols.append(st)
+        else:
+            schema.id_cols.append(out)
+
+    # P3: positional semantic renames of unnamed id columns.
+    renames: dict[str, str] = {}
+    if schema.id_cols and schema.id_cols[0].startswith("unnamed"):
+        renames[schema.id_cols[0]] = "category"
+        schema.id_cols[0] = "category"
+    for idx in range(1, len(schema.id_cols)):
+        col = schema.id_cols[idx]
+        if col.startswith("unnamed"):
+            new = (
+                "principal_diagnosis"
+                if "principal_diagnosis" not in schema.id_cols
+                else f"dimension_{idx}"
+            )
+            renames[col] = new
+            schema.id_cols[idx] = new
+    names = [renames.get(n, n) if n else None for n in names]
+
+    # P4: drop the helper column "total" (/root/reference/main.py:111-113).
+    if "total" in schema.id_cols:
+        schema.id_cols.remove("total")
+        names = [None if n == "total" else n for n in names]
+
+    schema.colmap = names
+    return schema if schema.valid else None
+
+
+def parse_sheet(
+    spark: SparkSession,
+    rows: Sequence[Sequence[object]],
+    year: int,
+) -> DataFrame | None:
+    """Parse one wide sheet into the tidy long form
+    (/root/reference/main.py:72-131): returns columns
+    ``*id_cols, state, separations, year`` or None for invalid sheets.
+
+    Everything below the inferred header runs as DataFrame algebra:
+    F1 null-drop on the first id column → X2 clean-text on id columns
+    (missing → literal "nan", pandas parity) → X3 coerce-cast on state
+    columns → R1 unpivot → F2 drop null measures → P6 year stamp.
+    """
+    schema = infer_schema(rows)
+    if schema is None:
+        return None
+
+    kept = [(i, n) for i, n in enumerate(schema.colmap) if n is not None]
+    body = [
+        tuple(
+            None if (r[i] if i < len(r) else None) is None else str(r[i] if i < len(r) else None)
+            for i, _ in kept
+        )
+        for r in rows[schema.header_idx + 1 :]
+    ]
+    struct = T.StructType(
+        [T.StructField(n, T.StringType(), True) for _, n in kept]
+    )
+    wide = spark.createDataFrame(body, schema=struct)
+
+    first_id = schema.id_cols[0]
+    wide = wide.where(F.col(first_id).isNotNull())  # F1
+
+    cleaned_cols = []
+    for c in wide.columns:
+        if c in schema.id_cols:
+            # pandas astype(str) turns NaN into the literal "nan".
+            cleaned_cols.append(
+                F.when(F.col(c).isNull(), F.lit("nan"))
+                .otherwise(clean_text(F.col(c)))
+                .alias(c)
+            )
+        else:
+            cleaned_cols.append(try_double(c).alias(c))  # X3
+    wide = wide.select(*cleaned_cols)
+
+    tidy = (
+        wide.unpivot(  # R1
+            schema.id_cols,
+            schema.state_cols,
+            "state",
+            "separations",
+        )
+        .where(F.col("separations").isNotNull())  # F2
+        .withColumn("year", F.lit(int(year)))  # P6
+    )
+    return tidy
+
+
+def compile_sheets(
+    spark: SparkSession,
+    sheets: Sequence[tuple[Sequence[Sequence[object]], int]],
+) -> DataFrame:
+    """U1 — parse every (rows, year) sheet and union by name, NULL-filling
+    missing columns (`pd.concat`, /root/reference/main.py:135-151)."""
+    frames = [
+        df
+        for rows, year in sheets
+        if (df := parse_sheet(spark, rows, year)) is not None
+    ]
+    if not frames:
+        raise RuntimeError("No valid data extracted - parsing rules may need an update.")
+    return union_by_name(frames)
+
+
+def clean_aggregate(tidy: DataFrame) -> DataFrame:
+    """A1 — the staging→clean contract (/root/reference/main.py:160-164):
+    dims are all columns except {year, state, separations} that contain at
+    least one non-null value; NULL dims are filled to "" *before* grouping
+    (pandas drops NaN group keys — the fill is load-bearing for parity).
+
+    One extra metadata-sized aggregation discovers non-null dims; the main
+    pass is a single hash aggregation (one shuffle).
+    """
+    candidate = [c for c in tidy.columns if c not in FIXED]
+    if candidate:
+        counts = tidy.agg(
+            *[F.count(F.col(c)).alias(c) for c in candidate]
+        ).first()
+        dims = [c for c in candidate if counts[c] > 0]
+    else:
+        dims = []
+    filled = tidy.na.fill("", subset=dims) if dims else tidy
+    return filled.groupBy("year", "state", *dims).agg(
+        F.sum("separations").alias("separations")
+    )
+
+
+def load_two_tier(tidy: DataFrame, base_path: str) -> tuple[str, str]:
+    """S7/C3 — two-tier materialization: full-replace staging (raw tidy)
+    and clean (pre-aggregated) tables (/root/reference/main.py:155-165),
+    as parquet instead of JDBC. Partitioned by year: every dashboard
+    filter includes year (/root/reference/streamlit_app.py:57-63), so
+    partition pruning serves the interactive path at scale."""
+    staging = f"{base_path}/staging_admissions"
+    clean = f"{base_path}/clean_admissions"
+    tidy.write.mode("overwrite").partitionBy("year").parquet(staging)
+    clean_aggregate(tidy).write.mode("overwrite").partitionBy("year").parquet(clean)
+    return staging, clean
