@@ -1,0 +1,268 @@
+"""Deduplication operators for training-data pipelines (driver mandate,
+BASELINE.json north_star: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Everything is Catalyst higher-order-function expressions over token/
+shingle arrays — no Python UDFs — so dedup runs at whole-stage-codegen
+speed and scales as ordinary shuffles:
+
+- exact:    one shuffle on a 16-byte hash key, map-side partial agg.
+- MinHash:  per-row signature (narrow) → explode bands (narrow, ×B) →
+            one shuffle on (band, band_hash) → per-bucket min-id.
+- SimHash:  per-row 64-bit signature (narrow) → band on 16-bit chunks →
+            same shuffle shape.
+- Jaccard:  exact verification on candidate pairs only (the LSH bucket
+            join bounds the pair count; never all-pairs).
+
+Keep-policy: "star" dedup — a row is a duplicate if it shares any bucket
+with a smaller id. This is the standard single-pass approximation of
+connected components (full transitive closure needs iterative joins;
+at 100 TB the star policy is what production pipelines run first).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61 - 1: modulus for the universal-hash permutations.
+_P = (1 << 61) - 1
+
+
+def word_shingles(text_col: Column | str, k: int = 5) -> Column:
+    """k-word shingles as strings (distinct), from whitespace tokens."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.split(F.trim(c), r"\s+")
+    n = F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+        )
+    )
+
+
+def char_shingles(text_col: Column | str, k: int = 8) -> Column:
+    """k-char shingles (distinct) — language-agnostic alternative."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    s = F.trim(c)
+    n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(s, i, F.lit(k)))
+    )
+
+
+def _permutation_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """MinHash signature as array<long>.
+
+    Base hashes come from xxhash64 (one pass over the shingles); each of
+    the `num_hashes` permutations is `min((a*h + b) mod P)` — universal
+    hashing over the Mersenne prime 2^61-1. Long-multiply overflow wraps
+    (non-ANSI) which is fine for hashing and fully deterministic.
+
+    Implemented as ONE left-fold that keeps a `num_hashes`-element running
+    minimum — `num_hashes` separate `array_min(transform(...))` columns
+    would each re-embed the whole shingle subtree and blow up the Catalyst
+    expression tree (observed: planning/codegen hangs at 32 copies).
+    """
+    params = _permutation_params(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in params])
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit(_P - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(a * h + b, F.lit(_P))),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def minhash_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_idx, band_hash) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup detection.
+
+    Returns (id_col, dup_of): one row per input, where dup_of is the
+    smallest id sharing any LSH band bucket (dup_of = id for uniques /
+    cluster representatives). Shuffle cost: bands × |df| rows of
+    (band, band_hash, id) — integers only, no text moves.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_k), num_hashes, seed)
+    # Materialize the signature as a named column FIRST: minhash_bands
+    # references it 32× via element_at, and handing it the raw expression
+    # would re-embed (and re-evaluate) the whole fold per reference.
+    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    banded = with_sig.select(
+        F.col(id_col),
+        F.explode(minhash_bands(F.col("_sig"), bands, rows_per_band)).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+
+    # Per-bucket min via a window (single pass over the banded rows): the
+    # groupBy+self-join alternative would recompute the signature fold for
+    # the second scan of the source.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash")
+    return (
+        banded.withColumn("bucket_min", F.min(id_col).over(w))
+        .groupBy(id_col)
+        .agg(F.min("bucket_min").alias("dup_of"))
+    )
+
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens, as a long.
+
+    Per token: xxhash64 → contribute ±1 to each of 64 bit-counters
+    (via getbit); final bit = counter > 0. Packed little-endian into a
+    signed long (bit 63 contributes the sign — irrelevant for equality
+    and Hamming operations).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.array_distinct(F.split(F.trim(c), r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    counters = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.getbit(h, b) * F.lit(2) - F.lit(1),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    # Pack bits into a long with a doubling fold over the reversed bit
+    # array (MSB first): acc*2 + bit. Bit 63 wraps into the sign bit via
+    # two's complement — exactly the packing we want. (shiftleft can't be
+    # used here: the PySpark wrapper requires a Python-int shift count.)
+    bits_msb_first = F.reverse(
+        F.transform(counters, lambda cnt: (cnt > 0).cast("long"))
+    )
+    return F.aggregate(
+        bits_msb_first,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * F.lit(2).cast("long") + b,
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """SimHash near-dup via 16-bit banding (4 bands of the 64-bit hash):
+    two docs within Hamming distance 3 share at least one intact band
+    (pigeonhole). Returns (id_col, simhash, dup_of)."""
+    sig = simhash64(text_col)
+    with_sig = df.select(F.col(id_col), sig.alias("simhash"))
+    bands = with_sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.band_val")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_val")
+    return (
+        bands.withColumn("bucket_min", F.min(id_col).over(w))
+        .groupBy(id_col)
+        .agg(F.first("simhash").alias("simhash"), F.min("bucket_min").alias("dup_of"))
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    `pairs` has columns (left_id, right_id); shingle sets are joined in
+    (two broadcast-or-shuffle hash joins on the id), then
+    |A ∩ B| / |A ∪ B| filters at `threshold`. Only candidate pairs pay
+    the set math — the LSH stage bounds this, never all-pairs.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    left = sh.select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l"))
+    right = sh.select(F.col(id_col).alias("right_id"), F.col("sh").alias("sh_r"))
+    joined = pairs.join(left, "left_id").join(right, "right_id")
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size(F.array_union("sh_l", "sh_r"))
+    jac = (inter.cast("double") / union.cast("double")).alias("jaccard")
+    return joined.select("left_id", "right_id", jac).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup keep-first: returns (id_col, dup_of) via md5 grouping —
+    the hash-groupBy census behind dedup_exact_stats (plans.llm_queries)."""
+    h = F.md5(F.col(text_col))
+    keepers = df.groupBy(h.alias("h")).agg(F.min(id_col).alias("dup_of"))
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .join(keepers, "h")
+        .select(id_col, "dup_of")
+    )

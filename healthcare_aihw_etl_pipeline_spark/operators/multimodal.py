@@ -1,0 +1,172 @@
+"""Multimodal column plumbing (driver mandate: image/audio/video as opaque
+binary columns with typed metadata).
+
+The Spark-side architecture is real and tested: a typed media schema,
+Arrow-batched `mapInPandas` decode/feature/resize/frame-sample stages with
+explicit output schemas, and partition-count control so one decoded batch
+fits executor memory (decoded frames are ~100× the compressed bytes —
+*the* sizing constraint at 100 TB).
+
+The codec layer is stubbed per the driver contract (no image/audio libs
+in this container): `decode_media` understands a deterministic fake
+container format (FAKEv1) end-to-end, and raises NotImplementedError for
+real codecs at the exact seam where Pillow/libav would plug in.
+
+FAKEv1 layout (big-endian):  b"FAKE" | u8 kind (0=img,1=aud,2=vid) |
+u16 width | u16 height | u16 n_frames | payload bytes (w*h per frame,
+grayscale u8).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_KINDS = ["image", "audio", "video"]
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def encode_fake_media(media_id: int, kind: int, width: int, height: int, n_frames: int = 1) -> bytes:
+    """Deterministic FAKEv1 blob (payload derived from media_id)."""
+    payload = bytes(
+        (media_id * 31 + i * 7) % 256 for i in range(width * height * n_frames)
+    )
+    return b"FAKE" + struct.pack(">BHHH", kind, width, height, n_frames) + payload
+
+
+def make_fake_media(spark, n: int = 64) -> DataFrame:
+    """Synthetic media table for tests/demos."""
+    rows = []
+    for i in range(n):
+        kind = i % 3
+        w, h, fr = 8 + (i % 5), 6 + (i % 4), 1 + (i % 3 if kind == 2 else 0)
+        rows.append(
+            (
+                i,
+                _KINDS[kind],
+                encode_fake_media(i, kind, w, h, fr),
+                (f"src{i % 4}", f"fake/{_KINDS[kind]}"),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _decode_one(content: bytes) -> tuple[int, int, int, float]:
+    """Decode a FAKEv1 blob → (width, height, n_frames, mean_intensity).
+
+    Real codecs plug in here:
+      JPEG/PNG → Pillow, audio → soundfile/libav, video → pyav.
+    """
+    if content is None or len(content) < 11:
+        raise ValueError("truncated media blob")
+    magic, rest = content[:4], content[4:]
+    if magic != b"FAKE":
+        raise NotImplementedError(
+            "real codec decode (JPEG/PNG/WAV/MP4) not available in this "
+            "container; only the FAKEv1 test format is implemented"
+        )
+    kind, width, height, n_frames = struct.unpack(">BHHH", rest[:7])
+    payload = rest[7 : 7 + width * height * n_frames]
+    mean = sum(payload) / max(len(payload), 1)
+    return width, height, n_frames, mean
+
+
+def decode_media(df: DataFrame, *, batch_partitions: int | None = None) -> DataFrame:
+    """Arrow-batched decode + feature extraction via mapInPandas.
+
+    `batch_partitions` controls the decoded-bytes-per-task envelope: at
+    scale, repartition so (rows/partition × decoded size) fits executor
+    memory — compressed→decoded blowup is the sizing constraint, not the
+    input bytes.
+    """
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "width": [], "height": [],
+                "n_frames": [], "mean_intensity": [], "n_bytes": [],
+            }
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                w, h, fr, mean = _decode_one(content)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(fr)
+                out["mean_intensity"].append(mean)
+                out["n_bytes"].append(len(content))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "kind", "content").mapInPandas(
+        decode, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample(df: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Video frame sampling: one output row per kept frame
+    (media_id, frame_idx, frame_bytes). Runs as mapInPandas so a real
+    demuxer can stream frames without materializing whole videos."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_bytes", T.BinaryType(), True),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, fr, _ = _decode_one(content)
+                frame_len = w * h
+                for f in range(0, fr, every_nth):
+                    start = 11 + f * frame_len
+                    ids.append(mid)
+                    idxs.append(f)
+                    frames.append(bytes(content[start : start + frame_len]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return (
+        df.where(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(sample, schema=schema)
+    )

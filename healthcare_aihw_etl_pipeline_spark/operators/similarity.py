@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (driver mandate,
+BASELINE.json north_star: "similarity search" as a first-class component).
+
+Two paths, both pure Catalyst expressions (no Python UDFs):
+
+- :func:`brute_force_topk` — exact cosine top-k. One scan, no shuffle;
+  the top-k compiles to TakeOrderedAndProject (per-partition heaps +
+  driver merge). This is the correctness baseline and, at 100 TB, the
+  "small query set × full scan" path.
+- :func:`lsh_topk` — approximate top-k via random-hyperplane LSH
+  (sign-bit signatures). The signature is computed once per row from
+  fixed, seeded hyperplanes; candidates are rows whose signature lies
+  within a Hamming radius of the query's, so the scan reduces to a
+  cheap integer filter before any vector math. At scale the signature
+  column is precomputed/persisted and the filter prunes partitions.
+
+All float math is double-precision with left-fold accumulation — the
+same order DuckDB's list_sum/list_transform uses, so exact cosine is
+bit-comparable against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
+
+
+def _as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_to_query(vec_col: Column | str, query_vec: Sequence[float]) -> Column:
+    """Cosine similarity of each row's vector to a constant query vector.
+
+    The query norm is folded into one constant so the per-row work is one
+    fused dot product + one norm.
+    """
+    v = _as_double_array(vec_col)
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    qn = math.sqrt(math.fsum(float(x) * float(x) for x in query_vec))
+    return dot(v, q) / (l2_norm(v) * F.lit(qn))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-k: returns (id_col, cos) for the k most similar
+    rows, ties broken on id for determinism."""
+    scored = df.select(
+        F.col(id_col), cosine_to_query(vec_col, query_vec).alias("cos")
+    )
+    return top_k(scored, "cos", k, tiebreak=[id_col])
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (Gaussian components, fixed seed) —
+    constants shared by indexing and querying."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec_col: Column | str, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bit signature: bit j = (v · plane_j) >= 0, packed into a long."""
+    v = _as_double_array(vec_col)
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)).cast("double") for x in plane])
+        bit = (dot(v, p) >= 0).cast("long")
+        sig = sig + (bit * F.lit(2**j).cast("long"))
+    return sig
+
+
+def _query_signature(query_vec: Sequence[float], planes: Sequence[Sequence[float]]) -> int:
+    sig = 0
+    for j, plane in enumerate(planes):
+        d = math.fsum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if d >= 0:
+            sig |= 1 << j
+    return sig
+
+
+def _probe_signatures(sig: int, n_planes: int, radius: int) -> list[int]:
+    """Multi-probe: all signatures within Hamming distance `radius`."""
+    out = [sig]
+    for r in range(1, radius + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            flipped = sig
+            for b in bits:
+                flipped ^= 1 << b
+            out.append(flipped)
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int,
+    *,
+    n_planes: int = 8,
+    probe_radius: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: filter to LSH bucket candidates (query
+    signature ± probe_radius bits), then exact cosine over the survivors.
+
+    At 100 TB the signature is a persisted integer column: the IN-list
+    filter prunes at the scan and the expensive vector math touches only
+    the candidate fraction (~(1 + C(n,1) + C(n,2))/2^n of the data).
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qsig = _query_signature(query_vec, planes)
+    probes = _probe_signatures(qsig, n_planes, probe_radius)
+
+    candidates = df.withColumn("_sig", lsh_signature(vec_col, planes)).where(
+        F.col("_sig").isin(probes)
+    )
+    scored = candidates.select(
+        F.col(id_col), cosine_to_query(vec_col, query_vec).alias("cos")
+    )
+    return top_k(scored, "cos", k, tiebreak=[id_col])

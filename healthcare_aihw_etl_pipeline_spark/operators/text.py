@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines (driver mandate:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+All pure Catalyst expressions (regex/array/higher-order functions) —
+per-document work is embarrassingly parallel, no shuffles at all until a
+downstream aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single punctuation.
+# (The GPT-2-style pre-tokenizer splits on exactly these boundaries.)
+BPE_TOKEN_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+
+def ws_token_count(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpe_token_count(text_col: Column | str) -> Column:
+    """BPE-ish token count via regexp_extract_all over BPE_TOKEN_RE —
+    a cheap, deterministic proxy for LLM token budgets."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+# Tiny closed-class stopword lists (public linguistic knowledge) for the
+# n-gram/stopword language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "des", "est", "dans", "que", "pour"],
+}
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Heuristic language ID: CJK character ratio → 'zh'; otherwise the
+    language whose stopword list hits the most distinct tokens; 'und' when
+    nothing matches. Deterministic tie-break by fixed language order."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
+    cjk = F.size(F.regexp_extract_all(c, F.lit(r"[一-鿿]"), F.lit(0)))
+    total_chars = F.greatest(F.length(c), F.lit(1))
+
+    scores = [
+        (lang, F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in STOPWORDS.items()
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier languages win ties deterministically
+    for lang, score in reversed(scores):
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return F.when((cjk.cast("double") / total_chars) > 0.2, F.lit("zh")).otherwise(best)
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite quality score in [0,1]: length band, alpha ratio,
+    punctuation ratio, digit ratio, mean token length band — the standard
+    cheap filters of a pretraining pipeline, as one expression."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.length(c).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    n_alpha = F.length(F.regexp_replace(c, r"[^\p{L}]", "")).cast("double")
+    n_digit = F.length(F.regexp_replace(c, r"[^\p{N}]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(c, r"[\p{L}\p{N}\s]", "")).cast("double")
+    n_tokens = ws_token_count(c).cast("double")
+    mean_tok = n_chars / F.greatest(n_tokens, F.lit(1.0))
+
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 100000), 1.0).otherwise(
+        F.when(n_chars < 50, n_chars / 50.0).otherwise(F.lit(0.5))
+    )
+    alpha_ratio = n_alpha / safe_chars
+    punct_pen = F.when(n_punct / safe_chars > 0.2, 0.0).otherwise(
+        1.0 - (n_punct / safe_chars) / 0.2 * 0.5
+    )
+    digit_pen = F.when(n_digit / safe_chars > 0.3, 0.0).otherwise(
+        1.0 - (n_digit / safe_chars) / 0.3 * 0.5
+    )
+    tok_len_ok = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), 1.0).otherwise(0.5)
+
+    return (
+        length_ok * 0.3 + alpha_ratio * 0.3 + punct_pen * 0.15 + digit_pen * 0.1 + tok_len_ok * 0.15
+    )
+
+
+def rolling_fingerprint(text_col: Column | str, k: int = 8, sketch_size: int = 4) -> Column:
+    """Document fingerprint: the `sketch_size` smallest xxhash64 values of
+    the k-char shingle set (a bottom-k minwise sketch — winnowing-style).
+    Equal sketches ⇒ near-identical content; array<long> output groups and
+    joins cheaply."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    s = F.trim(c)
+    n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(s, i, F.lit(k)))
+    hashes = F.array_sort(
+        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+    )
+    return F.slice(hashes, 1, sketch_size)

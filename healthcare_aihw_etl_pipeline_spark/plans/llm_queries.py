@@ -116,3 +116,176 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum(norm_e4).alias("sn"))
         .select("label", "n_vectors", dollars(F.col("sn"), "sum_norm", 4))
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The probe vector for ANN queries: embedding of vec_id = 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+
+
+@register(
+    "ann_cosine_top10",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(list_sum(list_transform(list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv),
+                                           p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS cos
+      FROM embeddings e, q
+    )
+    SELECT vec_id, cos FROM scored
+    ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+    doc="Brute-force cosine top-k (ANN baseline): one scan + "
+    "TakeOrderedAndProject. Ranked and compared on 6dp-rounded cosine — "
+    "DuckDB's list_sum is not a strict left fold, so raw doubles differ by "
+    "~1 ulp; 6dp absorbs that while keeping ranking deterministic.",
+)
+def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import cosine_to_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine_to_query("embedding", _query_vector(spark, sf_dir)), 6).alias("cos"),
+    )
+    return top_k(scored, "cos", 10, tiebreak=["vec_id"])
+
+
+@register(
+    "ann_lsh_top10",
+    oracle=None,  # approximate: property-tested (recall vs brute force)
+    doc="Approximate cosine top-k via random-hyperplane LSH with "
+    "multi-probe (Hamming radius 2). The signature filter prunes the scan "
+    "before any vector math — the 100 TB path. Property test: recall vs "
+    "the exact baseline (tests/test_llm_ops.py).",
+)
+def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, "embedding", "vec_id", _query_vector(spark, sf_dir), 10)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+
+
+@register(
+    "minhash_dup_clusters",
+    oracle=None,  # hash-function-specific: property-tested instead
+    doc="MinHash+LSH near-dup clusters over documents (32 hashes, 8 bands, "
+    "5-word shingles): count of docs whose dup_of is a smaller id, plus "
+    "cluster count — the standard first-pass fuzzy dedup of a training "
+    "pipeline. Property tests plant known near-dups and check recall.",
+)
+def minhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = minhash_dedup(docs, "text", "doc_id")
+    return dup.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("dup_of") != F.col("doc_id")).cast("long")).alias("n_duplicates"),
+        F.countDistinct("dup_of").alias("n_clusters"),
+    )
+
+
+@register(
+    "simhash_dup_clusters",
+    oracle=None,  # hash-function-specific: property-tested instead
+    doc="SimHash (64-bit, 16-bit banding) near-dup clusters over documents "
+    "— catches small edits (Hamming ≤ 3 guaranteed bucketed).",
+)
+def simhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import simhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = simhash_dedup(docs, "text", "doc_id")
+    return dup.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("dup_of") != F.col("doc_id")).cast("long")).alias("n_duplicates"),
+        F.countDistinct("dup_of").alias("n_clusters"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+
+@register(
+    "bpe_token_totals",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]'))) AS total_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+    doc="BPE-ish token counting (GPT-2-style pre-tokenizer boundaries) per "
+    "source — the token-budget accounting pass of a data pipeline. Java "
+    "and RE2 agree on \\p{L}/\\p{N} classes, so DuckDB oracles it exactly.",
+)
+def bpe_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count("text")).alias("total_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_profile",
+    oracle=None,  # heuristic composite: unit-tested on crafted examples
+    doc="Language-ID + quality-score profile per source: distribution of "
+    "the cheap pretraining filters (lang heuristic, composite quality).",
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import lang_id, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            lang_id("text").alias("pred_lang"),
+            quality_score("text").alias("q"),
+        )
+        .groupBy("source", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+    )
+
+
+@register(
+    "fingerprint_dup_groups",
+    oracle=None,  # xxhash64 is engine-specific: property-tested instead
+    doc="Bottom-k rolling-hash fingerprint dedup: docs sharing an identical "
+    "4-minima sketch of their 8-char shingle set.",
+)
+def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select(F.col("fp").cast("array<string>").alias("fingerprint"), "keeper_doc_id", "n_copies")
+    )

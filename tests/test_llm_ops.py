@@ -1,0 +1,158 @@
+"""Property tests for the approximate LLM-data operators (SURVEY §7.3
+hard part 3: no SQL oracle — plant known duplicates/neighbors and check
+recall, self-similarity, and determinism instead)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_dedup,
+    simhash_dedup,
+    simhash64,
+    word_shingles,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.text import (
+    bpe_token_count,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    ws_token_count,
+)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token edit
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution and shuffles"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_catches_identical(spark, planted):
+    dup = {r.doc_id: r.dup_of for r in exact_dedup(planted, "text", "doc_id").collect()}
+    assert dup[1] == 0  # identical text → keeper is min id
+    assert dup[0] == 0 and dup[2] == 2 and dup[3] == 3
+
+
+def test_minhash_catches_near_dup(spark, planted):
+    dup = {r.doc_id: r.dup_of for r in minhash_dedup(planted, "text", "doc_id").collect()}
+    assert dup[1] == 0  # identical always collides
+    assert dup[2] == 0  # one-token edit shares most shingles → banded together
+    assert dup[3] == 3  # unrelated text stays its own cluster
+
+
+def test_simhash_identical_and_near(spark, planted):
+    res = {r.doc_id: (r.simhash, r.dup_of) for r in simhash_dedup(planted, "text", "doc_id").collect()}
+    assert res[0][0] == res[1][0]  # identical text → identical simhash
+    assert res[1][1] == 0
+    assert res[2][1] == 0  # small edit → shares a 16-bit band
+    assert res[3][1] == 3
+
+
+def test_simhash_deterministic(spark, planted):
+    a = planted.select(simhash64("text").alias("h")).collect()
+    b = planted.select(simhash64("text").alias("h")).collect()
+    assert [r.h for r in a] == [r.h for r in b]
+
+
+def test_jaccard_verify_exact_values(spark, planted):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["left_id", "right_id"])
+    out = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in jaccard_verify(pairs, planted, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert out[(0, 1)] == 1.0  # identical sets
+    assert 0.5 < out[(0, 2)] < 1.0  # one-token edit
+    assert out[(0, 3)] < 0.05  # disjoint content
+
+
+def test_word_shingles_shape(spark):
+    df = spark.createDataFrame([("a b c d e f",)], ["t"])
+    sh = df.select(word_shingles(F.col("t"), 5).alias("s")).first()[0]
+    assert sh == ["a b c d e", "b c d e f"]
+
+
+def test_brute_force_self_similarity(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    top = brute_force_topk(emb, "embedding", "vec_id", q, 5).collect()
+    assert top[0]["vec_id"] == 0
+    assert top[0]["cos"] == pytest.approx(1.0, abs=1e-9)
+    cos_vals = [r["cos"] for r in top]
+    assert cos_vals == sorted(cos_vals, reverse=True)
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, "embedding", "vec_id", q, 10).collect()}
+    approx = {r["vec_id"] for r in lsh_topk(emb, "embedding", "vec_id", q, 10).collect()}
+    assert 0 in approx  # the query vector's own bucket is always probed
+    recall = len(exact & approx) / 10
+    assert recall >= 0.3, f"LSH recall {recall} too low"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 42 tokens?",)], ["t"])
+    r = df.select(
+        ws_token_count("t").alias("ws"), bpe_token_count("t").alias("bpe")
+    ).first()
+    assert r.ws == 4
+    # hello , world ! 42 tokens ? → 7
+    assert r.bpe == 7
+
+
+def test_lang_id_heuristic(spark):
+    rows = [
+        ("the cat is in the house and it is warm", "en"),
+        ("el gato está en la casa de los abuelos", "es"),
+        ("der hund ist nicht in das haus von ihm", "de"),
+        ("le chat est dans la maison pour les enfants", "fr"),
+        ("你好世界这是一个测试文档内容很长", "zh"),
+        ("zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame(rows, ["t", "expected"])
+    out = df.select("expected", lang_id("t").alias("got")).collect()
+    for r in out:
+        assert r.got == r.expected, f"{r.expected} misidentified as {r.got}"
+
+
+def test_quality_score_ordering(spark):
+    rows = [
+        ("good", BASE),
+        ("too_short", "hi"),
+        ("punct_soup", "!!! ??? ;;; ### $$$ %%% &&& *** ((( )))"),
+        ("digit_soup", "1 2 3 4 5 6 7 8 9 0 11 22 33 44 55 66 77 88 99 00"),
+    ]
+    df = spark.createDataFrame(rows, ["name", "t"])
+    q = {r.name: r.q for r in df.select("name", quality_score("t").alias("q")).collect()}
+    assert q["good"] > q["too_short"]
+    assert q["good"] > q["punct_soup"]
+    assert q["good"] > q["digit_soup"]
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
+def test_rolling_fingerprint_properties(spark, planted):
+    fp = {r.doc_id: tuple(r.fp) for r in planted.select(
+        "doc_id", rolling_fingerprint("text").alias("fp")
+    ).collect()}
+    assert fp[0] == fp[1]  # identical text → identical sketch
+    assert fp[0] != fp[3]  # different text → different sketch
+    assert len(fp[0]) == 4

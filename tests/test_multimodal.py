@@ -1,0 +1,50 @@
+"""Multimodal plumbing tests: schema, Arrow-batched decode via
+mapInPandas, frame sampling, and the real-codec stub seam."""
+
+from __future__ import annotations
+
+import pytest
+
+from healthcare_aihw_etl_pipeline_spark.operators.multimodal import (
+    _decode_one,
+    decode_media,
+    encode_fake_media,
+    frame_sample,
+    make_fake_media,
+)
+
+
+def test_decode_media_features(spark):
+    media = make_fake_media(spark, n=30)
+    feats = decode_media(media, batch_partitions=4).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r for r in feats}
+    # deterministic payload → deterministic mean intensity
+    r0 = by_id[0]
+    w, h, fr, mean = _decode_one(encode_fake_media(0, 0, r0.width, r0.height, r0.n_frames))
+    assert r0.mean_intensity == pytest.approx(mean)
+    assert all(r.width >= 8 and r.height >= 6 for r in feats)
+    assert all(r.n_bytes > 11 for r in feats)
+
+
+def test_frame_sample_only_videos(spark):
+    media = make_fake_media(spark, n=30)
+    frames = frame_sample(media, every_nth=2).collect()
+    video_ids = {r.media_id for r in media.where("kind = 'video'").collect()}
+    assert {r.media_id for r in frames} <= video_ids
+    # every kept frame has the right byte length
+    feats = {r.media_id: r for r in decode_media(media.where("kind = 'video'")).collect()}
+    for fr in frames:
+        f = feats[fr.media_id]
+        assert len(fr.frame_bytes) == f.width * f.height
+        assert fr.frame_idx % 2 == 0
+
+
+def test_real_codec_stub_raises():
+    with pytest.raises(NotImplementedError):
+        _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+
+
+def test_truncated_blob_raises():
+    with pytest.raises(ValueError):
+        _decode_one(b"FAKE\x00")
