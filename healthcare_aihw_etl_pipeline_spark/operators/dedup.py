@@ -26,8 +26,12 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61 - 1: modulus for the universal-hash permutations.
-_P = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: modulus for the universal-hash permutations.
+# Chosen so a*h + b stays below 2^62 (a, h < 2^31) — no long overflow even
+# under ANSI mode (the driver's default session in Spark 4 has ANSI on,
+# where wrapping multiplication raises ARITHMETIC_OVERFLOW). A 31-bit
+# minhash space is ample: collision probability per hash ≈ n_shingles/2^31.
+_P = (1 << 31) - 1
 
 
 def word_shingles(text_col: Column | str, k: int = 5) -> Column:
@@ -63,10 +67,10 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature as array<long>.
 
-    Base hashes come from xxhash64 (one pass over the shingles); each of
-    the `num_hashes` permutations is `min((a*h + b) mod P)` — universal
-    hashing over the Mersenne prime 2^61-1. Long-multiply overflow wraps
-    (non-ANSI) which is fine for hashing and fully deterministic.
+    Base hashes come from xxhash64 reduced mod P (one pass over the
+    shingles); each of the `num_hashes` permutations is
+    `min((a*h + b) mod P)` — universal hashing over the Mersenne prime
+    2^31-1, overflow-free on longs even under ANSI mode.
 
     Implemented as ONE left-fold that keeps a `num_hashes`-element running
     minimum — `num_hashes` separate `array_min(transform(...))` columns
@@ -76,7 +80,7 @@ def minhash_signature(
     params = _permutation_params(num_hashes, seed)
     a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
     b_arr = F.array(*[F.lit(b).cast("long") for _, b in params])
-    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
     init = F.array_repeat(F.lit(_P - 1).cast("long"), num_hashes)
     return F.aggregate(
         base,
@@ -152,33 +156,31 @@ def minhash_dedup(
 
 
 def simhash64(text_col: Column | str) -> Column:
-    """64-bit SimHash over whitespace tokens, as a long.
+    """63-bit SimHash over whitespace tokens, as a non-negative long.
 
-    Per token: xxhash64 → contribute ±1 to each of 64 bit-counters
-    (via getbit); final bit = counter > 0. Packed little-endian into a
-    signed long (bit 63 contributes the sign — irrelevant for equality
-    and Hamming operations).
+    Per token: xxhash64 → contribute ±1 to each of 63 bit-counters
+    (via getbit); final bit = counter > 0. Packed by a doubling fold
+    (acc*2 + bit, MSB first) whose maximum is 2^63-1 == Long.MAX — no
+    overflow even under ANSI mode (the 64th bit is dropped deliberately;
+    shiftleft can't be used here anyway: the PySpark wrapper requires a
+    Python-int shift count).
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.array_distinct(F.split(F.trim(c), r"\s+"))
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    zeros = F.array_repeat(F.lit(0).cast("long"), 63)
     counters = F.aggregate(
         hashes,
         zeros,
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(62)),
                 lambda b: F.getbit(h, b) * F.lit(2) - F.lit(1),
             ),
             lambda a, x: a + x,
         ),
     )
-    # Pack bits into a long with a doubling fold over the reversed bit
-    # array (MSB first): acc*2 + bit. Bit 63 wraps into the sign bit via
-    # two's complement — exactly the packing we want. (shiftleft can't be
-    # used here: the PySpark wrapper requires a Python-int shift count.)
     bits_msb_first = F.reverse(
         F.transform(counters, lambda cnt: (cnt > 0).cast("long"))
     )

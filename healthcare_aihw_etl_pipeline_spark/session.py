@@ -10,9 +10,10 @@ Scale notes (100 TB design intent, tested on local[N]):
   dynamic broadcast-join selection replace hand-tuned plans.
 - shuffle.partitions sized to cores locally; on a real cluster this is
   overridden per-deploy (AQE coalescing makes over-provisioning cheap).
-- ANSI off: the reference's ``pd.to_numeric(errors="coerce")`` NULL-on-junk
-  semantics (/root/reference/main.py:124) require non-failing casts; we use
-  try_* functions everywhere regardless so plans are ANSI-safe.
+- ANSI at the Spark 4 default (on): all plans are overflow-safe and use
+  try_* casts, reproducing the reference's ``pd.to_numeric(errors="coerce")``
+  NULL-on-junk semantics (/root/reference/main.py:124) without relying on
+  session configuration.
 - UTC session timezone so timestamp semantics match the DuckDB oracle.
 """
 
@@ -47,7 +48,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI mode stays at the Spark 4 default (ON), matching whatever
+        # session the external driver builds: every expression here must be
+        # overflow-safe and use try_* casts for the reference's
+        # NULL-on-junk coercion semantics (/root/reference/main.py:124).
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
