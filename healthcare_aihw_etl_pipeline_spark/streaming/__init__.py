@@ -1,0 +1,19 @@
+from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+    EVENTS_RAW_SCHEMA,
+    dedup_within_watermark,
+    hourly_event_counts,
+    read_event_stream,
+    session_windows,
+    sliding_event_counts,
+    user_running_totals,
+)
+
+__all__ = [
+    "EVENTS_RAW_SCHEMA",
+    "dedup_within_watermark",
+    "hourly_event_counts",
+    "read_event_stream",
+    "session_windows",
+    "sliding_event_counts",
+    "user_running_totals",
+]

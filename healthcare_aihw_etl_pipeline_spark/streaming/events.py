@@ -1,0 +1,178 @@
+"""Structured Streaming surface over the events fact pattern
+(SURVEY §2.11 — [driver] mandate; the reference itself is batch-only,
+re-run via cron with full-replace writes, /root/reference/README.md:108).
+
+Design: every aggregation here is the *same expression* as its batch
+twin in plans.reference_queries (e.g. hourly_event_counts ≡
+events_hourly_window) applied to a streaming DataFrame — the Spark
+unified-engine contract. Correctness strategy (SURVEY §7.3 hard part 2):
+late-data semantics have no SQL oracle, so tests replay a file source
+with Trigger.AvailableNow into a memory sink and assert equivalence with
+the batch aggregation over the same files, plus targeted late/duplicate
+injection through a rate-limited replay.
+
+Scale notes:
+- watermarks bound state: state store size ≈ (#keys live within the
+  watermark horizon), not stream length.
+- `dropDuplicatesWithinWatermark` is the at-least-once → exactly-once
+  repair for event_id replays.
+- shuffle partitions size the state store; AQE does not apply to
+  streaming stages, so `spark.sql.shuffle.partitions` matters here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from healthcare_aihw_etl_pipeline_spark.plans.registry import cents, dollars
+
+# Raw parquet schema of the events table: ts is INT64 TIMESTAMP(NANOS)
+# which Spark reads as long under the nanosAsLong legacy conf (see
+# sources.catalog.load_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream: nanos → integer-μs → TIMESTAMP.
+
+    Unlike the batch catalog (NTZ), watermarks REQUIRE the event-time
+    column to be TIMESTAMP (with local timezone) — so the instant is
+    built directly from epoch micros (timezone-independent); only the
+    *rendering* of window bounds follows the session timezone (UTC in
+    this engine's sessions)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type — the streaming twin of the
+    batch query `events_hourly_window` (plans.reference_queries), with a
+    watermark bounding late data and state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sv"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            dollars(F.col("sv"), "sum_value", 2),
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping
+    buckets (4 here) — Expand node, state per open window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based) — F.session_window merges
+    events separated by < gap into one growing window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sv"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            dollars(F.col("sv"), "session_value", 2),
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once repair for at-least-once sources: drop replayed
+    event_ids arriving within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator (driver mandate: applyInPandasWithState):
+    per-user running event count and value total, emitted on every update.
+
+    State is one (count, total_cents) pair per user — bounded by the
+    active-user cardinality, the canonical per-key state shape.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total_cents", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, cents_total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents_total += int(round(pdf["value"].fillna(0.0).mul(100).round()).sum())
+        state.update((n, cents_total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents_total / 100.0]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

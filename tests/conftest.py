@@ -26,6 +26,17 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
+def events_stream_dir(sf_dir, tmp_path_factory) -> str:
+    """events.parquet copied into a directory: the streaming file source
+    requires a directory path, not a bare file."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="session")
 def duck(sf_dir):
     con = duckdb.connect()
     for name in TABLES:

@@ -1,0 +1,189 @@
+"""Streaming tests: batch-replay equivalence (SURVEY §7.3 hard part 2 —
+the streaming aggregation over a file source with Trigger.AvailableNow
+must equal the batch twin on the same data), late/duplicate handling,
+session windows, and the custom stateful operator."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+from healthcare_aihw_etl_pipeline_spark.streaming import (
+    dedup_within_watermark,
+    hourly_event_counts,
+    read_event_stream,
+    session_windows,
+    sliding_event_counts,
+    user_running_totals,
+)
+
+
+def run_to_memory(df, name: str, output_mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+@pytest.fixture()
+def sink_name():
+    return "t" + uuid.uuid4().hex[:8]
+
+
+def _max_event_ts(spark, sf_dir):
+    """Max event time as a naive datetime (UTC wall time)."""
+    import datetime as dt
+
+    ns = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # raw ns epoch (read via nanosAsLong in the catalog) or timestamp —
+    # normalize through the batch catalog instead:
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    m = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    assert ns.count() > 0
+    return m if isinstance(m, dt.datetime) else m
+
+
+def test_hourly_counts_match_batch(spark, sf_dir, events_stream_dir, sink_name):
+    """Append-mode streaming emits exactly the windows closed by the final
+    watermark (window_end <= max_ts - delay); on those, values must equal
+    the batch twin bit-for-bit. Later windows are held in state — correct
+    streaming semantics, not loss."""
+    import datetime as dt
+
+    stream = read_event_stream(spark, events_stream_dir)
+    run_to_memory(hourly_event_counts(stream, watermark="2 hours"), sink_name, "append")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table(sink_name).collect()
+    }
+    cutoff = _max_event_ts(spark, sf_dir) - dt.timedelta(hours=2)
+    batch = REGISTRY["events_hourly_window"].fn(spark, sf_dir)
+    want = {}
+    for r in batch.collect():
+        start = dt.datetime.strptime(r.window_start, "%Y-%m-%d %H:%M:%S")
+        if start + dt.timedelta(hours=1) <= cutoff:
+            want[(r.window_start, r.event_type)] = (r.n_events, r.sum_value)
+    assert want, "cutoff left no closed windows - test data too short"
+    assert got == want
+
+
+def test_sliding_windows_overlap(spark, sf_dir, events_stream_dir, sink_name):
+    """Every event lands in window/slide = 4 overlapping windows; emitted
+    (watermark-closed) sliding counts must match the batch computation on
+    the same closed-window subset."""
+    import datetime as dt
+
+    stream = read_event_stream(spark, events_stream_dir)
+    run_to_memory(sliding_event_counts(stream), sink_name, "append")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table(sink_name).collect()
+    }
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    cutoff = _max_event_ts(spark, sf_dir) - dt.timedelta(hours=2)
+    want = {}
+    for r in batch.collect():
+        start = dt.datetime.strptime(r.window_start, "%Y-%m-%d %H:%M:%S")
+        if start + dt.timedelta(hours=1) <= cutoff:
+            want[(r.window_start, r.event_type)] = r.n_events
+    assert got == want
+    # overlap factor sanity on the closed subset: ~4x the tumbling counts
+    assert sum(got.values()) > 3 * spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_session_windows_gap_semantics(spark, tmp_path, sink_name):
+    rows = [
+        # user 1: two bursts separated by > 30 min → two sessions
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 2.0),
+        (1, "2024-01-01 11:30:00", 3.0),
+        # user 2: one session
+        (2, "2024-01-01 10:05:00", 4.0),
+        # sentinel flush event: pushes the final watermark far enough that
+        # every real session window is closed and emitted in append mode
+        (99, "2024-01-01 20:00:00", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s", "value"]).select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.unix_timestamp("ts_s").cast("long").alias("ts_sec"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        "value",
+        F.lit("{}").alias("props"),
+    ).withColumn("ts", (F.col("ts_sec") * F.lit(1_000_000_000)).cast("long")).drop("ts_sec")
+    path = str(tmp_path / "events_sessions")
+    df.write.parquet(path)
+
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import EVENTS_RAW_SCHEMA  # noqa: F401
+
+    stream = read_event_stream(spark, path)
+    run_to_memory(
+        session_windows(stream, gap="30 minutes", watermark="1 hour"),
+        sink_name,
+        "append",
+    )
+    out = spark.table(sink_name).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2  # the >30min gap split the sessions
+    assert len(by_user[2]) == 1
+    first = min(by_user[1], key=lambda r: r.session_start)
+    assert first.n_events == 2 and first.session_value == 3.0
+
+
+def test_dedup_within_watermark(spark, tmp_path, sink_name):
+    base = [(i, f"2024-01-01 10:{i:02d}:00", i % 3, 1.0) for i in range(10)]
+    dups = base[:4]  # replayed events with identical event_id
+    df = spark.createDataFrame(base + dups, ["event_id", "ts_s", "user_id", "value"]).select(
+        F.col("event_id").cast("long"),
+        (F.unix_timestamp("ts_s").cast("long") * F.lit(1_000_000_000)).alias("ts"),
+        F.col("user_id").cast("long"),
+        F.lit("click").alias("event_type"),
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    path = str(tmp_path / "events_dups")
+    df.write.parquet(path)
+
+    stream = read_event_stream(spark, path)
+    run_to_memory(dedup_within_watermark(stream), sink_name, "append")
+    out = spark.table(sink_name)
+    assert out.count() == 10
+    assert out.select("event_id").distinct().count() == 10
+
+
+def test_user_running_totals_stateful(spark, sf_dir, events_stream_dir, sink_name):
+    stream = read_event_stream(spark, events_stream_dir)
+    run_to_memory(user_running_totals(stream), sink_name, "update")
+    # final state per user (single trigger → one output row per user)
+    got = {r.user_id: (r.n_events, r.total_value) for r in spark.table(sink_name).collect()}
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("tv"),
+        )
+    )
+    want = {r.user_id: (r.n, r.tv) for r in batch.collect()}
+    assert got == want
