@@ -77,7 +77,9 @@ def distinct_domain(df: DataFrame, col: str, *, drop_empty: bool = True) -> Data
     reference to build filter widget domains; kept lazy so the scan only
     reads one column."""
     out = df.select(col).where(F.col(col).isNotNull())
-    if drop_empty:
+    # The empty-string exclusion only makes sense (and only type-checks
+    # under ANSI mode) for string columns.
+    if drop_empty and dict(df.dtypes).get(col) == "string":
         out = out.where(F.col(col) != "")
     return out.distinct().orderBy(col)
 

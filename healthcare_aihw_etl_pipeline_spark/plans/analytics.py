@@ -1,0 +1,194 @@
+"""Dashboard-serving analytics (SURVEY §3.2) — the reference's Streamlit
+query path (/root/reference/streamlit_app.py) as an engine API over any
+tidy fact DataFrame.
+
+The reference recomputes a pandas groupby per widget per interaction
+(A3–A10); here the serving pattern is: load → harmonize → persist once
+(C2), then lazy per-widget aggregations, or one cube pass serving every
+widget grain (supersedes the eight re-scans).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from healthcare_aihw_etl_pipeline_spark.operators.relational import (
+    FIXED_COLS,
+    dims_of,
+    distinct_domain,
+    top_k,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.reshape import pivot_sum
+from healthcare_aihw_etl_pipeline_spark.operators.windows import (
+    argmax_row,
+    first_last_pct_change,
+)
+from healthcare_aihw_etl_pipeline_spark.functions.scalar import STATE_CODES, try_double, try_int
+
+MEASURE = "separations"
+
+
+def harmonize(df: DataFrame) -> DataFrame:
+    """P5/X3/X4/F3 — the reference's load-time cleanup
+    (/root/reference/streamlit_app.py:39-49): harmonizing renames
+    (diagnosis→principal_diagnosis, icd_chapter→category when absent),
+    dtype coercion, and the fixed-column null-drop."""
+    if "diagnosis" in df.columns and "principal_diagnosis" not in df.columns:
+        df = df.withColumnRenamed("diagnosis", "principal_diagnosis")
+    if "icd_chapter" in df.columns and "category" not in df.columns:
+        df = df.withColumnRenamed("icd_chapter", "category")
+    df = df.withColumn("year", try_int("year")).withColumn(MEASURE, try_double(MEASURE))
+    return df.na.drop(subset=["year", "state", MEASURE])
+
+
+def serve(df: DataFrame) -> DataFrame:
+    """C2 — persist the harmonized base frame once; every widget
+    aggregation below re-reads it from memory (`st.cache_data`,
+    /root/reference/streamlit_app.py:26-27)."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+# Widget aggregations A3-A10 (/root/reference/streamlit_app.py:82-147).
+
+
+def state_bar(df: DataFrame) -> DataFrame:
+    """A6 — total measure by state."""
+    return df.groupBy("state").agg(F.sum(MEASURE).alias(MEASURE))
+
+
+def year_trend(df: DataFrame) -> DataFrame:
+    """A7 — year × state trend lines."""
+    return df.groupBy("year", "state").agg(F.sum(MEASURE).alias(MEASURE))
+
+
+def category_top10(df: DataFrame) -> DataFrame:
+    """A8 + O3 — top-10 categories pie input."""
+    agg = df.groupBy("category").agg(F.sum(MEASURE).alias(MEASURE))
+    return top_k(agg, MEASURE, 10, tiebreak=["category"])
+
+
+def category_state_heatmap(df: DataFrame) -> DataFrame:
+    """A9 + R2 — category × state matrix with the fixed state domain."""
+    return pivot_sum(df, "category", "state", STATE_CODES, MEASURE)
+
+
+def treemap(df: DataFrame) -> DataFrame:
+    """A10 — two-level category / principal_diagnosis rollup."""
+    return df.groupBy("category", "principal_diagnosis").agg(
+        F.sum(MEASURE).alias(MEASURE)
+    )
+
+
+def widget_cube(df: DataFrame) -> DataFrame:
+    """One cube pass over (year, state, category) serving the A3-A9 grains
+    with grouping-id to select a widget's slice — replaces eight separate
+    fact scans with one (SURVEY §4.2 candidate extension #1)."""
+    return (
+        df.cube("year", "state", "category")
+        .agg(F.sum(MEASURE).alias(MEASURE), F.grouping_id().alias("grain"))
+    )
+
+
+@dataclass(frozen=True)
+class Insights:
+    top_state: str | None
+    top_state_total: float | None
+    top_category: str | None
+    top_category_total: float | None
+    first_year: int | None
+    last_year: int | None
+    pct_change: float | None
+
+    def lines(self) -> list[str]:
+        out = []
+        if self.top_state is not None:
+            out.append(
+                f"{self.top_state} shows the highest {MEASURE} in the current "
+                f"view (~{int(self.top_state_total):,})."
+            )
+        if self.top_category is not None:
+            out.append(
+                f"Leading category: {self.top_category} "
+                f"(~{int(self.top_category_total):,})."
+            )
+        if self.pct_change is not None:
+            trend = "increased" if self.pct_change > 0 else "decreased"
+            out.append(
+                f"Overall {MEASURE} have {trend} {abs(self.pct_change):.1f}% "
+                f"from {self.first_year} to {self.last_year}."
+            )
+        return out
+
+
+def generate_insights(df: DataFrame) -> Insights | None:
+    """The insight generator (/root/reference/streamlit_app.py:78-104):
+    top state (W2), top category (W2), first→last pct change (W1) — three
+    aggregations instead of the reference's sort-and-take-head passes.
+    F10 empty guards via isEmpty()."""
+    if df.isEmpty():
+        return None
+
+    ts = argmax_row(state_bar(df), "state", MEASURE).first()
+    top_cat = None
+    if "category" in df.columns:
+        top_cat = argmax_row(
+            df.groupBy("category").agg(F.sum(MEASURE).alias(MEASURE)),
+            "category",
+            MEASURE,
+        ).first()
+
+    pct = None
+    if df.select("year").distinct().limit(2).count() > 1:
+        yearly = df.groupBy("year").agg(F.sum(MEASURE).alias(MEASURE))
+        pct = first_last_pct_change(yearly, "year", MEASURE).first()
+
+    return Insights(
+        top_state=ts["state"] if ts else None,
+        top_state_total=ts[MEASURE] if ts else None,
+        top_category=top_cat["category"] if top_cat else None,
+        top_category_total=top_cat[MEASURE] if top_cat else None,
+        first_year=pct["first_year"] if pct else None,
+        last_year=pct["last_year"] if pct else None,
+        pct_change=pct["pct_change"] if pct else None,
+    )
+
+
+def interactive_filter(
+    df: DataFrame,
+    selections: dict[str, list],
+    *,
+    max_domain: int = 50,
+) -> DataFrame:
+    """F4/F5/F6 — the sidebar filter model
+    (/root/reference/streamlit_app.py:54-74): apply an IN-list per selected
+    column, skipping no-op selections (selection == full domain), with the
+    cardinality guard for dynamic dims."""
+    pred = None
+    for col, sel in selections.items():
+        if col not in df.columns or not sel:
+            continue
+        if col not in FIXED_COLS | {"year", "state"}:
+            domain = [r[0] for r in distinct_domain(df, col).collect()]
+            if not (1 < len(domain) < max_domain) or len(sel) == len(domain):
+                continue
+        p = F.col(col).isin(list(sel))
+        pred = p if pred is None else (pred & p)
+    return df.where(pred) if pred is not None else df
+
+
+def filter_domains(df: DataFrame, *, max_domain: int = 50) -> dict[str, list]:
+    """A12/F6/F7 — the widget domains: sorted distinct values per dynamic
+    dim with 1 < n < max_domain, plus year/state
+    (/root/reference/streamlit_app.py:57-69)."""
+    out: dict[str, list] = {}
+    for col in ["year", "state", *dims_of(df)]:
+        if col not in df.columns:
+            continue
+        vals = [r[0] for r in distinct_domain(df, col).collect()]
+        if col in ("year", "state") or 1 < len(vals) < max_domain:
+            out[col] = vals
+    return out
