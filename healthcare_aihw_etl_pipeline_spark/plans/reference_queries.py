@@ -639,3 +639,146 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.sum(cents("l_quantity", 0)).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "cube_year_status",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS year,
+           o_orderstatus,
+           GROUPING(EXTRACT(year FROM o_orderdate)) * 2 + GROUPING(o_orderstatus) AS grain,
+           CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0 AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (EXTRACT(year FROM o_orderdate), o_orderstatus)
+    """,
+    doc="Cube multi-granularity pass with grouping_id — one scan serving "
+    "all four widget grains (supersedes the reference's per-widget "
+    "re-aggregation, SURVEY §2.5 A3-A10; engine layer: plans.analytics."
+    "widget_cube).",
+)
+def cube_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("year"),
+            "o_orderstatus",
+            cents("o_totalprice").alias("tp"),
+        )
+        .cube("year", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("grain"),
+            F.sum("tp").alias("tp_sum"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "year",
+            "o_orderstatus",
+            "grain",
+            dollars(F.col("tp_sum"), "total_price", 2),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "customers_with_orders_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderstatus = 'F'
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-semi join (SURVEY §2.4 driver mandate): EXISTS with a "
+    "pushed-down build-side filter; the probe side never duplicates rows.",
+)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    finished = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        customer.join(finished, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w0, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value FROM events
+    )
+    SELECT strftime(w0, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({sql_cents("value")}) AS DOUBLE) / 100.0 AS sum_value
+    FROM shifted
+    GROUP BY 1, 2
+    """,
+    doc="Sliding event-time windows (1h window, 30m slide) as a batch "
+    "groupBy — each event expands into window/slide = 2 buckets (Expand "
+    "node); the oracle replays the expansion with two shifted time_buckets. "
+    "Streaming twin: streaming.events.sliding_event_counts.",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("sv"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            dollars(F.col("sv"), "sum_value", 2),
+        )
+    )
+
+
+@register(
+    "monthly_revenue",
+    oracle=f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           CAST(SUM({sql_cents("o_totalprice")}) AS DOUBLE) / 100.0 AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="Date-function family (driver mandate): date_trunc month rollup "
+    "with a pushed-down range predicate — the partition-pruning shape at "
+    "scale (fact tables partitioned by date).",
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"))
+        .agg(F.sum(cents("o_totalprice")).alias("tp"), F.count(F.lit(1)).alias("n_orders"))
+        .select("month", dollars(F.col("tp"), "revenue", 2), "n_orders")
+    )
+
+
+@register(
+    "distinct_status_priority",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    doc="dropDuplicates/distinct over a column subset (SURVEY §2.5 A12 "
+    "generalized): map-side partial distinct, one shuffle.",
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").dropDuplicates()
