@@ -289,3 +289,26 @@ def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .select(F.col("fp").cast("array<string>").alias("fingerprint"), "keeper_doc_id", "n_copies")
     )
+
+
+@register(
+    "events_session_window",
+    oracle=None,  # gap-merging session semantics: no compact SQL oracle;
+    # checked by streaming gap-semantics tests (tests/test_streaming.py)
+    doc="Per-user session windows (30-minute gap) as a batch aggregation — "
+    "F.session_window merges events separated by < gap. Streaming twin: "
+    "streaming.events.session_windows.",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
