@@ -288,29 +288,34 @@ def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM long GROUP BY measure
     """,
     doc="R1 unpivot/melt — the reference's signature wide→long step "
-    "(/root/reference/main.py:126-127) on lineitem's numeric measures, "
-    "re-aggregated to stay compact. Narrow Expand node, no shuffle before "
-    "the final groupBy.",
+    "(/root/reference/main.py:126-127) on lineitem's numeric measures. "
+    "Plan note: aggregate-first, then unpivot the 1-row result — same "
+    "output as melt-then-group, but the Expand runs on 1 row instead of "
+    "multiplying the fact table ×4 (at 100 TB that is the difference "
+    "between a metadata op and a quadrupled shuffle input). The raw "
+    "wide→long melt over full data is exercised by the ingest path "
+    "(ingest_clean_admissions).",
 )
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        cents("l_quantity").alias("l_quantity"),
-        cents("l_extendedprice").alias("l_extendedprice"),
-        cents("l_discount").alias("l_discount"),
-        cents("l_tax").alias("l_tax"),
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.sum(cents("l_quantity")).alias("l_quantity"),
+        F.sum(cents("l_extendedprice")).alias("l_extendedprice"),
+        F.sum(cents("l_discount")).alias("l_discount"),
+        F.sum(cents("l_tax")).alias("l_tax"),
+        F.count(F.lit(1)).alias("n"),
     )
     long = unpivot(
-        li,
-        ids=["l_orderkey"],
+        wide,
+        ids=["n"],
         values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         var_name="measure",
-        value_name="value",
+        value_name="total_cents",
     )
-    return (
-        long.groupBy("measure")
-        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_rows"))
-        .select("measure", dollars(F.col("total"), "total", 2), "n_rows")
+    return long.select(
+        "measure",
+        dollars(F.col("total_cents"), "total", 2),
+        F.col("n").alias("n_rows"),
     )
 
 
@@ -782,3 +787,49 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact percentiles per group (statistics family, driver mandate): "
+    "Spark `percentile` == DuckDB `quantile_cont` (linear interpolation); "
+    "6dp rounding absorbs the last-ulp interpolation difference.",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "lineitem_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(stddev_samp(l_discount), 6) AS discount_stddev,
+           ROUND(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (corr/stddev/avg) per group — float "
+    "accumulations are order-sensitive in the last ulps, so results are "
+    "compared at 6dp (far above the ~1e-12 partial-order noise).",
+)
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_stddev"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
