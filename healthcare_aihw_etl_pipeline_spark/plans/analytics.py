@@ -192,3 +192,48 @@ def filter_domains(df: DataFrame, *, max_domain: int = 50) -> dict[str, list]:
         if col in ("year", "state") or 1 < len(vals) < max_domain:
             out[col] = vals
     return out
+
+
+def profile(df: DataFrame) -> DataFrame:
+    """Dataset profiling (the reference's ydata-profiling EDA feature,
+    /root/reference/streamlit_app.py:204-209, minimal mode) as one
+    aggregation pass: per column — non-null count, null count, approx
+    distinct, and for numeric columns min/max/mean.
+
+    Output: one row per column (column, dtype, n_non_null, n_null,
+    approx_distinct, min_value, max_value, mean_value as strings).
+    A single job regardless of column count; at scale this is one scan.
+    """
+    numeric = {"int", "bigint", "double", "float", "smallint", "tinyint", "decimal"}
+    aggs = []
+    for name, dtype in df.dtypes:
+        base = dtype.split("(")[0]
+        aggs.append(F.count(F.col(name)).alias(f"{name}__cnt"))
+        aggs.append(F.approx_count_distinct(name).alias(f"{name}__dist"))
+        if base in numeric:
+            aggs.append(F.min(name).cast("string").alias(f"{name}__min"))
+            aggs.append(F.max(name).cast("string").alias(f"{name}__max"))
+            aggs.append(F.round(F.avg(name), 6).cast("string").alias(f"{name}__mean"))
+    total = df.count()
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    out = []
+    for name, dtype in df.dtypes:
+        cnt = row[f"{name}__cnt"]
+        out.append(
+            (
+                name,
+                dtype,
+                cnt,
+                total - cnt,
+                row[f"{name}__dist"],
+                row.asDict().get(f"{name}__min"),
+                row.asDict().get(f"{name}__max"),
+                row.asDict().get(f"{name}__mean"),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "column string, dtype string, n_non_null long, n_null long, "
+        "approx_distinct long, min_value string, max_value string, mean_value string",
+    )

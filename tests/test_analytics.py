@@ -90,3 +90,16 @@ def test_interactive_filter_semantics(admissions):
     only_2022 = analytics.interactive_filter(admissions, {"year": [2022]})
     assert only_2022.select("year").distinct().collect()[0][0] == 2022
     assert only_2022.count() < admissions.count()
+
+
+def test_profile(admissions):
+    prof = {r.column: r for r in analytics.profile(admissions).collect()}
+    assert set(prof) == set(admissions.columns)
+    total = admissions.count()
+    for r in prof.values():
+        assert r.n_non_null + r.n_null == total
+    sep = prof["separations"]
+    assert float(sep.min_value) >= 0
+    assert float(sep.max_value) >= float(sep.min_value)
+    assert sep.mean_value is not None
+    assert prof["state"].mean_value is None  # non-numeric: no mean
