@@ -51,7 +51,18 @@ def _sf_from_dir(d: str) -> float:
 
 
 def run_spark() -> dict[str, float]:
-    spark = get_spark(app_name="bench")
+    # Bench-profile tuning: shuffle partitions sized to the (tiny) bench
+    # inputs — 8 post-shuffle partitions for ≤14 MB files; AQE would
+    # coalesce anyway but starting small avoids scheduling dead tasks.
+    # locality.wait=0: single-host, locality levels are meaningless.
+    spark = get_spark(
+        app_name="bench",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.locality.wait": "0",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]

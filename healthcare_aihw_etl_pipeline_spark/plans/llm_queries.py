@@ -312,3 +312,51 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "top_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+    doc="Token frequency via explode (lateral view): the vocabulary-count "
+    "pass of a text pipeline. Explode is narrow (no shuffle until the "
+    "count aggregation); top-k is TakeOrderedAndProject.",
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(counts, "n", 20, tiebreak=["token"])
+
+
+@register(
+    "returning_users",
+    oracle="""
+    SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-01-08 00:00:00'
+    INTERSECT
+    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+    ORDER BY user_id
+    """,
+    doc="INTERSECT set operation: users active in both the first week and "
+    "the last week of the event stream (set-op family beyond the "
+    "reference's UNION ALL).",
+)
+def returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_week = events.where(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    ).select("user_id")
+    last_week = events.where(
+        F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp_ntz")
+    ).select("user_id")
+    return first_week.intersect(last_week).orderBy("user_id")
