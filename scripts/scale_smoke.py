@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Medium-scale smoke: synthesize a multi-file dataset (~5M fact rows,
+20k documents) in a scratch dir, then time the engine's hot paths with
+real scan parallelism (the shipped sf0.1 testdata is single-row-group —
+1 scan task — so this is where multi-task behavior is actually observed).
+
+Usage: python scripts/scale_smoke.py [rows] [docs] [scratch_dir]
+Prints one JSON line with timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark import get_spark
+from healthcare_aihw_etl_pipeline_spark.operators.dedup import minhash_dedup
+from healthcare_aihw_etl_pipeline_spark.operators.similarity import lsh_topk
+from healthcare_aihw_etl_pipeline_spark.plans.registry import cents, dollars
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    scratch = sys.argv[3] if len(sys.argv) > 3 else tempfile.mkdtemp(prefix="scale_smoke_")
+
+    spark = get_spark(
+        app_name="scale_smoke",
+        extra_conf={"spark.ui.showConsoleProgress": "false", "spark.locality.wait": "0"},
+    )
+    out: dict[str, float] = {}
+
+    # --- synthesize fact table: 32 files, deterministic columns
+    fact_path = f"{scratch}/fact"
+    t0 = time.perf_counter()
+    (
+        spark.range(0, rows, 1, 32)
+        .select(
+            (F.col("id") % 1_500_000).alias("orderkey"),
+            (F.col("id") % 25).cast("int").alias("nationkey"),
+            (F.pmod(F.xxhash64("id"), 10_000_000).cast("double") / 100.0 + 900.0).alias("price"),
+            ((F.pmod(F.xxhash64("id", F.lit(1)), 11)).cast("double") / 100.0).alias("discount"),
+            F.concat(F.lit("flag_"), (F.col("id") % 3).cast("string")).alias("flag"),
+        )
+        .write.mode("overwrite")
+        .parquet(fact_path)
+    )
+    out["gen_fact_sec"] = round(time.perf_counter() - t0, 2)
+
+    fact = spark.read.parquet(fact_path)
+    rev = cents("price") * (F.lit(100) - cents("discount"))
+
+    def timed(name, fn, n=2):
+        best = 9e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+
+    timed(
+        "agg_by_flag_sec",
+        lambda: fact.groupBy("flag").agg(F.sum(rev).alias("r"))
+        .select("flag", dollars(F.col("r"), "revenue", 4)).collect(),
+    )
+    timed(
+        "agg_by_orderkey_sec",  # high-cardinality shuffle (1.5M groups)
+        lambda: fact.groupBy("orderkey").agg(F.sum(rev).alias("r")).count(),
+    )
+
+    # --- synthesize documents: deterministic word salad with planted dups
+    words = [f"w{i}" for i in range(500)]
+    words_arr = F.array(*[F.lit(w) for w in words])
+    docs_path = f"{scratch}/docs"
+    t0 = time.perf_counter()
+    base = (
+        spark.range(0, n_docs, 1, 16)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(120)),
+                    # ~1% of docs share a text (id div 100 collision for id%100<1)
+                    lambda i: F.element_at(
+                        words_arr,
+                        (F.pmod(F.xxhash64((F.col("id") - F.col("id") % 100) if False else F.col("id") % F.lit(19_777), i), 500) + 1).cast("int"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    base.write.mode("overwrite").parquet(docs_path)
+    out["gen_docs_sec"] = round(time.perf_counter() - t0, 2)
+    docs = spark.read.parquet(docs_path)
+
+    timed("minhash_dedup_sec", lambda: minhash_dedup(docs, "text", "doc_id").where("dup_of <> doc_id").count(), n=1)
+
+    # --- embeddings: 64-dim deterministic vectors
+    emb = spark.range(0, 50_000, 1, 16).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (F.pmod(F.xxhash64("id", i), 2000).cast("double") - 1000.0) / 1000.0,
+        ).alias("embedding"),
+    )
+    q = [((hash((0, i)) % 2000) - 1000) / 1000.0 for i in range(64)]
+    timed("lsh_topk_sec", lambda: lsh_topk(emb, "embedding", "vec_id", q, 10).collect(), n=1)
+
+    out["rows"] = rows
+    out["n_docs"] = n_docs
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

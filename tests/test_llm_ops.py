@@ -156,3 +156,23 @@ def test_rolling_fingerprint_properties(spark, planted):
     assert fp[0] == fp[1]  # identical text → identical sketch
     assert fp[0] != fp[3]  # different text → different sketch
     assert len(fp[0]) == 4
+
+
+def test_lsh_signature_vectorized_matches_expression(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        lsh_signature,
+        lsh_signature_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = hyperplanes(64, 8)
+    expr = emb.select("vec_id", lsh_signature("embedding", planes).alias("s"))
+    fast = emb.select(
+        "vec_id", lsh_signature_vectorized(planes)(F.col("embedding")).alias("s")
+    )
+    a = {r.vec_id: r.s for r in expr.collect()}
+    b = {r.vec_id: r.s for r in fast.collect()}
+    assert a == b

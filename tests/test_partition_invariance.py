@@ -1,0 +1,58 @@
+"""Partition-invariance: results must be independent of physical layout
+(partition count, row order). This is the distributed-correctness
+property the exact-arithmetic policy buys — at 1000 executors the
+partitioning is whatever the cluster gives you."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+    minhash_dedup,
+    simhash_dedup,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.similarity import brute_force_topk
+from healthcare_aihw_etl_pipeline_spark.plans.registry import cents, dollars
+
+
+def rows_set(df):
+    return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+
+def test_exact_agg_partition_invariant(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+    def agg(df):
+        return (
+            df.groupBy("l_returnflag")
+            .agg(F.sum(rev).alias("r"))
+            .select("l_returnflag", dollars(F.col("r"), "revenue", 4))
+        )
+
+    one = agg(li.coalesce(1))
+    many = agg(li.repartition(17, "l_partkey"))
+    shuffled = agg(li.orderBy(F.desc("l_extendedprice")).repartition(5))
+    assert rows_set(one) == rows_set(many) == rows_set(shuffled)
+
+
+def test_minhash_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = minhash_dedup(docs.coalesce(1), "text", "doc_id")
+    b = minhash_dedup(docs.repartition(13), "text", "doc_id")
+    assert rows_set(a) == rows_set(b)
+
+
+def test_simhash_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = simhash_dedup(docs.coalesce(1), "text", "doc_id")
+    b = simhash_dedup(docs.repartition(7), "text", "doc_id")
+    assert rows_set(a) == rows_set(b)
+
+
+def test_cosine_topk_partition_invariant(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    a = brute_force_topk(emb.coalesce(1), "embedding", "vec_id", q, 10)
+    b = brute_force_topk(emb.repartition(11), "embedding", "vec_id", q, 10)
+    assert rows_set(a) == rows_set(b)
