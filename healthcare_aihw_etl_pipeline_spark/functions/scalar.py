@@ -35,14 +35,21 @@ def clean_text(col: Column | str) -> Column:
       1. leading `("` or `(`          — `^\\("?\\s*`
       2. trailing `")` or `)`         — `"?\\)$`
       3. trailing `, <number>`        — `,\\s*[-+]?[0-9]*\\.?[0-9]+$`
-    then trim whitespace, then trim double quotes.
+    then strip whitespace, then strip double quotes.
+
+    The whitespace strip uses PYTHON's definition (what pandas
+    `.str.strip()` does): Java's `\\s`/Spark's `trim` miss `\\x1c-\\x1f`,
+    `\\x85`, NBSP and the Unicode space category, all of which Python
+    strips — a real divergence caught by property testing
+    (tests/test_properties.py).
     """
+    py_ws = r"[\s\x1c-\x1f\x85\p{Z}]"
     c = F.col(col) if isinstance(col, str) else col
     s = c.cast("string")
     s = F.regexp_replace(s, r'^\("?\s*', "")
     s = F.regexp_replace(s, r'"?\)$', "")
     s = F.regexp_replace(s, r",\s*[-+]?[0-9]*\.?[0-9]+$", "")
-    s = F.trim(s)
+    s = F.regexp_replace(s, f"^{py_ws}+|{py_ws}+$", "")
     s = F.btrim(s, F.lit('"'))
     return s
 

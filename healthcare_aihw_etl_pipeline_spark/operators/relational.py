@@ -101,6 +101,33 @@ def top_k(df: DataFrame, order_col: str, k: int, *, tiebreak: Sequence[str] = ()
     return df.orderBy(*order).limit(k)
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    measure: str,
+    *,
+    salt_buckets: int = 16,
+    agg: str = "sum",
+) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys (100 TB pattern).
+
+    Stage 1 groups by (keys, salt) — the hot key's rows spread over
+    `salt_buckets` reducers; stage 2 re-aggregates the (tiny) partials by
+    the real keys. Only sound for decomposable aggregates (sum/min/max/
+    count via sum). Results are identical to a plain groupBy (asserted by
+    tests); use when AQE's skew handling isn't available for the agg path.
+    """
+    if agg not in {"sum", "min", "max"}:
+        raise ValueError(f"non-decomposable agg for salting: {agg}")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(getattr(F, agg)(measure).alias(measure))
+    )
+    return partial.groupBy(*keys).agg(getattr(F, agg)(measure).alias(measure))
+
+
 def union_by_name(frames: Sequence[DataFrame]) -> DataFrame:
     """U1 — n-ary UNION ALL over heterogeneous schemas, aligned by column
     name, NULL-filling missing columns — `pd.concat(frames)` semantics

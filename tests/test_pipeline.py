@@ -22,3 +22,33 @@ def test_run_etl_offline(spark, tmp_path):
     # clean is the fill-then-group aggregate: never more rows than staging
     assert 0 < cleaned.count() <= staged.count()
     assert {"year", "state", "separations"} <= set(cleaned.columns)
+
+
+def test_full_dashboard_journey(spark, tmp_path):
+    """The complete reference user journey (SURVEY §3): run the ETL, read
+    the clean table back from storage, serve it, and drive every dashboard
+    widget + the insight generator — the switch-over path for a reference
+    user."""
+    from healthcare_aihw_etl_pipeline_spark.plans import analytics
+
+    _, _, clean_path = run_etl(spark, str(tmp_path), sheets_override=fixtures.SHEETS)
+
+    base = analytics.serve(analytics.harmonize(spark.read.parquet(clean_path)))
+    domains = analytics.filter_domains(base)
+    filtered = analytics.interactive_filter(base, {"state": ["NSW", "VIC", "QLD"]})
+
+    assert analytics.state_bar(filtered).count() <= 3
+    assert analytics.year_trend(filtered).count() > 0
+    assert analytics.category_top10(filtered).count() > 0
+    heat = analytics.category_state_heatmap(filtered)
+    assert "NSW" in heat.columns
+    assert analytics.treemap(filtered).count() > 0
+
+    ins = analytics.generate_insights(filtered)
+    assert ins is not None and ins.top_state in {"NSW", "VIC", "QLD"}
+    assert len(ins.lines()) >= 2
+
+    prof = analytics.profile(filtered)
+    assert prof.count() == len(filtered.columns)
+    assert "year" in domains and "state" in domains
+    base.unpersist()

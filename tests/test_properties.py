@@ -1,0 +1,101 @@
+"""Hypothesis property tests: Spark scalar expressions vs independent
+Python reference implementations of the reference's cleaning semantics
+(/root/reference/main.py:42-68 — the three tuple-artifact regexes, state
+normalization, coerce-cast). Each property runs one Spark job over a
+generated batch of strings."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.functions.scalar import (
+    STATE_CODES,
+    clean_text,
+    norm_state,
+    try_double,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.relational import salted_agg
+
+# Independent Python models of the documented semantics (SURVEY §2.9).
+_RX1 = re.compile(r'^\("?\s*')
+_RX2 = re.compile(r'"?\)$')
+_RX3 = re.compile(r",\s*[-+]?[0-9]*\.?[0-9]+$")
+
+
+def clean_text_model(s: str) -> str:
+    s = _RX1.sub("", s)
+    s = _RX2.sub("", s)
+    s = _RX3.sub("", s)
+    return s.strip().strip('"')
+
+
+def norm_state_model(s: str) -> str | None:
+    t = re.sub(r"[^A-Z]", "", s.upper())
+    return t if t in STATE_CODES else None
+
+
+# Printable-ish text, biased toward the artifacts the cleaners target.
+artifact_text = st.one_of(
+    st.text(alphabet=st.characters(codec="ascii", exclude_categories=["Cc"]), max_size=40),
+    st.builds(lambda a, b: f'("{a}", {b})', st.text(max_size=20), st.integers(0, 999)),
+    st.builds(lambda a, b: f"{a}, {b}.5", st.text(max_size=20), st.integers(0, 99)),
+    st.sampled_from(["nsw", "N.S.W.", " vic ", "total", "", '"x"', "(y)", "AUST"]),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(artifact_text, min_size=20, max_size=60))
+def test_clean_and_norm_match_model(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], ["t"])
+    rows = df.select(
+        "t", clean_text("t").alias("c"), norm_state("t").alias("n")
+    ).collect()
+    for r in rows:
+        assert r.c == clean_text_model(r.t), repr(r.t)
+        assert r.n == norm_state_model(r.t), repr(r.t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False, width=32).map(str),
+            st.integers(-(10**9), 10**9).map(str),
+            st.text(alphabet="0123456789.xyz,- ", max_size=12),
+        ),
+        min_size=20,
+        max_size=60,
+    )
+)
+def test_try_double_null_on_junk(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], ["t"])
+    rows = df.select("t", try_double("t").alias("d")).collect()
+    for r in rows:
+        try:
+            want = float(r.t.strip())
+            if want in (float("inf"), float("-inf")):
+                want = None
+        except (ValueError, OverflowError):
+            want = None
+        if want is None:
+            assert r.d is None, repr(r.t)
+        else:
+            assert r.d is not None and abs(r.d - want) <= abs(want) * 1e-12, repr(r.t)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "hot", "hot", "hot"]), st.integers(0, 10**6)),
+        min_size=30,
+        max_size=80,
+    )
+)
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {r.k: r.v for r in df.groupBy("k").agg(F.sum("v").alias("v")).collect()}
+    salted = {r.k: r.v for r in salted_agg(df, ["k"], "v", salt_buckets=4).collect()}
+    assert plain == salted
