@@ -268,3 +268,45 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .join(keepers, "h")
         .select(id_col, "dup_of")
     )
+
+
+def minhash_dedup_ml(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+    max_distance: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash near-dup candidate pairs via pyspark.ml.feature.MinHashLSH
+    (the built-in alternative to the expression-based minhash_dedup):
+    tokens → HashingTF set-vectors → MinHashLSH.approxSimilarityJoin.
+
+    Returns (left_id, right_id, jaccard_distance) with left_id < right_id.
+    The ml path shuffles ml vectors (heavier than the integer signatures
+    of minhash_dedup) but gets distance filtering for free.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    tokens = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_tokens")
+    )
+    tf = HashingTF(
+        inputCol="_tokens", outputCol="_features", numFeatures=num_features, binary=True
+    )
+    vecs = tf.transform(tokens)
+    lsh = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, max_distance, distCol="jaccard_distance")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("left_id"),
+            F.col(f"datasetB.{id_col}").alias("right_id"),
+            "jaccard_distance",
+        )
+        .where(F.col("left_id") < F.col("right_id"))
+    )

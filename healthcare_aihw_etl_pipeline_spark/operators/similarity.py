@@ -173,3 +173,48 @@ def lsh_topk(
         F.col(id_col), cosine_to_query(vec_col, query_vec).alias("cos")
     )
     return top_k(scored, "cos", k, tiebreak=[id_col])
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer →
+    probe the `nprobe` centroids nearest the query → exact cosine within
+    those cells only.
+
+    Uses pyspark.ml KMeans (seeded, deterministic init) for the coarse
+    centroids. At 100 TB the fit runs on a sample, the cell assignment is
+    a persisted integer column (partition key), and a query touches
+    nprobe/n_centroids of the data — the classic IVF-flat layout. Here the
+    fit+assign runs inline, which is fine at test scale.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(_as_double_array(vec_col)).alias("_features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_features").fit(feats)
+    assigned = model.transform(feats)  # adds 'prediction'
+
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    # nearest centroids by euclidean distance (KMeans geometry)
+    order = np.argsort(((centers - q) ** 2).sum(axis=1))
+    probes = [int(c) for c in order[:nprobe]]
+
+    candidates = assigned.where(F.col("prediction").isin(probes))
+    scored = candidates.select(
+        F.col(id_col), cosine_to_query(vec_col, query_vec).alias("cos")
+    )
+    return top_k(scored, "cos", k, tiebreak=[id_col])

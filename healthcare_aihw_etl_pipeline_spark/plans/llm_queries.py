@@ -360,3 +360,17 @@ def returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp_ntz")
     ).select("user_id")
     return first_week.intersect(last_week).orderBy("user_id")
+
+
+@register(
+    "ivf_cosine_top10",
+    oracle=None,  # approximate: recall property-tested vs brute force
+    doc="IVF approximate top-k: KMeans coarse quantizer (pyspark.ml, "
+    "seeded) + nprobe nearest cells + exact cosine within cells — the "
+    "inverted-file scale path for ANN, complementing hyperplane LSH.",
+)
+def ivf_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "embedding", "vec_id", _query_vector(spark, sf_dir), 10, n_centroids=8, nprobe=4)

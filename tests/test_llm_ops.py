@@ -176,3 +176,29 @@ def test_lsh_signature_vectorized_matches_expression(spark, sf_dir):
     a = {r.vec_id: r.s for r in expr.collect()}
     b = {r.vec_id: r.s for r in fast.collect()}
     assert a == b
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, "embedding", "vec_id", q, 10).collect()}
+    approx_rows = ivf_topk(emb, "embedding", "vec_id", q, 10, n_centroids=8, nprobe=4).collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert 0 in approx  # the query's own cell is always probed
+    assert len(approx_rows) == 10
+    recall = len(exact & approx) / 10
+    assert recall >= 0.4, f"IVF recall {recall} too low"
+
+
+def test_minhash_ml_finds_planted_pairs(spark, planted):
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import minhash_dedup_ml
+
+    pairs = {
+        (r.left_id, r.right_id): r.jaccard_distance
+        for r in minhash_dedup_ml(planted, "text", "doc_id").collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0.0  # identical docs
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup pair surfaces
+    assert (0, 3) not in pairs  # unrelated pair filtered by distance
