@@ -843,3 +843,38 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_discount"), 6).alias("discount_stddev"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
     )
+
+
+@register(
+    "string_features",
+    oracle="""
+    SELECT UPPER(SUBSTRING(c_name, 1, 1)) AS initial,
+           COUNT(*) AS n_customers,
+           SUM(LENGTH(c_name)) AS total_name_chars,
+           MIN(CONCAT(c_mktsegment, ':', LPAD(CAST(c_custkey AS VARCHAR), 8, '0'))) AS min_tag,
+           SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS names_with_1
+    FROM customer
+    GROUP BY 1
+    """,
+    doc="String-function family (upper/substring/length/concat/lpad/LIKE) "
+    "— all Catalyst built-ins, exercised together under a group-by.",
+)
+def string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy(
+            F.upper(F.substring("c_name", 1, 1)).alias("initial")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.length("c_name")).alias("total_name_chars"),
+            F.min(
+                F.concat_ws(
+                    ":",
+                    F.col("c_mktsegment"),
+                    F.lpad(F.col("c_custkey").cast("string"), 8, "0"),
+                )
+            ).alias("min_tag"),
+            F.sum(F.col("c_name").like("%1%").cast("long")).alias("names_with_1"),
+        )
+    )

@@ -176,3 +176,28 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+    partition_by: str | None = None,
+):
+    """Checkpointed parquet streaming sink: append-mode exactly-once file
+    output (the streaming twin of sinks.write_table). Returns the started
+    StreamingQuery; with available_now the caller awaits termination for
+    a drain-everything batch run."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -187,3 +187,19 @@ def test_user_running_totals_stateful(spark, sf_dir, events_stream_dir, sink_nam
     )
     want = {r.user_id: (r.n, r.tv) for r in batch.collect()}
     assert got == want
+
+
+def test_write_stream_parquet_exactly_once(spark, events_stream_dir, tmp_path):
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import write_stream_parquet
+
+    out = str(tmp_path / "hourly_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, events_stream_dir)
+    q = write_stream_parquet(hourly_event_counts(stream), out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # restart over the same checkpoint with no new input: no duplicates
+    q2 = write_stream_parquet(hourly_event_counts(stream), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
