@@ -54,8 +54,9 @@ def lang_id(text_col: Column | str) -> Column:
     ]
     best = F.lit("und")
     best_score = F.lit(0)
-    # iterate in reverse so earlier languages win ties deterministically
-    for lang, score in reversed(scores):
+    # Strict '>' means the first-processed language keeps ties, so iterate
+    # in declared order: en beats es beats de beats fr on equal scores.
+    for lang, score in scores:
         cond = score > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, score).otherwise(best_score)

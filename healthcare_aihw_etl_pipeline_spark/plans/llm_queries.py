@@ -66,8 +66,8 @@ def dedup_prefix_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_split_to_array(TRIM(text), '\\s+'))) AS total_tokens,
-           SUM(LENGTH(text)) AS total_chars,
+           CAST(SUM(len(regexp_split_to_array(TRIM(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
            MAX(LENGTH(text)) AS max_chars
     FROM documents
     GROUP BY lang
@@ -229,7 +229,7 @@ def simhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]'))) AS total_bpe_tokens
+           CAST(SUM(len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]'))) AS BIGINT) AS total_bpe_tokens
     FROM documents
     GROUP BY source
     """,
@@ -247,11 +247,85 @@ def bpe_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stopword_sql_lists() -> dict[str, str]:
+    """DuckDB list literals built from the SAME constant the Spark
+    expression uses (operators.text.STOPWORDS) — no drift possible."""
+    from healthcare_aihw_etl_pipeline_spark.operators.text import STOPWORDS
+
+    return {
+        lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def _quality_profile_oracle() -> str:
+    """Replay lang_id + quality_score (operators.text) in DuckDB SQL.
+
+    Every arithmetic step mirrors the Spark expression order exactly
+    (IEEE doubles are deterministic given identical op order); the final
+    6dp round on both sides absorbs any residual last-ulp risk. Tie-break
+    CASE chain == the declared-order strict-'>' loop: a language wins iff
+    it is the first in (en, es, de, fr) attaining the positive maximum.
+    """
+    sw = _stopword_sql_lists()
+    return f"""
+    WITH feats AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+             greatest(length(text), 1) AS total_chars,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             greatest(CAST(length(text) AS DOUBLE), 1.0) AS safe_chars,
+             CAST(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS DOUBLE) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^\\p{{N}}]', '', 'g')) AS DOUBLE) AS n_digit,
+             CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             len(list_intersect(toks, {sw['en']})) AS s_en,
+             len(list_intersect(toks, {sw['es']})) AS s_es,
+             len(list_intersect(toks, {sw['de']})) AS s_de,
+             len(list_intersect(toks, {sw['fr']})) AS s_fr,
+             cjk, total_chars, n_chars, safe_chars,
+             n_alpha, n_digit, n_punct,
+             n_chars / greatest(n_tokens, 1.0) AS mean_tok
+      FROM feats
+    ), labeled AS (
+      SELECT source,
+             CASE WHEN CAST(cjk AS DOUBLE) / total_chars > 0.2 THEN 'zh'
+                  WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+                  WHEN s_fr > 0 THEN 'fr'
+                  ELSE 'und' END AS pred_lang,
+             (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 1.0
+                   WHEN n_chars < 50 THEN n_chars / 50.0
+                   ELSE 0.5 END) * 0.3
+             + (n_alpha / safe_chars) * 0.3
+             + (CASE WHEN n_punct / safe_chars > 0.2 THEN 0.0
+                     ELSE 1.0 - (n_punct / safe_chars) / 0.2 * 0.5 END) * 0.15
+             + (CASE WHEN n_digit / safe_chars > 0.3 THEN 0.0
+                     ELSE 1.0 - (n_digit / safe_chars) / 0.3 * 0.5 END) * 0.1
+             + (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 12.0 THEN 1.0
+                     ELSE 0.5 END) * 0.15 AS q
+      FROM scored
+    )
+    SELECT source, pred_lang,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(q), 6) AS min_q,
+           ROUND(MAX(q), 6) AS max_q
+    FROM labeled
+    GROUP BY source, pred_lang
+    """
+
+
 @register(
     "text_quality_profile",
-    oracle=None,  # heuristic composite: unit-tested on crafted examples
+    oracle=_quality_profile_oracle(),
     doc="Language-ID + quality-score profile per source: distribution of "
-    "the cheap pretraining filters (lang heuristic, composite quality).",
+    "the cheap pretraining filters (lang heuristic, composite quality), "
+    "oracled by replaying the identical regex arithmetic in DuckDB.",
 )
 def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_aihw_etl_pipeline_spark.operators.text import lang_id, quality_score
@@ -266,8 +340,10 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "pred_lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.min("q").alias("min_q"),
-            F.max("q").alias("max_q"),
+            # 6dp round (monotone, commutes with min/max) absorbs last-ulp
+            # engine differences; both engines round doubles half-away-0.
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
         )
     )
 
@@ -287,16 +363,47 @@ def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .where(F.col("n_copies") > 1)
-        .select(F.col("fp").cast("array<string>").alias("fingerprint"), "keeper_doc_id", "n_copies")
+        .select(
+            # Scalar sketch: the driver's pandas comparison canonicalizes by
+            # sorting output columns, and array cells are unhashable there.
+            F.array_join(F.col("fp").cast("array<string>"), ",").alias("fingerprint"),
+            "keeper_doc_id",
+            "n_copies",
+        )
     )
 
 
 @register(
     "events_session_window",
-    oracle=None,  # gap-merging session semantics: no compact SQL oracle;
-    # checked by streaming gap-semantics tests (tests/test_streaming.py)
+    # Gap-and-islands replay of F.session_window's merge semantics: a new
+    # session starts only when the gap to the previous event is STRICTLY
+    # greater than 30 minutes — verified empirically: Spark merges an
+    # exactly-30-minute-apart pair into one session (inclusive touch).
+    # Cumulative-sum session ids then group identically to Spark's merged
+    # windows.
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM numbered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
     doc="Per-user session windows (30-minute gap) as a batch aggregation — "
-    "F.session_window merges events separated by < gap. Streaming twin: "
+    "F.session_window merges events separated by < gap. Oracled via "
+    "gap-and-islands SQL (lag + cumulative session id). Streaming twin: "
     "streaming.events.session_windows.",
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -130,7 +130,7 @@ def top_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM({sql_cents("l_quantity", 0)}) AS sum_qty,
+           CAST(SUM({sql_cents("l_quantity", 0)}) AS BIGINT) AS sum_qty,
            CAST(SUM({sql_cents("l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
            CAST(SUM({SQL_REV}) AS DOUBLE) / 10000.0 AS sum_disc_price,
            COUNT(*) AS count_order
@@ -168,7 +168,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_in_agg",
     oracle=f"""
     SELECT l_linestatus,
-           SUM({sql_cents("l_quantity", 0)}) AS sum_qty,
+           CAST(SUM({sql_cents("l_quantity", 0)}) AS BIGINT) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_returnflag IN ('A','R')
@@ -497,7 +497,7 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_agg",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type
@@ -607,7 +607,7 @@ def scalar_clean_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_lineitems,
-           SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS shipped_within_60d
+           CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS shipped_within_60d
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -639,7 +639,7 @@ def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_returnflag_status",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM({sql_cents("l_quantity", 0)}) AS sum_qty,
+           CAST(SUM({sql_cents("l_quantity", 0)}) AS BIGINT) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -850,9 +850,9 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT UPPER(SUBSTRING(c_name, 1, 1)) AS initial,
            COUNT(*) AS n_customers,
-           SUM(LENGTH(c_name)) AS total_name_chars,
+           CAST(SUM(LENGTH(c_name)) AS BIGINT) AS total_name_chars,
            MIN(CONCAT(c_mktsegment, ':', LPAD(CAST(c_custkey AS VARCHAR), 8, '0'))) AS min_tag,
-           SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS names_with_1
+           CAST(SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS BIGINT) AS names_with_1
     FROM customer
     GROUP BY 1
     """,
