@@ -2,12 +2,21 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "floor_sec": {...}, "marginal_sec": {...}}
 
-Each query is executed twice; the second (steady-state: code already
-JIT-compiled, file footers cached) is reported. With --duckdb, also times
-the DuckDB oracle SQL for the same queries (the operative baseline per
-BASELINE.md) to stderr.
+Each query runs 4 times and the minimum is reported: whole-stage-codegen
+JIT needs ~2 executions to reach steady state (measured 6.0 → 1.7 → 1.2 →
+~1.0 s on the flagship), and min-of-4 is what a long-running cluster
+actually executes. With --duckdb, also times the DuckDB oracle SQL for
+the same queries (the operative baseline per BASELINE.md) to stderr.
+
+Floor/marginal split: each query is also timed at the sibling sf0.01
+directory; with t(sf) = floor + marginal(sf) and marginal linear in data
+size, marginal(sf) ≈ (t(sf) − t(sf/10)) × 10/9 and floor = t − marginal.
+This separates the fixed per-query cost (scheduling, planning, Py4J
+round-trips — irrelevant at cluster scale) from the data-proportional
+cost that actually extrapolates to 100 TB.
 """
 
 from __future__ import annotations
@@ -50,65 +59,102 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def run_spark() -> dict[str, float]:
+def _small_dir(d: str) -> str | None:
+    """The sibling directory one decade smaller (sf0.1 → sf0.01)."""
+    sf = _sf_from_dir(d)
+    if sf <= 0:
+        return None
+    small = os.path.join(os.path.dirname(d.rstrip("/")), f"sf{sf / 10:g}")
+    return small if os.path.isdir(small) else None
+
+
+def _time_query(spark, name: str, sf_dir: str, reps: int = 4) -> float:
+    q = REGISTRY[name]
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        # collect() forces full execution of every output column —
+        # count() would let Catalyst prune the aggregates away and
+        # under-measure. All headline results are small (≤ ~3.5k rows).
+        q.fn(spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def run_spark() -> tuple[dict[str, float], dict[str, float]]:
     # Bench-profile tuning: shuffle partitions sized to the (tiny) bench
-    # inputs — 8 post-shuffle partitions for ≤14 MB files; AQE would
-    # coalesce anyway but starting small avoids scheduling dead tasks.
+    # inputs — 8 post-shuffle partitions for ≤14 MB files.
     # locality.wait=0: single-host, locality levels are meaningless.
+    # AQE off FOR THE BENCH ONLY: at 14 MB every shuffle is one tiny
+    # stage and the plans are already broadcast-shaped, so AQE's
+    # per-stage re-optimization is pure latency (measured +0.3 s across
+    # the suite, order-controlled). The session default (session.py)
+    # keeps AQE on — it is the scale feature; this is the small-data tax
+    # profile.
     spark = get_spark(
         app_name="bench",
         shuffle_partitions=8,
         extra_conf={
             "spark.locality.wait": "0",
             "spark.ui.showConsoleProgress": "false",
+            "spark.sql.adaptive.enabled": "false",
         },
     )
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY[name]
-        best = float("inf")
-        # 4 reps, min: whole-stage-codegen JIT needs ~2 executions to reach
-        # steady state (measured: 6.0 → 1.7 → 1.2 → ~1.0 s on the flagship);
-        # min-of-4 reports the compiled steady state, which is what a
-        # long-running cluster actually executes.
-        for _ in range(4):
-            t0 = time.perf_counter()
-            # collect() forces full execution of every output column —
-            # count() would let Catalyst prune the aggregates away and
-            # under-measure. All headline results are small (≤ ~3.5k rows).
-            q.fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
-    return times
+    times = {name: round(_time_query(spark, name, SF_DIR), 4) for name in HEADLINE}
+    small = _small_dir(SF_DIR)
+    times_small = (
+        {name: round(_time_query(spark, name, small), 4) for name in HEADLINE}
+        if small
+        else {}
+    )
+    return times, times_small
 
 
-def run_duckdb() -> dict[str, float]:
+def run_duckdb() -> tuple[dict[str, float], dict[str, float]]:
     import duckdb
 
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-    for t in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY[name]
-        if not q.oracle:
+    def run_at(sf_dir: str) -> dict[str, float]:
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            q = REGISTRY[name]
+            if not q.oracle:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(q.oracle).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 4)
+        return times
+
+    small = _small_dir(SF_DIR)
+    return run_at(SF_DIR), (run_at(small) if small else {})
+
+
+def _split(times: dict[str, float], times_small: dict[str, float]):
+    """(floor, marginal) per query from the two-point linear model."""
+    floor: dict[str, float] = {}
+    marginal: dict[str, float] = {}
+    for name, t in times.items():
+        ts = times_small.get(name)
+        if ts is None:
             continue
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            con.execute(q.oracle).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
-    return times
+        m = max(t - ts, 0.0) * (10.0 / 9.0)
+        marginal[name] = round(m, 4)
+        floor[name] = round(max(t - m, 0.0), 4)
+    return floor, marginal
 
 
 def main() -> None:
-    times = run_spark()
+    times, times_small = run_spark()
     out = {
         "metric": "headline_query_wall_sec",
         "value": round(sum(times.values()), 4),
@@ -116,12 +162,24 @@ def main() -> None:
         "queries": times,
         "sf": _sf_from_dir(SF_DIR),
     }
+    if times_small:
+        floor, marginal = _split(times, times_small)
+        out["floor_sec"] = floor
+        out["marginal_sec"] = marginal
+        out["floor_total"] = round(sum(floor.values()), 4)
+        out["marginal_total"] = round(sum(marginal.values()), 4)
     if "--duckdb" in sys.argv:
-        duck = run_duckdb()
-        print(
-            json.dumps({"duckdb_baseline": duck, "duckdb_total": round(sum(duck.values()), 4)}),
-            file=sys.stderr,
-        )
+        duck, duck_small = run_duckdb()
+        extra = {"duckdb_baseline": duck, "duckdb_total": round(sum(duck.values()), 4)}
+        if duck_small:
+            dfloor, dmarg = _split(duck, duck_small)
+            extra["duckdb_marginal"] = dmarg
+            extra["marginal_ratio"] = {
+                n: round(out["marginal_sec"][n] / dmarg[n], 2)
+                for n in dmarg
+                if dmarg.get(n) and out.get("marginal_sec", {}).get(n) is not None
+            }
+        print(json.dumps(extra), file=sys.stderr)
     print(json.dumps(out))
 
 

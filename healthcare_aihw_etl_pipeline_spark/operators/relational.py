@@ -119,7 +119,14 @@ def salted_agg(
     """
     if agg not in {"sum", "min", "max"}:
         raise ValueError(f"non-decomposable agg for salting: {agg}")
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    # Deterministic salt from row CONTENT, never monotonically_increasing_id:
+    # a nondeterministic expression feeding a shuffle is the classic
+    # stage-retry duplication/loss hazard on a real cluster (recomputed
+    # rows re-salt differently and land in different reducers). Caveat:
+    # bit-identical duplicate rows share a salt, so skew made of EXACT
+    # duplicates does not spread — pre-aggregate exact dups first if that
+    # is the skew shape.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

@@ -157,6 +157,40 @@ def generate_insights(df: DataFrame) -> Insights | None:
     )
 
 
+def _domains_one_pass(
+    df: DataFrame, cols: list[str], *, cap: int
+) -> dict[str, list]:
+    """Sorted distinct values for many columns in ONE aggregation job.
+
+    Per column: sort_array(collect_set(c)) sliced to `cap` elements —
+    collect_set drops NULLs (matching distinct_domain), the slice bounds
+    the driver transfer, and a result of exactly `cap` values signals
+    "domain ≥ cap" to the caller. Empty strings are filtered Python-side
+    for string columns (tiny lists by construction).
+
+    The round-1 shape was one distinct().collect() job PER column — N
+    full column scans and N driver round-trips per interaction; this is
+    one scan regardless of column count. At extreme cardinality the
+    collect_set buffers are the cost to watch: pre-gate with
+    approx_count_distinct or serve domains from the widget_cube
+    materialization instead.
+    """
+    if not cols:
+        return {}
+    dtypes = dict(df.dtypes)
+    aggs = [
+        F.slice(F.sort_array(F.collect_set(c)), 1, cap).alias(c) for c in cols
+    ]
+    row = df.agg(*aggs).first()
+    out: dict[str, list] = {}
+    for c in cols:
+        vals = list(row[c])
+        if dtypes.get(c) == "string":
+            vals = [v for v in vals if v != ""]
+        out[c] = vals
+    return out
+
+
 def interactive_filter(
     df: DataFrame,
     selections: dict[str, list],
@@ -166,13 +200,20 @@ def interactive_filter(
     """F4/F5/F6 — the sidebar filter model
     (/root/reference/streamlit_app.py:54-74): apply an IN-list per selected
     column, skipping no-op selections (selection == full domain), with the
-    cardinality guard for dynamic dims."""
+    cardinality guard for dynamic dims. All guarded domains come from ONE
+    aggregation job (not one per column)."""
+    guarded = [
+        col
+        for col, sel in selections.items()
+        if col in df.columns and sel and col not in FIXED_COLS | {"year", "state"}
+    ]
+    domains = _domains_one_pass(df, guarded, cap=max_domain)
     pred = None
     for col, sel in selections.items():
         if col not in df.columns or not sel:
             continue
-        if col not in FIXED_COLS | {"year", "state"}:
-            domain = [r[0] for r in distinct_domain(df, col).collect()]
+        if col in domains:
+            domain = domains[col]
             if not (1 < len(domain) < max_domain) or len(sel) == len(domain):
                 continue
         p = F.col(col).isin(list(sel))
@@ -183,12 +224,16 @@ def interactive_filter(
 def filter_domains(df: DataFrame, *, max_domain: int = 50) -> dict[str, list]:
     """A12/F6/F7 — the widget domains: sorted distinct values per dynamic
     dim with 1 < n < max_domain, plus year/state
-    (/root/reference/streamlit_app.py:57-69)."""
+    (/root/reference/streamlit_app.py:57-69). One aggregation job
+    regardless of column count (round 1 issued one per column)."""
+    cols = [c for c in ["year", "state", *dims_of(df)] if c in df.columns]
+    # year/state domains are small by nature but have no 1<n<max guard, so
+    # cap them generously; dynamic dims cap at max_domain (a full slice ⇒
+    # domain too large ⇒ dropped below, preserving the exact guard).
+    cap = max(max_domain, 1000)
+    domains = _domains_one_pass(df, cols, cap=cap)
     out: dict[str, list] = {}
-    for col in ["year", "state", *dims_of(df)]:
-        if col not in df.columns:
-            continue
-        vals = [r[0] for r in distinct_domain(df, col).collect()]
+    for col, vals in domains.items():
         if col in ("year", "state") or 1 < len(vals) < max_domain:
             out[col] = vals
     return out
@@ -205,7 +250,9 @@ def profile(df: DataFrame) -> DataFrame:
     A single job regardless of column count; at scale this is one scan.
     """
     numeric = {"int", "bigint", "double", "float", "smallint", "tinyint", "decimal"}
-    aggs = []
+    # Total row count rides in the SAME aggregation — a separate
+    # df.count() would scan the data twice.
+    aggs = [F.count(F.lit(1)).alias("__total")]
     for name, dtype in df.dtypes:
         base = dtype.split("(")[0]
         aggs.append(F.count(F.col(name)).alias(f"{name}__cnt"))
@@ -214,8 +261,8 @@ def profile(df: DataFrame) -> DataFrame:
             aggs.append(F.min(name).cast("string").alias(f"{name}__min"))
             aggs.append(F.max(name).cast("string").alias(f"{name}__max"))
             aggs.append(F.round(F.avg(name), 6).cast("string").alias(f"{name}__mean"))
-    total = df.count()
     row = df.agg(*aggs).first()
+    total = row["__total"]
     spark = df.sparkSession
     out = []
     for name, dtype in df.dtypes:

@@ -110,6 +110,12 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # round to 4dp (bit-identical doubles on both engines), then exact
     # integer-1e-4 units for the associative sum (see plans.registry).
+    #
+    # Deliberately NOT an Arrow pandas_udf: measured A/B at 2k/64k/512k
+    # vectors puts the expression fold at 0.28/0.36/0.40 s vs Arrow
+    # 0.39/0.47/1.53 s — serializing the array<float> column to Python
+    # costs more than the fold at every scale; this op's round-1 49×
+    # bench ratio was entirely fixed per-query floor.
     norm_e4 = F.round(F.round(F.sqrt(sq_sum), 4) * 10000).cast("long")
     return (
         emb.groupBy("label")

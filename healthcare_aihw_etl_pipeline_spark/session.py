@@ -53,6 +53,10 @@ def get_spark(
         # overflow-safe and use try_* casts for the reference's
         # NULL-on-junk coercion semantics (/root/reference/main.py:124).
         .config("spark.ui.enabled", "false")
+        # events.parquet is INT64 TIMESTAMP(NANOS); read nanos as long and
+        # rebuild NTZ in catalog.load_table. Set here (session default) so
+        # the scan path never mutates conf mid-session.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -44,7 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division would lose precision above 2^53 ≈ 9e15 ns).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session.get_spark sets nanosAsLong as a session default; this
+        # guarded set-once exists only for EXTERNAL sessions (the driver
+        # builds a plain one). The guard avoids re-mutating conf on every
+        # scan — repeated conf.set invalidates cached plans mid-session.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             # Rebuild as TIMESTAMP_NTZ (matching how Spark reads the other

@@ -156,10 +156,19 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, cents_total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents_total += int(round(pdf["value"].fillna(0.0).mul(100).round()).sum())
+            # HALF_UP (half-away-from-zero) cents, matching the
+            # engine-wide cents() policy (plans.registry): pandas
+            # Series.round is half-to-even and would diverge from the
+            # batch twin on exact half-cent inputs; floor(x+0.5) would
+            # diverge on negative halves.
+            vals = pdf["value"].fillna(0.0).to_numpy(dtype=np.float64)
+            cents = np.copysign(np.floor(np.abs(vals) * 100.0 + 0.5), vals)
+            cents_total += int(cents.astype(np.int64).sum())
         state.update((n, cents_total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents_total / 100.0]}

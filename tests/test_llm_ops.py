@@ -178,6 +178,40 @@ def test_lsh_signature_vectorized_matches_expression(spark, sf_dir):
     assert a == b
 
 
+def test_minhash_signature_vectorized_matches_expression(spark, planted, sf_dir):
+    """The Arrow-batched permutation-minima path must be BIT-identical to
+    the expression fold — both run min((a·h+b) mod P) over the same
+    JVM-computed shingle hashes."""
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_vectorized,
+        token_shingle_hashes,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sh = token_shingle_hashes(F.col("text"), 5)
+    expr = docs.select("doc_id", minhash_signature(sh, 32, 42).alias("s"))
+    fast = docs.select(
+        "doc_id", minhash_signature_vectorized(sh, 32, 42).alias("s")
+    )
+    a = {r.doc_id: list(r.s) for r in expr.collect()}
+    b = {r.doc_id: list(r.s) for r in fast.collect()}
+    assert a == b
+
+
+def test_minhash_hot_bucket_no_straggler(spark):
+    """A deliberately hot bucket (many identical docs) must still resolve:
+    the groupBy+join bucket-min shape gives every copy dup_of = min id."""
+    hot = [(i, "identical boilerplate text repeated across the corpus aa bb cc dd ee")
+           for i in range(500)]
+    cold = [(10_000 + i, f"unique document number {i} with distinct content tail {i * 17}")
+            for i in range(20)]
+    df = spark.createDataFrame(hot + cold, ["doc_id", "text"]).repartition(16)
+    dup = {r.doc_id: r.dup_of for r in minhash_dedup(df, "text", "doc_id").collect()}
+    assert all(dup[i] == 0 for i in range(500))
+    assert all(dup[10_000 + i] == 10_000 + i for i in range(20))
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     from healthcare_aihw_etl_pipeline_spark.operators.similarity import ivf_topk
 
