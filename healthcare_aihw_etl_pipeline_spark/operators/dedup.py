@@ -352,6 +352,104 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive closure of duplicate edges: per node, the minimum id
+    reachable through any chain — true dedup CLUSTERS, where the star
+    policy of minhash/simhash_dedup only links through shared buckets.
+
+    Iterative min-label propagation with pointer jumping (the
+    large-star/small-star family — Kiveris et al., "Connected Components
+    in MapReduce and Beyond"): each round (1) takes the min over each
+    node's neighborhood labels, then (2) jumps every label to its label's
+    label, halving chain length — so convergence is O(log d) rounds for
+    diameter d (duplicate-cluster graphs are near-star-shaped: 2-3 rounds
+    in practice). Each round is two shuffle joins + one groupBy on
+    integer keys — at 100 TB this runs on the (small) edge set produced
+    by LSH banding, never on the corpus.
+
+    Every round ends in localCheckpoint(eager): iterative Spark MUST
+    truncate lineage — chaining 10+ rounds of joins into one plan blows
+    up optimizer memory (observed: OOM on a 12-node path graph without
+    it). The convergence probe is a LIMIT-1 count of changed labels, so
+    iteration stops exactly at the fixed point. Returns (node, component)
+    with component = min reachable id.
+    """
+    # Undirected symmetric edge list, self-loops dropped.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.persist()
+    # labels: every node starts as its own component.
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # (1) candidate label: min over own label and neighbors' labels.
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        cand = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("neighbor_component"), F.col("component")),
+            ).alias("component"),
+        )
+        # (2) pointer jump: component := label(component). Every component
+        # value is a node id present in `cand`, so the inner lookup hits.
+        lookup = cand.select(
+            F.col("node").alias("cnode"), F.col("component").alias("ccomp")
+        )
+        new_labels = (
+            cand.join(lookup, cand["component"] == lookup["cnode"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("ccomp"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dup_edges_deterministic(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic duplicate edges for the closure: docs sharing an md5
+    text hash OR a 10-token-prefix hash link to their group's min id.
+    Both keys are engine-independent, so the resulting components are
+    SQL-oracle-checkable (unlike MinHash buckets)."""
+    prefix = F.concat_ws(" ", F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), 1, 10))
+    out = []
+    for key in (F.md5(F.col(text_col)), F.md5(prefix)):
+        grouped = df.select(F.col(id_col), key.alias("k"))
+        mins = grouped.groupBy("k").agg(F.min(id_col).alias("src"))
+        out.append(
+            grouped.join(mins, "k").select("src", F.col(id_col).alias("dst"))
+        )
+    return out[0].unionByName(out[1]).where(F.col("src") != F.col("dst")).distinct()
+
+
 def minhash_dedup_ml(
     df: DataFrame,
     text_col: str,

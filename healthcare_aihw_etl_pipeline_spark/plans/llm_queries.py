@@ -428,6 +428,68 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_transitive_clusters",
+    # Recursive-CTE replay of the iterative min-label propagation: the
+    # deterministic edge set (docs sharing an md5 text hash OR a
+    # 10-token-prefix hash link to their group's min id) is
+    # engine-independent, so DuckDB can enumerate reachability and take
+    # the per-node min — exactly the fixed point Spark's loop converges
+    # to. The closure itself runs on the EDGE set, never the corpus.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS k FROM documents
+    ), mins AS (
+      SELECT k, MIN(doc_id) AS src FROM base GROUP BY k
+    ), e1 AS (
+      SELECT mins.src, base.doc_id AS dst FROM base JOIN mins USING (k)
+    ), pbase AS (
+      SELECT doc_id,
+             md5(array_to_string(regexp_split_to_array(TRIM(text), '\\s+')[1:10], ' ')) AS k
+      FROM documents
+    ), pmins AS (
+      SELECT k, MIN(doc_id) AS src FROM pbase GROUP BY k
+    ), e2 AS (
+      SELECT pmins.src, pbase.doc_id AS dst FROM pbase JOIN pmins USING (k)
+    ), edges AS (
+      SELECT src, dst FROM e1 WHERE src <> dst
+      UNION
+      SELECT src, dst FROM e2 WHERE src <> dst
+    ), sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst, src FROM edges
+    ), cc AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, reach.comp FROM sym s JOIN reach ON reach.node = s.b
+      )
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    )
+    SELECT component, COUNT(*) AS n_docs, MAX(node) AS max_doc
+    FROM cc GROUP BY component
+    """,
+    doc="Transitive dedup clusters: connected components over deterministic "
+    "duplicate edges (exact md5 + 10-token-prefix groups) via iterative "
+    "min-label propagation — the closure the star policy of "
+    "minhash/simhash_dedup approximates. Hash-checked against a DuckDB "
+    "recursive CTE.",
+)
+def dedup_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        dup_edges_deterministic,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dup_edges_deterministic(docs, "text", "doc_id")
+    cc = connected_components(edges)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc")
+    )
+
+
+@register(
     "top_tokens",
     oracle="""
     SELECT token, COUNT(*) AS n

@@ -223,6 +223,155 @@ def compile_sheets(
     return union_by_name(frames)
 
 
+# ---------------------------------------------------------------------------
+# Distributed ingest (SURVEY §4.2 extension #2): the same parse, but with
+# the per-sheet work running ON EXECUTORS via mapInPandas. compile_sheets
+# above builds each sheet's rows driver-side (fine for metadata-sized
+# workbooks); for a landing zone of thousands of wide files the (sheet,
+# rows) pairs themselves must be a distributed dataset and each task must
+# parse its own shard. The dynamic id-columns problem (mapInPandas needs a
+# fixed output schema) is solved by emitting dims as map<string,string>
+# and widening to real columns afterwards with one metadata-sized
+# key-union pass.
+
+# Java \s (regex 1-3 of clean_text) is NOT Python \s: Python's includes
+# the Unicode space category. The executor-side twin must reproduce the
+# JAVA class for those regexes, then Python str.strip() for the final
+# whitespace strip (which IS the engine semantic — see clean_text).
+_JAVA_WS = "[ \\t\\n\\x0b\\f\\r]"
+_RE_LEAD = re.compile(r'^\("?' + _JAVA_WS + "*")
+_RE_TRAIL = re.compile(r'"?\)$')
+_RE_NUM_TAIL = re.compile("," + _JAVA_WS + r"*[-+]?[0-9]*\.?[0-9]+$")
+
+
+def clean_text_py(s: object) -> str:
+    """Executor/driver-side twin of functions.scalar.clean_text —
+    equality with the Catalyst chain is asserted by the distributed-vs-
+    driver parity test (tests/test_ingest.py)."""
+    t = str(s)
+    t = _RE_LEAD.sub("", t)
+    t = _RE_TRAIL.sub("", t)
+    t = _RE_NUM_TAIL.sub("", t)
+    return t.strip().strip('"')
+
+
+def _try_double_py(s: object) -> float | None:
+    """Twin of functions.scalar.try_double (trim → try_cast double)."""
+    if s is None:
+        return None
+    try:
+        return float(str(s).strip())
+    except ValueError:
+        return None
+
+
+def sheets_to_distributed(
+    spark: SparkSession,
+    sheets: Sequence[tuple[Sequence[Sequence[object]], int]],
+) -> DataFrame:
+    """Lift (rows, year) sheets into a distributed (sheet_id, year, rows)
+    DataFrame — the landing-zone shape. Cells are stringified exactly as
+    parse_sheet does (None stays NULL)."""
+    data = [
+        (
+            i,
+            int(year),
+            [[None if c is None else str(c) for c in row] for row in rows],
+        )
+        for i, (rows, year) in enumerate(sheets)
+    ]
+    return spark.createDataFrame(
+        data, "sheet_id long, year int, rows array<array<string>>"
+    )
+
+
+def _parse_sheets_batch(batches):
+    """mapInPandas kernel: parse each sheet's rows into tidy long records
+    with dims packed as a map. Runs entirely executor-side."""
+    import pandas as pd
+
+    for pdf in batches:
+        years: list[int] = []
+        states: list[str] = []
+        seps: list[float] = []
+        # Arrow cannot convert pandas dict cells to map<string,string>;
+        # emit parallel key/value arrays and map_from_arrays them JVM-side.
+        dim_keys: list[list[str]] = []
+        dim_vals: list[list[str]] = []
+        for year, rows in zip(pdf["year"], pdf["rows"]):
+            rows = [list(r) for r in rows]
+            schema = infer_schema(rows)
+            if schema is None:
+                continue
+            kept = [(i, n) for i, n in enumerate(schema.colmap) if n is not None]
+            first_id = schema.id_cols[0]
+            for r in rows[schema.header_idx + 1 :]:
+                cells = {n: (r[i] if i < len(r) else None) for i, n in kept}
+                if cells.get(first_id) is None:  # F1
+                    continue
+                vals = [
+                    "nan" if cells.get(c) is None else clean_text_py(cells[c])
+                    for c in schema.id_cols
+                ]  # X2 (+ pandas astype(str) NaN → "nan" parity)
+                for st in schema.state_cols:
+                    v = _try_double_py(cells.get(st))  # X3
+                    if v is None:  # F2
+                        continue
+                    years.append(int(year))
+                    states.append(st)
+                    seps.append(v)
+                    dim_keys.append(list(schema.id_cols))
+                    dim_vals.append(vals)
+        # Explicit dtypes: a partition with zero valid rows would default
+        # its empty columns to float64, which Arrow cannot convert to
+        # list<string>.
+        yield pd.DataFrame(
+            {
+                "year": pd.Series(years, dtype="int64"),
+                "state": pd.Series(states, dtype="object"),
+                "separations": pd.Series(seps, dtype="float64"),
+                "dim_keys": pd.Series(dim_keys, dtype="object"),
+                "dim_vals": pd.Series(dim_vals, dtype="object"),
+            }
+        )
+
+
+def compile_sheets_distributed(
+    spark: SparkSession,
+    sheets: Sequence[tuple[Sequence[Sequence[object]], int]],
+    *,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed twin of :func:`compile_sheets`: same tidy output (dims
+    as real columns, asserted equal by tests), but every sheet parses on
+    an executor. One metadata-sized pass discovers the dim-key union
+    (the U1 union-by-name step of the driver path); rows whose sheet
+    lacks a dim get NULL there, exactly like unionByName's NULL-fill."""
+    sdf = sheets_to_distributed(spark, sheets)
+    if partitions:
+        sdf = sdf.repartition(partitions, "sheet_id")
+    mapped = sdf.mapInPandas(
+        _parse_sheets_batch,
+        schema="year int, state string, separations double, "
+        "dim_keys array<string>, dim_vals array<string>",
+    )
+    mapped = mapped.withColumn(
+        "dims", F.map_from_arrays("dim_keys", "dim_vals")
+    ).persist()
+    keys = sorted(
+        r[0]
+        for r in mapped.select(F.explode("dim_keys").alias("k")).distinct().collect()
+    )
+    if not keys and mapped.isEmpty():
+        raise RuntimeError("No valid data extracted - parsing rules may need an update.")
+    return mapped.select(
+        *[F.col("dims").getItem(k).alias(k) for k in keys],
+        "state",
+        "separations",
+        "year",
+    )
+
+
 def clean_aggregate(tidy: DataFrame) -> DataFrame:
     """A1 — the staging→clean contract (/root/reference/main.py:160-164):
     dims are all columns except {year, state, separations} that contain at

@@ -125,3 +125,31 @@ def test_clean_aggregate_drops_all_null_dims(spark):
     clean = clean_aggregate(tidy)
     # an all-null dim is excluded from grouping (main.py:160 notna().any())
     assert "ghost_dim" not in clean.columns
+
+
+def test_distributed_compile_matches_driver_compile(spark):
+    """SURVEY §4.2 extension #2: the mapInPandas landing-zone path must
+    produce exactly the rows of the driver-side compile (same columns,
+    same multiset of values) on the fixture corpus — every quirk (junk
+    preamble, unnamed headers, total drop, tuple artifacts, coerce-casts,
+    ragged rows, invalid sheet, heterogeneous dims) included."""
+    from healthcare_aihw_etl_pipeline_spark.sources.sheet_ingest import (
+        compile_sheets_distributed,
+    )
+
+    driver = compile_sheets(spark, fixtures.SHEETS)
+    dist = compile_sheets_distributed(spark, fixtures.SHEETS, partitions=4)
+    assert sorted(driver.columns) == sorted(dist.columns)
+    cols = sorted(driver.columns)
+    a = sorted(map(repr, (tuple(r) for r in driver.select(*cols).collect())))
+    b = sorted(map(repr, (tuple(r) for r in dist.select(*cols).collect())))
+    assert a == b
+
+
+def test_distributed_compile_no_valid_sheets_raises(spark):
+    from healthcare_aihw_etl_pipeline_spark.sources.sheet_ingest import (
+        compile_sheets_distributed,
+    )
+
+    with pytest.raises(RuntimeError):
+        compile_sheets_distributed(spark, [fixtures.SHEET3_INVALID])

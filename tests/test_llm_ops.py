@@ -226,6 +226,48 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall} too low"
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Transitive closure must link chains the star policy cannot:
+    1-2, 2-3 ⇒ 3's component is 1 even though (1,3) share no edge."""
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 6)], ["src", "dst"]
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds — the loop
+    must reach the fixed point, not stop early."""
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11, 0, -1)], ["src", "dst"]
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {1}
+    assert len(comp) == 12
+
+
+def test_dup_edges_deterministic_links_prefix_and_exact(spark):
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        dup_edges_deterministic,
+    )
+
+    rows = [
+        (0, BASE),
+        (1, BASE),                      # exact dup of 0
+        (2, BASE + " trailing extra"),  # same 10-token prefix as 0
+        (3, FAR),                       # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    edges = {(r.src, r.dst) for r in dup_edges_deterministic(df, "text", "doc_id").collect()}
+    assert (0, 1) in edges and (0, 2) in edges
+    assert not any(3 in e for e in edges)
+
+
 def test_minhash_ml_finds_planted_pairs(spark, planted):
     from healthcare_aihw_etl_pipeline_spark.operators.dedup import minhash_dedup_ml
 

@@ -53,9 +53,13 @@ def test_clean_and_norm_match_model(spark, strings):
     rows = df.select(
         "t", clean_text("t").alias("c"), norm_state("t").alias("n")
     ).collect()
+    from healthcare_aihw_etl_pipeline_spark.sources.sheet_ingest import clean_text_py
+
     for r in rows:
         assert r.c == clean_text_model(r.t), repr(r.t)
         assert r.n == norm_state_model(r.t), repr(r.t)
+        # the executor-side ingest twin must match the Catalyst chain too
+        assert clean_text_py(r.t) == r.c, repr(r.t)
 
 
 @settings(max_examples=5, deadline=None)
