@@ -1,0 +1,67 @@
+"""As-of (most-recent-prior) join — the classic time-series operator Spark
+lacks as a built-in, composed from existing DataFrame ops (union + window
+carry-forward) so it stays a SINGLE shuffle at any scale.
+
+Shape: instead of a per-row range join (quadratic blowup on hot keys),
+both sides union into one stream tagged left/right, one window per key
+ordered by (ts, tag) carries the latest right-side values forward, and the
+left rows are filtered back out. Cost = one shuffle on the key + one
+ordered window pass — the same profile as sessionization, and exactly how
+a 100 TB as-of join should run. Skewed keys fall under AQE's shuffle
+handling like any other window.
+
+Semantics match DuckDB's ASOF LEFT JOIN with `right.ts <= left.ts`
+(inclusive at equal timestamps — the right row sorts first via the tag),
+which is what the oracle of `asof_purchase_lag` (plans.llm_queries) runs.
+Among multiple right rows at the SAME (key, ts), the carried row is
+arbitrary — same as ASOF JOIN; carry only columns that are deterministic
+under that tie, or pre-deduplicate the right side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest `ts`
+    satisfying ``right.ts <= left.ts`` within the same `on` keys
+    (NULL-filled when no prior right row exists).
+
+    `value_cols` are the right-side columns to carry (each appears in the
+    output as ``<name><suffix>``; `ts` itself may be included). Left
+    columns pass through unchanged.
+    """
+    on = list(on)
+    carried = [f"{c}{suffix}" for c in value_cols]
+    l_tagged = left.withColumn("_tag", F.lit(1))
+    r_tagged = right.select(
+        *on,
+        F.col(ts),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    ).withColumn("_tag", F.lit(0))
+    both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # Right rows sort BEFORE left rows at equal ts (tag 0 < 1) → inclusive
+    # "at or before" semantics, matching ASOF JOIN's <=.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c, out in zip(value_cols, carried):
+        both = both.withColumn(out, F.last(f"_rv_{c}", ignorenulls=True).over(w))
+    return both.where(F.col("_tag") == 1).drop(
+        "_tag", *[f"_rv_{c}" for c in value_cols]
+    )

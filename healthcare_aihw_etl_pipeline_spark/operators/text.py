@@ -93,6 +93,40 @@ def quality_score(text_col: Column | str) -> Column:
     )
 
 
+def chunk_tokens(
+    text_col: Column | str, *, size: int = 50, stride: int = 40
+) -> Column:
+    """Token-window chunking for LLM context packing: whitespace tokens in
+    windows of `size` starting every `stride` tokens (overlap = size −
+    stride); the final window may be shorter. Returns array<array<string>>
+    — explode with posexplode for (chunk_idx, chunk) rows.
+
+    Pure expressions (sequence + slice), so chunking is embarrassingly
+    parallel and shuffle-free until a downstream aggregation — the right
+    shape for chunking 100 TB of documents.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.split(F.trim(c), r"\s+")
+    starts = F.sequence(F.lit(1), F.size(tokens), F.lit(stride))
+    return F.transform(starts, lambda s: F.slice(tokens, s, size))
+
+
+def hash_split(id_col: Column | str) -> Column:
+    """Deterministic train/val/test assignment from md5 of the id — the
+    standard leakage-proof split of a training pipeline: stable across
+    runs, engines, and partitionings (md5 is engine-independent, unlike
+    xxhash64/rand). First 2 hex chars partition 256 buckets:
+    < 'cd' → train (205/256 ≈ 80.1%), < 'e6' → val (+25/256 ≈ 9.8%),
+    else test (~10.2%)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h2 = F.substring(F.md5(c.cast("string")), 1, 2)
+    return (
+        F.when(h2 < "cd", F.lit("train"))
+        .when(h2 < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def rolling_fingerprint(text_col: Column | str, k: int = 8, sketch_size: int = 4) -> Column:
     """Document fingerprint: the `sketch_size` smallest xxhash64 values of
     the k-char shingle set (a bottom-k minwise sketch — winnowing-style).

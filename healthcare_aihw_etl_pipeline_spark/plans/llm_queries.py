@@ -490,6 +490,106 @@ def dedup_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_purchase_lag",
+    # DuckDB's native ASOF LEFT JOIN oracles the union+window composition:
+    # for each click, the most recent purchase by the same user at or
+    # before the click. Lags summed in exact microseconds (BIGINT).
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_clicks,
+           COUNT(p.ts) AS n_matched,
+           CAST(COALESCE(SUM(epoch_us(c.ts) - epoch_us(p.ts)), 0) AS BIGINT) AS total_lag_us
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    GROUP BY c.user_id
+    """,
+    doc="As-of join (operators.asof): click → most recent prior purchase "
+    "per user, as one union + one window (single shuffle — no range "
+    "join), hash-checked against DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = events.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join(
+        clicks, purchases, on=["user_id"], ts="ts", value_cols=["ts"]
+    )
+    lag_us = F.expr("timestampdiff(MICROSECOND, ts_asof, ts)")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("ts_asof").alias("n_matched"),
+        F.coalesce(F.sum(lag_us), F.lit(0)).cast("long").alias("total_lag_us"),
+    )
+
+
+@register(
+    "doc_chunks",
+    # Chunk CONTENT is verified, not just counts: md5 of each re-joined
+    # window must match DuckDB's inclusive-slice replay.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 40 AS INTEGER) AS chunk_idx,
+           md5(array_to_string(t[s : s + 49], ' ')) AS chunk_hash,
+           len(t[s : s + 49]) AS n_tokens
+    FROM toks, unnest(generate_series(1, len(t), 40)) AS g(s)
+    """,
+    doc="Token-window document chunking (operators.text.chunk_tokens): "
+    "50-token windows every 40 tokens (10 overlap), one output row per "
+    "chunk with a content hash — the context-packing pass of an LLM data "
+    "pipeline, shuffle-free until aggregation.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(chunk_tokens("text", size=50, stride=40)).alias(
+            "chunk_idx", "chunk"
+        ),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+        F.size("chunk").alias("n_tokens"),
+    )
+
+
+@register(
+    "hash_split_assign",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Deterministic md5 train/val/test split (operators.text.hash_split) "
+    "— stable across runs/engines/partitionings, the leakage-proof split "
+    "assignment of a training pipeline.",
+)
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(hash_split("doc_id").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
     "top_tokens",
     oracle="""
     SELECT token, COUNT(*) AS n

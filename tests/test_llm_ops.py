@@ -278,3 +278,63 @@ def test_minhash_ml_finds_planted_pairs(spark, planted):
     assert (0, 1) in pairs and pairs[(0, 1)] == 0.0  # identical docs
     assert (0, 2) in pairs or (1, 2) in pairs  # near-dup pair surfaces
     assert (0, 3) not in pairs  # unrelated pair filtered by distance
+
+
+def test_asof_join_tie_and_no_match(spark):
+    """Inclusive at equal ts; NULL when no prior right row; latest prior
+    row wins."""
+    from healthcare_aihw_etl_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c")], ["k", "t", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r1"), (1, 150, "r2"), (2, 60, "r3")], ["k", "t", "v"]
+    )
+    out = {
+        r.tag: r.v_asof
+        for r in asof_join(left, right, on=["k"], ts="t", value_cols=["v"]).collect()
+    }
+    assert out["a"] == "r1"   # equal ts matches (inclusive)
+    assert out["b"] == "r2"   # latest prior, not first
+    assert out["c"] is None   # right row is later → no match
+
+
+def test_chunk_tokens_boundaries(spark):
+    from healthcare_aihw_etl_pipeline_spark.operators.text import chunk_tokens
+
+    rows = [
+        (0, " ".join(str(i) for i in range(5))),    # shorter than one window
+        (1, " ".join(str(i) for i in range(10))),   # exactly one window
+        (2, " ".join(str(i) for i in range(17))),   # remainder chunk
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: [list(c) for c in r.ch]
+        for r in df.select(
+            "doc_id", chunk_tokens("text", size=10, stride=8).alias("ch")
+        ).collect()
+    }
+    assert out[0] == [[str(i) for i in range(5)]]
+    assert out[1] == [[str(i) for i in range(10)], ["8", "9"]]
+    assert out[2] == [
+        [str(i) for i in range(10)],
+        [str(i) for i in range(8, 17)],
+        ["16"],
+    ]
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from healthcare_aihw_etl_pipeline_spark.operators.text import hash_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.s for r in df.select("doc_id", hash_split("doc_id").alias("s")).collect()}
+    b = {
+        r.doc_id: r.s
+        for r in df.repartition(13)
+        .select("doc_id", hash_split("doc_id").alias("s"))
+        .collect()
+    }
+    assert a == b
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.75 < frac_train < 0.85
