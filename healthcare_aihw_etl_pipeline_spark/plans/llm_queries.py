@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from healthcare_aihw_etl_pipeline_spark.plans.registry import dollars, register
+from healthcare_aihw_etl_pipeline_spark.plans.registry import cents, dollars, register
 from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
 
 
@@ -522,6 +522,139 @@ def asof_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.count("ts_asof").alias("n_matched"),
         F.coalesce(F.sum(lag_us), F.lit(0)).cast("long").alias("total_lag_us"),
+    )
+
+
+@register(
+    "purchase_click_window",
+    # Batch twin of streaming.events.interval_join_clicks_to_purchases:
+    # identical join condition, so the stream-stream interval join is
+    # hash-checked here (the streaming leg is replay-equivalence-tested).
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           COUNT(c.click_ts) AS n_prior_clicks,
+           CAST(COALESCE(SUM(c.click_value_cents), 0) AS BIGINT)
+             AS click_value_cents
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id AS c_user_id, ts AS click_ts,
+                      CAST(round(value * 100) AS BIGINT) AS click_value_cents
+               FROM events WHERE event_type = 'click') c
+      ON c.c_user_id = p.user_id
+     AND c.click_ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.click_ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="Interval join (attribution window): for each purchase, count and "
+    "sum the same user's clicks in the preceding 30 minutes. Equi-join on "
+    "user_id with the time range as a join-level filter — one shuffle on "
+    "user_id; per-user event counts bound the match fan-out, not n². "
+    "Batch twin of the stream-stream interval join in streaming.events.",
+)
+def purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        cents(F.col("value")).alias("v_cents"),
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.expr("ts - INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") < F.col("ts"))
+    )
+    return (
+        purchases.join(clicks, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("click_ts").alias("n_prior_clicks"),
+            F.coalesce(F.sum("v_cents"), F.lit(0))
+            .cast("long")
+            .alias("click_value_cents"),
+        )
+    )
+
+
+@register(
+    "split_contamination",
+    # Cross-split leakage audit: a chunk hash seen in >= 2 distinct
+    # splits marks every holder contaminated. Flag-sum >= 2 works because
+    # a row's own split flag is always 1.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, split,
+             md5(array_to_string(t[s : s + 49], ' ')) AS chunk_hash
+      FROM toks, unnest(generate_series(1, len(t), 40)) AS g(s)
+    ),
+    flags AS (
+      SELECT chunk_hash,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+             + MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+             + MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_splits
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT c.split,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT c.doc_id) AS n_docs,
+           CAST(SUM(CASE WHEN f.n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           COUNT(DISTINCT CASE WHEN f.n_splits >= 2 THEN c.doc_id END)
+             AS n_contaminated_docs
+    FROM chunks c JOIN flags f USING (chunk_hash)
+    GROUP BY c.split
+    """,
+    doc="Train/test contamination audit: chunk documents (50-token "
+    "windows), assign md5 splits, and count chunks whose content hash "
+    "appears in more than one split. Scale shape: one groupBy shuffle on "
+    "chunk_hash with map-side combine, one sort-merge join back on "
+    "chunk_hash (AQE-handled), then a 3-row aggregate — no self-join on "
+    "documents, no driver collection.",
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import (
+        chunk_tokens,
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        hash_split("doc_id").alias("split"),
+        F.explode(chunk_tokens("text", size=50, stride=40)).alias("chunk"),
+    ).select(
+        "doc_id",
+        "split",
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    )
+    flags = chunks.groupBy("chunk_hash").agg(
+        (
+            F.max((F.col("split") == "train").cast("int"))
+            + F.max((F.col("split") == "val").cast("int"))
+            + F.max((F.col("split") == "test").cast("int"))
+        ).alias("n_splits")
+    )
+    shared = F.col("n_splits") >= 2
+    return (
+        chunks.join(flags, "chunk_hash")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(shared.cast("int")).cast("long").alias("n_shared_chunks"),
+            F.countDistinct(F.when(shared, F.col("doc_id"))).alias(
+                "n_contaminated_docs"
+            ),
+        )
     )
 
 

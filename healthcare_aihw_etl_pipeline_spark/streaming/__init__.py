@@ -2,6 +2,7 @@ from healthcare_aihw_etl_pipeline_spark.streaming.events import (
     EVENTS_RAW_SCHEMA,
     dedup_within_watermark,
     hourly_event_counts,
+    interval_join_clicks_to_purchases,
     read_event_stream,
     session_windows,
     sliding_event_counts,
@@ -12,6 +13,7 @@ __all__ = [
     "EVENTS_RAW_SCHEMA",
     "dedup_within_watermark",
     "hourly_event_counts",
+    "interval_join_clicks_to_purchases",
     "read_event_stream",
     "session_windows",
     "sliding_event_counts",

@@ -187,6 +187,51 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def interval_join_clicks_to_purchases(
+    events: DataFrame,
+    *,
+    lookback: str = "INTERVAL 30 MINUTES",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``lookback`` window (click strictly
+    before the purchase).
+
+    The time-range condition plus both-side watermarks is what makes the
+    state bounded: Spark retires a buffered click once the watermark
+    passes ``click.ts + lookback`` (no purchase can match it anymore),
+    so state ≈ (events within watermark + lookback horizon), not stream
+    length. Left-outer emits unmatched purchases after the horizon
+    closes. Note the GLOBAL watermark is the MIN across the two
+    withWatermark nodes (multipleWatermarkPolicy default) — a stalled
+    click stream delays purchase-state eviction, the safe default. The
+    batch twin is plans.llm_queries.purchase_click_window, which
+    aggregates the same join hash-checked against DuckDB.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            cents(F.col("value")).alias("click_value_cents"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.expr(f"ts - {lookback}"))
+        & (F.col("click_ts") < F.col("ts"))
+    )
+    return purchases.join(clicks, cond, "leftOuter").select(
+        "event_id", "user_id", "ts", "click_ts", "click_value_cents"
+    )
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,

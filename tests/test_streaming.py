@@ -203,3 +203,74 @@ def test_write_stream_parquet_exactly_once(spark, events_stream_dir, tmp_path):
     q2 = write_stream_parquet(hourly_event_counts(stream), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_interval_join_matches_batch(spark, sf_dir, events_stream_dir, sink_name):
+    """Stream-stream interval join (purchases ⋈ prior-30-min clicks):
+    matched rows must equal the batch inner join exactly; null-extended
+    (no-click) purchases emit only once the watermark proves no match can
+    arrive, so they must be a subset of the batch no-click purchases and
+    complete below the watermark cutoff."""
+    import datetime as dt
+
+    from healthcare_aihw_etl_pipeline_spark.streaming import (
+        interval_join_clicks_to_purchases,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    stream = read_event_stream(spark, events_stream_dir)
+    run_to_memory(
+        interval_join_clicks_to_purchases(stream, watermark="2 hours"),
+        sink_name,
+        "append",
+    )
+    got = spark.table(sink_name).collect()
+    got_matched = {
+        (r.event_id, r.click_ts, r.click_value_cents) for r in got if r.click_ts
+    }
+    got_null = {r.event_id for r in got if r.click_ts is None}
+
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import cents
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        cents(F.col("value")).alias("click_value_cents"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") >= F.expr("p_ts - INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") < F.col("p_ts"))
+    )
+    batch = purchases.join(clicks, cond, "left").collect()
+    want_matched = {
+        (r.event_id, r.click_ts, r.click_value_cents) for r in batch if r.click_ts
+    }
+    want_null = {r.event_id for r in batch if r.click_ts is None}
+    want_null_ts = {
+        r.event_id: r.p_ts for r in batch if r.click_ts is None
+    }
+
+    assert got_matched == want_matched
+    assert got_null <= want_null
+    # Null-extended rows are final once the GLOBAL watermark passes the
+    # purchase timestamp. With two withWatermark nodes (clicks, purchases)
+    # the global watermark is the MIN across them: min(max click_ts,
+    # max purchase ts) - delay. Everything comfortably below that (minus
+    # the 30-min range slack Spark may conservatively add) must have
+    # emitted.
+    max_side = (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .first()[0]
+    )
+    cutoff = max_side - dt.timedelta(hours=2, minutes=30, seconds=1)
+    overdue = {e for e, ts in want_null_ts.items() if ts < cutoff}
+    assert overdue, "cutoff left no overdue purchases - test data too short"
+    assert overdue <= got_null
