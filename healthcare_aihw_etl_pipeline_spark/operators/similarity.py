@@ -218,3 +218,83 @@ def ivf_topk(
         F.col(id_col), cosine_to_query(vec_col, query_vec).alias("cos")
     )
     return top_k(scored, "cos", k, tiebreak=[id_col])
+
+
+def sign_band_buckets(vec_col: Column | str, n_bands: int, band_bits: int) -> Column:
+    """Axis-aligned hyperplane LSH signatures: band ``b`` packs the sign
+    bits of dims ``[b*band_bits, (b+1)*band_bits)`` into one integer
+    bucket; returns an ``array<long>`` of the ``n_bands`` buckets.
+
+    Basis-vector hyperplanes are a legitimate member of the random-
+    hyperplane family (P[bit match] = 1 - angle/pi per coordinate) with
+    one decisive property the seeded-RNG variant lacks: NO RNG, so any
+    engine — including the DuckDB oracle — replays the exact buckets.
+    """
+    v = _as_double_array(vec_col)
+    buckets = []
+    for b in range(n_bands):
+        bits = [
+            (F.element_at(v, b * band_bits + j + 1) >= 0).cast("long")
+            * F.lit(1 << j)
+            for j in range(band_bits)
+        ]
+        acc = bits[0]
+        for bit in bits[1:]:
+            acc = acc + bit
+        buckets.append(acc)
+    return F.array(*buckets)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_bands: int = 8,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs (the embedding leg
+    of the dedup suite, alongside MinHash/SimHash over text): sign-band
+    LSH blocks the n² pair space, then exact cosine scores each surviving
+    pair. Returns (id_a, id_b, cos) with id_a < id_b, cos rounded to 6dp.
+
+    Scale shape: explode ×n_bands → ONE shuffle on (band, bucket) for the
+    self-join, pair keys deduplicated before any vector math, vectors
+    fetched by two id-joins — so per-pair cosine work is bounded by the
+    deduplicated candidate count, never n². No all-pairs anywhere.
+    """
+    ids = df.select(
+        F.col(id_col),
+        F.posexplode(sign_band_buckets(vec_col, n_bands, band_bits)).alias(
+            "band", "bucket"
+        ),
+    )
+    a, b = ids.alias("a"), ids.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), _as_double_array(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), _as_double_array(vec_col).alias("_vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (l2_norm(F.col("_va")) * l2_norm(F.col("_vb"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    return scored

@@ -189,6 +189,59 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup_top20",
+    # The sign-band LSH is RNG-free (axis-aligned hyperplanes), so the
+    # WHOLE pipeline — banding, candidate join, exact cosine — replays in
+    # DuckDB. Cosine compared at 6dp like ann_cosine_top10 (list_sum is
+    # not a strict left fold; ~1 ulp drift).
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, band,
+             list_sum(list_transform(generate_series(1, 8),
+               j -> CASE WHEN ev[band * 8 + j] >= 0
+                         THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)) AS bucket
+      FROM v, unnest(generate_series(0, 7)) AS g(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(list_sum(list_transform(list_zip(va.ev, vb.ev), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(va.ev, x -> x * x)))
+                * sqrt(list_sum(list_transform(vb.ev, x -> x * x)))), 6) AS cos
+      FROM cand c
+      JOIN v va ON va.vec_id = c.id_a
+      JOIN v vb ON vb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cos FROM scored
+    ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20
+    """,
+    doc="Embedding-cosine near-dup pairs (operators.similarity."
+    "embedding_near_dup_pairs): sign-band LSH (8 bands x 8 sign bits) "
+    "blocks the pair space, exact cosine ranks the candidates, top 20 "
+    "reported. RNG-free banding makes the full approximate pipeline "
+    "hash-checkable — the only dedup family where the oracle replays the "
+    "LSH itself, not just a deterministic surrogate.",
+)
+def embedding_near_dup_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, "embedding", "vec_id")
+    return top_k(pairs, "cos", 20, tiebreak=["id_a", "id_b"])
+
+
+@register(
     "minhash_dup_clusters",
     oracle=None,  # hash-function-specific: property-tested instead
     doc="MinHash+LSH near-dup clusters over documents (32 hashes, 8 bands, "

@@ -338,3 +338,29 @@ def test_hash_split_deterministic_and_partition_invariant(spark):
     assert a == b
     frac_train = sum(1 for v in a.values() if v == "train") / len(a)
     assert 0.75 < frac_train < 0.85
+
+
+def test_embedding_near_dup_planted_pair(spark):
+    """A near-identical vector pair shares every sign bit → candidate in
+    all 8 bands; an anti-correlated pair shares none. Exact cosine on the
+    surviving pairs confirms the planted pair ranks first."""
+    import random
+
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + 0.001 for x in base]
+    anti = [-x for x in base]
+    rows = [(0, base), (1, near), (2, anti)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id").collect()
+    by_pair = {(r.id_a, r.id_b): r.cos for r in pairs}
+    assert (0, 1) in by_pair and by_pair[(0, 1)] > 0.999
+    assert (0, 2) not in by_pair and (2, 0) not in by_pair
+    assert all(a < b for a, b in by_pair), "pairs must be ordered id_a < id_b"
+    assert len(by_pair) == len(pairs), "pair keys must be deduplicated"
