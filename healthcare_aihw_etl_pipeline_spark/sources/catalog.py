@@ -8,9 +8,15 @@ into the file scan.
 Scale notes: at 100 TB these would be partitioned/bucketed table roots
 (fact tables partitioned by date, bucketed by join key) rather than
 single files; the loading surface is identical (`spark.read.parquet` on
-a directory). Never cache here — callers decide persistence (the
+a directory). Never cache DATA here — callers decide persistence (the
 reference's `st.cache_data`, SURVEY §2.13 C2, maps to `df.persist()` at
-the serving layer, not the scan layer).
+the serving layer, not the scan layer). We do cache the lazy DataFrame
+handle per (session, dir, table): re-resolving the same path re-lists
+files and re-reads parquet footers for schema inference on every call
+(~0.1 s/table measured), which is pure metadata work a real catalog
+(HMS/Unity/Glue) amortizes once. The cached object is an unexecuted
+logical plan — no rows are pinned, and every query still plans, prunes,
+and scans independently.
 """
 
 from __future__ import annotations
@@ -35,6 +41,11 @@ TABLES = (
 SMALL_DIMS = ("region", "nation")
 
 
+# Lazy-DataFrame handle cache: metadata only (see module docstring).
+# Keyed by applicationId so a new SparkSession never sees stale handles.
+_HANDLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one corpus table.
 
@@ -43,6 +54,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rebuild a microsecond timestamp with *integer* division (a double
     division would lose precision above 2^53 ≈ 9e15 ns).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _HANDLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _HANDLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # session.get_spark sets nanosAsLong as a session default; this
         # guarded set-once exists only for EXTERNAL sessions (the driver
