@@ -140,3 +140,22 @@ def rolling_fingerprint(text_col: Column | str, k: int = 8, sketch_size: int = 4
         F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
     )
     return F.slice(hashes, 1, sketch_size)
+
+
+def hash_sample(id_col: Column | str, rate: float) -> Column:
+    """Deterministic Bernoulli-style sample predicate: keep a row iff the
+    first 2 hex chars of md5(id) fall below floor(rate*256). Granularity
+    is 1/256 (~0.4%); the trade for that coarseness is full determinism
+    across runs, engines, and partitionings — unlike `df.sample`, whose
+    seed is partition-layout-dependent, this survives repartitioning and
+    replays bit-identically in any engine with md5. Samples drawn at
+    different rates are NESTED (rate 0.1 ⊂ rate 0.2), the property that
+    makes incremental sample enlargement cheap."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if rate >= 1.0:
+        # "100" would compare lexicographically BELOW "ff"; special-case.
+        return F.lit(True)
+    threshold = format(int(rate * 256), "02x")
+    return F.substring(F.md5(c.cast("string")), 1, 2) < threshold

@@ -835,3 +835,87 @@ def ivf_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, "embedding", "vec_id", _query_vector(spark, sf_dir), 10, n_centroids=8, nprobe=4)
+
+
+@register(
+    "stratified_sample_stats",
+    # Per-source rates exercise per-stratum thresholds; COUNT columns are
+    # BIGINT on both engines; rates chosen so every stratum keeps rows at
+    # sf0.01.
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                 (CASE source WHEN 'src0' THEN '33' WHEN 'src1' THEN '19'
+                              ELSE '0c' END)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           MIN(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                 (CASE source WHEN 'src0' THEN '33' WHEN 'src1' THEN '19'
+                              ELSE '0c' END)
+                 THEN doc_id END) AS min_sampled_doc
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Stratified deterministic sampling (operators.text.hash_sample): "
+    "per-stratum md5 thresholds (src0 20%, src1 ~10%, rest ~5%) — "
+    "engine- and partitioning-independent, nested across rates, no RNG. "
+    "One groupBy; the sample predicate is a pure projection the scan "
+    "evaluates inline, so sampling at 100 TB costs one pass and no "
+    "shuffle beyond the census aggregation.",
+)
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import hash_sample
+
+    rates = {"src0": 0.2, "src1": 0.1}
+    default_rate = 0.05
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.when(
+        F.col("source") == "src0", hash_sample("doc_id", rates["src0"])
+    ).when(
+        F.col("source") == "src1", hash_sample("doc_id", rates["src1"])
+    ).otherwise(hash_sample("doc_id", default_rate))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("int")).cast("long").alias("n_sampled"),
+        F.min(F.when(keep, F.col("doc_id"))).alias("min_sampled_doc"),
+    )
+
+
+@register(
+    "bigram_top20",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_split_to_array(TRIM(text), '\\s+') AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+    doc="Bigram frequency: adjacent-token pairs via a positional "
+    "transform over the token array (narrow — no shuffle until the "
+    "count), top-20 as TakeOrderedAndProject. The n-gram statistics pass "
+    "of a text pipeline; generalizes to any n by widening the slice.",
+)
+def bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(counts, "n", 20, tiebreak=["bigram"])

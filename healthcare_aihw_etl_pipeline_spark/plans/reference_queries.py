@@ -885,3 +885,115 @@ def string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_name").like("%1%").cast("long")).alias("names_with_1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes over the events fact: funnel and retention.
+# The reference dashboard's drilldowns (streamlit_app.py widgets) are
+# single-table aggregations; these are their event-sequenced analogues —
+# the next queries a dashboard user asks for.
+
+
+@register(
+    "funnel_signup_view_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS ts_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_view
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.ts_signup
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_purchase
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.ts_view
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'signup' AS name, COUNT(*) AS n_users FROM s
+    UNION ALL
+    SELECT 2, 'view_after_signup', COUNT(*) FROM v
+    UNION ALL
+    SELECT 3, 'purchase_after_view', COUNT(*) FROM p
+    """,
+    doc="Ordered three-stage funnel: signup → first later view → first "
+    "later purchase, per user. Each stage is one filtered groupBy on "
+    "user_id joined to the prior stage's first-hit time — stage "
+    "relations shrink monotonically, so each join is smaller than the "
+    "last and AQE can broadcast the later stages at scale. No window "
+    "over the whole event stream, no per-user collect.",
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def first_hit(event_type: str, after: DataFrame | None, out: str) -> DataFrame:
+        e = events.where(F.col("event_type") == event_type)
+        if after is not None:
+            prev_col = after.columns[1]
+            e = e.join(after, "user_id").where(F.col("ts") > F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    s = first_hit("signup", None, "ts_signup")
+    v = first_hit("view", s, "ts_view")
+    p = first_hit("purchase", v, "ts_purchase")
+
+    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(1, "signup", s)
+        .unionAll(stage(2, "view_after_signup", v))
+        .unionAll(stage(3, "purchase_after_view", p))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+             AS offset_weeks,
+           COUNT(*) AS n_users
+    FROM first_seen f JOIN active a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly retention cohorts: cohort = ISO week of first event, one "
+    "row per (cohort_week, offset) with active-user counts. Two shuffles "
+    "on user_id (first-seen agg + distinct active weeks) that AQE can "
+    "co-locate, then a join whose left side is one row per user — at "
+    "scale the active set dominates and the first-seen side broadcasts "
+    "per cohort partition.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(active, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("offset_weeks"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

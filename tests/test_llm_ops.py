@@ -364,3 +364,29 @@ def test_embedding_near_dup_planted_pair(spark):
     assert (0, 2) not in by_pair and (2, 0) not in by_pair
     assert all(a < b for a, b in by_pair), "pairs must be ordered id_a < id_b"
     assert len(by_pair) == len(pairs), "pair keys must be deduplicated"
+
+
+def test_hash_sample_nested_and_deterministic(spark):
+    """Samples at increasing rates are nested; rate 0 and 1 are exact;
+    the predicate is partition-layout-independent."""
+    from healthcare_aihw_etl_pipeline_spark.operators.text import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    n = df.count()
+    kept = {
+        r: set(
+            x.doc_id
+            for x in df.where(hash_sample("doc_id", r)).collect()
+        )
+        for r in (0.0, 0.05, 0.2, 1.0)
+    }
+    assert kept[0.0] == set()
+    assert len(kept[1.0]) == n
+    assert kept[0.05] <= kept[0.2] <= kept[1.0]
+    # ~rate n within the 1/256 threshold granularity (floor(0.2*256)=51)
+    assert abs(len(kept[0.2]) / n - 51 / 256) < 0.05
+    repart = set(
+        x.doc_id
+        for x in df.repartition(13).where(hash_sample("doc_id", 0.2)).collect()
+    )
+    assert repart == kept[0.2]
