@@ -919,3 +919,61 @@ def bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     return top_k(counts, "n", 20, tiebreak=["bigram"])
+
+
+@register(
+    "tfidf_top20",
+    # ln() is libm on both engines; identical double inputs give
+    # bit-equal or ±1-ulp results — 6dp rounding absorbs that (same
+    # policy as the cosine queries).
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM terms WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.token,
+           ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+    FROM tf t JOIN df d USING (token), n
+    ORDER BY tfidf DESC, t.doc_id ASC, t.token ASC
+    LIMIT 20
+    """,
+    doc="TF-IDF scoring: term frequency per (doc, token), document "
+    "frequency per token, tf·ln(N/df), global top-20. Scale shape: two "
+    "hash aggregations (map-side combined) + one join on token — the df "
+    "relation is vocabulary-sized, so at 100 TB it broadcasts or "
+    "bucket-joins; N rides along as a literal-sized aggregate, never a "
+    "driver round-trip per row.",
+)
+def tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    return top_k(scored, "tfidf", 20, tiebreak=["doc_id", "token"])

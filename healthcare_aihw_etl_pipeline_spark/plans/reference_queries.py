@@ -997,3 +997,68 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((year), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS (the rollup/cube sibling with "
+    "hand-picked cells): per-year totals, per-status totals, and the "
+    "grand total in ONE pass — Spark plans it as a single Expand + "
+    "aggregate, not three scans. Exercised through the spark.sql "
+    "surface over the registered catalog views.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year,
+               o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((year), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    doc="Distribution window functions (ntile/percent_rank/cume_dist) "
+    "over a totally ordered frame (balance, custkey tiebreak) — the "
+    "quantile-bucketing pass of a feature pipeline. One shuffle on the "
+    "partition key; rank arithmetic is O(1) per row after the sort.",
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
