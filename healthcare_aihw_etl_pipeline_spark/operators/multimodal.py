@@ -170,3 +170,56 @@ def frame_sample(df: DataFrame, every_nth: int = 2) -> DataFrame:
         .select("media_id", "content")
         .mapInPandas(sample, schema=schema)
     )
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Image/frame resize to (out_w, out_h) via nearest-neighbor sampling
+    — REAL pixel math on the FAKEv1 payload (numpy index gather per
+    frame), not a stub; a Pillow/libav resampler swaps in at the same
+    seam for real codecs. Output rows are re-encoded FAKEv1 blobs with
+    the new dimensions, so resize composes with decode_media /
+    frame_sample downstream.
+
+    Arrow-batched mapInPandas: the decoded-pixels-per-task envelope is
+    (rows/partition × w × h × frames) — size partitions upstream like
+    decode_media. Nearest-neighbor keeps it allocation-light: one index
+    gather, no interpolation buffers.
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                w, h, fr, _ = _decode_one(content)
+                src = np.frombuffer(content, dtype=np.uint8, offset=11)
+                src = src[: w * h * fr].reshape(fr, h, w)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = src[:, ys[:, None], xs[None, :]]
+                header = b"FAKE" + struct.pack(
+                    ">BHHH", {"image": 0, "audio": 1, "video": 2}.get(kind, 0),
+                    out_w, out_h, fr,
+                )
+                ids.append(mid)
+                kinds.append(kind)
+                blobs.append(header + resized.tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "content": blobs}
+            )
+
+    return (
+        df.where(F.col("kind") != "audio")
+        .select("media_id", "kind", "content")
+        .mapInPandas(resize, schema=schema)
+    )

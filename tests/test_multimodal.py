@@ -48,3 +48,35 @@ def test_real_codec_stub_raises():
 def test_truncated_blob_raises():
     with pytest.raises(ValueError):
         _decode_one(b"FAKE\x00")
+
+
+def test_resize_media_roundtrip(spark):
+    """Resize halves dimensions, stays decodable (composes with
+    decode_media), and the nearest-neighbor gather preserves exact
+    source pixels (top-left pixel of every frame survives)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.multimodal import (
+        decode_media,
+        encode_fake_media,
+        make_fake_media,
+        resize_media,
+    )
+
+    media = make_fake_media(spark, n=12)
+    resized = resize_media(media, out_w=4, out_h=3)
+    feats = {r.media_id: r for r in decode_media(resized).collect()}
+    assert feats, "no non-audio media produced"
+    for r in feats.values():
+        assert (r.width, r.height) == (4, 3)
+    # exact pixel check on one constructed image
+    blob = encode_fake_media(999, kind=0, width=8, height=8)
+    one = spark.createDataFrame(
+        [(999, "image", bytearray(blob))], "media_id long, kind string, content binary"
+    )
+    out = resize_media(one, out_w=2, out_h=2).collect()[0]
+    src = bytes(blob)[11:]
+    got = bytes(out.content)[11:]
+    # nearest-neighbor with integer grid: out[y,x] = src[(y*8)//2? -> (y*h)//out_h]
+    expect = bytes(
+        src[((y * 8) // 2) * 8 + ((x * 8) // 2)] for y in range(2) for x in range(2)
+    )
+    assert got == expect
