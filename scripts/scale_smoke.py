@@ -114,6 +114,104 @@ def main() -> None:
     q = [((hash((0, i)) % 2000) - 1000) / 1000.0 for i in range(64)]
     timed("lsh_topk_sec", lambda: lsh_topk(emb, "embedding", "vec_id", q, 10).collect(), n=1)
 
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb_path = f"{scratch}/emb"
+    emb.write.mode("overwrite").parquet(emb_path)
+    emb_on_disk = spark.read.parquet(emb_path)
+    # 4 bands × 16 bits is the scale config: on uniform vectors the 8×8
+    # test-recall config yields ~38.5M candidate pairs (12+ s); widening
+    # to 16-bit buckets cuts that to ~76k pairs (4.8 s measured) — the
+    # candidate count, not the vector math, is the cost driver.
+    timed(
+        "embedding_near_dup_sec",  # 50k vectors, sign-band LSH + exact verify
+        lambda: embedding_near_dup_pairs(
+            emb_on_disk, "embedding", "vec_id", n_bands=4, band_bits=16
+        ).count(),
+        n=1,
+    )
+
+    # --- events: interval join + funnel at fact scale
+    ev_path = f"{scratch}/events"
+    t0 = time.perf_counter()
+    (
+        spark.range(0, rows // 5, 1, 32)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 200_000).alias("user_id"),
+            F.expr(
+                "timestampadd(SECOND, CAST(pmod(xxhash64(id), 2592000) AS INT), "
+                "TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+            ).alias("ts"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in ("click", "view", "purchase", "signup", "error")]),
+                (F.pmod(F.xxhash64("id", F.lit(7)), 5) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(F.xxhash64("id", F.lit(9)), 20000).cast("double") / 100.0).alias("value"),
+        )
+        .write.mode("overwrite")
+        .parquet(ev_path)
+    )
+    out["gen_events_sec"] = round(time.perf_counter() - t0, 2)
+    ev = spark.read.parquet(ev_path)
+
+    def interval_join_count():
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            cents(F.col("value")).alias("v"),
+        )
+        cond = (
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") >= F.expr("ts - INTERVAL 30 MINUTES"))
+            & (F.col("click_ts") < F.col("ts"))
+        )
+        return (
+            purchases.join(clicks, cond, "left")
+            .groupBy("event_id")
+            .agg(F.count("click_ts").alias("n"))
+            .count()
+        )
+
+    timed("interval_join_sec", interval_join_count, n=1)  # 1M ⋈ 1M on 200k users
+
+    def funnel_counts():
+        # Single-action union (the registered query's shape): 1.9 s vs
+        # 5.4 s for three separate count() actions on the same stages —
+        # one job amortizes the shared lineage even without exchange
+        # reuse.
+        s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+            F.min("ts").alias("t1")
+        )
+        v = (
+            ev.where(F.col("event_type") == "view")
+            .join(s, "user_id")
+            .where(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        p = (
+            ev.where(F.col("event_type") == "purchase")
+            .join(v, "user_id")
+            .where(F.col("ts") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+
+        def stage(n, df):
+            return df.agg(
+                F.lit(n).cast("int").alias("stage"), F.count(F.lit(1)).alias("n")
+            )
+
+        return stage(1, s).unionAll(stage(2, v)).unionAll(stage(3, p)).collect()
+
+    timed("funnel_sec", funnel_counts, n=1)
+
     out["rows"] = rows
     out["n_docs"] = n_docs
     print(json.dumps(out))
