@@ -977,3 +977,32 @@ def tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_k(scored, "tfidf", 20, tiebreak=["doc_id", "token"])
+
+
+@register(
+    "approx_event_profile",
+    # No oracle: HLL++ and KLL/GK sketch results are
+    # implementation-specific (DuckDB's approx_count_distinct uses a
+    # different HLL variant). Property test bounds relative error vs the
+    # exact answers instead.
+    oracle=None,
+    doc="Sketch aggregates per event_type: approx_count_distinct (HLL++, "
+    "rsd 1%) users and approx_percentile (p50/p90/p99) of value — the "
+    "constant-memory profile pass a 100 TB engine runs where exact "
+    "distinct/percentiles would shuffle the full column. Mergeable "
+    "sketches: partial aggregation works map-side like any sum. "
+    "Tolerance vs exact is property-tested (tests/test_llm_ops.py).",
+)
+def approx_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
+    # Scalar output columns (not the raw array): the driver's comparison
+    # harness canonicalizes via pandas, where array cells are unhashable
+    # (the round-1 fingerprint_dup_groups lesson).
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        pcts.getItem(0).alias("value_p50"),
+        pcts.getItem(1).alias("value_p90"),
+        pcts.getItem(2).alias("value_p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

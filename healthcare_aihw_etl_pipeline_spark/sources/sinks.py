@@ -22,23 +22,57 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
 def write_table(
     df: DataFrame,
     path: str,
     *,
     mode: str = "overwrite",
     partition_by: Sequence[str] = (),
+    fmt: str = "parquet",
 ) -> None:
-    """S7 — full-replace (or append) parquet table write."""
+    """S7 — full-replace (or append) table write.
+
+    Parquet is canonical (columnar, statistics, pushdown); ORC is its
+    peer for engines that prefer it; JSON/CSV are interchange formats —
+    row-oriented, no pushdown, so they are landing/egress edges, not
+    query storage. CSV writes a header so the file round-trips.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"fmt must be one of {FORMATS}, got {fmt!r}")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """S6 — table scan (`SELECT *` equivalent); lazy, pruned by Catalyst."""
-    return spark.read.parquet(path)
+def read_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    schema=None,
+) -> DataFrame:
+    """S6 — table scan (`SELECT *` equivalent); lazy, pruned by Catalyst.
+
+    For CSV/JSON pass an explicit `schema` in production: schema
+    inference is a full extra pass over the data at 100 TB (and CSV
+    types degrade to string without it).
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"fmt must be one of {FORMATS}, got {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.format(fmt).load(path)
 
 
 def write_jdbc(

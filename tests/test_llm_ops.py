@@ -390,3 +390,44 @@ def test_hash_sample_nested_and_deterministic(spark):
         for x in df.repartition(13).where(hash_sample("doc_id", 0.2)).collect()
     )
     assert repart == kept[0.2]
+
+
+def test_approx_event_profile_tolerance(spark, sf_dir):
+    """Sketch answers must land within tight relative error of exact:
+    HLL++ at rsd=1% (allow 3%), percentile_approx at 10k accuracy
+    (allow 2% relative on the value scale)."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    got = {
+        r.event_type: r
+        for r in REGISTRY["approx_event_profile"].fn(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    values = {
+        et: sorted(
+            r.value
+            for r in events.where(F.col("event_type") == et).select("value").collect()
+        )
+        for et in exact
+    }
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        g = got[et]
+        assert abs(g.approx_users - e.users) <= max(3, 0.03 * e.users), et
+        # GK-sketch guarantee is on RANK, not value: the returned element's
+        # empirical rank must be within ±eps of the target quantile (±one
+        # element for ties/rounding at small n).
+        vs = values[et]
+        n = len(vs)
+        for a, p in zip(
+            (g.value_p50, g.value_p90, g.value_p99), (0.5, 0.9, 0.99)
+        ):
+            rank = sum(1 for v in vs if v <= a) / n
+            assert p - 0.02 - 1.5 / n <= rank <= p + 0.02 + 1.5 / n, (et, a, p, rank)

@@ -35,3 +35,29 @@ def test_write_table_overwrite_roundtrip(spark, sf_dir, tmp_path):
     # partition pruning: reading one partition only lists that directory
     pruned = read_table(spark, path).where("n_regionkey = 0")
     assert pruned.count() == subset.count()
+
+
+def test_write_table_formats_roundtrip(spark, sf_dir, tmp_path):
+    """ORC/JSON/CSV sinks round-trip values under an explicit schema
+    (inference-free — the production path)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    want = sorted(tuple(r) for r in nation.collect())
+    for fmt in ("orc", "json", "csv"):
+        path = str(tmp_path / f"nation_{fmt}")
+        write_table(nation, path, fmt=fmt)
+        got = read_table(spark, path, fmt=fmt, schema=nation.schema)
+        assert sorted(tuple(r) for r in got.collect()) == want, fmt
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter on
+    the file scan (pruning at file-listing time), not a post-scan
+    Filter — the property that makes date-partitioned 100 TB layouts
+    queryable."""
+    path = str(tmp_path / "events_by_type")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    write_table(events, path, partition_by=["event_type"])
+    pruned = read_table(spark, path).where("event_type = 'click'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
