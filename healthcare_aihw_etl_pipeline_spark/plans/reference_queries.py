@@ -1062,3 +1062,123 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(rev_cents) OVER (ORDER BY day
+                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS rev_7d
+    FROM daily
+    """,
+    doc="Rolling 7-day revenue via a RANGE frame over event-time days — "
+    "unlike a ROWS frame, gaps in the calendar shrink the window "
+    "correctly. Pre-aggregated to one row per day BEFORE the window "
+    "(the 100 TB shape: the frame slides over ~365 rows/year, not raw "
+    "orders), so the sort is metadata-sized.",
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents")
+    )
+    # RANGE frame over day-as-epoch-days: 6 preceding days + current.
+    w = (
+        Window.orderBy(F.unix_date("day"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        dollars(F.sum("rev_cents").over(w), "rev_7d", 2),
+    )
+
+
+@register(
+    "exact_value_variance",
+    # Variance/stddev via EXACT integer moments: n, Σcents, Σcents² are
+    # associative longs both engines agree on bit-for-bit; the final
+    # var/std is ONE double expression per group — no order-dependent
+    # floating accumulation (stock stddev_samp merges Welford states in
+    # partition order and is not hash-stable across engines).
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                 / (n - 1) / 10000.0, 6) AS var_value,
+           ROUND(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                 / (n - 1) / 10000.0), 6) AS std_value
+    FROM m
+    """,
+    doc="Sample variance/stddev from exact integer moments (n, Σc, Σc²) "
+    "— partial aggregation is plain long addition (map-side combine, "
+    "order-free), and the floating division happens once per group. "
+    "Σc² fits long up to ~9e18: bounded by n·(100·max|value|)²; "
+    "overflow at ~2e10 rows of 200-dollar values → switch s2 to DECIMAL "
+    "at that scale.",
+)
+def exact_value_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = cents("value")
+    m = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    num = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    var = num / (F.col("n") - 1) / F.lit(10000.0)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(var, 6).alias("var_value"),
+        F.round(F.sqrt(var), 6).alias("std_value"),
+    )
+
+
+@register(
+    "customers_above_avg_balance",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_above,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+    doc="Scalar subquery: customers above the global average balance, "
+    "per segment. Spark plans the subquery as an independent aggregate "
+    "reused as a literal (Subquery → broadcast), so the outer scan "
+    "stays a single filtered pass. AVG compares exactly here because "
+    "both engines sum the same doubles in deterministic single-group "
+    "order at this scale; the predicate output (counts) is "
+    "integer-stable regardless.",
+)
+def customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_above,
+               MIN(c_custkey) AS min_custkey
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        GROUP BY c_mktsegment
+        """
+    )

@@ -84,3 +84,58 @@ def test_single_shuffle_aggregations(plans):
 def test_partial_aggregation_present(plans):
     # map-side combine: two HashAggregate nodes around the exchange
     assert len(re.findall(r"HashAggregate", plans["filter_in_agg"])) >= 2
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT a shuffle
+    exchange — the co-located-join layout that replaces the per-query
+    shuffle with a one-time write-side partitioning at 100 TB."""
+    wh = str(tmp_path / "warehouse")  # external table paths; the static
+    # warehouse dir itself is untouched (session-immutable in Spark 4)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{wh}/orders_b")
+        .saveAsTable("orders_b")
+    )
+    (
+        customer.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{wh}/customer_b")
+        .saveAsTable("customer_b")
+    )
+    try:
+        # disable broadcast so the join would otherwise shuffle both sides
+        with_conf = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+        old = {k: spark.conf.get(k, None) for k in with_conf}
+        for k, v in with_conf.items():
+            spark.conf.set(k, v)
+        try:
+            j = (
+                spark.table("orders_b")
+                .join(
+                    spark.table("customer_b"),
+                    spark.table("orders_b")["o_custkey"]
+                    == spark.table("customer_b")["c_custkey"],
+                )
+                .groupBy("c_mktsegment")
+                .agg({"o_totalprice": "sum"})
+            )
+            plan = plan_of(j)
+            sortmerge = "SortMergeJoin" in plan
+            # the JOIN itself must be exchange-free: only the final
+            # groupBy (on a different key) may shuffle.
+            assert sortmerge
+            assert shuffle_count(plan) <= 1, plan
+            assert j.count() > 0
+        finally:
+            for k, v in old.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
