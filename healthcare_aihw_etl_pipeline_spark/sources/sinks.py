@@ -114,3 +114,38 @@ def read_jdbc(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """Partition-level upsert: replace exactly the partitions present in
+    `df`, leave all others untouched (dynamic partition overwrite).
+
+    This is the incremental-load contract of a date-partitioned 100 TB
+    table — a daily batch rewrites only its own day directories instead
+    of the reference's full-table replace (to_sql if_exists="replace").
+    Spark's static overwrite mode would truncate the whole table; the
+    session-scoped conf below narrows it to matching partitions for this
+    write. Row-level MERGE needs a table format (Delta/Iceberg/Hudi) —
+    partition granularity is the sweet spot plain parquet supports
+    exactly-once.
+    """
+    if not partition_by:
+        raise ValueError("upsert_partitions requires partition columns")
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer = df.write.mode("overwrite").partitionBy(*partition_by)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.format(fmt).save(path)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

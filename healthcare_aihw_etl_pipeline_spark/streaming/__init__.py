@@ -7,6 +7,7 @@ from healthcare_aihw_etl_pipeline_spark.streaming.events import (
     session_windows,
     sliding_event_counts,
     user_running_totals,
+    write_stream_upsert_partitions,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "session_windows",
     "sliding_event_counts",
     "user_running_totals",
+    "write_stream_upsert_partitions",
 ]

@@ -255,3 +255,34 @@ def write_stream_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_upsert_partitions(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str],
+    *,
+    available_now: bool = True,
+):
+    """Streaming incremental load: each micro-batch replaces exactly the
+    partitions it contains (foreachBatch + dynamic partition overwrite) —
+    the idempotent-restart pattern for a date-partitioned landing table.
+    A replayed batch rewrites the same partitions to the same content, so
+    at-least-once delivery still converges to exactly-once state (batch
+    grain; row-grain MERGE needs a table format like Delta/Iceberg).
+    """
+    from healthcare_aihw_etl_pipeline_spark.sources.sinks import upsert_partitions
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            upsert_partitions(batch_df, path, partition_by)
+
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -61,3 +61,44 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_upsert_partitions_replaces_only_matching(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: the incremental batch replaces only
+    its own partitions; untouched partitions keep their original rows."""
+    from healthcare_aihw_etl_pipeline_spark.sources.sinks import upsert_partitions
+
+    path = str(tmp_path / "events_parts")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    write_table(events, path, partition_by=["event_type"])
+    before = {
+        r.event_type: r.n
+        for r in read_table(spark, path)
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+
+    # incremental load: clicks only, halved
+    clicks_half = events.where("event_type = 'click' AND event_id % 2 = 0")
+    n_half = clicks_half.count()
+    upsert_partitions(clicks_half, path, ["event_type"])
+
+    after = {
+        r.event_type: r.n
+        for r in read_table(spark, path)
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert after["click"] == n_half != before["click"]
+    for et in before:
+        if et != "click":
+            assert after[et] == before[et], et
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper()
+        == "STATIC"
+    )

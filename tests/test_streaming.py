@@ -274,3 +274,43 @@ def test_interval_join_matches_batch(spark, sf_dir, events_stream_dir, sink_name
     overdue = {e for e, ts in want_null_ts.items() if ts < cutoff}
     assert overdue, "cutoff left no overdue purchases - test data too short"
     assert overdue <= got_null
+
+
+def test_stream_upsert_partitions_idempotent(spark, sf_dir, events_stream_dir, tmp_path):
+    """foreachBatch + dynamic partition overwrite: the streamed table
+    equals the batch table, and a checkpointed restart with no new input
+    changes nothing (idempotent at batch grain)."""
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+        write_stream_upsert_partitions,
+    )
+
+    out = str(tmp_path / "by_type")
+    ckpt = str(tmp_path / "ckpt_upsert")
+    stream = read_event_stream(spark, events_stream_dir).select(
+        "event_id", "event_type", "value"
+    )
+    q = write_stream_upsert_partitions(stream, out, ckpt, ["event_type"])
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.n)
+        for r in spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    want = {
+        (r.event_type, r.n)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    q2 = write_stream_upsert_partitions(stream, out, ckpt, ["event_type"])
+    q2.awaitTermination(120)
+    got2 = {
+        (r.event_type, r.n)
+        for r in spark.read.parquet(out).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got2 == want
