@@ -1006,3 +1006,42 @@ def approx_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pcts.getItem(2).alias("value_p99"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "long_token_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, regexp_split_to_array(TRIM(text), '\\s+') AS t
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(len(list_filter(t, x -> len(x) >= 6))) AS BIGINT)
+             AS n_long_tokens,
+           CAST(SUM(CASE WHEN len(list_filter(t, x -> len(x) >= 6)) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_long,
+           CAST(SUM(CASE WHEN len(list_filter(t, x -> len(x) < 3)) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_all_3plus
+    FROM toks
+    GROUP BY lang
+    """,
+    doc="Higher-order array predicates (filter/exists/forall) per "
+    "language: long-token counts, docs containing any long token, docs "
+    "whose every token has >= 3 chars. All JVM-side lambda expressions "
+    "inside codegen — the array-combinator family beyond "
+    "transform/aggregate that token-level curation filters are built "
+    "from.",
+)
+def long_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    long_toks = F.filter(t, lambda x: F.length(x) >= 6)
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(long_toks)).cast("long").alias("n_long_tokens"),
+        F.sum(F.exists(t, lambda x: F.length(x) >= 6).cast("int"))
+        .cast("long")
+        .alias("docs_with_long"),
+        F.sum(F.forall(t, lambda x: F.length(x) >= 3).cast("int"))
+        .cast("long")
+        .alias("docs_all_3plus"),
+    )
