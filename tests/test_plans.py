@@ -139,3 +139,62 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """A 90%-hot join key must trigger AQE's skew-join split — the plan
+    executed under adaptive execution shows SortMergeJoin(skew=true).
+    This is the runtime answer to skewed fact keys at 100 TB (the
+    static-plan alternative is manual salting, operators.relational.
+    salted_agg)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 2_000_000, 1, 16).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.sum("w").alias("s"))
+        j.collect()  # adaptive re-plan happens at runtime
+        assert "skew=true" in plan_of(j)
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
+def test_round2_query_plan_shapes(spark, sf_dir):
+    """Shuffle budgets for the round-2 composite queries: the interval
+    join is ONE shuffle (equi-join on user_id, time range as join
+    filter); embedding near-dup is one shuffle into the banded self-join
+    plus TakeOrderedAndProject on top; contamination stays within its
+    designed groupBy + join-back + final-agg budget; TF-IDF ends in
+    TakeOrderedAndProject with map-side partial aggregation."""
+    shapes = {
+        "purchase_click_window": lambda p: shuffle_count(p) == 1,
+        "embedding_near_dup_top20": lambda p: shuffle_count(p) == 1
+        and "TakeOrderedAndProject" in p,
+        "split_contamination": lambda p: shuffle_count(p) <= 3
+        and "CartesianProduct" not in p,
+        "tfidf_top20": lambda p: "TakeOrderedAndProject" in p
+        and len(re.findall(r"HashAggregate", p)) >= 4,
+    }
+    for name, ok in shapes.items():
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert ok(p), f"{name} plan shape regressed:\n{p}"
