@@ -298,3 +298,65 @@ def embedding_near_dup_pairs(
         )
     )
     return scored
+
+
+def cluster_outlier_scores(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    group_col: str,
+    *,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-group Mahalanobis-style outlier scoring — the batch
+    applyInPandas member of the UDF-API matrix (mapInPandas: multimodal;
+    applyInPandasWithState: streaming). Genuinely not expressible with
+    built-in operators: the score needs the GROUP's covariance inverse
+    (a matrix factorization per group), so each group must be assembled
+    on one executor.
+
+    score(x) = sqrt((x-μ)ᵀ (Σ + εI)⁻¹ (x-μ)), computed with one numpy
+    solve per group — Arrow-batched, vectorized over the group's rows.
+
+    Scale shape: one shuffle on group_col; each task holds one group's
+    vectors (n_g × d doubles) — fine while max group size × dim fits an
+    executor (the applyInPandas contract). For web-scale groups, first
+    reduce per group to streaming moments (mean/covariance are
+    associative sums expressible as built-ins) and only solve the d×d
+    system per group — this full-vector variant also returns per-ROW
+    scores, which the moment form feeds via a second pass.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("group", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("outlier_score", T.DoubleType()),
+        ]
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["_v"].to_numpy())
+        mu = x.mean(axis=0)
+        centered = x - mu
+        d = x.shape[1]
+        cov = (centered.T @ centered) / max(len(x) - 1, 1) + eps * np.eye(d)
+        # solve instead of invert: one factorization, d RHS columns
+        scores = np.sqrt(np.einsum("ij,ji->i", centered, np.linalg.solve(cov, centered.T)))
+        return pd.DataFrame(
+            {
+                "group": pdf["_g"].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                "outlier_score": scores,
+            }
+        )
+
+    prepped = df.select(
+        F.col(group_col).cast("long").alias("_g"),
+        F.col(id_col),
+        _as_double_array(vec_col).alias("_v"),
+    )
+    return prepped.groupBy("_g").applyInPandas(score, schema=out_schema)

@@ -431,3 +431,31 @@ def test_approx_event_profile_tolerance(spark, sf_dir):
         ):
             rank = sum(1 for v in vs if v <= a) / n
             assert p - 0.02 - 1.5 / n <= rank <= p + 0.02 + 1.5 / n, (et, a, p, rank)
+
+
+def test_cluster_outlier_scores_finds_planted_outlier(spark):
+    """Batch applyInPandas custom op: a far-away vector planted in a
+    tight cluster must receive the group's top outlier score; scores are
+    per-row and group-complete."""
+    import random
+
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        cluster_outlier_scores,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for g in (0, 1):
+        center = [rng.uniform(-1, 1) for _ in range(8)]
+        for i in range(40):
+            rows.append(
+                (g * 100 + i, g, [c + rng.gauss(0, 0.05) for c in center])
+            )
+        rows.append((g * 100 + 99, g, [c + 5.0 for c in center]))  # outlier
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    out = cluster_outlier_scores(df, "embedding", "vec_id", "label").collect()
+    assert len(out) == len(rows)
+    for g in (0, 1):
+        grp = [r for r in out if r.group == g]
+        top = max(grp, key=lambda r: r.outlier_score)
+        assert top.vec_id == g * 100 + 99, (g, top)
