@@ -1182,3 +1182,62 @@ def customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "daily_revenue_gap_filled",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(g AS DATE) AS day
+      FROM b, unnest(generate_series(CAST(b.lo AS TIMESTAMP),
+                                     CAST(b.hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS t(g)
+    ),
+    j AS (
+      SELECT s.day, d.rev,
+             CASE WHEN d.rev IS NULL THEN 0 ELSE 1 END AS observed
+      FROM spine s LEFT JOIN daily d USING (day)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, observed,
+           CAST(last_value(rev IGNORE NULLS) OVER (
+                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS rev_filled
+    FROM j
+    """,
+    doc="Time-series densification + LOCF imputation: a generated date "
+    "spine (sequence/explode) left-joined to per-day revenue, gaps "
+    "filled with last-observation-carried-forward "
+    "(last(..., ignorenulls) over an unbounded-preceding frame). The "
+    "spine and window run over per-DAY aggregates (metadata-sized at "
+    "any fact scale); the only fact-sized work is the first groupBy.",
+)
+def daily_revenue_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(cents("o_totalprice")).alias("rev"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    j = spine.join(daily, "day", "left").select(
+        "day",
+        "rev",
+        F.col("rev").isNotNull().cast("int").alias("observed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "observed",
+        dollars(F.last("rev", ignorenulls=True).over(w), "rev_filled", 2),
+    )
