@@ -1045,3 +1045,29 @@ def long_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_all_3plus"),
     )
+
+
+@register(
+    "churned_users",
+    oracle="""
+    SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-01-08 00:00:00'
+    EXCEPT
+    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+    ORDER BY user_id
+    """,
+    doc="EXCEPT set operation (the INTERSECT sibling, completing the "
+    "set-op family): users active in the first week but absent in the "
+    "last — the churn cohort. Plans as a left-anti join on the distinct "
+    "first-week set.",
+)
+def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_week = events.where(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    ).select("user_id")
+    last_week = events.where(
+        F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp_ntz")
+    ).select("user_id")
+    # subtract == EXCEPT (DISTINCT); exceptAll would keep leftover
+    # multiplicity for users seen in both windows — wrong semantics here.
+    return first_week.subtract(last_week).orderBy("user_id")
