@@ -98,7 +98,7 @@ def _time_query(spark, name: str, sf_dir: str, reps: int = 4) -> tuple[float, fl
     return best, best_exec
 
 
-def run_spark() -> tuple[dict[str, float], dict[str, float]]:
+def run_spark() -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
     # Bench-profile tuning: shuffle partitions sized to the (tiny) bench
     # inputs — 8 post-shuffle partitions for ≤14 MB files.
     # locality.wait=0: single-host, locality levels are meaningless.

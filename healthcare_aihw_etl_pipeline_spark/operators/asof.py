@@ -44,13 +44,23 @@ def asof_join(
     columns pass through unchanged.
     """
     on = list(on)
-    carried = [f"{c}{suffix}" for c in value_cols]
+    value_cols = list(value_cols)
     l_tagged = left.withColumn("_tag", F.lit(1))
-    r_tagged = right.select(
-        *on,
-        F.col(ts),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-    ).withColumn("_tag", F.lit(0))
+    # All carried columns travel as ONE struct so the matched right row's
+    # NULL fields are preserved verbatim: last(ignorenulls) skips only
+    # whole-row gaps (left rows, where _rv is NULL), never a matched right
+    # row that happens to carry a NULL value column. Right rows with NULL
+    # ts are unmatched by definition (no ordering position) and dropped —
+    # both fixes match DuckDB ASOF LEFT JOIN semantics.
+    r_tagged = (
+        right.where(F.col(ts).isNotNull())
+        .select(
+            *on,
+            F.col(ts),
+            F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_rv"),
+        )
+        .withColumn("_tag", F.lit(0))
+    )
     both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     # Right rows sort BEFORE left rows at equal ts (tag 0 < 1) → inclusive
@@ -60,10 +70,10 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c, out in zip(value_cols, carried):
-        both = both.withColumn(out, F.last(f"_rv_{c}", ignorenulls=True).over(w))
-    return both.where(F.col("_tag") == 1).drop(
-        "_tag", *[f"_rv_{c}" for c in value_cols]
+    both = both.withColumn("_carried", F.last("_rv", ignorenulls=True).over(w))
+    return both.where(F.col("_tag") == 1).select(
+        *left.columns,
+        *[F.col("_carried")[c].alias(f"{c}{suffix}") for c in value_cols],
     )
 
 
@@ -106,6 +116,7 @@ def asof_join_cogrouped(
         if l_pdf.empty:
             return pd.DataFrame(columns=[f.name for f in out_fields])
         l_sorted = l_pdf.sort_values(ts, kind="mergesort")
+        r_pdf = r_pdf[r_pdf[ts].notna()]  # NULL ts never matches (ASOF parity)
         if r_pdf.empty:
             out = l_sorted.copy()
             for c in value_cols:

@@ -221,9 +221,14 @@ def minhash_dedup(
     # data) would land whole on ONE window task with no partial
     # aggregation. groupBy(min) combines map-side, and the join back is an
     # equi join AQE can skew-split. `banded` feeds both branches, so
-    # persist it (3 integer columns — the cheapest materialization point;
-    # re-deriving it would run the signature twice).
-    banded = banded.persist()
+    # materialize it once (3 integer columns — the cheapest point;
+    # re-deriving it would run the signature twice). localCheckpoint
+    # rather than persist: checkpoint blocks are reference-tracked and
+    # freed when the result goes out of scope, so repeated calls in a
+    # long-lived session don't accumulate cached blocks (persist entries
+    # live in the CacheManager until an explicit unpersist, which this
+    # lazy API can't issue).
+    banded = banded.localCheckpoint(eager=True)
     bucket_mins = banded.groupBy("band", "band_hash").agg(
         F.min(id_col).alias("bucket_min")
     )
@@ -298,8 +303,9 @@ def simhash_dedup(
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.band_val")
     # groupBy + join-back instead of a window, for the same hot-bucket
-    # reason as minhash_dedup: map-side combine + AQE-skew-splittable join.
-    bands = bands.persist()
+    # reason as minhash_dedup: map-side combine + AQE-skew-splittable
+    # join. localCheckpoint for GC-scoped block cleanup (see minhash_dedup).
+    bands = bands.localCheckpoint(eager=True)
     bucket_mins = bands.groupBy("band", "band_val").agg(
         F.min(id_col).alias("bucket_min")
     )

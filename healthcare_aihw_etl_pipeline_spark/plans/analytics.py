@@ -165,8 +165,11 @@ def _domains_one_pass(
     Per column: sort_array(collect_set(c)) sliced to `cap` elements —
     collect_set drops NULLs (matching distinct_domain), the slice bounds
     the driver transfer, and a result of exactly `cap` values signals
-    "domain ≥ cap" to the caller. Empty strings are filtered Python-side
-    for string columns (tiny lists by construction).
+    "domain ≥ cap" to the caller. Empty strings are excluded INSIDE the
+    aggregate (when(c != '', c) nulls them out before collect_set) so the
+    cap-slice count reflects the non-empty domain — filtering after the
+    slice would let a ≥cap domain plus '' shrink to cap-1 and slip past
+    the cardinality guard.
 
     The round-1 shape was one distinct().collect() job PER column — N
     full column scans and N driver round-trips per interaction; this is
@@ -179,16 +182,21 @@ def _domains_one_pass(
         return {}
     dtypes = dict(df.dtypes)
     aggs = [
-        F.slice(F.sort_array(F.collect_set(c)), 1, cap).alias(c) for c in cols
+        F.slice(
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col(c) != "", F.col(c))
+                    if dtypes.get(c) == "string"
+                    else F.col(c)
+                )
+            ),
+            1,
+            cap,
+        ).alias(c)
+        for c in cols
     ]
     row = df.agg(*aggs).first()
-    out: dict[str, list] = {}
-    for c in cols:
-        vals = list(row[c])
-        if dtypes.get(c) == "string":
-            vals = [v for v in vals if v != ""]
-        out[c] = vals
-    return out
+    return {c: list(row[c]) for c in cols}
 
 
 def interactive_filter(

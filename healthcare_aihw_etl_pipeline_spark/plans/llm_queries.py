@@ -1050,22 +1050,28 @@ def long_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "churned_users",
     oracle="""
-    SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-01-08 00:00:00'
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00'
     EXCEPT
-    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-24 00:00:00'
     ORDER BY user_id
     """,
     doc="EXCEPT set operation (the INTERSECT sibling, completing the "
-    "set-op family): users active in the first week but absent in the "
-    "last — the churn cohort. Plans as a left-anti join on the distinct "
-    "first-week set.",
+    "set-op family): users who purchased in the first week but not in the "
+    "last — the purchase-churn cohort. (Any-activity churn is empty on "
+    "this data — every user stays active at day grain — so the cohort is "
+    "cut on the sparser purchase stream to keep the query non-degenerate "
+    "at every SF.) Plans as a left-anti join on the distinct first-week "
+    "set.",
 )
 def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    first_week = events.where(
+    purchases = events.where(F.col("event_type") == "purchase")
+    first_week = purchases.where(
         F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
     ).select("user_id")
-    last_week = events.where(
+    last_week = purchases.where(
         F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp_ntz")
     ).select("user_id")
     # subtract == EXCEPT (DISTINCT); exceptAll would keep leftover

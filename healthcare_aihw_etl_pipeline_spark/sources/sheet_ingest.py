@@ -355,9 +355,12 @@ def compile_sheets_distributed(
         schema="year int, state string, separations double, "
         "dim_keys array<string>, dim_vals array<string>",
     )
+    # localCheckpoint (not persist): consumed twice (key discovery + the
+    # returned frame), and checkpoint blocks free on GC instead of
+    # accumulating in the CacheManager across repeated ingests.
     mapped = mapped.withColumn(
         "dims", F.map_from_arrays("dim_keys", "dim_vals")
-    ).persist()
+    ).localCheckpoint(eager=True)
     keys = sorted(
         r[0]
         for r in mapped.select(F.explode("dim_keys").alias("k")).distinct().collect()

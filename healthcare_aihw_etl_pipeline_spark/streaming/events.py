@@ -263,20 +263,59 @@ def write_stream_upsert_partitions(
     checkpoint: str,
     partition_by: list[str],
     *,
+    key_cols: list[str] | None = None,
     available_now: bool = True,
 ):
     """Streaming incremental load: each micro-batch replaces exactly the
     partitions it contains (foreachBatch + dynamic partition overwrite) —
     the idempotent-restart pattern for a date-partitioned landing table.
     A replayed batch rewrites the same partitions to the same content, so
-    at-least-once delivery still converges to exactly-once state (batch
-    grain; row-grain MERGE needs a table format like Delta/Iceberg).
+    at-least-once delivery still converges to exactly-once state.
+
+    Two modes:
+
+    * ``key_cols=None`` (partition-replace): each batch must carry a
+      COMPLETE refresh of every partition it touches. A partition whose
+      rows arrive across several micro-batches would shrink to the last
+      batch's rows — if the source can split a partition across batches,
+      pass ``key_cols``.
+    * ``key_cols=[...]`` (row-grain MERGE): before overwriting, the sink
+      reads back the touched partitions, keeps existing rows whose key is
+      absent from the batch (left-anti), and unions the batch in. Safe
+      under partition-spanning batches AND replay (a replayed batch's
+      keys are already present, so merge is a fixed point). The read-back
+      is bounded by the touched partitions (left-semi on a broadcast
+      partition-key set), which is exactly how MERGE-on-parquet costs at
+      scale; a table format (Delta/Iceberg) does the same with a
+      transaction log instead of directory overwrite.
     """
+    from pyspark.errors import AnalysisException
+
     from healthcare_aihw_etl_pipeline_spark.sources.sinks import upsert_partitions
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            upsert_partitions(batch_df, path, partition_by)
+        if batch_df.isEmpty():
+            return
+        out = batch_df
+        if key_cols:
+            spark = batch_df.sparkSession
+            try:
+                existing = spark.read.parquet(path)
+            except AnalysisException:
+                existing = None
+            if existing is not None:
+                touched = batch_df.select(*partition_by).distinct()
+                survivors = (
+                    existing.join(F.broadcast(touched), partition_by, "left_semi")
+                    .join(
+                        batch_df.select(*key_cols).distinct(), key_cols, "left_anti"
+                    )
+                    .select(*batch_df.columns)
+                )
+                # Cut lineage from `path` before overwriting it — the
+                # writer rejects plans that read the destination.
+                out = survivors.unionByName(batch_df).localCheckpoint(eager=True)
+        upsert_partitions(out, path, partition_by)
 
     writer = (
         df.writeStream.foreachBatch(sink)

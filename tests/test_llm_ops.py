@@ -300,6 +300,29 @@ def test_asof_join_tie_and_no_match(spark):
     assert out["c"] is None   # right row is later → no match
 
 
+def test_asof_join_null_value_and_null_ts(spark):
+    """DuckDB ASOF LEFT JOIN parity on NULLs: the MATCHED row's NULL value
+    column is carried as NULL (not skipped for an older non-NULL row),
+    and a right row with NULL ts never matches anything."""
+    from healthcare_aihw_etl_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 200, "a"), (2, 100, "b")], ["k", "t", "tag"])
+    right = spark.createDataFrame(
+        [
+            (1, 100, "old"),
+            (1, 150, None),   # matched row for "a" carries NULL v
+            (2, None, "leak"),  # NULL ts: must match nothing
+        ],
+        "k int, t int, v string",
+    )
+    out = {
+        r.tag: r.v_asof
+        for r in asof_join(left, right, on=["k"], ts="t", value_cols=["v"]).collect()
+    }
+    assert out["a"] is None   # NOT "old" — matched row's NULL preserved
+    assert out["b"] is None   # NULL-ts right row dropped, no leak
+
+
 def test_chunk_tokens_boundaries(spark):
     from healthcare_aihw_etl_pipeline_spark.operators.text import chunk_tokens
 

@@ -314,3 +314,54 @@ def test_stream_upsert_partitions_idempotent(spark, sf_dir, events_stream_dir, t
         ).collect()
     }
     assert got2 == want
+
+
+def test_stream_upsert_keyed_merge_across_batches(spark, tmp_path):
+    """key_cols MERGE mode: a partition whose rows span several
+    micro-batches keeps earlier batches' rows (keyless partition-replace
+    would shrink it to the last batch), a re-sent key takes the newest
+    value, and a checkpointed restart changes nothing."""
+    import os
+
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+        write_stream_upsert_partitions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ["event_id", "event_type", "value"]
+    batch1 = [(1, "click", 1.0), (4, "click", 4.0), (2, "view", 2.0)]
+    batch2 = [(3, "click", 3.0), (1, "click", 9.9)]
+    for i, rows in enumerate([batch1, batch2]):
+        f = str(src / f"b{i}")
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f)
+        # Deterministic batch order: the file source orders by mtime.
+        for name in os.listdir(f):
+            os.utime(os.path.join(f, name), (1_000_000 + i, 1_000_000 + i))
+
+    out = str(tmp_path / "merged")
+    ckpt = str(tmp_path / "ckpt_merge")
+
+    def start():
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        return write_stream_upsert_partitions(
+            stream, out, ckpt, ["event_type"], key_cols=["event_id"]
+        )
+
+    start().awaitTermination(120)
+    want = {(1, "click", 9.9), (4, "click", 4.0), (2, "view", 2.0), (3, "click", 3.0)}
+    got = {
+        (r.event_id, r.event_type, r.value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    start().awaitTermination(120)  # restart, no new input: fixed point
+    got2 = {
+        (r.event_id, r.event_type, r.value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == want
