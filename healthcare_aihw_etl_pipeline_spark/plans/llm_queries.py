@@ -1077,3 +1077,167 @@ def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT (DISTINCT); exceptAll would keep leftover
     # multiplicity for users seen in both windows — wrong semantics here.
     return first_week.subtract(last_week).orderBy("user_id")
+
+
+# Java regex and RE2 agree on this subset (char classes, +, {m,}, no
+# lookaround) — required for Spark/DuckDB parity.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH injected AS (
+      SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or x'
+                  || CAST((doc_id * 7919) % 10000 AS VARCHAR)
+                  || '@test.org today' AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT source,
+             text,
+             regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g') AS redacted,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails
+      FROM injected
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(length(text) - length(redacted)) AS BIGINT) AS chars_removed
+    FROM red GROUP BY source ORDER BY source
+    """,
+    doc="PII scrub — the mandatory redaction pass of a training-data "
+    "pipeline: regexp_replace + match counting per source. The corpus "
+    "ships PII-free, so both engines deterministically inject two "
+    "synthetic emails per doc first (same expression), making the "
+    "scrubber's regex parity and accounting fully oracle-checked. Pure "
+    "JVM string expressions in one scan — no shuffle beyond the tiny "
+    "per-source rollup; the regex subset (classes, +, {m,}) means Java "
+    "and RE2 match identically.",
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or x"),
+        ((F.col("doc_id") * 7919) % 10000).cast("string"),
+        F.lit("@test.org today"),
+    )
+    t = docs.select(
+        "source",
+        injected.alias("text"),
+    ).select(
+        "source",
+        "text",
+        F.regexp_replace("text", _EMAIL_RE, "[EMAIL]").alias("redacted"),
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum((F.col("n_emails") > 0).cast("long")).alias("docs_with_pii"),
+            F.sum(F.length("text") - F.length("redacted")).alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "token_position_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(len(string_split(text, ' ')))) AS pos
+      FROM documents
+    )
+    SELECT source,
+           CAST(pos // 16 AS BIGINT) AS pos_bucket,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(CAST(length(tok) AS DOUBLE)), 6) AS avg_len
+    FROM toks GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Ordinal token explode (posexplode ≡ UNNEST WITH ORDINALITY): "
+    "token count and mean token length per 16-token position bucket per "
+    "source — the positional profile used to spot templated prefixes/"
+    "suffixes in web corpora. The explode multiplies rows ~150×, so the "
+    "bucketing happens IN the same select as the explode and aggregates "
+    "immediately (map-side combine on a ~200-key space) — the blown-up "
+    "stream is never shuffled or materialized.",
+)
+def token_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    return (
+        toks.groupBy(
+            "source", (F.col("pos") / 16).cast("long").alias("pos_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.length("tok").cast("double")), 6).alias("avg_len"),
+        )
+        .orderBy("source", "pos_bucket")
+    )
+
+
+@register(
+    "source_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, SUM(c) AS n, COUNT(*) AS vocab FROM counts GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(t.vocab AS BIGINT) AS vocab,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n)
+                      * log2(CAST(c.c AS DOUBLE) / t.n)), 6) AS entropy_bits
+    FROM counts c JOIN tot t ON c.source = t.source
+    GROUP BY c.source, t.vocab, t.n ORDER BY c.source
+    """,
+    doc="Shannon entropy of the token distribution per source — the "
+    "information-density / diversity score used to flag boilerplate-"
+    "heavy or templated sources in corpus QA. Two shuffles on (source, "
+    "token) then source — both with full map-side combine; the entropy "
+    "sum is one double fold over the per-source token histogram. "
+    "Rounded to 6 so the float summation order across engines can't "
+    "flip the hash.",
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        counts.join(tot, "source")
+        .groupBy("source", "vocab", "n")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+        .select(
+            "source",
+            F.col("vocab").cast("long").alias("vocab"),
+            F.col("n").cast("long").alias("n_tokens"),
+            "entropy_bits",
+        )
+        .orderBy("source")
+    )

@@ -38,6 +38,7 @@ from healthcare_aihw_etl_pipeline_spark.plans.registry import (
     dollars,
     register,
     sql_cents,
+    sql_dollars,
 )
 from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
 
@@ -1240,4 +1241,124 @@ def daily_revenue_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "observed",
         dollars(F.last("rev", ignorenulls=True).over(w), "rev_filled", 2),
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    # TPC-H Q17 shape: a correlated per-group average threshold. The
+    # comparison is kept EXACT by clearing the division: qty < 0.5 * avg
+    # ⟺ 2*qty*cnt < sum (quantities are integer-valued doubles ≤ 50, so
+    # every product stays exact in long arithmetic) — no float-epsilon
+    # disagreement between engines at the threshold boundary.
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small,
+           {sql_dollars(f"SUM({sql_cents('l_extendedprice')})", "small_revenue")}
+    FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+    WHERE 2 * CAST(l.l_quantity AS BIGINT) * p.cnt < p.sum_qty
+    """,
+    doc="Correlated-aggregate filter (TPC-H Q17 shape): lineitems whose "
+    "quantity is below half their part's average. Plans as groupBy(part) "
+    "→ join back on the fact — the decorrelated form Catalyst would also "
+    "produce for the subquery; the per-part aggregate gets full map-side "
+    "combine and the join shuffles on the SAME key as the aggregate, so "
+    "the exchange is reused (one fact shuffle total at any scale).",
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    small = li.join(per_part, "l_partkey").where(
+        F.lit(2) * F.col("l_quantity").cast("long") * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        dollars(F.sum(cents("l_extendedprice")), "small_revenue", 2),
+    )
+
+
+@register(
+    "orders_fully_shipped",
+    # Universal quantification per group (every/bool_and + HAVING): the
+    # relational FORALL the reference's row-filter model can't express.
+    oracle=f"""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             bool_and(l_returnflag = 'N') AS all_ok,
+             COUNT(*) AS n_lines,
+             CAST(SUM({SQL_REV}) AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           {sql_dollars("SUM(rev)", "revenue", 4)}
+    FROM per_order WHERE all_ok
+    """,
+    doc="Orders whose EVERY lineitem has returnflag 'N' (universal "
+    "quantification): one groupBy with bool_and/count/sum partials — all "
+    "map-side combinable — then a HAVING filter and a tiny global "
+    "rollup. Single fact shuffle; no join, no EXISTS rewrite.",
+)
+def orders_fully_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.every(F.col("l_returnflag") == "N").alias("all_ok"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_revenue()).alias("rev"),
+    )
+    return per_order.where("all_ok").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").alias("n_lines"),
+        dollars(F.sum("rev"), "revenue", 4),
+    )
+
+
+@register(
+    "promo_revenue_share",
+    # TPC-H Q14 shape: conditional-aggregation share. Exact integer
+    # revenue on both branches; ONE double division per group at the end.
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {SQL_REV} ELSE 0 END)
+                 / SUM({SQL_REV}), 6) AS promo_share_pct,
+           {sql_dollars(f"SUM({SQL_REV})", "revenue", 4)}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Promo revenue share per ship year (TPC-H Q14 shape): "
+    "conditional aggregation — two exact integer sums in ONE pass over "
+    "the joined fact, share computed once per group. part joins "
+    "broadcast at bench scale (Catalyst's size-based choice); at 100 TB "
+    "part is still the small side and AQE picks broadcast-hash or "
+    "shuffled-hash from runtime stats.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+    rev = _revenue()
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        j.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(promo).alias("promo_rev"),
+            F.sum(rev).alias("rev"),
+        )
+        .select(
+            "ship_year",
+            F.round(
+                F.lit(100.0) * F.col("promo_rev") / F.col("rev"), 6
+            ).alias("promo_share_pct"),
+            dollars(F.col("rev"), "revenue", 4),
+        )
+        .orderBy("ship_year")
     )
