@@ -127,17 +127,32 @@ def hash_split(id_col: Column | str) -> Column:
     )
 
 
-def rolling_fingerprint(text_col: Column | str, k: int = 8, sketch_size: int = 4) -> Column:
-    """Document fingerprint: the `sketch_size` smallest xxhash64 values of
-    the k-char shingle set (a bottom-k minwise sketch — winnowing-style).
-    Equal sketches ⇒ near-identical content; array<long> output groups and
-    joins cheaply."""
+def rolling_fingerprint(
+    text_col: Column | str,
+    k: int = 8,
+    sketch_size: int = 4,
+    *,
+    portable: bool = False,
+) -> Column:
+    """Document fingerprint: the `sketch_size` smallest hashes of the
+    k-char shingle set (a bottom-k minwise sketch — winnowing-style).
+    Equal sketches ⇒ near-identical content; the array output groups and
+    joins cheaply.
+
+    Hash choice: default xxhash64 (array<long> — the production fast
+    path: one JVM long per shingle, no string allocation). With
+    ``portable=True``, md5 hex strings instead (array<string>): ~2×
+    slower but bit-replayable in any engine with md5 — the registered
+    driver query uses this form so the whole sketch is oracle-checked
+    in DuckDB; the minima of a uniform hash are equally uniform either
+    way, so dedup quality is identical."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     s = F.trim(c)
     n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(s, i, F.lit(k)))
+    hash_fn = F.md5 if portable else F.xxhash64
     hashes = F.array_sort(
-        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+        F.array_distinct(F.transform(grams, lambda g: hash_fn(g)))
     )
     return F.slice(hashes, 1, sketch_size)
 

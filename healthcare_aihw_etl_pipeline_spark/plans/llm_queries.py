@@ -409,23 +409,45 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fingerprint_dup_groups",
-    oracle=None,  # xxhash64 is engine-specific: property-tested instead
+    # The portable (md5) sketch replays bit-identically in DuckDB —
+    # full oracle check; the xxhash64 fast path of the same operator is
+    # property-tested (tests/test_llm_ops.py).
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             array_to_string(list_slice(list_sort(list_distinct(
+               list_transform(
+                 range(1, greatest(length(trim(text)) - 7, 1) + 1),
+                 i -> md5(substr(trim(text), CAST(i AS INT), 8))))), 1, 4),
+               ',') AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+    """,
     doc="Bottom-k rolling-hash fingerprint dedup: docs sharing an identical "
-    "4-minima sketch of their 8-char shingle set.",
+    "4-minima sketch of their 8-char shingle set. Registered with the "
+    "portable md5 sketch so the whole pipeline (shingle → hash → bottom-k "
+    "→ group) is oracle-checked; production uses the xxhash64 long-typed "
+    "fast path of the same operator.",
 )
 def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_aihw_etl_pipeline_spark.operators.text import rolling_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+        docs.select(
+            "doc_id", rolling_fingerprint("text", portable=True).alias("fp")
+        )
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .where(F.col("n_copies") > 1)
         .select(
             # Scalar sketch: the driver's pandas comparison canonicalizes by
             # sorting output columns, and array cells are unhashable there.
-            F.array_join(F.col("fp").cast("array<string>"), ",").alias("fingerprint"),
+            F.array_join("fp", ",").alias("fingerprint"),
             "keeper_doc_id",
             "n_copies",
         )
