@@ -1266,9 +1266,12 @@ def daily_revenue_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Correlated-aggregate filter (TPC-H Q17 shape): lineitems whose "
     "quantity is below half their part's average. Plans as groupBy(part) "
     "→ join back on the fact — the decorrelated form Catalyst would also "
-    "produce for the subquery; the per-part aggregate gets full map-side "
-    "combine and the join shuffles on the SAME key as the aggregate, so "
-    "the exchange is reused (one fact shuffle total at any scale).",
+    "produce for the subquery. The per-part aggregate (one row per part, "
+    "full map-side combine) is orders of magnitude smaller than the "
+    "fact, so the join-back builds on the reduced side: broadcast-hash "
+    "at bench scale (verified: ONE exchange, fact never shuffles for "
+    "the join), shuffled-hash/SMJ from AQE stats at 100 TB where the "
+    "fact pays one shuffle per pass — the standard decorrelation trade.",
 )
 def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

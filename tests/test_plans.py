@@ -198,3 +198,35 @@ def test_round2_query_plan_shapes(spark, sf_dir):
     for name, ok in shapes.items():
         p = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert ok(p), f"{name} plan shape regressed:\n{p}"
+
+
+def test_round3_query_plan_shapes(spark, sf_dir):
+    """Round-3 shapes: the Q17-style correlated-aggregate filter builds
+    the join on the REDUCED per-part side (one shuffle for the aggregate,
+    the fact is never shuffled for the join at this scale — broadcast);
+    the Q14 share joins part broadcast and aggregates in one shuffle; the
+    ordinal-explode profile aggregates the exploded stream immediately
+    (partial aggregate BELOW the single shuffle — the blow-up never
+    crosses the wire); the entropy query stays within its two designed
+    shuffles plus the tiny join; no plan contains a cartesian product."""
+    shapes = {
+        # per-part agg exchange + the global one-row agg; join is BHJ on
+        # the reduced side, so the fact never shuffles for the join.
+        "small_quantity_part_revenue": lambda p: shuffle_count(p) == 2
+        and "BroadcastHashJoin" in p,
+        # group-agg exchange + final sort exchange; part joins broadcast.
+        "promo_revenue_share": lambda p: shuffle_count(p) <= 3
+        and "BroadcastHashJoin" in p,
+        # exploded stream (Generate) must be partially aggregated before
+        # its (single) group exchange; + the final sort exchange.
+        "token_position_profile": lambda p: shuffle_count(p) <= 3
+        and "Generate" in p
+        and len(re.findall(r"HashAggregate", p)) >= 4,
+        "source_token_entropy": lambda p: shuffle_count(p) <= 5
+        and "Generate" in p,
+        "pii_redaction_stats": lambda p: shuffle_count(p) <= 3,
+    }
+    for name, ok in shapes.items():
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert ok(p), f"{name} plan shape regressed:\n{p}"
+        assert "CartesianProduct" not in p, name
