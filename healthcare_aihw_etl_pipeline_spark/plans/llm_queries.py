@@ -1263,3 +1263,116 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "gopher_quality_flags",
+    # Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    # Language Models" appendix A1.1), thresholds adapted to this
+    # corpus's ranges so every rule discriminates. All-integer inputs to
+    # each ratio → exact double division → boundary comparisons agree
+    # across engines.
+    oracle="""
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS toks FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             len(toks) BETWEEN 50 AND 1000 AS ok_nwords,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks) BETWEEN 4 AND 10 AS ok_meanlen,
+             len(list_intersect(toks, ['the','a','of','to','and'])) >= 2
+               AS ok_stop
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ok_nwords THEN 1 ELSE 0 END) AS BIGINT) AS pass_nwords,
+           CAST(SUM(CASE WHEN ok_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS pass_meanlen,
+           CAST(SUM(CASE WHEN ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(CASE WHEN ok_nwords AND ok_meanlen AND ok_stop
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM flags GROUP BY source ORDER BY source
+    """,
+    doc="Gopher-rule quality gate: per-document word-count window, mean-"
+    "word-length window, and minimum distinct-stopword presence, rolled "
+    "up to per-source pass rates — the standard pre-training keep/drop "
+    "filter. Pure array expressions (size/aggregate/array_intersect) in "
+    "one scan + one tiny rollup shuffle; at 100 TB the flags compute "
+    "where the data sits and only per-source counters move.",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .cast("double")
+        / n
+    )
+    stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in ["the", "a", "of", "to", "and"]]))
+    )
+    flags = docs.select(
+        "source",
+        n.between(50, 1000).alias("ok_nwords"),
+        mean_len.between(4, 10).alias("ok_meanlen"),
+        (stop >= 2).alias("ok_stop"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok_nwords").cast("long")).alias("pass_nwords"),
+            F.sum(F.col("ok_meanlen").cast("long")).alias("pass_meanlen"),
+            F.sum(F.col("ok_stop").cast("long")).alias("pass_stopwords"),
+            F.sum(
+                (F.col("ok_nwords") & F.col("ok_meanlen") & F.col("ok_stop")).cast("long")
+            ).alias("pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "repetition_profile",
+    # Within-document repetition (RefinedWeb/Gopher repetition filters):
+    # duplicate-token mass = 1 − distinct/total per doc.
+    oracle="""
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS toks FROM documents
+    ),
+    r AS (
+      SELECT source,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS dup_ratio
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(dup_ratio), 6) AS avg_dup_ratio,
+           CAST(SUM(CASE WHEN dup_ratio > 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_highly_repetitive
+    FROM r GROUP BY source ORDER BY source
+    """,
+    doc="Within-document repetition filter (the RefinedWeb/Gopher "
+    "rep-removal signal): duplicate-token mass per doc (1 − distinct/"
+    "total), averaged per source with a count of highly-repetitive docs "
+    "(> 0.6). array_distinct/size expressions in one scan; the exact "
+    "integer numerators make the ratio and its 0.6 boundary "
+    "engine-agreed.",
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    r = docs.select("source", dup_ratio.alias("dup_ratio"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_ratio"), 6).alias("avg_dup_ratio"),
+            F.sum((F.col("dup_ratio") > 0.6).cast("long")).alias("n_highly_repetitive"),
+        )
+        .orderBy("source")
+    )
