@@ -1376,3 +1376,120 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_curation_funnel",
+    # The full training-data curation pipeline as ONE oracle-checked
+    # query with per-stage accounting: raw → Gopher quality gate → exact
+    # dedup (keep-first among survivors) → deterministic 50% sample.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             md5(text) AS h,
+             len(string_split(text, ' ')) AS n_toks,
+             (len(string_split(text, ' ')) BETWEEN 50 AND 1000)
+             AND (CAST(list_sum(list_transform(string_split(text, ' '),
+                      x -> len(x))) AS DOUBLE)
+                  / len(string_split(text, ' ')) BETWEEN 4 AND 10)
+             AND (len(list_intersect(string_split(text, ' '),
+                      ['the','a','of','to','and'])) >= 2) AS ok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY ok DESC, doc_id ASC) AS rn
+      FROM base
+    ),
+    marked AS (
+      SELECT n_toks, ok,
+             ok AND rn = 1 AS keeper,
+             ok AND rn = 1
+                AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+               AS sampled
+      FROM ranked
+    ),
+    wide AS (
+      SELECT COUNT(*) AS n_raw,
+             CAST(SUM(n_toks) AS BIGINT) AS t_raw,
+             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_q,
+             CAST(SUM(CASE WHEN ok THEN n_toks ELSE 0 END) AS BIGINT) AS t_q,
+             CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+             CAST(SUM(CASE WHEN keeper THEN n_toks ELSE 0 END) AS BIGINT) AS t_d,
+             CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+             CAST(SUM(CASE WHEN sampled THEN n_toks ELSE 0 END) AS BIGINT) AS t_s
+      FROM marked
+    )
+    SELECT u.stage, u.n_docs, u.total_tokens
+    FROM wide, LATERAL (VALUES ('1_raw', n_raw, t_raw),
+                               ('2_quality', n_q, t_q),
+                               ('3_dedup', n_d, t_d),
+                               ('4_sample', n_s, t_s))
+         AS u(stage, n_docs, total_tokens)
+    ORDER BY u.stage
+    """,
+    doc="End-to-end corpus curation with stage accounting — the pipeline "
+    "a 100 TB pre-training corpus actually runs: Gopher quality gate → "
+    "exact-hash dedup keeping the smallest quality-passing doc_id → "
+    "deterministic md5 sample, each stage's survivor count and token "
+    "mass reported from ONE action. Single scan + one window shuffle on "
+    "md5(text) (the dedup key); every later stage is a conditional "
+    "aggregate over the same pass — no per-stage re-execution (the "
+    "multi-action funnel anti-pattern measured 2.8× slower in round 2). "
+    "The 4-row reshape is a 1-row unpivot Expand, not a data operation.",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from healthcare_aihw_etl_pipeline_spark.operators.text import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .cast("double")
+        / n_toks
+    )
+    ok = (
+        n_toks.between(50, 1000)
+        & mean_len.between(4, 10)
+        & (
+            F.size(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(w) for w in ["the", "a", "of", "to", "and"]])
+                )
+            )
+            >= 2
+        )
+    )
+    base = docs.select(
+        "doc_id", F.md5("text").alias("h"), n_toks.alias("n_toks"), ok.alias("ok")
+    )
+    w = Window.partitionBy("h").orderBy(F.col("ok").desc(), F.col("doc_id").asc())
+    marked = base.withColumn("rn", F.row_number().over(w)).select(
+        "n_toks",
+        "ok",
+        (F.col("ok") & (F.col("rn") == 1)).alias("keeper"),
+        (F.col("ok") & (F.col("rn") == 1) & hash_sample("doc_id", 0.5)).alias(
+            "sampled"
+        ),
+    )
+    wide = marked.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("n_toks").alias("t_raw"),
+        F.sum(F.col("ok").cast("long")).alias("n_q"),
+        F.sum(F.when(F.col("ok"), F.col("n_toks")).otherwise(0)).alias("t_q"),
+        F.sum(F.col("keeper").cast("long")).alias("n_d"),
+        F.sum(F.when(F.col("keeper"), F.col("n_toks")).otherwise(0)).alias("t_d"),
+        F.sum(F.col("sampled").cast("long")).alias("n_s"),
+        F.sum(F.when(F.col("sampled"), F.col("n_toks")).otherwise(0)).alias("t_s"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(4, '1_raw', n_raw, t_raw, '2_quality', n_q, t_q, "
+            "'3_dedup', n_d, t_d, '4_sample', n_s, t_s) "
+            "AS (stage, n_docs, total_tokens)"
+        )
+    ).orderBy("stage")

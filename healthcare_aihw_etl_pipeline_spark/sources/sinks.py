@@ -50,6 +50,41 @@ def write_table(
     writer.format(fmt).save(path)
 
 
+def write_table_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "Column"],
+    *,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    fmt: str = "parquet",
+) -> dict[str, object]:
+    """S7 + pipeline QA: write the table AND collect data-quality
+    metrics from the SAME pass via ``df.observe`` — row counts, null
+    counts, sum checks, whatever aggregate `metrics` expresses.
+
+    At 100 TB the naive pattern (write, then re-scan for a validation
+    count) doubles the pipeline's IO; ``observe`` accumulates the
+    aggregates on the executors WHILE the write job runs, so validation
+    is free. Returns the metric dict of the completed write.
+
+    `metrics` values must be aggregate expressions containing no
+    distinct or filter-pushdown-dependent subexpressions (Spark's
+    observe contract).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    write_table(
+        df.observe(obs, *[c.alias(n) for n, c in metrics.items()]),
+        path,
+        mode=mode,
+        partition_by=partition_by,
+        fmt=fmt,
+    )
+    return dict(obs.get)
+
+
 def read_table(
     spark: SparkSession,
     path: str,

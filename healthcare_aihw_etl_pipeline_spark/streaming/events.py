@@ -187,6 +187,84 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs a working google.protobuf on the
+    Python workers (its state-server protocol is protobuf-framed); this
+    container ships a broken protobuf, so callers/tests gate on this."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_running_totals_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Spark 4 `transformWithStateInPandas` twin of
+    :func:`user_running_totals` — same per-user (count, cents-total)
+    state and update-mode emissions, expressed with the newer
+    StatefulProcessor API (object lifecycle + named value state via the
+    handle, instead of a GroupState closure). The new API is where
+    multi-state/timers/TTL live; the GroupState form remains the
+    portable default.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) and a working protobuf
+    (:func:`tws_available`); the equivalence test against the GroupState
+    twin runs wherever both hold.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("total_cents", T.LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+
+            n, cents_total = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # same HALF_UP cents policy as user_running_totals
+                vals = pdf["value"].fillna(0.0).to_numpy(dtype=np.float64)
+                cents = np.copysign(np.floor(np.abs(vals) * 100.0 + 0.5), vals)
+                cents_total += int(cents.astype(np.int64).sum())
+            self._state.update((n, cents_total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents_total / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def interval_join_clicks_to_purchases(
     events: DataFrame,
     *,

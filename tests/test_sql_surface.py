@@ -102,3 +102,41 @@ def test_upsert_partitions_replaces_only_matching(spark, sf_dir, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper()
         == "STATIC"
     )
+
+
+def test_write_table_observed_one_pass_metrics(spark, sf_dir, tmp_path):
+    """observe() metrics match a direct aggregation, collected from the
+    WRITE job itself (no second scan)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+    from healthcare_aihw_etl_pipeline_spark.sources.sinks import (
+        write_table_observed,
+    )
+
+    events = load_table(spark, str(sf_dir), "events").select(
+        "event_id", "event_type", "value"
+    )
+    got = write_table_observed(
+        events,
+        str(tmp_path / "obs"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_value": F.count(F.when(F.col("value").isNull(), 1)),
+            "sum_value_cents": F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ),
+        },
+    )
+    want = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    ).first()
+    assert got["n_rows"] == want["n_rows"]
+    assert got["n_null_value"] == want["n_null_value"]
+    assert got["sum_value_cents"] == want["sum_value_cents"]
+    # and the write itself landed
+    assert spark.read.parquet(str(tmp_path / "obs")).count() == want["n_rows"]

@@ -189,6 +189,46 @@ def test_user_running_totals_stateful(spark, sf_dir, events_stream_dir, sink_nam
     assert got == want
 
 
+def test_user_running_totals_tws_matches_groupstate(
+    spark, events_stream_dir, sink_name
+):
+    """The transformWithStateInPandas twin must emit exactly the
+    GroupState operator's final per-user state. Skipped where the
+    container's protobuf can't run the TWS state server."""
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+        tws_available,
+        user_running_totals_tws,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unusable in this container (TWS state server)")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, events_stream_dir)
+        run_to_memory(user_running_totals_tws(stream), sink_name, "update")
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.table(sink_name).collect()
+        }
+        sink2 = sink_name + "_gs"
+        stream2 = read_event_stream(spark, events_stream_dir)
+        run_to_memory(user_running_totals(stream2), sink2, "update")
+        want = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.table(sink2).collect()
+        }
+        assert got == want
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_write_stream_parquet_exactly_once(spark, events_stream_dir, tmp_path):
     from healthcare_aihw_etl_pipeline_spark.streaming.events import write_stream_parquet
 
