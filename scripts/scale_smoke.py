@@ -103,6 +103,74 @@ def main() -> None:
 
     timed("minhash_dedup_sec", lambda: minhash_dedup(docs, "text", "doc_id").where("dup_of <> doc_id").count(), n=1)
 
+    # --- round-3 text ops at corpus scale (same expressions as the
+    # registered queries, inlined over the synthetic corpus)
+    sdocs = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 50).cast("string"))
+    )
+
+    def entropy():
+        # two map-side-combined shuffles: (source, tok) then source
+        counts = (
+            sdocs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        tot = counts.groupBy("source").agg(F.sum("c").alias("n"))
+        p = F.col("c").cast("double") / F.col("n")
+        return (
+            counts.join(tot, "source")
+            .groupBy("source")
+            .agg((-F.sum(p * F.log2(p))).alias("h"))
+            .collect()
+        )
+
+    timed("token_entropy_sec", entropy, n=1)
+
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+    def pii_scrub():
+        injected = F.concat(
+            F.col("text"), F.lit(" user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        )
+        t = sdocs.select(
+            "source",
+            injected.alias("text"),
+        ).select(
+            "source",
+            (F.length("text") - F.length(F.regexp_replace("text", email_re, "[EMAIL]"))).alias("d"),
+            F.regexp_count("text", F.lit(email_re)).alias("n"),
+        )
+        return t.groupBy("source").agg(F.sum("d"), F.sum("n")).collect()
+
+    timed("pii_scrub_sec", pii_scrub, n=1)
+
+    def curation_funnel():
+        # quality flags + md5 window dedup + deterministic sample, ONE action
+        from pyspark.sql import Window
+
+        from healthcare_aihw_etl_pipeline_spark.operators.text import hash_sample
+
+        toks = F.split("text", " ")
+        ok = F.size(F.array_distinct(toks)).cast("double") / F.size(toks) > 0.3
+        base = sdocs.select(
+            "doc_id", F.md5("text").alias("h"), F.size(toks).alias("n_toks"),
+            ok.alias("ok"),
+        )
+        w = Window.partitionBy("h").orderBy(F.col("ok").desc(), F.col("doc_id").asc())
+        marked = base.withColumn("rn", F.row_number().over(w)).select(
+            "n_toks", "ok",
+            (F.col("ok") & (F.col("rn") == 1)).alias("keeper"),
+            (F.col("ok") & (F.col("rn") == 1) & hash_sample("doc_id", 0.5)).alias("sampled"),
+        )
+        return marked.agg(
+            F.count(F.lit(1)), F.sum(F.col("ok").cast("long")),
+            F.sum(F.col("keeper").cast("long")), F.sum(F.col("sampled").cast("long")),
+        ).collect()
+
+    timed("curation_funnel_sec", curation_funnel, n=1)
+
     # --- embeddings: 64-dim deterministic vectors
     emb = spark.range(0, 50_000, 1, 16).select(
         F.col("id").alias("vec_id"),

@@ -230,3 +230,25 @@ def test_round3_query_plan_shapes(spark, sf_dir):
         p = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert ok(p), f"{name} plan shape regressed:\n{p}"
         assert "CartesianProduct" not in p, name
+
+
+def test_ranked_window_pushes_group_limit(spark, sf_dir):
+    """Top-k-per-group must run as the two-phase shape: a map-side
+    WindowGroupLimit (local top-k per task) BELOW the exchange, so the
+    shuffle carries at most k rows per group per task instead of the
+    whole fact — the difference between shuffling 3×P rows and 600B at
+    100 TB. Spark's rank-limit pushdown provides it; this test pins it."""
+    p = plan_of(REGISTRY["top3_orders_per_priority"].fn(spark, sf_dir))
+    m = re.findall(r"^\(\d+\) (WindowGroupLimit|Exchange|Window)\b", p, re.MULTILINE)
+    assert m.count("WindowGroupLimit") == 2, p  # partial (map-side) + final
+    assert m.index("WindowGroupLimit") < m.index("Exchange"), p
+
+
+def test_documents_scan_prunes_columns(spark, sf_dir):
+    """Text-quality queries must not drag the whole documents row through
+    the scan: ReadSchema stays at the referenced columns."""
+    p = plan_of(REGISTRY["gopher_quality_flags"].fn(spark, sf_dir))
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert rs is not None, p
+    cols = {c.split(":")[0] for c in rs.group(1).split(",") if c}
+    assert cols == {"source", "text"}, cols
