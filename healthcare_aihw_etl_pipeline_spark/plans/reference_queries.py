@@ -1365,3 +1365,76 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_year")
     )
+
+
+@register(
+    "sole_problem_supplier",
+    # TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same
+    # fact ("some line of mine is flagged AND no other supplier's line in
+    # the order is"), decorrelated into two stacked aggregations + a
+    # join back — all-integer counts, so the filter is exact.
+    oracle="""
+    WITH per_os AS (
+      SELECT l_orderkey, l_suppkey,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r_os
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_o AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, CAST(SUM(r_os) AS BIGINT) AS r_total
+      FROM per_os GROUP BY 1
+    ),
+    sole AS (
+      SELECT s.l_suppkey, COUNT(*) AS n_orders
+      FROM per_os s JOIN per_o o USING (l_orderkey)
+      WHERE o.n_supp >= 2 AND s.r_os > 0 AND s.r_os = o.r_total
+      GROUP BY 1
+    )
+    SELECT sp.s_name, sole.n_orders
+    FROM sole JOIN supplier sp ON sole.l_suppkey = sp.s_suppkey
+    ORDER BY sole.n_orders DESC, sp.s_name ASC LIMIT 10
+    """,
+    doc="Sole-problem supplier (TPC-H Q21 shape): in multi-supplier "
+    "orders, the supplier whose lines are the ONLY flagged ones — the "
+    "correlated EXISTS/NOT-EXISTS pair decorrelated WITHOUT a self-join: "
+    "per-order totals are window aggregates over the per-(order,"
+    "supplier) rollup (a DataFrame self-join would duplicate the whole "
+    "scan+shuffle subplan — Spark materializes no CTE; measured 3 "
+    "FileScans and zero exchange reuse on the join form). One explicit "
+    "fact shuffle on l_orderkey that the rollup (subset-clustering "
+    "rule), the window, and its sort all reuse; window partitions are "
+    "order-sized (≤ suppliers per order), so no skew. The supplier "
+    "rollup + broadcast name join + TakeOrderedAndProject are "
+    "metadata-sized.",
+)
+def sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    fact = li.select("l_orderkey", "l_suppkey", "l_returnflag").repartition(
+        "l_orderkey"
+    )
+    per_os = fact.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("r_os")
+    )
+    w = Window.partitionBy("l_orderkey")
+    sole = (
+        per_os.select(
+            "l_suppkey",
+            "r_os",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum("r_os").over(w).alias("r_total"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("r_os") > 0) & (F.col("r_os") == F.col("r_total")))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        sole.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "n_orders")
+        .orderBy(F.desc("n_orders"), F.asc("s_name"))
+        .limit(10)
+    )
