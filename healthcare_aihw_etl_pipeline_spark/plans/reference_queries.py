@@ -1438,3 +1438,34 @@ def sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("s_name"))
         .limit(10)
     )
+
+
+@register(
+    "status_listagg_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+             AS statuses,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Deterministic LISTAGG (collect_set → sort → join): the "
+    "grouped string-aggregation reporting surface. Sorting inside the "
+    "aggregate makes the result partition-order-independent — raw "
+    "collect_list/string_agg output depends on merge order and would "
+    "never hash-match across engines. collect_set partials merge "
+    "map-side; state is bounded by the distinct-status domain, not the "
+    "row count.",
+)
+def status_listagg_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

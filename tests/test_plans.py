@@ -232,6 +232,19 @@ def test_round3_query_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in p, name
 
 
+def test_q21_window_decorrelation_single_fact_shuffle(spark, sf_dir):
+    """sole_problem_supplier must stay the window-decorrelated form: 2
+    FileScans (fact + supplier) — a self-join would duplicate the whole
+    fact subplan (3 scans, no exchange reuse, measured) — and exactly
+    one fact-sized exchange (the explicit l_orderkey repartition) plus
+    the candidate-set supplier rollup."""
+    df = REGISTRY["sole_problem_supplier"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FileScan") == 2, p
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert sum(1 for k in keys if k.startswith("l_orderkey")) == 1, keys
+
+
 def test_ranked_window_pushes_group_limit(spark, sf_dir):
     """Top-k-per-group must run as the two-phase shape: a map-side
     WindowGroupLimit (local top-k per task) BELOW the exchange, so the
