@@ -317,19 +317,18 @@ def _stopword_sql_lists() -> dict[str, str]:
     }
 
 
-def _quality_profile_oracle() -> str:
-    """Replay lang_id + quality_score (operators.text) in DuckDB SQL.
+def _quality_doc_cte() -> str:
+    """Per-document lang_id + quality_score replay as a DuckDB CTE chain.
 
-    Every arithmetic step mirrors the Spark expression order exactly
-    (IEEE doubles are deterministic given identical op order); the final
-    6dp round on both sides absorbs any residual last-ulp risk. Tie-break
-    CASE chain == the declared-order strict-'>' loop: a language wins iff
-    it is the first in (en, es, de, fr) attaining the positive maximum.
+    Yields ``labeled(doc_id, source, pred_lang, q)``. Shared by every
+    oracle that needs the per-doc quality arithmetic (profile grouping,
+    keep-best dedup) so the replayed expression can never drift between
+    them.
     """
     sw = _stopword_sql_lists()
     return f"""
-    WITH feats AS (
-      SELECT source,
+    feats AS (
+      SELECT doc_id, source,
              len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
              greatest(length(text), 1) AS total_chars,
              list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks,
@@ -341,7 +340,7 @@ def _quality_profile_oracle() -> str:
              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens
       FROM documents
     ), scored AS (
-      SELECT source,
+      SELECT doc_id, source,
              len(list_intersect(toks, {sw['en']})) AS s_en,
              len(list_intersect(toks, {sw['es']})) AS s_es,
              len(list_intersect(toks, {sw['de']})) AS s_de,
@@ -351,7 +350,7 @@ def _quality_profile_oracle() -> str:
              n_chars / greatest(n_tokens, 1.0) AS mean_tok
       FROM feats
     ), labeled AS (
-      SELECT source,
+      SELECT doc_id, source,
              CASE WHEN CAST(cjk AS DOUBLE) / total_chars > 0.2 THEN 'zh'
                   WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
                   WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
@@ -369,7 +368,13 @@ def _quality_profile_oracle() -> str:
              + (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 12.0 THEN 1.0
                      ELSE 0.5 END) * 0.15 AS q
       FROM scored
-    )
+    )"""
+
+
+def _quality_profile_oracle() -> str:
+    """Grouped lang/quality profile over the shared per-doc replay."""
+    return f"""
+    WITH {_quality_doc_cte()}
     SELECT source, pred_lang,
            COUNT(*) AS n_docs,
            ROUND(MIN(q), 6) AS min_q,
@@ -1493,3 +1498,142 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (stage, n_docs, total_tokens)"
         )
     ).orderBy("stage")
+
+
+def _keep_best_oracle() -> str:
+    """Keep-best dedup replay: sketch clusters × per-doc quality."""
+    return f"""
+    WITH {_quality_doc_cte()},
+    fp AS (
+      SELECT doc_id,
+             array_to_string(list_slice(list_sort(list_distinct(
+               list_transform(
+                 range(1, greatest(length(trim(text)) - 7, 1) + 1),
+                 i -> md5(substr(trim(text), CAST(i AS INT), 8))))), 1, 4),
+               ',') AS fingerprint
+      FROM documents
+    ),
+    scored_fp AS (
+      SELECT f.fingerprint, f.doc_id, ROUND(l.q, 6) AS q
+      FROM fp f JOIN labeled l ON f.doc_id = l.doc_id
+    ),
+    ranked AS (
+      SELECT fingerprint, doc_id, q,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY q DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS n_docs
+      FROM scored_fp
+    )
+    SELECT fingerprint, doc_id AS keeper_doc_id, q AS best_q, n_docs
+    FROM ranked WHERE rn = 1 AND n_docs > 1
+    """
+
+
+@register(
+    "dedup_keep_best",
+    oracle=_keep_best_oracle(),
+    doc="Keep-best near-dup dedup: within each fingerprint-sketch "
+    "cluster, keep the HIGHEST-quality document (min doc_id on ties) "
+    "instead of round-1's min-id policy — the curation rule real "
+    "pipelines want (drop the boilerplate copy, keep the clean one). "
+    "One groupBy on the sketch key with max_by map-side combine — no "
+    "window over the cluster, so a hot boilerplate cluster cannot "
+    "pin a single task. Quality is rounded to 6dp BEFORE the argmax "
+    "so both engines rank identical keys; doc_id breaks exact ties.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import (
+        quality_score,
+        rolling_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.array_join(rolling_fingerprint("text", portable=True), ",").alias(
+            "fingerprint"
+        ),
+        F.round(quality_score("text"), 6).alias("q"),
+    )
+    # argmax via max_by over (q, -doc_id): max quality, then MIN doc_id —
+    # an aggregate (partial-merge-able), not a per-cluster window.
+    return (
+        scored.groupBy("fingerprint")
+        .agg(
+            F.max_by("doc_id", F.struct(F.col("q"), (-F.col("doc_id")).alias("nd"))).alias(
+                "keeper_doc_id"
+            ),
+            F.max("q").alias("best_q"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select("fingerprint", "keeper_doc_id", "best_q", "n_docs")
+    )
+
+
+@register(
+    "oov_rate_by_source",
+    # Tokenizer-coverage audit: vocab = top-1000 train-split tokens
+    # (count DESC, token ASC — fully deterministic at the boundary),
+    # OOV rate measured on the test split per source.
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM toks WHERE split = 'train'
+      GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT 1000
+    )
+    SELECT t.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS oov_rate
+    FROM (SELECT * FROM toks WHERE split = 'test') t
+    LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.source
+    """,
+    doc="Out-of-vocabulary audit (tokenizer coverage): build a "
+    "top-1000 vocabulary from the train split (global top-k over the "
+    "token rollup — TakeOrderedAndProject, not a single-partition "
+    "sort), broadcast it, and measure per-source OOV rates on the "
+    "test split. The vocab boundary is deterministic (count DESC, "
+    "token ASC); the train/test assignment is the md5 hash split, so "
+    "the whole audit replays bit-identically in DuckDB.",
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        hash_split("doc_id").alias("split"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = (
+        toks.where(F.col("split") == "train")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    test = toks.where(F.col("split") == "test")
+    oov = F.col("in_vocab").isNull()
+    return (
+        test.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov.cast("int")).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(oov.cast("int")).cast("long") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )

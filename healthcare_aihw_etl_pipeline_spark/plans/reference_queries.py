@@ -1469,3 +1469,256 @@ def status_listagg_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+@register(
+    "customer_order_histogram",
+    # TPC-H Q13 shape: distribution of customers by order count. The
+    # scale-shaped plan aggregates the fact FIRST (one shuffle on
+    # o_custkey with map-side combine → one row per customer), then
+    # left-joins from the customer dim and re-aggregates the tiny
+    # count domain. Joining raw orders to customer before counting
+    # would shuffle the full fact through the join for nothing.
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(p.n_orders, 0) AS n_orders, COUNT(*) AS n_customers
+    FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+    GROUP BY 1
+    """,
+    doc="Customer order-count distribution (TPC-H Q13 shape): "
+    "double aggregation — count per customer (fact shuffle, map-side "
+    "combined), LEFT JOIN to keep zero-order customers, then a "
+    "histogram over the count domain (bounded by max orders/customer, "
+    "not row count).",
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "top_volume_orders",
+    # TPC-H Q18 shape: HAVING on a fact aggregate, then join the
+    # surviving keys back to the dims. l_quantity is an integer-valued
+    # double: Spark's cast("long") truncates and DuckDB's CAST rounds,
+    # identical on exact integers, so the sum and threshold are exact.
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY b.sum_qty DESC, o.o_orderkey ASC LIMIT 100
+    """,
+    doc="Large-volume orders (TPC-H Q18 shape): aggregate-then-filter "
+    "(HAVING sum_qty > 300) shrinks the fact to the few surviving "
+    "order keys BEFORE any join — the dims are probed by a relation "
+    "thousands of times smaller than lineitem. Final top-k compiles "
+    "to TakeOrderedAndProject.",
+)
+def top_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    # TPC-H Q2 shape: the correlated MIN subquery ("the supplier whose
+    # price IS the part's minimum price") decorrelated through a window
+    # minimum — one shuffle on l_partkey that the window and the
+    # tie-breaking rollup both reuse; no join of the fact to itself.
+    oracle="""
+    WITH sel AS (
+      SELECT l_partkey, p_name, l_suppkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#1'
+    ),
+    best AS (
+      SELECT l_partkey, p_name, l_suppkey, price_c,
+             MIN(price_c) OVER (PARTITION BY l_partkey) AS min_c
+      FROM sel
+    ),
+    pick AS (
+      SELECT l_partkey, p_name, min_c, MIN(l_suppkey) AS s_key
+      FROM best WHERE price_c = min_c GROUP BY 1, 2, 3
+    )
+    SELECT p.l_partkey AS p_partkey, p.p_name,
+           CAST(p.min_c AS DOUBLE) / 100.0 AS min_price,
+           s.s_name
+    FROM pick p JOIN supplier s ON p.s_key = s.s_suppkey
+    """,
+    doc="Cheapest supplier per part of one brand (TPC-H Q2 shape): "
+    "min-per-group plus the row achieving it, with a deterministic "
+    "min-suppkey tie-break. The brand filter reaches the part scan and "
+    "the 1-in-25 dim cut broadcasts into the fact probe; the window "
+    "and the equal-to-min rollup share one l_partkey shuffle (window "
+    "partitions are part-sized — no skew).",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    brand_parts = part.where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey", "p_name"
+    )
+    sel = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "p_name", "l_suppkey", cents("l_extendedprice").alias("price_c"))
+    w = Window.partitionBy("l_partkey")
+    pick = (
+        sel.withColumn("min_c", F.min("price_c").over(w))
+        .where(F.col("price_c") == F.col("min_c"))
+        .groupBy("l_partkey", "p_name", "min_c")
+        .agg(F.min("l_suppkey").alias("s_key"))
+    )
+    return pick.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        F.col("s_key") == F.col("s_suppkey"),
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "p_name",
+        dollars(F.col("min_c"), "min_price", 2),
+        "s_name",
+    )
+
+
+@register(
+    "idle_rich_customers",
+    # TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS. The
+    # above-average predicate is exact integer cross-multiplication
+    # (bal_c * n > s) — no double division whose last ulp could flip a
+    # boundary row between engines at higher parallelism.
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM customer
+      WHERE c_acctbal > 0 AND c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_balance
+    FROM customer c, pos
+    WHERE c.c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+      AND CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      )
+    GROUP BY 1
+    """,
+    doc="Idle above-average customers per segment (TPC-H Q22 shape): "
+    "segment IN-list + above-segment-average balance (scalar subquery "
+    "broadcast as a 1-row cross join; exact long cross-multiply "
+    "threshold) + anti join against recent orders. The date filter is "
+    "pushed to the orders scan, so the anti join's build side is the "
+    "recent slice, not the full fact; at 100 TB AQE picks "
+    "broadcast-anti when the slice is small.",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    segs = ["AUTOMOBILE", "MACHINERY"]
+    cust = customer.where(F.col("c_mktsegment").isin(segs)).select(
+        "c_custkey", "c_mktsegment", cents("c_acctbal").alias("bal_c")
+    )
+    stats = cust.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .where(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dollars(F.sum("bal_c"), "total_balance", 2),
+        )
+    )
+
+
+@register(
+    "important_parts_by_share",
+    # TPC-H Q11 shape: group total vs global total with a HAVING-style
+    # share threshold. The global sum is a window over the PART-LEVEL
+    # rollup (dimension-sized, ~rows = |part|), never over the fact;
+    # the share predicate is exact long cross-multiplication.
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey, CAST(SUM({SQL_REV}) AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT l_partkey, r, SUM(r) OVER () AS t FROM pr)
+    SELECT l_partkey AS p_partkey,
+           {sql_dollars('r', 'part_revenue', 4)},
+           ROUND(10000.0 * r / t, 6) AS share_bp
+    FROM tot WHERE r * 10000 > t * 8
+    """,
+    doc="Important parts by revenue share (TPC-H Q11 shape): parts "
+    "holding more than 8 basis points of total revenue. One fact "
+    "shuffle builds the per-part rollup; the grand total is a window "
+    "over that rollup (single-partition, but over |part| rows, not "
+    "the fact), and the threshold compares exact longs cross-"
+    "multiplied — immune to division ulp at any parallelism.",
+)
+def important_parts_by_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_revenue()).alias("r"))
+    return (
+        per_part.withColumn("t", F.sum("r").over(Window.partitionBy()))
+        .where(F.col("r") * 10000 > F.col("t") * 8)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            dollars(F.col("r"), "part_revenue", 4),
+            F.round(F.lit(10000.0) * F.col("r") / F.col("t"), 6).alias("share_bp"),
+        )
+    )

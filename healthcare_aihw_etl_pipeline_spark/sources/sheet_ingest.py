@@ -285,6 +285,34 @@ def sheets_to_distributed(
     )
 
 
+def iter_tidy_records(year, rows):
+    """Pure-Python per-sheet parse: yield tidy long records
+    ``(year, state, separations, dim_keys, dim_vals)`` from one raw
+    sheet. The single executor-side parse core shared by the
+    mapInPandas kernel below and the ``aihw_sheets`` Python
+    DataSource (sources/sheet_datasource.py); invalid sheets yield
+    nothing."""
+    rows = [list(r) for r in rows]
+    schema = infer_schema(rows)
+    if schema is None:
+        return
+    kept = [(i, n) for i, n in enumerate(schema.colmap) if n is not None]
+    first_id = schema.id_cols[0]
+    for r in rows[schema.header_idx + 1 :]:
+        cells = {n: (r[i] if i < len(r) else None) for i, n in kept}
+        if cells.get(first_id) is None:  # F1
+            continue
+        vals = [
+            "nan" if cells.get(c) is None else clean_text_py(cells[c])
+            for c in schema.id_cols
+        ]  # X2 (+ pandas astype(str) NaN → "nan" parity)
+        for st in schema.state_cols:
+            v = _try_double_py(cells.get(st))  # X3
+            if v is None:  # F2
+                continue
+            yield int(year), st, v, list(schema.id_cols), vals
+
+
 def _parse_sheets_batch(batches):
     """mapInPandas kernel: parse each sheet's rows into tidy long records
     with dims packed as a map. Runs entirely executor-side."""
@@ -299,29 +327,12 @@ def _parse_sheets_batch(batches):
         dim_keys: list[list[str]] = []
         dim_vals: list[list[str]] = []
         for year, rows in zip(pdf["year"], pdf["rows"]):
-            rows = [list(r) for r in rows]
-            schema = infer_schema(rows)
-            if schema is None:
-                continue
-            kept = [(i, n) for i, n in enumerate(schema.colmap) if n is not None]
-            first_id = schema.id_cols[0]
-            for r in rows[schema.header_idx + 1 :]:
-                cells = {n: (r[i] if i < len(r) else None) for i, n in kept}
-                if cells.get(first_id) is None:  # F1
-                    continue
-                vals = [
-                    "nan" if cells.get(c) is None else clean_text_py(cells[c])
-                    for c in schema.id_cols
-                ]  # X2 (+ pandas astype(str) NaN → "nan" parity)
-                for st in schema.state_cols:
-                    v = _try_double_py(cells.get(st))  # X3
-                    if v is None:  # F2
-                        continue
-                    years.append(int(year))
-                    states.append(st)
-                    seps.append(v)
-                    dim_keys.append(list(schema.id_cols))
-                    dim_vals.append(vals)
+            for yr, st, v, dk, dv in iter_tidy_records(year, rows):
+                years.append(yr)
+                states.append(st)
+                seps.append(v)
+                dim_keys.append(dk)
+                dim_vals.append(dv)
         # Explicit dtypes: a partition with zero valid rows would default
         # its empty columns to float64, which Arrow cannot convert to
         # list<string>.

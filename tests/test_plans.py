@@ -265,3 +265,45 @@ def test_documents_scan_prunes_columns(spark, sf_dir):
     assert rs is not None, p
     cols = {c.split(":")[0] for c in rs.group(1).split(",") if c}
     assert cols == {"source", "text"}, cols
+
+
+def test_new_tpch_shape_plans(spark, sf_dir):
+    """Q13/Q18/Q2/Q22/Q11-shape plan budgets: facts aggregate BELOW
+    joins (the dim probe sees the rollup, not the raw fact), window
+    decorrelation shares one fact shuffle, threshold filters reach the
+    scans, and the keep-best/OOV curation ops keep partial aggregation
+    below their single group shuffle."""
+    shapes = {
+        # per-customer rollup exchange + histogram exchange; customer
+        # joins the ROLLUP (broadcast at this scale), never raw orders.
+        "customer_order_histogram": lambda p: shuffle_count(p) == 2,
+        # HAVING-aggregate first (1 shuffle), dims probed by the
+        # surviving keys, top-k compiles to TakeOrderedAndProject.
+        "top_volume_orders": lambda p: shuffle_count(p) == 1
+        and "TakeOrderedAndProject" in p,
+        # window-min + tie-break rollup share ONE l_partkey exchange;
+        # brand cut is pushed into the part scan and broadcast.
+        "cheapest_supplier_per_part": lambda p: shuffle_count(p) == 1
+        and re.search(r"PushedFilters:.*EqualTo\(p_brand,Brand#1\)", p) is not None,
+        # date slice pushed to the orders scan; 1-row stats broadcast.
+        "idle_rich_customers": lambda p: re.search(
+            r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", p
+        )
+        is not None,
+        # global total is a window over the PART rollup: the single-
+        # partition exchange sits above the per-part aggregate.
+        "important_parts_by_share": lambda p: shuffle_count(p) == 2,
+        # argmax is an aggregate with a map-side partial (SortAggregate
+        # pair around the exchange), NOT a per-cluster window.
+        "dedup_keep_best": lambda p: shuffle_count(p) == 1
+        and "Window" not in p,
+        # vocab = TakeOrderedAndProject over the token rollup, then
+        # broadcast into the test-split probe.
+        "oov_rate_by_source": lambda p: "TakeOrderedAndProject" in p
+        and "BroadcastHashJoin" in p
+        and shuffle_count(p) == 2,
+    }
+    for name, ok in shapes.items():
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert ok(p), f"{name} plan shape regressed:\n{p}"
+        assert "CartesianProduct" not in p, name
