@@ -34,6 +34,7 @@ def asof_join(
     ts: str,
     value_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest `ts`
     satisfying ``right.ts <= left.ts`` within the same `on` keys
@@ -42,7 +43,14 @@ def asof_join(
     `value_cols` are the right-side columns to carry (each appears in the
     output as ``<name><suffix>``; `ts` itself may be included). Left
     columns pass through unchanged.
+
+    ``direction="forward"`` flips the match to the SMALLEST right ts
+    satisfying ``right.ts >= left.ts`` (next-upcoming instead of
+    most-recent-prior) — the identical one-shuffle window pass with the
+    time axis reversed; equal timestamps still match (inclusive).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     on = list(on)
     value_cols = list(value_cols)
     l_tagged = left.withColumn("_tag", F.lit(1))
@@ -64,10 +72,13 @@ def asof_join(
     both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     # Right rows sort BEFORE left rows at equal ts (tag 0 < 1) → inclusive
-    # "at or before" semantics, matching ASOF JOIN's <=.
+    # "at or before" semantics, matching ASOF JOIN's <=. Forward mode
+    # walks the time axis in reverse, so "carried" becomes the nearest
+    # right row at-or-AFTER the left row.
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .orderBy(ts_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     both = both.withColumn("_carried", F.last("_rv", ignorenulls=True).over(w))
@@ -85,6 +96,7 @@ def asof_join_cogrouped(
     ts: str,
     value_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """Cogrouped-pandas twin of :func:`asof_join` — the fourth member of
     the pandas-API matrix (mapInPandas, applyInPandas,
@@ -130,7 +142,7 @@ def asof_join_cogrouped(
             ]
         )
         return pd.merge_asof(
-            l_sorted, r_sorted, on=ts, direction="backward", suffixes=("", suffix)
+            l_sorted, r_sorted, on=ts, direction=direction, suffixes=("", suffix)
         )[[*left_cols, *[f"{c}{suffix}" for c in value_cols]]]
 
     return (

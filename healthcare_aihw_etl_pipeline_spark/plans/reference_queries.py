@@ -1722,3 +1722,247 @@ def important_parts_by_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(10000.0) * F.col("r") / F.col("t"), 6).alias("share_bp"),
         )
     )
+
+
+@register(
+    "shipping_priority_top10",
+    # TPC-H Q3 shape: segment slice x two date slices -> top-10 orders
+    # by outstanding revenue. Both date filters and the segment filter
+    # reach their scans; revenue aggregates per order in one shuffle;
+    # the top-10 compiles to TakeOrderedAndProject.
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dollars(f'SUM({SQL_REV})', 'revenue', 4)},
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+    """,
+    doc="Shipping-priority top-10 (TPC-H Q3 shape): unshipped revenue "
+    "of one market segment — both date predicates and the segment cut "
+    "are pushed into their parquet scans, the slice aggregates per "
+    "order key in one shuffle, and the final top-10 is "
+    "TakeOrderedAndProject (never a global sort).",
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = (
+        li.where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", _revenue().alias("rev"))
+        .join(
+            orders.where(F.col("o_orderdate") < cutoff).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").alias("rev"))
+        .select(
+            "l_orderkey",
+            dollars(F.col("rev"), "revenue", 4),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "cross_nation_shipping",
+    # TPC-H Q7 shape: supplier-nation x customer-nation trade lanes.
+    # The two nation lookups are the SAME broadcast dim joined twice
+    # under different aliases; the fact is probed once, the pair filter
+    # (both IN-lists + inequality) applies before aggregation.
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           {sql_dollars(f'SUM({SQL_REV})', 'revenue', 4)}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+      AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="Cross-nation trade lanes (TPC-H Q7 shape): revenue between "
+    "distinct nation pairs per ship year. supplier+nation and "
+    "customer+nation collapse to two key->nation relations (the nation "
+    "dim broadcast twice under different aliases); the IN-list cuts "
+    "apply inside those dim reductions, so the fact only joins rows "
+    "that can still qualify; one aggregation shuffle on the "
+    "(pair, year) domain.",
+)
+def cross_nation_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name").isin(nations))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_nation = (
+        customer.join(
+            F.broadcast(nation.where(F.col("n_name").isin(nations))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    order_nation = orders.select("o_orderkey", "o_custkey").join(
+        cust_nation, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate", _revenue().alias("rev"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(order_nation, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum("rev").alias("rev"))
+        .select(
+            "supp_nation", "cust_nation", "ship_year",
+            dollars(F.col("rev"), "revenue", 4),
+        )
+    )
+
+
+@register(
+    "returned_item_top_customers",
+    # TPC-H Q10 shape: returned-revenue top-20 customers in one order
+    # half-year. The fact slice (returnflag + order-date range) shrinks
+    # before the customer/nation probe; top-20 is TakeOrderedAndProject.
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dollars(f'SUM({SQL_REV})', 'lost_revenue', 4)},
+           c.c_acctbal, n.n_name
+    FROM lineitem l
+    JOIN orders o  ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n  ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY lost_revenue DESC, c.c_custkey ASC LIMIT 20
+    """,
+    doc="Returned-item top customers (TPC-H Q10 shape): revenue lost "
+    "to returns per customer over one half-year of orders. The "
+    "returnflag filter is pushed to the lineitem scan and the date "
+    "range to the orders scan; revenue pre-aggregates per order key "
+    "below the customer join (map-side combined), nation broadcasts, "
+    "and the top-20 compiles to TakeOrderedAndProject.",
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_by_order = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", _revenue().alias("rev"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    sliced_orders = orders.where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        rev_by_order.join(sliced_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+        .join(
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey", "c_name",
+            dollars(F.col("rev"), "lost_revenue", 4),
+            "c_acctbal", "n_name",
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "disjunctive_brand_revenue",
+    # TPC-H Q19 shape: a disjunction of conjunctive (brand, size,
+    # quantity) envelopes. Catalyst pushes the WHOLE Or tree to both
+    # scans (parquet row-group pruning on either branch) — the plan
+    # test pins Or(...) inside PushedFilters.
+    oracle=f"""
+    SELECT COUNT(*) AS n_lines,
+           {sql_dollars(f'SUM({SQL_REV})', 'revenue', 4)}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+    """,
+    doc="Disjunctive predicate revenue (TPC-H Q19 shape): OR of "
+    "conjunctive (brand, size, quantity) envelopes. The per-side "
+    "residues of the Or tree are pushed into BOTH parquet scans "
+    "(quantity bounds to lineitem, brand/size bounds to part — "
+    "row-group pruning fires on either branch), with the cross-table "
+    "conjunctions applied at the join. Single-row output, one "
+    "broadcast probe of the filtered part dim.",
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & qty.between(1, 20)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & qty.between(10, 40)
+    )
+    return (
+        li.select("l_partkey", "l_quantity", _revenue().alias("rev"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(branch1 | branch2)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dollars(F.sum("rev"), "revenue", 4),
+        )
+    )

@@ -1,9 +1,11 @@
 from healthcare_aihw_etl_pipeline_spark.streaming.events import (
     EVENTS_RAW_SCHEMA,
     dedup_within_watermark,
+    enrich_with_user_dim,
     hourly_event_counts,
     interval_join_clicks_to_purchases,
     read_event_stream,
+    user_first_seen_dim,
     session_windows,
     sliding_event_counts,
     user_running_totals,
@@ -13,9 +15,11 @@ from healthcare_aihw_etl_pipeline_spark.streaming.events import (
 __all__ = [
     "EVENTS_RAW_SCHEMA",
     "dedup_within_watermark",
+    "enrich_with_user_dim",
     "hourly_event_counts",
     "interval_join_clicks_to_purchases",
     "read_event_stream",
+    "user_first_seen_dim",
     "session_windows",
     "sliding_event_counts",
     "user_running_totals",

@@ -403,3 +403,46 @@ def write_stream_upsert_partitions(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_with_user_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a slowly-changing
+    user dimension (cohort, tier, first-seen date, ...).
+
+    Spark's stream-static join re-evaluates the STATIC side's plan each
+    micro-batch — a dim UPDATE between batches is picked up without
+    restarting the query (the unified-engine alternative to a dimension
+    cache with TTL). The static side should be broadcast-sized or
+    bucketed on the key; no state store is involved (unlike
+    stream-stream joins), so there is no watermark requirement for the
+    join itself.
+
+    Left join keeps unmatched events (a brand-new user's events arrive
+    before the dim refresh lands) with NULL dim columns — the standard
+    late-arriving-dimension posture."""
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def user_first_seen_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic user dimension derived from the batch events
+    table: first-seen timestamp and a stable engagement cohort. Stands
+    in for an external SCD table in tests; any (user_id, attrs) relation
+    joins through enrich_with_user_dim identically."""
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "first_seen",
+            F.when(F.col("n_events") >= 100, F.lit("heavy"))
+            .when(F.col("n_events") >= 10, F.lit("regular"))
+            .otherwise(F.lit("light"))
+            .alias("cohort"),
+        )
+    )

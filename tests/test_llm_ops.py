@@ -323,6 +323,44 @@ def test_asof_join_null_value_and_null_ts(spark):
     assert out["b"] is None   # NULL-ts right row dropped, no leak
 
 
+def test_asof_join_forward_direction(spark):
+    """Forward mode: smallest right ts >= left ts (inclusive), NULL when
+    nothing follows — the native window form and the cogrouped
+    merge_asof twin must agree row-for-row."""
+    from healthcare_aihw_etl_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 160, "b"), (1, 300, "c"), (2, 50, "d")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r1"), (1, 150, "r2"), (1, 250, "r3"), (2, 40, "r4")],
+        ["k", "t", "v"],
+    )
+    native = {
+        r.tag: r.v_asof
+        for r in asof_join(
+            left, right, on=["k"], ts="t", value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert native == {
+        "a": "r1",  # equal ts matches (inclusive)
+        "b": "r3",  # next upcoming, skipping the earlier r2
+        "c": None,  # nothing follows
+        "d": None,  # right row is earlier → no forward match
+    }
+    twin = {
+        r.tag: r.v_asof
+        for r in asof_join_cogrouped(
+            left, right, on=["k"], ts="t", value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert twin == native
+
+
 def test_chunk_tokens_boundaries(spark):
     from healthcare_aihw_etl_pipeline_spark.operators.text import chunk_tokens
 

@@ -307,3 +307,31 @@ def test_new_tpch_shape_plans(spark, sf_dir):
         p = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert ok(p), f"{name} plan shape regressed:\n{p}"
         assert "CartesianProduct" not in p, name
+
+
+def test_classic_tpch_shape_plans(spark, sf_dir):
+    """Q3/Q7/Q10/Q19-shape plan budgets: date/segment/flag slices reach
+    their scans, top-k compiles to TakeOrderedAndProject, and the Q19
+    disjunction pushes its per-side residues into BOTH parquet scans."""
+    shapes = {
+        "shipping_priority_top10": lambda p: shuffle_count(p) == 1
+        and "TakeOrderedAndProject" in p
+        and re.search(r"PushedFilters:.*GreaterThan\(l_shipdate", p) is not None
+        and re.search(r"PushedFilters:.*LessThan\(o_orderdate", p) is not None,
+        "cross_nation_shipping": lambda p: shuffle_count(p) <= 3
+        and len(re.findall(r"PushedFilters:.*In\(n_name", p)) == 2,
+        "returned_item_top_customers": lambda p: shuffle_count(p) == 2
+        and "TakeOrderedAndProject" in p
+        and re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", p) is not None,
+        # the Or tree must reach BOTH scans: quantity envelopes on
+        # lineitem, brand/size envelopes on part.
+        "disjunctive_brand_revenue": lambda p: shuffle_count(p) == 1
+        and re.search(r"PushedFilters:.*Or\(And\(GreaterThanOrEqual\(l_quantity", p)
+        is not None
+        and re.search(r"PushedFilters:.*Or\(And\(EqualTo\(p_brand,Brand#1\)", p)
+        is not None,
+    }
+    for name, ok in shapes.items():
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert ok(p), f"{name} plan shape regressed:\n{p}"
+        assert "CartesianProduct" not in p, name

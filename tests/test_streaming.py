@@ -405,3 +405,38 @@ def test_stream_upsert_keyed_merge_across_batches(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got2 == want
+
+
+def test_stream_static_enrichment_matches_batch(
+    spark, sf_dir, events_stream_dir, sink_name
+):
+    """Stream-static left join: every streamed event carries the dim
+    attributes the batch join would give it — including NULL cohorts for
+    users absent from the dim (late-arriving-dimension posture)."""
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+    from healthcare_aihw_etl_pipeline_spark.streaming import (
+        enrich_with_user_dim,
+        user_first_seen_dim,
+    )
+
+    dim = user_first_seen_dim(spark, sf_dir)
+    # drop some users from the dim so the NULL path is exercised
+    dim = dim.where(F.col("user_id") % 10 != 0)
+
+    stream = read_event_stream(spark, events_stream_dir)
+    enriched = enrich_with_user_dim(
+        stream.select("event_id", "user_id"), dim
+    )
+    run_to_memory(enriched, sink_name, "append")
+    got = {
+        r.event_id: (r.user_id, r.first_seen, r.cohort)
+        for r in spark.table(sink_name).collect()
+    }
+
+    batch_events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    want = {
+        r.event_id: (r.user_id, r.first_seen, r.cohort)
+        for r in batch_events.join(dim, "user_id", "left").collect()
+    }
+    assert len(got) == len(want) and got == want
+    assert any(v[2] is None for v in got.values())  # NULL-dim path hit
