@@ -1637,3 +1637,195 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "sequence_packing",
+    # Greedy sequential packing: concat docs in (source, doc_id) order,
+    # chunk at a 512-token budget, tag each doc with the pack its FIRST
+    # token lands in. Pure window arithmetic — exact on both engines.
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens) / 512.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+    """,
+    doc="Sequence packing (the pretraining concat-then-chunk pass): "
+    "documents are concatenated in deterministic (source, doc_id) order "
+    "and cut into 512-token training sequences; each document is "
+    "assigned the pack where its first token lands via a running-sum "
+    "window — no iterative bin packing, one pass. The (source) shuffle "
+    "is shared by the window and the per-pack rollup (subset-clustering "
+    "rule: groupBy(source, pack_id) reuses the partitionBy(source) "
+    "exchange); window partitions are source-sized — at 100 TB the "
+    "partition key would be (source, shard) with shard-local doc order, "
+    "keeping every window partition executor-sized while preserving "
+    "determinism.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+@register(
+    "domain_quota_sample",
+    # Per-(source, lang) quota cap: keep the top-K docs by length
+    # (deterministic tie-break on doc_id) — the domain-balancing pass
+    # that stops one crawl domain from dominating the training mix.
+    oracle="""
+    WITH ranked AS (
+      SELECT source, lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source, lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT source, lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source, lang ORDER BY source, lang
+    """,
+    doc="Domain quota sampling: cap every (source, lang) stratum at its "
+    "20 highest-value documents (length-ranked, doc_id tie-break — any "
+    "quality score slots into the ORDER BY unchanged) and account for "
+    "what the cap kept. One shuffle on the stratum key shared by the "
+    "rank window and the rollup; window partitions are stratum-sized. "
+    "At 100 TB the rank-then-filter stays as-is for moderate strata; a "
+    "pathologically hot domain would first pre-prune with an "
+    "approximate per-stratum length threshold (quantile sketch) so the "
+    "exact window only ranks survivors.",
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source", "lang").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+    )
+    kept = F.col("rk") <= 20
+    return (
+        docs.select("source", "lang", "doc_id", "n_chars")
+        .withColumn("rk", rk)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "multimodal_byte_profile",
+    # The multimodal PLUMBING made oracle-checkable: a real binary
+    # column (utf-8 payload derived from text) flows through the same
+    # Arrow-batched mapInPandas stage shape as operators/multimodal.py's
+    # decode path, extracting byte-level features Python-side; DuckDB
+    # replays the features from the source text (ASCII corpus ->
+    # md5(text) == md5(utf8 bytes)).
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_media,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(text)) AS n_unique_payloads,
+           CAST(SUM(ascii(substr(text, 1, 1))) AS BIGINT) AS first_byte_sum
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Multimodal byte-column profile: documents' utf-8 payloads as "
+    "an opaque BINARY column, decoded feature-wise inside an "
+    "Arrow-batched mapInPandas stage (bytes arrive as Python bytes per "
+    "Arrow batch — the identical transfer shape as the FAKEv1 media "
+    "decoder in operators/multimodal.py, where decoded-bytes-per-task "
+    "is the memory envelope to size). Features (length, first byte, "
+    "payload md5) are computed Python-side to prove the batch path, "
+    "then aggregated per source with exact integer sums — fully "
+    "hash-checked against DuckDB replaying the same features from the "
+    "source text.",
+)
+def multimodal_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "source", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("first_byte", T.LongType(), True),
+            T.StructField("payload_md5", T.StringType(), True),
+        ]
+    )
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "first_byte": content.map(lambda b: b[0]).astype("int64"),
+                    "payload_md5": content.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    feats = payloads.mapInPandas(features, schema=out_schema)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("payload_md5").alias("n_unique_payloads"),
+            F.sum("first_byte").alias("first_byte_sum"),
+        )
+        .orderBy("source")
+    )

@@ -1966,3 +1966,519 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dollars(F.sum("rev"), "revenue", 4),
         )
     )
+
+
+@register(
+    "forecast_discount_revenue",
+    # TPC-H Q6 shape: pure scan-aggregate with three pushable range
+    # predicates — the canonical "did every filter reach the scan" probe.
+    oracle=f"""
+    SELECT COUNT(*) AS n_lines,
+           {sql_dollars(f"SUM({sql_cents('l_extendedprice')} * {sql_cents('l_discount')})",
+                        'discount_amount', 4)}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Revenue-forecast delta (TPC-H Q6 shape): what raising the "
+    "discount band would have cost. No join, no shuffle beyond the "
+    "final single-group combine — all three range predicates (ship "
+    "year, discount band, quantity cap) are pushed into the parquet "
+    "scan, where row-group statistics prune whole stripes at 100 TB. "
+    "The amount is exact integer 1e-4-dollar arithmetic "
+    "(price_cents x discount_cents).",
+)
+def forecast_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    amt = cents("l_extendedprice") * cents("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dollars(F.sum(amt), "discount_amount", 4),
+        )
+    )
+
+
+@register(
+    "order_priority_check",
+    # TPC-H Q4 shape: EXISTS with a correlated non-equi condition
+    # (shipped > 60 days after ordering), compiled to a left-semi join
+    # whose residual compares columns from BOTH sides.
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    doc="Order-priority service check (TPC-H Q4 shape): orders from one "
+    "half-year with at least one line shipped more than 60 days after "
+    "ordering, counted per priority. The correlated EXISTS becomes a "
+    "LEFT-SEMI join on l_orderkey with the date comparison as the join "
+    "residual — semi-join semantics mean a many-late-line order is "
+    "counted once without a distinct. The order-date slice is pushed to "
+    "the orders scan; the priority rollup is a 5-group aggregate.",
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sliced = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = li.select("l_orderkey", "l_shipdate")
+    has_late = sliced.join(
+        late,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        has_late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "local_supplier_volume",
+    # TPC-H Q5 shape: revenue kept inside one region — the
+    # customer-nation = supplier-nation equality is enforced by joining
+    # both sides through the SAME region-filtered nation dim.
+    oracle=f"""
+    SELECT n.n_name, {sql_dollars(f'SUM({SQL_REV})', 'revenue', 4)}
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                   AND s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+    doc="Local-supplier volume (TPC-H Q5 shape): revenue where the "
+    "customer and the supplier share a nation, within one region and "
+    "order year. region ⋈ nation collapses to a 5-row broadcast that "
+    "cuts BOTH dimension arms (supplier and order→customer) before the "
+    "fact is probed; the local-only rule is then a single nationkey "
+    "equality filter between the two carried keys — no extra join. One "
+    "aggregation shuffle on the 5-nation domain.",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    supp_local = supplier.join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_nationkey").alias("supp_nk"), "n_name")
+    cust_local = customer.join(
+        F.broadcast(asia_nations.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nk"))
+    order_cust = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(cust_local, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nk")
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey", _revenue().alias("rev"))
+        .join(supp_local, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(order_cust, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("supp_nk") == F.col("cust_nk"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").alias("rev"))
+        .select("n_name", dollars(F.col("rev"), "revenue", 4))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "nation_market_share",
+    # TPC-H Q8 shape: one nation's share of a region's market for one
+    # part class, per order year — conditional share over a
+    # double-dimension (customer-side region cut, supplier-side nation
+    # tag) join tree.
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           ROUND(100.0 * SUM(CASE WHEN ns.n_name = 'NATION_3' THEN {SQL_REV} ELSE 0 END)
+                 / SUM({SQL_REV}), 6) AS mkt_share_pct,
+           {sql_dollars(f'SUM({SQL_REV})', 'market_revenue', 4)}
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="National market share (TPC-H Q8 shape): NATION_3's share of "
+    "ASIA-customer revenue for STANDARD parts, per order year. The "
+    "market is defined on the CUSTOMER side (region cut through the "
+    "broadcast nation⋈region dim); the share condition tags the "
+    "SUPPLIER side's nation — the same dim broadcast twice under "
+    "different roles. Both integer sums (tagged and total) accumulate "
+    "in ONE pass; one double division per year-group at the end.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_keys = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey")
+    )
+    cust_asia = customer.join(
+        F.broadcast(asia_keys), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    order_year = (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("order_year"))
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("rev")
+    tagged = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", _revenue().alias("rev"))
+        .join(
+            F.broadcast(part.where(F.col("p_type") == "STANDARD").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(order_year, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("order_year")
+        .agg(F.sum(tagged).alias("nat_rev"), F.sum(rev).alias("tot_rev"))
+        .select(
+            "order_year",
+            F.round(F.lit(100.0) * F.col("nat_rev") / F.col("tot_rev"), 6).alias(
+                "mkt_share_pct"
+            ),
+            dollars(F.col("tot_rev"), "market_revenue", 4),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "product_type_profit",
+    # TPC-H Q9 shape: profit (revenue minus a retail-cost book value)
+    # per supplier nation and order year, for one part-name family.
+    # Adapted: the corpus has no partsupp, so unit cost is
+    # p_retailprice (the join is li ⋈ part instead of li ⋈ partsupp).
+    oracle=f"""
+    SELECT n.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           {sql_dollars(
+               f"SUM({SQL_REV} - CAST(l.l_quantity AS BIGINT) * {sql_cents('p.p_retailprice')} * 100)",
+               'profit', 4)}
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Product-family profit (TPC-H Q9 shape): revenue minus booked "
+    "retail cost (quantity x p_retailprice — the corpus's stand-in for "
+    "partsupp.ps_supplycost) per supplier nation and order year, for "
+    "parts named like '%gear%'. The name filter prunes the broadcast "
+    "part dim to ~1/12 before the fact probe; profit is exact integer "
+    "1e-4-dollar arithmetic on both engines (quantity is a whole-valued "
+    "double, cast to long loss-free), so sums may go negative without "
+    "any float drift. One aggregation shuffle on the (nation, year) "
+    "domain.",
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    profit = _revenue() - F.col("l_quantity").cast("long") * cents(
+        "p_retailprice"
+    ) * F.lit(100)
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                  "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(
+                part.where(F.col("p_name").like("%gear%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "l_suppkey", profit.alias("profit"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").cast("long").alias("order_year")
+        )
+        .agg(F.sum("profit").alias("p"))
+        .select("supp_nation", "order_year", dollars(F.col("p"), "profit", 4))
+        .orderBy("supp_nation", "order_year")
+    )
+
+
+@register(
+    "late_shipment_priority_mix",
+    # TPC-H Q12 shape: conditional priority counts over a late-shipment
+    # slice. Adapted: no l_shipmode/commitdate in the corpus — the
+    # "mode" group is l_returnflag and lateness is ship > order + 30d.
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+    doc="Late-shipment priority mix (TPC-H Q12 shape): lines shipped "
+    "more than 30 days after ordering in one ship year, split into "
+    "high- vs low-priority counts per return flag. The ship-year slice "
+    "is pushed to the lineitem scan; the cross-table lateness "
+    "comparison is the join residual; both CASE counts accumulate in "
+    "one pass (no second scan, no pivot).",
+)
+def late_shipment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(is_high.cast("long")).alias("high_line_count"),
+            F.sum((~is_high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    # TPC-H Q15 shape: the supplier(s) achieving MAX quarterly revenue —
+    # a scalar-subquery max evaluated as a window over the per-supplier
+    # rollup, keeping ties (the reason Q15 is not a LIMIT 1).
+    oracle=f"""
+    WITH supp_rev AS (
+      SELECT l_suppkey, SUM({SQL_REV}) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name, {sql_dollars('r.rev', 'total_revenue', 4)}
+    FROM supp_rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rev = (SELECT MAX(rev) FROM supp_rev)
+    ORDER BY s.s_name
+    """,
+    doc="Top revenue supplier (TPC-H Q15 shape): supplier(s) with the "
+    "maximum revenue in one quarter — ALL ties kept, which is why this "
+    "is a max-equality filter, not ORDER BY ... LIMIT 1. The scalar "
+    "subquery is an unpartitioned window max over the PER-SUPPLIER "
+    "rollup (supplier-cardinality, metadata-sized after the one fact "
+    "shuffle — never over fact rows), so the fact is scanned once; the "
+    "name join broadcasts.",
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    supp_rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .select("l_suppkey", _revenue().alias("rev"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    mx = F.max("rev").over(Window.partitionBy())
+    return (
+        supp_rev.withColumn("mx", mx)
+        .where(F.col("rev") == F.col("mx"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", dollars(F.col("rev"), "total_revenue", 4))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "supplier_variety_by_part_class",
+    # TPC-H Q16 shape: distinct-supplier counts per part class, with a
+    # NOT-IN supplier exclusion. The part-supplier relation is the
+    # distinct (l_partkey, l_suppkey) projection of lineitem (the
+    # corpus's stand-in for partsupp).
+    oracle="""
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_size ASC
+    """,
+    doc="Supplier variety per part class (TPC-H Q16 shape): how many "
+    "distinct qualifying suppliers serve each (brand, size) class. The "
+    "part-supplier relation is distinct (l_partkey, l_suppkey) — one "
+    "fact shuffle that AQE coalesces; the brand/type/size cuts prune "
+    "the broadcast part dim BEFORE the join; the NOT-IN complaint-list "
+    "stand-in (negative-balance suppliers) is a broadcast LEFT-ANTI "
+    "join (safe here: s_suppkey is never NULL, so NOT IN == anti-join); "
+    "COUNT(DISTINCT) re-shuffles only the surviving class rows.",
+)
+def supplier_variety_by_part_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    good_parts = part.where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad_suppliers = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(good_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+@register(
+    "concentrated_recent_suppliers",
+    # TPC-H Q20 shape: nested aggregate threshold -> semi-join into the
+    # supplier dim. Adapted: "excess availqty" becomes "recent-quantity
+    # concentration" (no partsupp in the corpus).
+    oracle="""
+    WITH ps AS (
+      SELECT l.l_suppkey,
+             SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '2000-07-01 00:00:00'
+                      THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS qty_recent,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS qty_total
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM ps WHERE 4 * qty_recent > qty_total)
+    ORDER BY s.s_name
+    """,
+    doc="Recent-concentration suppliers (TPC-H Q20 shape): suppliers "
+    "whose shipments of 'small%' parts concentrate in the most recent "
+    "period (>25% of lifetime quantity since mid-2000). The part-name "
+    "cut is a broadcast semi-join into the fact; the per-supplier "
+    "quantity rollup computes both the windowed and lifetime sums in "
+    "ONE pass (conditional aggregation, exact long quantities); the "
+    "threshold filter then SEMI-joins into supplier ⋈ nation — the "
+    "fact is scanned once and never joined to a dimension row it "
+    "cannot qualify.",
+)
+def concentrated_recent_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    small_parts = part.where(F.col("p_name").like("small%")).select("p_partkey")
+    qty = F.col("l_quantity").cast("long")
+    recent = F.when(
+        F.col("l_shipdate") >= F.lit("2000-07-01 00:00:00").cast("timestamp_ntz"), qty
+    ).otherwise(F.lit(0))
+    hot = (
+        li.select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(recent).alias("qty_recent"), F.sum(qty).alias("qty_total"))
+        .where(F.lit(4) * F.col("qty_recent") > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(hot, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

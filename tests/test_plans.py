@@ -335,3 +335,74 @@ def test_classic_tpch_shape_plans(spark, sf_dir):
         p = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert ok(p), f"{name} plan shape regressed:\n{p}"
         assert "CartesianProduct" not in p, name
+
+
+def test_remaining_tpch_shape_plans(spark, sf_dir):
+    """Q4/Q5/Q6/Q8/Q9/Q12/Q15/Q16/Q20-shape plan budgets — with these,
+    all 22 TPC-H query shapes are pinned. The invariants are the ones
+    that matter at 100 TB: range predicates reach the parquet scan
+    (row-group pruning), EXISTS compiles to a semi-join (never a
+    distinct-then-inner), scalar-subquery maxima run over rollups
+    rather than fact rows, and no shape exceeds its shuffle budget."""
+    shapes = {
+        # Q6: only the single-partition combine exchange (carrying one
+        # partial row per task); all three range cuts in PushedFilters.
+        "forecast_discount_revenue": lambda p: shuffle_count(p) == 1
+        and re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", p)
+        and re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_discount,0.05\)", p)
+        and re.search(r"PushedFilters:.*LessThan\(l_quantity,24.0\)", p),
+        # Q4: the correlated EXISTS is a LeftSemi with the 60-day
+        # comparison as join residual, order-date slice pushed.
+        "order_priority_check": lambda p: "LeftSemi" in p
+        and re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", p),
+        # Q5: two key-partitioned joins + the 5-nation agg (AQE shrinks
+        # the join sides to broadcast at runtime); the region cut
+        # reaches both dimension arms via broadcast.
+        "local_supplier_volume": lambda p: shuffle_count(p) <= 4
+        and len(re.findall(r"BroadcastExchange", p)) >= 2
+        and len(re.findall(r"PushedFilters:.*EqualTo\(r_name,ASIA\)", p)) == 2,
+        # Q12: ship-year slice pushed; single aggregation shuffle; both
+        # CASE counts in one HashAggregate pass (no pivot/Expand).
+        "late_shipment_priority_mix": lambda p: shuffle_count(p) <= 2
+        and re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", p)
+        and "Expand" not in p,
+        # Q15: the window max runs AFTER the per-supplier HashAggregate
+        # (over the rollup, not fact rows), and ties survive (no limit).
+        "top_revenue_suppliers": lambda p: "Window" in p
+        and "TakeOrderedAndProject" not in p.split("Window")[0]
+        and re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", p),
+        # Q16: part cuts pruned into the broadcast dim scan; the NOT-IN
+        # exclusion is a broadcast anti-join, not a shuffled subquery.
+        "supplier_variety_by_part_class": lambda p: "LeftAnti" in p
+        and re.search(r"PushedFilters:.*Not\(EqualTo\(p_brand,Brand#5\)\)", p)
+        and re.search(r"PushedFilters:.*LessThan\(s_acctbal,0.0\)", p),
+        # Q20: part-name semi probe + supplier semi probe, one rollup
+        # shuffle; the name LIKE is pushed as StringStartsWith.
+        "concentrated_recent_suppliers": lambda p: p.count("LeftSemi") >= 2
+        and re.search(r"PushedFilters:.*StringStartsWith\(p_name,small\)", p),
+    }
+    for name, ok in shapes.items():
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert ok(p), f"{name} plan shape regressed:\n{p}"
+        assert "CartesianProduct" not in p, name
+    # Q8/Q9 share the Q7 budget: fact probed once, nation dims broadcast
+    # (Q8 pays one extra pre-AQE exchange pair for the orders⋈customer
+    # arm, like Q5).
+    for name in ["nation_market_share", "product_type_profit"]:
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert shuffle_count(p) <= 4, f"{name}:\n{p}"
+        assert "CartesianProduct" not in p, name
+        assert len(re.findall(r"BroadcastExchange", p)) >= 2, name
+
+
+def test_curation_packing_plans(spark, sf_dir):
+    """sequence_packing / domain_quota_sample: the stratum shuffle is
+    SHARED by the window and the rollup (subset-clustering rule —
+    HashPartitioning(source) satisfies the groupBy(source, pack_id)
+    distribution), so the only other exchange is the final presentation
+    sort's range partitioning."""
+    for name in ["sequence_packing", "domain_quota_sample"]:
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert shuffle_count(p) == 2, f"{name} lost exchange reuse:\n{p}"
+        assert "Window" in p, name
+        assert "CartesianProduct" not in p, name
