@@ -28,9 +28,11 @@ from pyspark.sql import types as T
 
 from healthcare_aihw_etl_pipeline_spark.plans.registry import cents, dollars
 
-# Raw parquet schema of the events table: ts is INT64 TIMESTAMP(NANOS)
-# which Spark reads as long under the nanosAsLong legacy conf (see
-# sources.catalog.load_table).
+# Raw parquet schema of the events table when ts is INT64
+# TIMESTAMP(NANOS): Spark reads the column as long under the
+# nanosAsLong legacy conf (see sources.catalog.load_table). Corpus
+# generations with TIMESTAMP(MICROS) read ts as timestamp_ntz instead;
+# read_event_stream resolves which one the files actually carry.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -44,20 +46,27 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source event stream: nanos → integer-μs → TIMESTAMP.
+    """File-source event stream → event-time TIMESTAMP.
 
-    Unlike the batch catalog (NTZ), watermarks REQUIRE the event-time
-    column to be TIMESTAMP (with local timezone) — so the instant is
-    built directly from epoch micros (timezone-independent); only the
-    *rendering* of window bounds follows the session timezone (UTC in
-    this engine's sessions)."""
+    The streaming file source requires an explicit schema, but the
+    corpus's physical ts type has varied across generations
+    (TIMESTAMP(NANOS) → long under nanosAsLong; TIMESTAMP(MICROS) →
+    timestamp_ntz). Forcing the wrong schema silently mis-scales every
+    event time by 1000×, so the schema is resolved from the actual
+    parquet footers via a batch read (metadata-only, no rows scanned).
+
+    Watermarks REQUIRE the event-time column to be TIMESTAMP (with
+    local timezone): nanos-long is rebuilt from epoch micros
+    (timezone-independent); NTZ wall time is interpreted under the
+    session clock (UTC in this engine's sessions). Only the *rendering*
+    of window bounds follows the session timezone."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(path)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(path)
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
