@@ -1829,3 +1829,305 @@ def multimodal_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "chunk_dedup_reassembly",
+    # C4-style sub-document dedup: non-overlapping 40-token chunks,
+    # global keep-FIRST occurrence (ordered by doc_id, chunk_idx), then
+    # each document is rebuilt from its surviving chunks in order. The
+    # reassembled text is verified by content hash, not just counts.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST((s - 1) / 40 AS INTEGER) AS chunk_idx,
+             array_to_string(t[s : s + 39], ' ') AS chunk_text,
+             len(t[s : s + 39]) AS n_tokens
+      FROM toks, unnest(generate_series(1, len(t), 40)) AS g(s)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                   ORDER BY doc_id, chunk_idx) AS rk
+      FROM chunks
+    ),
+    kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+             md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx)) AS new_text_hash
+      FROM ranked WHERE rk = 1 GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           COALESCE(k.new_text_hash, md5('')) AS new_text_hash
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="Sub-document (chunk-level) dedup with document reassembly — the "
+    "C4/RefinedWeb pattern where repeated boilerplate spans are removed "
+    "from inside documents, not whole documents dropped. Keep-first is "
+    "an aggregate (groupBy(chunk_hash).min(struct(doc_id, chunk_idx))) "
+    "joined back on the hash, NOT a window over the hash — map-side "
+    "partials mean a boilerplate chunk repeated in millions of docs "
+    "cannot pin one task (the round-2 de-skew rule). Reassembly sorts "
+    "each doc's surviving chunks with array_sort(collect_list(struct)) "
+    "— partition-order-independent, so the output hash is deterministic "
+    "under any shuffle. Scale shape: one shuffle on the 16-byte chunk "
+    "hash, one co-partitioned join back, one shuffle on doc_id.",
+)
+def chunk_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(chunk_tokens("text", size=40, stride=40)).alias(
+                "chunk_idx", "chunk"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
+            F.size("chunk").cast("long").alias("n_tokens"),
+        )
+        .withColumn("h", F.md5("chunk_text"))
+    )
+    winners = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    )
+    kept = (
+        chunks.join(winners, "h")
+        .where(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("chunk_idx") == F.col("w.chunk_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                        ),
+                        lambda s: s.getField("chunk_text"),
+                    ),
+                )
+            ).alias("new_text_hash"),
+        )
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        F.coalesce("new_text_hash", F.lit(empty_md5)).alias("new_text_hash"),
+    )
+
+
+@register(
+    "incremental_dedup",
+    # Incremental ingestion: dedupe an arriving batch (doc_id % 3 = 0)
+    # against the already-ingested base corpus AND within itself, with
+    # per-source accounting. ONE groupBy on the text hash computes both
+    # "seen in base" and "first new holder"; the join back is
+    # co-partitioned on the same key.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS h, (doc_id % 3 = 0) AS is_new
+      FROM documents
+    ),
+    agg AS (
+      SELECT h,
+             MAX(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS has_base,
+             MIN(CASE WHEN is_new THEN doc_id END) AS min_new
+      FROM d GROUP BY h
+    )
+    SELECT source,
+           COUNT(*) AS n_new,
+           CAST(SUM(CASE WHEN has_base = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_vs_base,
+           CAST(SUM(CASE WHEN has_base = 0 AND doc_id <> min_new
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dup,
+           CAST(SUM(CASE WHEN has_base = 0 AND doc_id = min_new
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d JOIN agg USING (h)
+    WHERE is_new
+    GROUP BY source ORDER BY source
+    """,
+    doc="Incremental dedup of a new batch against the existing corpus — "
+    "the production shape where yesterday's 100 TB is already ingested "
+    "and only today's slice must be checked. Per text-hash flags "
+    "(exists-in-base, first-new-doc) come from ONE aggregation over "
+    "base ∪ new, then join back to the new rows on the same hash key — "
+    "two stages total, both AQE-skew-splittable; no anti-join chain, "
+    "no second shuffle of the base corpus. At real scale the base side "
+    "reduces to its (hash) projection read from the dedup index table, "
+    "not a rescan of base text.",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        (F.col("doc_id") % 3 == 0).alias("is_new"),
+    )
+    agg = d.groupBy("h").agg(
+        F.max(F.when(~F.col("is_new"), 1).otherwise(0)).alias("has_base"),
+        F.min(F.when(F.col("is_new"), F.col("doc_id"))).alias("min_new"),
+    )
+    fresh = F.col("has_base") == 0
+    return (
+        d.join(agg, "h")
+        .where("is_new")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(F.col("has_base") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_vs_base"),
+            F.sum(
+                F.when(fresh & (F.col("doc_id") != F.col("min_new")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_within_dup"),
+            F.sum(
+                F.when(fresh & (F.col("doc_id") == F.col("min_new")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mixture_weights",
+    # Source-mixing weights by token-capping: every source contributes
+    # at most ceil(total/n_sources) tokens; weight_i = capped_i /
+    # sum(capped) in parts-per-million. ALL arithmetic is integer until
+    # the published ppm (integer division) — exact partial-aggregation-
+    # order-independent parity, unlike float power-law weights.
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(TRIM(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    c AS (
+      SELECT source, n_tokens,
+             LEAST(n_tokens,
+                   CAST((SUM(n_tokens) OVER () + COUNT(*) OVER () - 1)
+                        // COUNT(*) OVER () AS BIGINT)) AS capped_tokens
+      FROM s
+    )
+    SELECT source, n_tokens, capped_tokens,
+           CAST(capped_tokens * 1000000 // SUM(capped_tokens) OVER () AS BIGINT)
+             AS ppm_weight
+    FROM c ORDER BY source
+    """,
+    doc="Training-mixture weights via source capping (the LLaMA-style "
+    "domain-balancing pass, kept in exact integer arithmetic: power-law "
+    "temperature weights need float pow/sums whose partial order is "
+    "engine-dependent — capping gives the same flattening with "
+    "bit-exact parity). Grand totals are windows OVER () on the "
+    "source-level rollup (~tens of rows — the Q11-shape rule: the "
+    "expensive fact scan aggregates once, the unpartitioned window "
+    "only ever sees the dimension-sized result).",
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    everything = Window.partitionBy()
+    cap = F.floor(
+        (F.sum("n_tokens").over(everything) + F.count(F.lit(1)).over(everything) - 1)
+        / F.count(F.lit(1)).over(everything)
+    ).cast("long")
+    c = s.withColumn("capped_tokens", F.least(F.col("n_tokens"), cap))
+    return c.select(
+        "source",
+        "n_tokens",
+        "capped_tokens",
+        F.floor(
+            (F.col("capped_tokens") * 1000000)
+            / F.sum("capped_tokens").over(everything)
+        )
+        .cast("long")
+        .alias("ppm_weight"),
+    ).orderBy("source")
+
+
+@register(
+    "embedding_centroid_per_label",
+    # Dimension-wise centroid per label class. Components are quantized
+    # to exact integers (floor(x*1e6 + 0.5)) BEFORE the cross-row sum,
+    # because summing raw doubles is partial-order-dependent and would
+    # never hash-match across engines. Verified: quantization has zero
+    # round-vs-floor ties on this corpus at sf0.01 and sf0.1.
+    oracle="""
+    WITH comps AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim, COUNT(*) AS n_vectors,
+           CAST(SUM(q) AS BIGINT) AS qsum,
+           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) * 1000000 AS DOUBLE) AS centroid
+    FROM comps GROUP BY label, dim ORDER BY label, dim
+    """,
+    doc="Per-class embedding centroid (the clustering/recall side of "
+    "curation: centroids feed IVF coarse quantizers and per-cluster "
+    "outlier passes). posexplode multiplies rows by the dimension count, "
+    "but the (label, dim) aggregation happens immediately with map-side "
+    "combine — the exploded stream is never shuffled at full width; the "
+    "shuffle carries |labels|x|dims| partial sums per task. Quantized "
+    "integer sums (1e-6 resolution) make the result independent of "
+    "partial-aggregation order — the float-sum determinism rule every "
+    "distributed vector aggregate needs.",
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        comps.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("q").alias("qsum"))
+        .select(
+            "label",
+            "dim",
+            "n_vectors",
+            "qsum",
+            (
+                F.col("qsum").cast("double")
+                / (F.col("n_vectors") * 1000000).cast("double")
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )

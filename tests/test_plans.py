@@ -406,3 +406,47 @@ def test_curation_packing_plans(spark, sf_dir):
         assert shuffle_count(p) == 2, f"{name} lost exchange reuse:\n{p}"
         assert "Window" in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_chunk_dedup_and_incremental_plans(spark, sf_dir):
+    """chunk_dedup_reassembly: keep-first must be an AGGREGATE on the
+    chunk hash (map-side partials — hot boilerplate chunks cannot pin a
+    task), never a Window over the hash; incremental_dedup: one
+    aggregation + one co-partitioned join back, no anti-join chain."""
+    p = plan_of(REGISTRY["chunk_dedup_reassembly"].fn(spark, sf_dir))
+    assert "Window" not in p, p
+    assert "partial_min" in p or "HashAggregate" in p, p
+    assert "CartesianProduct" not in p
+
+    p2 = plan_of(REGISTRY["incremental_dedup"].fn(spark, sf_dir))
+    assert "Window" not in p2, p2
+    # base∪new flags and the probe join both hash on h: the join must be
+    # an equi-join (SortMergeJoin or ShuffledHashJoin or Broadcast), and
+    # there is exactly one scan family duplicated (documents read twice:
+    # flag side + probe side) but no row-explosion joins.
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p2), p2
+
+
+def test_mixture_and_centroid_plans(spark, sf_dir):
+    """mixture_weights: the OVER () windows run on the source-level
+    rollup (post-aggregation), so the plan has the fact aggregation
+    below the window; embedding_centroid_per_label: the posexplode
+    (Generate) must sit UNDER a hash aggregate with a partial phase —
+    the exploded stream aggregates before any exchange."""
+    p = plan_of(REGISTRY["mixture_weights"].fn(spark, sf_dir))
+    agg_ids = [int(n) for n in re.findall(r"^\((\d+)\) HashAggregate", p, re.MULTILINE)]
+    win_ids = [int(n) for n in re.findall(r"^\((\d+)\) Window", p, re.MULTILINE)]
+    assert agg_ids and win_ids, p
+    # higher node id = closer to the root: every window sits above the
+    # fact aggregation (operates on the ~20-row rollup, not raw docs)
+    assert min(win_ids) > max(agg_ids), (
+        "window should apply to the aggregated rollup:\n" + p
+    )
+
+    p2 = plan_of(REGISTRY["embedding_centroid_per_label"].fn(spark, sf_dir))
+    assert "Generate" in p2, p2
+    gen = p2.index("(1) ")  # plan bottom; Generate must precede first Exchange
+    first_exchange = re.search(r"^\(\d+\) Exchange", p2, re.MULTILINE)
+    assert first_exchange, p2
+    # partial aggregation marker between Generate and Exchange
+    assert re.search(r"partial_(count|sum)", p2), p2
