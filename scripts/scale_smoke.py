@@ -171,6 +171,55 @@ def main() -> None:
 
     timed("curation_funnel_sec", curation_funnel, n=1)
 
+    def chunk_dedup():
+        # chunk-level keep-first + reassembly (registered query shape):
+        # aggregate argmin on the chunk hash (map-side partials — the
+        # ~1%-duplicated texts produce hot chunk hashes that a window
+        # would pin to one task), join back, re-sort per doc.
+        from healthcare_aihw_etl_pipeline_spark.operators.text import chunk_tokens
+
+        chunks = (
+            sdocs.select(
+                "doc_id",
+                F.posexplode(chunk_tokens("text", size=40, stride=40)).alias(
+                    "chunk_idx", "chunk"
+                ),
+            )
+            .select(
+                "doc_id",
+                "chunk_idx",
+                F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
+            )
+            .withColumn("h", F.md5("chunk_text"))
+        )
+        winners = chunks.groupBy("h").agg(
+            F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+        )
+        kept = (
+            chunks.join(winners, "h")
+            .where(
+                (F.col("doc_id") == F.col("w.doc_id"))
+                & (F.col("chunk_idx") == F.col("w.chunk_idx"))
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                            ),
+                            lambda s: s.getField("chunk_text"),
+                        ),
+                    )
+                ).alias("new_hash")
+            )
+        )
+        return kept.count()
+
+    timed("chunk_dedup_sec", chunk_dedup, n=1)
+
     # --- embeddings: 64-dim deterministic vectors
     emb = spark.range(0, 50_000, 1, 16).select(
         F.col("id").alias("vec_id"),
@@ -200,6 +249,27 @@ def main() -> None:
         ).count(),
         n=1,
     )
+
+    def centroid():
+        # per-label dimension-wise centroid: 50k × 64 explode → (label,
+        # dim) aggregate with map-side combine; quantized integer sums.
+        labeled = emb_on_disk.withColumn(
+            "label", (F.col("vec_id") % 16).cast("int")
+        )
+        comps = labeled.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        ).select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long").alias("q"),
+        )
+        return (
+            comps.groupBy("label", "dim")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("qs"))
+            .count()
+        )
+
+    timed("embedding_centroid_sec", centroid, n=1)
 
     # --- events: interval join + funnel at fact scale
     ev_path = f"{scratch}/events"
