@@ -1,0 +1,117 @@
+"""Data-layout operators: multi-dimensional clustering (Z-order) for
+write-side file organization.
+
+The reference replaces whole tables on every load
+(/root/reference/main.py:158,165 — `if_exists="replace"`), leaving
+layout to Postgres. At 100 TB the dominant cost of every query in
+SURVEY §2.3/§2.5 is how few files a filter has to open: partitioning
+prunes ONE dimension; Z-ordering bounds per-file min/max ranges on
+SEVERAL dimensions at once, so parquet row-group/file skipping works
+for filters on any interleaved column (the technique behind
+Delta/Iceberg `OPTIMIZE ZORDER BY`; public literature: Morton curves).
+
+Everything here is pure integer Catalyst expressions — bucket, bit-
+interleave, range-repartition — so the layout pass is shuffle-bounded
+(one range exchange) and whole-stage-codegen'd, and the Z-value math
+is exactly replayable in any engine (the `zorder_layout_stats` query
+hash-checks it against DuckDB).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketize(col: Column, lo: Column | int, hi: Column | int, bits: int) -> Column:
+    """Monotone fixed-width bucketing of an integer column into 2^bits
+    buckets over [lo, hi], all in exact integer arithmetic:
+    (v - lo) * 2^bits DIV (hi - lo + 1). Callers supply lo/hi from a
+    one-row bounds aggregate (computed once per write, broadcast)."""
+    lo_c = F.lit(lo) if isinstance(lo, int) else lo
+    hi_c = F.lit(hi) if isinstance(hi, int) else hi
+    n = 1 << bits
+    span = hi_c.cast("long") - lo_c.cast("long") + F.lit(1)
+    scaled = (col.cast("long") - lo_c.cast("long")) * F.lit(n)
+    # floor(long/long) == integer floor-division exactly while the
+    # numerator stays below 2^53 (bucket inputs here are ≤ 2^40); both
+    # operands are non-negative by construction.
+    return F.floor(scaled / span).cast("long")
+
+
+def zvalue(xb: Column, yb: Column, bits: int = 8) -> Column:
+    """Morton/Z-value of two `bits`-wide bucket ids: interleave their
+    bits (x on even positions, y on odd). Pure shift/mask expressions —
+    stays inside whole-stage codegen; no UDF."""
+    terms = []
+    for k in range(bits):
+        terms.append(F.shiftleft(F.shiftright(xb, k).bitwiseAND(F.lit(1)), 2 * k))
+        terms.append(
+            F.shiftleft(F.shiftright(yb, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+    return reduce(lambda a, b: a + b, terms).cast("long")
+
+
+def sql_zvalue(xb: str, yb: str, bits: int = 8) -> str:
+    """ANSI-SQL twin of :func:`zvalue` (integer div/mod arithmetic) for
+    oracle replay."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"(({xb} // {1 << k}) % 2) * {1 << (2 * k)}")
+        terms.append(f"(({yb} // {1 << k}) % 2) * {1 << (2 * k + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: Column,
+    y: Column,
+    *,
+    bits: int = 8,
+    prefix_bits: int = 4,
+    bounds: tuple[int, int, int, int] | None = None,
+) -> None:
+    """Write `df` as parquet clustered on the Z-curve of (x, y), with
+    files ALIGNED to Z-prefix cells (2^prefix_bits files/cells).
+
+    Alignment matters: cutting files by range quantiles over the raw
+    Z-value straddles Morton-curve discontinuities — a file crossing a
+    top-level cell boundary spans the FULL domain on one dimension
+    (measured: xs=255/255 on the straddling file vs ≤63 aligned),
+    destroying exactly the min/max skipping the layout exists for. So
+    the file key is the Z-prefix: partitionBy writes one file per cell
+    a task holds, hash-repartitioning on the cell id first so each cell
+    lands wholly in one task; the partition-local sort on the full
+    Z-value keeps row groups inside each file tight as well. Skewed
+    data makes cell files uneven — at scale pick `prefix_bits` so the
+    densest cell ≈ target file size (cells are a histogram you can
+    estimate from a sample), or recurse the split inside hot cells.
+
+    `bounds` = (x_lo, x_hi, y_lo, y_hi); when omitted they are computed
+    with one bounds aggregate (at scale: table statistics)."""
+    if bounds is None:
+        b = df.agg(
+            F.min(x).alias("xlo"),
+            F.max(x).alias("xhi"),
+            F.min(y).alias("ylo"),
+            F.max(y).alias("yhi"),
+        ).first()
+        bounds = (b.xlo, b.xhi, b.ylo, b.yhi)
+    xlo, xhi, ylo, yhi = bounds
+    z = zvalue(
+        bucketize(x, xlo, xhi, bits), bucketize(y, ylo, yhi, bits), bits
+    )
+    n_cells = 1 << prefix_bits
+    (
+        df.withColumn("_z", z)
+        .withColumn("_zcell", F.shiftright(F.col("_z"), 2 * bits - prefix_bits))
+        .repartition(n_cells, "_zcell")
+        .sortWithinPartitions("_zcell", "_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .partitionBy("_zcell")
+        .parquet(path)
+    )

@@ -2482,3 +2482,101 @@ def concentrated_recent_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+def _zorder_oracle() -> str:
+    """Build the zorder_layout_stats oracle with the bit-interleave terms
+    expanded (DuckDB has no bit-shift-loop; the Morton sum is 16 exact
+    integer terms generated here)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import sql_zvalue
+
+    z = sql_zvalue("xb", "yb", 8)
+    return f"""
+    WITH b AS (
+      SELECT MIN(l_partkey) AS pk_lo, MAX(l_partkey) AS pk_hi,
+             MIN(datediff('day', DATE '1970-01-01', l_shipdate)) AS d_lo,
+             MAX(datediff('day', DATE '1970-01-01', l_shipdate)) AS d_hi
+      FROM lineitem
+    ),
+    rows_b AS (
+      SELECT l_partkey AS pk,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS day,
+             CAST((l_partkey - pk_lo) * 256 // (pk_hi - pk_lo + 1) AS BIGINT) AS xb,
+             CAST((datediff('day', DATE '1970-01-01', l_shipdate) - d_lo) * 256
+                  // (d_hi - d_lo + 1) AS BIGINT) AS yb
+      FROM lineitem, b
+    ),
+    tagged AS (
+      SELECT pk, day, CAST({z} // 1024 AS BIGINT) AS file_id, 'zorder' AS layout
+      FROM rows_b
+      UNION ALL
+      SELECT pk, day, CAST(yb // 4 AS BIGINT) AS file_id, 'bydate' AS layout
+      FROM rows_b
+    )
+    SELECT layout, file_id, COUNT(*) AS n_rows,
+           MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+           CAST(MAX(pk) - MIN(pk) AS BIGINT) AS pk_span,
+           MIN(day) AS day_min, MAX(day) AS day_max,
+           CAST(MAX(day) - MIN(day) AS BIGINT) AS day_span
+    FROM tagged GROUP BY layout, file_id ORDER BY layout, file_id
+    """
+
+
+@register(
+    "zorder_layout_stats",
+    oracle=_zorder_oracle(),
+    doc="Z-order (Morton-curve) data layout vs single-dimension layout, "
+    "quantified: bucket l_partkey and ship-day to 8 bits each, "
+    "interleave into a 16-bit Z-value (operators.layout.zvalue — pure "
+    "shift/mask Catalyst expressions), assign 64 target files by Z "
+    "prefix, and report per-file min/max/span on BOTH dimensions "
+    "against a date-only layout of the same file count. Z-order bounds "
+    "both spans (each file covers ~1/8 of each domain) where the "
+    "date-sorted layout leaves partkey unbounded — the reason "
+    "multi-dim clustering is how 100 TB tables serve filters on more "
+    "than the partition key (file/row-group skipping on min/max "
+    "stats). One fact scan, both layout taggings emitted via stack "
+    "(no second scan), one shuffle on (layout, file_id); bounds come "
+    "from a broadcast one-row aggregate (table statistics at scale).",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import bucketize, zvalue
+
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+    proj = li.select(F.col("l_partkey").alias("pk"), day.alias("day"))
+    bounds = proj.agg(
+        F.min("pk").alias("pk_lo"),
+        F.max("pk").alias("pk_hi"),
+        F.min("day").alias("d_lo"),
+        F.max("day").alias("d_hi"),
+    )
+    rows_b = proj.crossJoin(F.broadcast(bounds)).select(
+        "pk",
+        "day",
+        bucketize(F.col("pk"), F.col("pk_lo"), F.col("pk_hi"), 8).alias("xb"),
+        bucketize(F.col("day"), F.col("d_lo"), F.col("d_hi"), 8).alias("yb"),
+    )
+    tagged = rows_b.select(
+        "pk",
+        "day",
+        F.shiftright(zvalue(F.col("xb"), F.col("yb"), 8), 10).alias("zfile"),
+        F.shiftright(F.col("yb"), 2).alias("dfile"),
+    ).selectExpr(
+        "pk",
+        "day",
+        "stack(2, 'zorder', zfile, 'bydate', dfile) AS (layout, file_id)",
+    )
+    return (
+        tagged.groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pk").alias("pk_min"),
+            F.max("pk").alias("pk_max"),
+            (F.max("pk") - F.min("pk")).cast("long").alias("pk_span"),
+            F.min("day").alias("day_min"),
+            F.max("day").alias("day_max"),
+            (F.max("day") - F.min("day")).cast("long").alias("day_span"),
+        )
+        .orderBy("layout", "file_id")
+    )
