@@ -92,6 +92,12 @@ def write_zordered(
 
     `bounds` = (x_lo, x_hi, y_lo, y_hi); when omitted they are computed
     with one bounds aggregate (at scale: table statistics)."""
+    if prefix_bits > 2 * bits:
+        # shiftright by a negative amount silently collapses every row
+        # into one cell — reject instead.
+        raise ValueError(
+            f"prefix_bits ({prefix_bits}) must be <= 2*bits ({2 * bits})"
+        )
     if bounds is None:
         b = df.agg(
             F.min(x).alias("xlo"),
@@ -100,6 +106,10 @@ def write_zordered(
             F.max(y).alias("yhi"),
         ).first()
         bounds = (b.xlo, b.xhi, b.ylo, b.yhi)
+        if any(v is None for v in bounds):
+            # Empty input: min/max return NULL, which would flow into
+            # bucketize as lit(None) and yield all-NULL z-values.
+            raise ValueError("cannot Z-order an empty DataFrame (NULL bounds)")
     xlo, xhi, ylo, yhi = bounds
     z = zvalue(
         bucketize(x, xlo, xhi, bits), bucketize(y, ylo, yhi, bits), bits

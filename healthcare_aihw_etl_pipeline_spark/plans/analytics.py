@@ -10,9 +10,10 @@ widget grain (supersedes the eight re-scans).
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -173,30 +174,65 @@ def _domains_one_pass(
 
     The round-1 shape was one distinct().collect() job PER column — N
     full column scans and N driver round-trips per interaction; this is
-    one scan regardless of column count. At extreme cardinality the
-    collect_set buffers are the cost to watch: pre-gate with
-    approx_count_distinct or serve domains from the widget_cube
-    materialization instead.
+    one scan for every normally-sized column regardless of column count.
+
+    Extreme cardinality is pre-gated: collect_set buffers the FULL
+    distinct set in every partial-aggregation buffer before the slice, so
+    a single 10^6-distinct dim would blow executor aggregation memory at
+    scale. A first constant-memory pass (HLL++ approx_count_distinct,
+    rsd=2%) routes any column whose estimate clears 1.3x the cap to a
+    shuffle-based distinct+orderBy+limit job instead — hash-exchange
+    aggregation spills to disk and the limit bounds the driver transfer,
+    so no executor ever holds the domain in one buffer. The 1.3x margin
+    is far beyond HLL error at rsd=2%, and both paths return the first
+    `cap` values in sort order, so the cardinality-guard contract
+    (len == cap ⇒ "domain ≥ cap") is unchanged. All guarded dims that
+    fit the cap still share ONE collect_set job.
     """
     if not cols:
         return {}
     dtypes = dict(df.dtypes)
-    aggs = [
-        F.slice(
-            F.sort_array(
-                F.collect_set(
-                    F.when(F.col(c) != "", F.col(c))
-                    if dtypes.get(c) == "string"
-                    else F.col(c)
-                )
-            ),
-            1,
-            cap,
-        ).alias(c)
-        for c in cols
-    ]
-    row = df.agg(*aggs).first()
-    return {c: list(row[c]) for c in cols}
+
+    def guarded(c: str) -> Column:
+        return (
+            F.when(F.col(c) != "", F.col(c))
+            if dtypes.get(c) == "string"
+            else F.col(c)
+        )
+
+    over = _gate_over_cap(df, cols, cap, guarded)
+    small = [c for c in cols if c not in over]
+    out: dict[str, list] = {}
+    if small:
+        row = df.agg(
+            *[
+                F.slice(F.sort_array(F.collect_set(guarded(c))), 1, cap).alias(c)
+                for c in small
+            ]
+        ).first()
+        out.update({c: list(row[c]) for c in small})
+    for c in over:
+        vals = (
+            df.select(guarded(c).alias(c))
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .orderBy(c)
+            .limit(cap)
+            .collect()
+        )
+        out[c] = [r[c] for r in vals]
+    return out
+
+
+def _gate_over_cap(
+    df: DataFrame, cols: list[str], cap: int, guarded: Callable[[str], Column]
+) -> set[str]:
+    """Columns whose approximate distinct count exceeds 1.3x `cap` —
+    unsafe for a collect_set buffer, served by distinct+limit instead."""
+    gate = df.agg(
+        *[F.approx_count_distinct(guarded(c), 0.02).alias(c) for c in cols]
+    ).first()
+    return {c for c in cols if gate[c] > 1.3 * cap}
 
 
 def interactive_filter(

@@ -2056,22 +2056,31 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens")
     )
     everything = Window.partitionBy()
-    cap = F.floor(
-        (F.sum("n_tokens").over(everything) + F.count(F.lit(1)).over(everything) - 1)
-        / F.count(F.lit(1)).over(everything)
-    ).cast("long")
-    c = s.withColumn("capped_tokens", F.least(F.col("n_tokens"), cap))
-    return c.select(
-        "source",
-        "n_tokens",
-        "capped_tokens",
-        F.floor(
-            (F.col("capped_tokens") * 1000000)
-            / F.sum("capped_tokens").over(everything)
+    # True integer division (SQL DIV), not floor(long/long): the latter
+    # promotes to DOUBLE division, which loses ulps once the numerator
+    # exceeds 2^53 (~9e9 tokens per source — realistic at 100 TB) and can
+    # then differ by 1 from DuckDB's exact BIGINT `//`. DIV stays in long
+    # arithmetic at any magnitude.
+    c = (
+        s.withColumn("_total", F.sum("n_tokens").over(everything))
+        .withColumn("_nsrc", F.count(F.lit(1)).over(everything))
+        .withColumn(
+            "capped_tokens",
+            F.least(F.col("n_tokens"), F.expr("(_total + _nsrc - 1L) DIV _nsrc")),
         )
-        .cast("long")
-        .alias("ppm_weight"),
-    ).orderBy("source")
+    )
+    return (
+        c.withColumn("_capped_total", F.sum("capped_tokens").over(everything))
+        .select(
+            "source",
+            "n_tokens",
+            "capped_tokens",
+            F.expr("(capped_tokens * 1000000L) DIV _capped_total")
+            .cast("long")
+            .alias("ppm_weight"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

@@ -59,9 +59,17 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     local timezone): nanos-long is rebuilt from epoch micros
     (timezone-independent); NTZ wall time is interpreted under the
     session clock (UTC in this engine's sessions). Only the *rendering*
-    of window bounds follows the session timezone."""
+    of window bounds follows the session timezone.
+
+    When the source directory is empty (stream started before the first
+    file lands — a normal deployment shape), the batch probe cannot infer
+    a schema; fall back to EVENTS_RAW_SCHEMA (nanos-long form), matching
+    the corpus generator's current physical layout."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # AnalysisException: unable to infer schema (no files)
+        schema = EVENTS_RAW_SCHEMA
     raw = spark.readStream.schema(schema).format("parquet").load(path)
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
@@ -352,6 +360,7 @@ def write_stream_upsert_partitions(
     *,
     key_cols: list[str] | None = None,
     available_now: bool = True,
+    verify_replace: bool = True,
 ):
     """Streaming incremental load: each micro-batch replaces exactly the
     partitions it contains (foreachBatch + dynamic partition overwrite) —
@@ -365,7 +374,16 @@ def write_stream_upsert_partitions(
       COMPLETE refresh of every partition it touches. A partition whose
       rows arrive across several micro-batches would shrink to the last
       batch's rows — if the source can split a partition across batches,
-      pass ``key_cols``.
+      pass ``key_cols``. The precondition is ENFORCED at runtime while
+      ``verify_replace=True`` (default): before overwriting, existing
+      rows in the touched partitions must be a multiset-subset of the
+      batch (``exceptAll`` — NULL-safe, duplicate-aware). A replayed
+      batch is identical content and passes; a partition-spanning source
+      raises instead of silently losing rows. The check costs one
+      read-back of the touched partitions — the same cost class as the
+      keyed merge; sources that legitimately shrink a partition (full
+      refresh with deletions) set ``verify_replace=False`` and own the
+      precondition themselves.
     * ``key_cols=[...]`` (row-grain MERGE): before overwriting, the sink
       reads back the touched partitions, keeps existing rows whose key is
       absent from the batch (left-anti), and unions the batch in. Safe
@@ -384,12 +402,12 @@ def write_stream_upsert_partitions(
         if batch_df.isEmpty():
             return
         out = batch_df
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException:
+            existing = None
         if key_cols:
-            spark = batch_df.sparkSession
-            try:
-                existing = spark.read.parquet(path)
-            except AnalysisException:
-                existing = None
             if existing is not None:
                 touched = batch_df.select(*partition_by).distinct()
                 survivors = (
@@ -402,6 +420,19 @@ def write_stream_upsert_partitions(
                 # Cut lineage from `path` before overwriting it — the
                 # writer rejects plans that read the destination.
                 out = survivors.unionByName(batch_df).localCheckpoint(eager=True)
+        elif verify_replace and existing is not None:
+            touched = batch_df.select(*partition_by).distinct()
+            existing_touched = existing.join(
+                F.broadcast(touched), partition_by, "left_semi"
+            ).select(*batch_df.columns)
+            if not existing_touched.exceptAll(batch_df).isEmpty():
+                raise ValueError(
+                    "partition-replace batch would lose rows: the touched "
+                    "partitions already contain rows absent from this "
+                    "micro-batch (the source splits partitions across "
+                    "batches). Pass key_cols for row-grain MERGE, or "
+                    "verify_replace=False if the shrink is intentional."
+                )
         upsert_partitions(out, path, partition_by)
 
     writer = (

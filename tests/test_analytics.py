@@ -103,3 +103,41 @@ def test_profile(admissions):
     assert float(sep.max_value) >= float(sep.min_value)
     assert sep.mean_value is not None
     assert prof["state"].mean_value is None  # non-numeric: no mean
+
+
+def test_domains_gate_high_cardinality(spark):
+    """_domains_one_pass pre-gate: a dim with ~1e6 distinct values must
+    NOT go through collect_set (whose partial-aggregation buffers hold
+    the full domain); it is routed to a spill-safe distinct+limit and
+    still returns the first `cap` values in sort order — the same
+    contract as the collect_set path."""
+    df = spark.range(1_000_000).select(
+        F.format_string("u%07d", F.col("id")).alias("user_key"),
+        (F.col("id") % 3).cast("int").alias("tiny_dim"),
+    )
+
+    def guarded(c):
+        return F.col(c)
+
+    over = analytics._gate_over_cap(df, ["user_key", "tiny_dim"], 50, guarded)
+    assert over == {"user_key"}
+
+    domains = analytics._domains_one_pass(df, ["user_key", "tiny_dim"], cap=50)
+    # high-card column: exactly cap values (signals "domain >= cap"),
+    # and they are the sort-order head, matching sort_array semantics
+    assert domains["user_key"] == [f"u{i:07d}" for i in range(50)]
+    assert domains["tiny_dim"] == [0, 1, 2]
+
+
+def test_domains_gate_agrees_with_ungated(spark):
+    """Both paths return identical domains on a column near the gate
+    boundary, so gating can never change the cardinality-guard verdict."""
+    df = spark.range(200).select(
+        F.format_string("v%03d", F.col("id") % 120).alias("c")
+    )
+    # cap=50: 120 distinct > 1.3*50 -> gated; head-of-sort-order slice
+    gated = analytics._domains_one_pass(df, ["c"], cap=50)
+    assert gated["c"] == [f"v{i:03d}" for i in range(50)]
+    # cap=200: 120 < 1.3*200 -> collect_set path, full domain
+    ungated = analytics._domains_one_pass(df, ["c"], cap=200)
+    assert ungated["c"] == [f"v{i:03d}" for i in range(120)]

@@ -82,3 +82,22 @@ def test_bucketize_monotone_and_bounded(spark):
         assert 0 <= r.b < 16
     by_v = sorted(out, key=lambda r: r.v)
     assert all(a.b <= b.b for a, b in zip(by_v, by_v[1:]))
+
+
+def test_write_zordered_rejects_bad_args(spark, tmp_path):
+    """prefix_bits > 2*bits would shiftright by a negative amount and
+    collapse every row into one cell; empty input yields NULL bounds.
+    Both must raise instead of silently mis-laying-out the table."""
+    import pytest
+
+    df = spark.range(16).select(
+        F.col("id").alias("x"), (15 - F.col("id")).alias("y")
+    )
+    with pytest.raises(ValueError, match="prefix_bits"):
+        write_zordered(
+            df, str(tmp_path / "bad"), F.col("x"), F.col("y"), bits=2, prefix_bits=5
+        )
+    with pytest.raises(ValueError, match="empty"):
+        write_zordered(
+            df.where("x < 0"), str(tmp_path / "empty"), F.col("x"), F.col("y")
+        )

@@ -444,9 +444,23 @@ def test_mixture_and_centroid_plans(spark, sf_dir):
     )
 
     p2 = plan_of(REGISTRY["embedding_centroid_per_label"].fn(spark, sf_dir))
-    assert "Generate" in p2, p2
-    gen = p2.index("(1) ")  # plan bottom; Generate must precede first Exchange
-    first_exchange = re.search(r"^\(\d+\) Exchange", p2, re.MULTILINE)
-    assert first_exchange, p2
-    # partial aggregation marker between Generate and Exchange
-    assert re.search(r"partial_(count|sum)", p2), p2
+    # Positional contract via node ids (detail blocks `(N) Node`; id 1 is
+    # the plan bottom): Generate (posexplode) must feed a PARTIAL hash
+    # aggregate BEFORE the first Exchange — the exploded stream is
+    # reduced map-side, never shuffled at full width.
+    parts = re.split(r"^\((\d+)\) ", p2, flags=re.MULTILINE)
+    blocks = [
+        (int(parts[i]), parts[i + 1]) for i in range(1, len(parts) - 1, 2)
+    ]
+    gen_ids = [i for i, b in blocks if b.startswith("Generate")]
+    exch_ids = [i for i, b in blocks if b.startswith("Exchange")]
+    partial_agg_ids = [
+        i
+        for i, b in blocks
+        if b.startswith("HashAggregate") and re.search(r"partial_(count|sum)", b)
+    ]
+    assert gen_ids and exch_ids and partial_agg_ids, p2
+    assert max(gen_ids) < min(partial_agg_ids) < min(exch_ids), (
+        "partial aggregation must sit between Generate and the first Exchange:\n"
+        + p2
+    )

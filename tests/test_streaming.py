@@ -407,6 +407,45 @@ def test_stream_upsert_keyed_merge_across_batches(spark, tmp_path):
     assert got2 == want
 
 
+def test_stream_upsert_partition_replace_guard(spark, tmp_path):
+    """verify_replace (default): a source that splits one partition
+    across micro-batches FAILS LOUDLY in partition-replace mode instead
+    of silently shrinking the partition to the last batch's rows."""
+    import os
+
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+        write_stream_upsert_partitions,
+    )
+
+    src = tmp_path / "src_guard"
+    src.mkdir()
+    cols = ["event_id", "event_type", "value"]
+    # Both batches write into the 'click' partition with disjoint rows —
+    # exactly the shape the precondition forbids.
+    batch1 = [(1, "click", 1.0), (2, "click", 2.0)]
+    batch2 = [(3, "click", 3.0)]
+    for i, rows in enumerate([batch1, batch2]):
+        f = str(src / f"b{i}")
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f)
+        for name in os.listdir(f):
+            os.utime(os.path.join(f, name), (1_000_000 + i, 1_000_000 + i))
+
+    out = str(tmp_path / "guarded")
+    ckpt = str(tmp_path / "ckpt_guard")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = write_stream_upsert_partitions(stream, out, ckpt, ["event_type"])
+    with pytest.raises(
+        StreamingQueryException, match="partition-replace batch would lose rows"
+    ):
+        q.awaitTermination(120)
+
+
 def test_stream_static_enrichment_matches_batch(
     spark, sf_dir, events_stream_dir, sink_name
 ):
