@@ -85,19 +85,45 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
-def _decode_one(content: bytes) -> tuple[int, int, int, float]:
-    """Decode a FAKEv1 blob → (width, height, n_frames, mean_intensity).
+# Optional real-codec dependency: Pillow plugs into the decode seam when
+# importable (container-dependent); the FAKEv1 tests define the decode
+# contract either way, and tests for the real path skip-gate on the
+# import (same pattern as the transformWithState protobuf gate).
+try:  # pragma: no cover - availability depends on the container
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
 
-    Real codecs plug in here:
-      JPEG/PNG → Pillow, audio → soundfile/libav, video → pyav.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8"
+
+
+def _decode_one(content: bytes) -> tuple[int, int, int, float]:
+    """Decode a media blob → (width, height, n_frames, mean_intensity).
+
+    FAKEv1 is always supported (the test contract). PNG/JPEG decode via
+    Pillow when the library is importable — same output contract as
+    FAKEv1 (single frame, mean intensity over the grayscale conversion).
+    Audio/video (soundfile/libav/pyav) remain at the NotImplementedError
+    seam.
     """
     if content is None or len(content) < 11:
         raise ValueError("truncated media blob")
     magic, rest = content[:4], content[4:]
     if magic != b"FAKE":
+        if _PILImage is not None and (
+            content[:8] == _PNG_MAGIC or content[:2] == _JPEG_MAGIC
+        ):
+            import io
+
+            img = _PILImage.open(io.BytesIO(content)).convert("L")
+            data = list(img.getdata())
+            mean = sum(data) / max(len(data), 1)
+            return img.width, img.height, 1, float(mean)
         raise NotImplementedError(
-            "real codec decode (JPEG/PNG/WAV/MP4) not available in this "
-            "container; only the FAKEv1 test format is implemented"
+            "real codec decode not available: Pillow handles PNG/JPEG when "
+            "installed; audio/video (WAV/MP4) still need soundfile/pyav. "
+            "Only the FAKEv1 test format is guaranteed in every container."
         )
     kind, width, height, n_frames = struct.unpack(">BHHH", rest[:7])
     payload = rest[7 : 7 + width * height * n_frames]

@@ -41,8 +41,42 @@ def test_frame_sample_only_videos(spark):
 
 
 def test_real_codec_stub_raises():
+    from healthcare_aihw_etl_pipeline_spark.operators import multimodal
+
+    if multimodal._PILImage is None:
+        # no Pillow: PNG magic hits the NotImplementedError seam
+        with pytest.raises(NotImplementedError):
+            _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    else:
+        # Pillow present: a junk PNG payload fails inside the decoder
+        with pytest.raises(Exception):
+            _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    # audio/video containers stay at the seam regardless of Pillow
     with pytest.raises(NotImplementedError):
-        _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+        _decode_one(b"RIFF" + b"\x00" * 32)
+
+
+def test_pillow_decode_real_png(spark):
+    """Real-codec path (skip-gated like the TWS protobuf pair): a
+    Pillow-encoded PNG decodes through the same mapInPandas stage and
+    contract as FAKEv1 — dims, one frame, grayscale mean intensity."""
+    pil_image = pytest.importorskip(
+        "PIL.Image", reason="Pillow not installed in this container"
+    )
+    import io
+
+    from healthcare_aihw_etl_pipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    img = pil_image.new("L", (8, 6), color=100)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), ("test", "image/png"))],
+        schema=MEDIA_SCHEMA,
+    )
+    r = decode_media(df).collect()[0]
+    assert (r.width, r.height, r.n_frames) == (8, 6, 1)
+    assert abs(r.mean_intensity - 100.0) < 1e-9
 
 
 def test_truncated_blob_raises():

@@ -464,3 +464,43 @@ def test_mixture_and_centroid_plans(spark, sf_dir):
         "partial aggregation must sit between Generate and the first Exchange:\n"
         + p2
     )
+
+
+def test_events_typed_agg_no_parser_in_plan(spark, sf_dir):
+    """The production twin of json_props_agg must carry NO JSON parser:
+    the parse happened once at ingest, so the per-query plan is a plain
+    columnar scan-aggregate over the typed column."""
+    p = plan_of(REGISTRY["events_typed_agg"].fn(spark, sf_dir))
+    assert "from_json" not in p and "get_json_object" not in p, p
+    assert "HashAggregate" in p, p
+
+
+def test_top_k_per_group_agg_matches_window(spark, sf_dir):
+    """The sort-free aggregate-side top-k must reproduce the window
+    form's rows exactly, rank column included (the determinism condition
+    — unique (order, tiebreak) per group — holds on o_orderkey)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.windows import (
+        top_k_per_group,
+        top_k_per_group_agg,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    kw = dict(
+        partition_by=["o_orderpriority"],
+        order_col="o_totalprice",
+        k=4,
+        tiebreak=["o_orderkey"],
+    )
+    want = sorted(map(tuple, top_k_per_group(orders, **kw).collect()))
+    got = sorted(
+        map(
+            tuple,
+            top_k_per_group_agg(orders, **kw)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+            .collect(),
+        )
+    )
+    assert got == want
