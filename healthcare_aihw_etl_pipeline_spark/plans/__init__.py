@@ -41,19 +41,60 @@ _DRIVER_GREEN_R3 = [
 ]
 
 
+# The 50 queries the round-4 correctness window MUST sample (all oracle-
+# backed, never driver-checked before round 4): the newest TPC-H shapes,
+# the full LLM-pipeline family, the typed-events production query, and
+# the ingest staging≡clean contract. Pinned explicitly so adding new
+# queries mid-round cannot displace them from the window; queries added
+# after this pin queue up right behind and rotate in next round.
+_MUST_VERIFY_R4 = [
+    "forecast_discount_revenue", "order_priority_check",
+    "local_supplier_volume", "nation_market_share", "product_type_profit",
+    "late_shipment_priority_mix", "top_revenue_suppliers",
+    "supplier_variety_by_part_class", "concentrated_recent_suppliers",
+    "zorder_layout_stats", "events_typed_agg",
+    "dedup_exact_stats", "dedup_prefix_keepers", "text_token_stats",
+    "embedding_norms", "ann_cosine_top10", "embedding_near_dup_top20",
+    "bpe_token_totals", "text_quality_profile", "fingerprint_dup_groups",
+    "events_session_window", "dedup_transitive_clusters", "asof_purchase_lag",
+    "purchase_click_window", "split_contamination", "doc_chunks",
+    "hash_split_assign", "top_tokens", "returning_users",
+    "stratified_sample_stats", "bigram_top20", "tfidf_top20",
+    "long_token_profile", "churned_users", "pii_redaction_stats",
+    "token_position_profile", "source_token_entropy", "gopher_quality_flags",
+    "repetition_profile", "corpus_curation_funnel", "dedup_keep_best",
+    "oov_rate_by_source", "sequence_packing", "domain_quota_sample",
+    "multimodal_byte_profile", "chunk_dedup_reassembly", "incremental_dedup",
+    "mixture_weights", "embedding_centroid_per_label",
+    "ingest_clean_admissions",
+]
+
+
 def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     """Rebuild the registry dict with unverified queries first.
 
-    Within the promoted block, oracle-backed queries precede rows-only ones
-    (the driver's hash check is the strong signal; rows-only is weaker), and
-    original registration order is otherwise preserved so the ordering is
-    deterministic across processes.
+    Order: the pinned round-4 verification window, then any other
+    yet-unverified oracle-backed queries (registration order), then
+    rows-only queries, then the already-driver-green set. Deterministic
+    across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    promoted_oracle = [q for n, q in registry.items() if n not in green and q.oracle]
-    promoted_rows = [q for n, q in registry.items() if n not in green and not q.oracle]
-    rest = [q for n, q in registry.items() if n in green]
-    return {q.name: q for q in promoted_oracle + promoted_rows + rest}
+    pinned = [registry[n] for n in _MUST_VERIFY_R4 if n in registry]
+    placed = set(_MUST_VERIFY_R4)
+    promoted_oracle = [
+        q
+        for n, q in registry.items()
+        if n not in green and n not in placed and q.oracle
+    ]
+    promoted_rows = [
+        q
+        for n, q in registry.items()
+        if n not in green and n not in placed and not q.oracle
+    ]
+    rest = [q for n, q in registry.items() if n in green and n not in placed]
+    return {
+        q.name: q for q in pinned + promoted_oracle + promoted_rows + rest
+    }
 
 
 _curated = _curate(REGISTRY)

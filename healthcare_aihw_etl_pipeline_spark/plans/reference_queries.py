@@ -856,6 +856,98 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Truncated-EWMA weights (decay 0.9, horizon 14 days) as exact integer
+# ppm, computed once in Python and injected as LITERALS into both the
+# Spark expression and the DuckDB SQL — IEEE pow() is not guaranteed
+# bit-identical across engines' libm, identical literals are.
+_EWMA_W = [round(0.9**k * 1_000_000) for k in range(14)]
+
+
+@register(
+    "ewma_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(SUM({sql_cents("o_totalprice")}) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT * FROM (VALUES {", ".join(f"({k}, {wt})" for k, wt in enumerate(_EWMA_W))})
+        AS t(lag, wt)
+    )
+    SELECT strftime(t.d, '%Y-%m-%d') AS day,
+           CAST(MAX(CASE WHEN b.d = t.d THEN b.rev_c END) AS DOUBLE) / 100.0
+             AS revenue,
+           CAST(SUM(b.rev_c * w.wt) AS DOUBLE)
+             / CAST(SUM(w.wt) * 100 AS DOUBLE) AS ewma14,
+           COUNT(*) AS n_window_days
+    FROM daily t
+    JOIN daily b ON b.d BETWEEN t.d - INTERVAL 13 DAY AND t.d
+    JOIN w ON w.lag = date_diff('day', CAST(b.d AS DATE), CAST(t.d AS DATE))
+    GROUP BY t.d
+    """,
+    doc="Time-series smoothing: truncated exponentially-weighted moving "
+    "average of daily revenue (decay 0.9, 14-day horizon). The recursive "
+    "EWMA definition is inherently sequential — useless distributed — but "
+    "the truncated form is a bounded self range join: each day joins its "
+    "≤13 predecessors. Spark plans it as an EQUI join on a month bucket "
+    "(probe side explodes into its ≤2 candidate months) with the day "
+    "range as a post-join filter, so it hash-partitions instead of "
+    "falling into BroadcastNestedLoopJoin — the standard bucketed-range-"
+    "join shape that scales linearly in days x horizon. All weighted "
+    "sums are exact long arithmetic (integer-ppm weights, integer "
+    "cents); the single final IEEE divide is bit-deterministic.",
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    build = daily.select(
+        F.date_trunc("month", "d").alias("m"),
+        F.col("d").alias("bd"),
+        F.col("rev_c").alias("brev"),
+    )
+    probe = daily.select(
+        "d",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.date_trunc("month", "d"),
+                    F.date_trunc("month", F.date_sub("d", 13)),
+                )
+            )
+        ).alias("m"),
+    )
+    lag = F.datediff("d", "bd")
+    wt = F.element_at(
+        F.expr(f"array({', '.join(f'{w}L' for w in _EWMA_W)})"), lag + 1
+    )
+    pairs = (
+        probe.join(build, "m")
+        .where((lag >= 0) & (lag <= 13))
+        .select("d", "bd", "brev", wt.alias("wt"))
+    )
+    return (
+        pairs.groupBy("d")
+        .agg(
+            F.max(F.when(F.col("bd") == F.col("d"), F.col("brev"))).alias("rc"),
+            F.sum(F.col("brev") * F.col("wt")).alias("num"),
+            F.sum("wt").alias("den"),
+            F.count(F.lit(1)).alias("n_window_days"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            dollars(F.col("rc"), "revenue", 2),
+            (
+                F.col("num").cast("double")
+                / (F.col("den") * 100).cast("double")
+            ).alias("ewma14"),
+            "n_window_days",
+        )
+    )
+
+
 @register(
     "distinct_status_priority",
     oracle="""

@@ -504,3 +504,30 @@ def test_top_k_per_group_agg_matches_window(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_round4_query_plan_shapes(spark, sf_dir):
+    """Round-4 additions: the EWMA self range join must compile to an
+    EQUI join on the month bucket (never BroadcastNestedLoopJoin — the
+    non-equi-only trap); the levenshtein blocking join likewise; the
+    char-diversity explode must aggregate map-side before any exchange."""
+    p = plan_of(REGISTRY["ewma_daily_revenue"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
+
+    p2 = plan_of(REGISTRY["levenshtein_blocked_pairs"].fn(spark, sf_dir))
+    assert "NestedLoop" not in p2 and "CartesianProduct" not in p2, p2
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p2), p2
+
+    p3 = plan_of(REGISTRY["char_diversity_profile"].fn(spark, sf_dir))
+    parts = re.split(r"^\((\d+)\) ", p3, flags=re.MULTILINE)
+    blocks = [(int(parts[i]), parts[i + 1]) for i in range(1, len(parts) - 1, 2)]
+    gen_ids = [i for i, b in blocks if b.startswith("Generate")]
+    exch_ids = [i for i, b in blocks if b.startswith("Exchange")]
+    partial_ids = [
+        i
+        for i, b in blocks
+        if b.startswith("HashAggregate") and "partial_count" in b
+    ]
+    assert gen_ids and exch_ids and partial_ids, p3
+    assert max(gen_ids) < min(partial_ids) < min(exch_ids), p3
