@@ -350,6 +350,93 @@ def main() -> None:
 
     timed("funnel_sec", funnel_counts, n=1)
 
+    # --- round-4 ops at corpus scale ---------------------------------
+
+    def char_diversity():
+        # explode-per-char, aggregated map-side per (doc, char) — the
+        # registered char_diversity_profile shape
+        per_char = (
+            sdocs.select(
+                "doc_id", "source", F.explode(F.split("text", "")).alias("c")
+            )
+            .where(F.col("c") != "")
+            .groupBy("doc_id", "source", "c")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        per_doc = per_char.groupBy("doc_id", "source").agg(
+            F.count(F.lit(1)).alias("ndc"),
+            F.expr("(MAX(n) * 1000000L) DIV SUM(n)").alias("share"),
+        )
+        return per_doc.groupBy("source").agg(
+            F.count(F.lit(1)), F.sum("ndc"), F.sum("share")
+        ).collect()
+
+    timed("char_diversity_sec", char_diversity, n=1)
+
+    def lev_blocked():
+        # blocked edit-distance verify. THE scale rule for this op:
+        # block COUNT must grow with the corpus so docs-per-block stays
+        # constant — pair fan-out is n_docs * docs_per_block / 2, linear
+        # in docs. (First run of this smoke held 512 blocks fixed at
+        # 200k docs → 39M pairs → 210 s; ~40 docs/block → 4M pairs.)
+        n_blocks = max(n_docs // 40, 1)
+        blocked = sdocs.select(
+            "doc_id",
+            (F.col("doc_id") % n_blocks).alias("blk"),
+            F.substring("text", 1, 60).alias("head"),
+        )
+        a, b = blocked.alias("a"), blocked.alias("b")
+        dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+        return (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.when(dist <= 20, 1).otherwise(0)).alias("n_near"),
+            )
+            .collect()
+        )
+
+    timed("levenshtein_blocked_sec", lev_blocked, n=1)
+
+    def ewma_series():
+        # bucketed self range join over a synthetic daily series as long
+        # as the fact table has days (rows/86400-ish: use event days)
+        daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+            F.sum(cents("value")).alias("rev_c")
+        )
+        build = daily.select(
+            F.date_trunc("month", "d").alias("m"),
+            F.col("d").alias("bd"),
+            F.col("rev_c").alias("brev"),
+        )
+        probe = daily.select(
+            "d",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.date_trunc("month", "d"),
+                        F.date_trunc("month", F.date_sub("d", 13)),
+                    )
+                )
+            ).alias("m"),
+        )
+        lag = F.datediff("d", "bd")
+        w = [round(0.9**k * 1_000_000) for k in range(14)]
+        wt = F.element_at(F.expr(f"array({', '.join(f'{x}L' for x in w)})"), lag + 1)
+        return (
+            probe.join(build, "m")
+            .where((lag >= 0) & (lag <= 13))
+            .groupBy("d")
+            .agg(F.sum(F.col("brev") * wt).alias("num"), F.sum(wt).alias("den"))
+            .count()
+        )
+
+    timed("ewma_series_sec", ewma_series, n=1)
+
     out["rows"] = rows
     out["n_docs"] = n_docs
     print(json.dumps(out))
