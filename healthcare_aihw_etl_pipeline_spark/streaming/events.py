@@ -391,8 +391,9 @@ def write_stream_upsert_partitions(
       keys are already present, so merge is a fixed point). The read-back
       is bounded by the touched partitions (left-semi on a broadcast
       partition-key set), which is exactly how MERGE-on-parquet costs at
-      scale; a table format (Delta/Iceberg) does the same with a
-      transaction log instead of directory overwrite.
+      scale; the log-based form — atomic snapshot commits, copy-on-write
+      file pruning, exactly-once via a txn map — is implemented in
+      `sources.txlog.TxLogTable` / `write_stream_txlog_merge`.
     """
     from pyspark.errors import AnalysisException
 
