@@ -250,6 +250,72 @@ class TxLogTable:
         raise CommitConflict(f"lost the commit race {max_retries} times")
 
 
+    def compact(self, spark: SparkSession, *, min_files: int = 2) -> int | None:
+        """OPTIMIZE: rewrite any partition holding >= `min_files` data
+        files into one file per partition, committed like any other
+        transaction (old files stay on disk for snapshot readers until
+        `vacuum`). Streaming MERGE commits accrete small files — at
+        scale, periodic compaction is what keeps scan task counts and
+        parquet footer overhead proportional to data, not to commit
+        history. Conflicts with concurrent writers resolve through the
+        same optimistic retry; a competing rewrite of the same files
+        raises CommitConflict."""
+        from collections import defaultdict
+
+        h = self.head()
+        if h is None:
+            return None
+        version, manifest = h
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        for p in manifest["files"]:
+            pv = tuple(sorted(self._partition_values(p).items()))
+            groups[pv].append(p)
+        to_rewrite = {
+            p for fs in groups.values() if len(fs) >= min_files for p in fs
+        }
+        if not to_rewrite:
+            return version
+        files = [os.path.join(self.data_dir, p) for p in sorted(to_rewrite)]
+        df = spark.read.option("basePath", self.data_dir).parquet(*files)
+        df = (
+            df.repartition(*self.partition_by)
+            if self.partition_by
+            else df.coalesce(1)
+        )
+        return self._commit_loop(
+            df,
+            remove_pred=lambda rel: rel in to_rewrite,
+            writer_id=None,
+            batch_id=None,
+        )
+
+    def vacuum(self, *, retain_versions: int = 1) -> list[str]:
+        """Delete data files referenced ONLY by manifests older than the
+        last `retain_versions`, then drop those manifests. This is the
+        step that finally reclaims space from copy-on-write — and the
+        step that ends time travel past the horizon, which is why it is
+        a separate, explicitly-invoked operation (Delta's VACUUM has the
+        same contract). Returns the deleted relative paths."""
+        vs = self._versions()
+        if not vs:
+            return []
+        retain_versions = max(retain_versions, 1)
+        kept, dropped = vs[-retain_versions:], vs[:-retain_versions]
+        referenced: set[str] = set()
+        for v in kept:
+            referenced.update(self._read_manifest(v)["files"])
+        deleted: list[str] = []
+        for dirpath, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(dirpath, fn), self.data_dir)
+                if rel not in referenced:
+                    os.unlink(os.path.join(dirpath, fn))
+                    deleted.append(rel)
+        for v in dropped:
+            os.unlink(os.path.join(self.log_dir, f"{v:020d}.json"))
+        return sorted(deleted)
+
+
 def write_stream_txlog_merge(
     df: DataFrame,
     root: str,

@@ -149,3 +149,31 @@ def test_streaming_txlog_merge_exactly_once(spark, tmp_path):
     start().awaitTermination(120)  # restart, no new input
     assert t.head()[0] == v
     assert _rows(t.snapshot(spark)) == want
+
+
+def test_compact_and_vacuum_lifecycle(spark, tmp_path):
+    """Two appends leave two files in one partition; compact rewrites
+    them into one (old files retained for snapshot readers); vacuum then
+    reclaims unreferenced files and ends time travel past the horizon."""
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"])
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    t.append(spark.createDataFrame([(3, "click", 3.0)], COLS))
+    click_before = [f for f in t.head()[1]["files"] if "event_type=click" in f]
+    assert len(click_before) == 2
+
+    t.compact(spark)
+    head_v, manifest = t.head()
+    click_after = [f for f in manifest["files"] if "event_type=click" in f]
+    assert len(click_after) == 1
+    want = [(1, "click", 1.0), (2, "view", 2.0), (3, "click", 3.0)]
+    assert _rows(t.snapshot(spark)) == want
+    # old files still on disk: pre-compaction snapshot remains readable
+    assert _rows(t.snapshot(spark, version=1)) == want
+    for f in click_before:
+        assert os.path.exists(os.path.join(t.data_dir, f))
+
+    deleted = t.vacuum(retain_versions=1)
+    assert set(click_before) <= set(deleted)
+    # head snapshot unaffected; dropped manifests gone
+    assert _rows(t.snapshot(spark)) == want
+    assert t._versions() == [head_v]
