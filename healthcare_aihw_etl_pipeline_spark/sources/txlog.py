@@ -289,6 +289,70 @@ class TxLogTable:
             batch_id=None,
         )
 
+    def compact_zorder(
+        self,
+        spark: SparkSession,
+        x: str,
+        y: str,
+        *,
+        bits: int = 8,
+        min_files: int = 1,
+    ) -> int | None:
+        """OPTIMIZE ZORDER BY (x, y): compaction that also clusters each
+        rewritten partition's rows along the Morton curve of (x, y), so
+        parquet row-group min/max stats bound BOTH columns tightly and
+        post-compaction scans skip row groups for filters on either
+        (operators.layout has the standalone write path and the measured
+        span numbers). Bounds come from one aggregate over the files
+        being rewritten; the commit is an ordinary transaction."""
+        from collections import defaultdict
+
+        import pyspark.sql.functions as F
+
+        from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+            bucketize,
+            zvalue,
+        )
+
+        h = self.head()
+        if h is None:
+            return None
+        version, manifest = h
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        for p in manifest["files"]:
+            pv = tuple(sorted(self._partition_values(p).items()))
+            groups[pv].append(p)
+        to_rewrite = {
+            p for fs in groups.values() if len(fs) >= min_files for p in fs
+        }
+        if not to_rewrite:
+            return version
+        files = [os.path.join(self.data_dir, p) for p in sorted(to_rewrite)]
+        df = spark.read.option("basePath", self.data_dir).parquet(*files)
+        b = df.agg(
+            F.min(x).alias("xlo"), F.max(x).alias("xhi"),
+            F.min(y).alias("ylo"), F.max(y).alias("yhi"),
+        ).first()
+        if any(v is None for v in (b.xlo, b.xhi, b.ylo, b.yhi)):
+            return version
+        z = zvalue(
+            bucketize(F.col(x), int(b.xlo), int(b.xhi), bits),
+            bucketize(F.col(y), int(b.ylo), int(b.yhi), bits),
+            bits,
+        )
+        if self.partition_by:
+            clustered = df.repartition(*self.partition_by).sortWithinPartitions(
+                *self.partition_by, z
+            )
+        else:
+            clustered = df.coalesce(1).sortWithinPartitions(z)
+        return self._commit_loop(
+            clustered,
+            remove_pred=lambda rel: rel in to_rewrite,
+            writer_id=None,
+            batch_id=None,
+        )
+
     def vacuum(self, *, retain_versions: int = 1) -> list[str]:
         """Delete data files referenced ONLY by manifests older than the
         last `retain_versions`, then drop those manifests. This is the

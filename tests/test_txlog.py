@@ -177,3 +177,39 @@ def test_compact_and_vacuum_lifecycle(spark, tmp_path):
     # head snapshot unaffected; dropped manifests gone
     assert _rows(t.snapshot(spark)) == want
     assert t._versions() == [head_v]
+
+
+def test_compact_zorder_clusters_rows(spark, tmp_path):
+    """OPTIMIZE ZORDER: the rewritten file's row order follows the
+    Morton curve of (x, y) — parquet preserves write order, so reading
+    the compacted snapshot back must show non-decreasing z-values."""
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+        bucketize,
+        zvalue,
+    )
+
+    t = TxLogTable(str(tmp_path / "t"), [])
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), F.expr("id DIV 64").alias("y")
+    )
+    # two appends in anti-z (plain row-id) order -> two unclustered files
+    t.append(grid.where("id % 2 = 0").coalesce(1))
+    t.append(grid.where("id % 2 = 1").coalesce(1))
+    assert len(t.head()[1]["files"]) == 2
+
+    t.compact_zorder(spark, "x", "y", bits=6)
+    _, manifest = t.head()
+    assert len(manifest["files"]) == 1
+    snap = t.snapshot(spark)
+    assert snap.count() == 4096
+    zs = [
+        r.z
+        for r in snap.select(
+            zvalue(
+                bucketize(F.col("x"), 0, 63, 6),
+                bucketize(F.col("y"), 0, 63, 6),
+                6,
+            ).alias("z")
+        ).collect()
+    ]
+    assert zs == sorted(zs), "compacted file is not z-ordered"
