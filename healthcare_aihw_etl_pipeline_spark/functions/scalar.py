@@ -89,3 +89,21 @@ def slug(name: str) -> str:
     (/root/reference/main.py:90). Operates on Python strings because column
     names live in the driver."""
     return str(name).strip().lower().replace(" ", "_")
+
+
+def bind(expr: Column, body) -> Column:
+    """Expression-level let-binding: evaluate `expr` ONCE per row and
+    reference the result any number of times inside `body`.
+
+    Why it exists: referencing an expression (not a bound column) inside
+    a higher-order-function lambda re-evaluates it PER ELEMENT — Catalyst
+    does no common-subexpression elimination across lambda scopes. A
+    `transform(sequence(1, n), i -> f(split(text), i))` therefore
+    re-splits the text n times: O(len²) per row (measured 12× on the
+    bigram query, 4.4 s → 0.35 s at sf0.1). Wrapping the expression as
+    the sole element of an array and transforming binds it to a lambda
+    VARIABLE, which is evaluated once:
+
+        bind(split(text), t -> transform(..., i -> f(t, i)))
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)

@@ -37,25 +37,43 @@ _P = (1 << 31) - 1
 
 
 def word_shingles(text_col: Column | str, k: int = 5) -> Column:
-    """k-word shingles as strings (distinct), from whitespace tokens."""
+    """k-word shingles as strings (distinct), from whitespace tokens.
+
+    The token array is let-bound so the split runs once per row — a
+    slice inside the per-position lambda would otherwise re-split per
+    shingle, O(len²) (functions.scalar.bind documents the trap)."""
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    tokens = F.split(F.trim(c), r"\s+")
-    n = F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
-        )
+    return bind(
+        F.split(F.trim(c), r"\s+"),
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(t) - F.lit(k - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            )
+        ),
     )
 
 
 def char_shingles(text_col: Column | str, k: int = 8) -> Column:
-    """k-char shingles (distinct) — language-agnostic alternative."""
+    """k-char shingles (distinct) — language-agnostic alternative.
+    Trimmed text let-bound once per row (see word_shingles)."""
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    s = F.trim(c)
-    n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(s, i, F.lit(k)))
+    return bind(
+        F.trim(c),
+        lambda s: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+                ),
+                lambda i: F.substr(s, i, F.lit(k)),
+            )
+        ),
     )
 
 
@@ -75,24 +93,33 @@ def token_shingle_hashes(text_col: Column | str, k: int = 5) -> Column:
     MinHash — this one is deterministic and overflow-safe under ANSI
     (all operands < 2^31, products < 2^62).
     """
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.trim(c), r"\s+")
     th = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
-    n = F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1))
     base = 1_000_003  # small odd multiplier, coprime with P
+
     # Combine k SHIFTED copies of the hash array with zip_with: each
-    # slice(th, ...) evaluates the token-hash array once per row (O(n·k)
-    # total). Per-position element_at(th, i+j) would re-evaluate the whole
-    # array per element — O(n²·k), measured 4× slower end-to-end.
-    acc = F.slice(th, 1, n)
-    for j in range(1, k):
-        shifted = F.slice(th, 1 + j, n)
-        acc = F.zip_with(
-            acc,
-            shifted,
-            lambda a, b: F.pmod(a * F.lit(base) + F.coalesce(b, F.lit(0).cast("long")), F.lit(_P)),
-        )
-    return F.array_distinct(acc)
+    # slice evaluates the (let-bound) token-hash array handle, O(n·k)
+    # total. Per-position element_at(th, i+j) would re-evaluate the whole
+    # array per element — O(n²·k), measured 4× slower end-to-end; and
+    # without the bind, each of the k slices would re-run split+hash.
+    def rolled(v: Column) -> Column:
+        n = F.greatest(F.size(v) - F.lit(k - 1), F.lit(1))
+        acc = F.slice(v, 1, n)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc,
+                F.slice(v, 1 + j, n),
+                lambda a, b: F.pmod(
+                    a * F.lit(base) + F.coalesce(b, F.lit(0).cast("long")),
+                    F.lit(_P),
+                ),
+            )
+        return F.array_distinct(acc)
+
+    return bind(th, rolled)
 
 
 def minhash_signature(

