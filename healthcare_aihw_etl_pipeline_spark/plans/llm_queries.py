@@ -2282,3 +2282,120 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(dist).alias("min_dist"),
         )
     )
+
+
+_PR_ITERS = 6
+_PR_TOTAL = 1_000_000_000  # total rank mass, in ppb units
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration DuckDB replay of the integer PageRank: the
+    same BIGINT arithmetic, one CTE per iteration (no recursive CTE —
+    aggregation inside recursion is restricted; unrolling is the
+    portable form and makes the fixed iteration count explicit)."""
+    base_sql = (
+        f"(CAST(150 AS BIGINT) * {_PR_TOTAL}) // (1000 * (SELECT c FROM nn))"
+    )
+    ctes = [
+        f"""edges AS (
+      SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+      UNION ALL
+      SELECT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst FROM lineitem
+    )""",
+        "deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS c FROM deg)",
+        f"pr0 AS (SELECT id, CAST({_PR_TOTAL} // (SELECT c FROM nn) AS BIGINT)"
+        " AS r, d FROM deg)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""pr{i} AS (
+      SELECT deg.id,
+             CAST({base_sql} + (850 * COALESCE(s.s, 0)) // 1000 AS BIGINT) AS r,
+             deg.d
+      FROM deg LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.r // p.d) AS s
+        FROM edges e JOIN pr{i - 1} p ON p.id = e.src
+        GROUP BY e.dst
+      ) s ON s.id = deg.id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT CASE WHEN id % 2 = 0 THEN 'order' ELSE 'part' END AS kind,
+           CAST(id // 2 AS BIGINT) AS key,
+           r AS rank_ppb
+    FROM pr{_PR_ITERS}
+    ORDER BY r DESC, id ASC LIMIT 20
+    """
+    )
+
+
+@register(
+    "bipartite_pagerank_top20",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the order-part bipartite graph (edges = lineitem "
+    "rows, both directions), the iterative-algorithm family beyond "
+    "connected components: fixed 6 power iterations, each one "
+    "edges-join-ranks + aggregate — the canonical iterative-Spark shape "
+    "with lineage truncated per round (localCheckpoint; a cluster "
+    "deployment uses reliable checkpointing for stage-retry safety). "
+    "ALL arithmetic is BIGINT ppb with explicit DIV — per-edge "
+    "contribution r DIV d, damping (850*s) DIV 1000 — so the result is "
+    "bit-exact, partial-order-independent, and replayable in DuckDB as "
+    "unrolled CTE iterations: floating-point PageRank can never "
+    "hash-match across engines, integer PageRank always does. Scale: "
+    "each iteration is one equi-shuffle of (edge endpoints x 8-byte "
+    "ranks); rank mass stays bounded by construction so no overflow "
+    "below 2^53 nodes.",
+)
+def bipartite_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    half = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = deg.select(F.col("src").alias("id"), "d")
+    n_nodes = nodes.count()
+    base = (150 * _PR_TOTAL) // (1000 * n_nodes)
+    init = _PR_TOTAL // n_nodes
+    r = nodes.select("id", "d", F.lit(init).cast("long").alias("r"))
+    for i in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                r.select(F.col("id").alias("src"), F.expr("r DIV d").alias("c")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = nodes.join(contrib, nodes.id == contrib.dst, "left").select(
+            "id",
+            "d",
+            (
+                F.lit(base).cast("long")
+                + F.expr("(850 * coalesce(s, 0L)) DIV 1000")
+            ).cast("long").alias("r"),
+        )
+        # Truncate lineage every 3 rounds, not every round: A/B at sf0.1
+        # gives 6.2 s unchecked / 7.3 s every-3 / 13.5 s every-1
+        # (identical results) — materialization costs more than the
+        # short lineage saves, but unbounded growth is the real risk at
+        # high iteration counts, so keep a bounded-depth truncation.
+        if (i + 1) % 3 == 0:
+            r = r.localCheckpoint(eager=True)
+    return (
+        r.select(
+            F.when(F.col("id") % 2 == 0, F.lit("order"))
+            .otherwise(F.lit("part"))
+            .alias("kind"),
+            F.expr("id DIV 2").cast("long").alias("key"),
+            F.col("r").alias("rank_ppb"),
+        )
+        .orderBy(F.desc("rank_ppb"), F.asc("key"))
+        .limit(20)
+    )
