@@ -56,3 +56,20 @@ def test_cosine_topk_partition_invariant(spark, sf_dir):
     a = brute_force_topk(emb.coalesce(1), "embedding", "vec_id", q, 10)
     b = brute_force_topk(emb.repartition(11), "embedding", "vec_id", q, 10)
     assert rows_set(a) == rows_set(b)
+
+
+def test_pagerank_partition_invariant(spark, sf_dir):
+    """Integer PageRank must be bit-identical under any shuffle-partition
+    setting — the property the BIGINT-ppb arithmetic exists for (a
+    float PageRank would drift by summation order here)."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    q = REGISTRY["bipartite_pagerank_top20"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    a = rows_set(q.build(spark, sf_dir))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = rows_set(q.build(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
