@@ -2734,3 +2734,59 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "file_id")
     )
+
+
+@register(
+    "mode_ship_priority",
+    # Both engines' built-in mode() breaks frequency ties arbitrarily —
+    # useless for cross-engine parity. The deterministic form is a
+    # two-level aggregate: count per (group, value), then argmax with an
+    # explicit value tiebreak, expressed identically on both sides.
+    oracle="""
+    WITH c AS (
+      SELECT l_shipmode_proxy AS grp, o_orderpriority AS val, COUNT(*) AS n
+      FROM (
+        SELECT CASE WHEN l.l_quantity < 10 THEN 'small'
+                    WHEN l.l_quantity < 30 THEN 'mid'
+                    ELSE 'bulk' END AS l_shipmode_proxy,
+               o.o_orderpriority
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      ) GROUP BY 1, 2
+    )
+    SELECT grp,
+           substr(MAX(printf('%020d', n) || val), 21) AS mode_priority,
+           CAST(substr(MAX(printf('%020d', n) || val), 1, 20) AS BIGINT)
+             AS mode_count
+    FROM c GROUP BY grp
+    """,
+    doc="Deterministic grouped MODE (most frequent order priority per "
+    "quantity band): two chained aggregations — count per (group, "
+    "value), then MAX over a zero-padded '(count,value)' sort key so "
+    "frequency ties break on the value itself, never on partition "
+    "order. Both engines' native mode() is tie-nondeterministic, and "
+    "DuckDB's arg_max takes no composite ordering key — the encoded-"
+    "key MAX is the portable exact form, and every level keeps "
+    "map-side partial aggregation.",
+)
+def mode_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("bulk")
+    )
+    counts = (
+        li.select("l_orderkey", band.alias("grp"))
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("grp", F.col("o_orderpriority").alias("val"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    key = F.concat(F.format_string("%020d", F.col("n")), F.col("val"))
+    best = counts.groupBy("grp").agg(F.max(key).alias("k"))
+    return best.select(
+        "grp",
+        F.substring("k", 21, 1_000_000).alias("mode_priority"),
+        F.substring("k", 1, 20).cast("long").alias("mode_count"),
+    )
