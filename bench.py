@@ -1,9 +1,18 @@
 #!/usr/bin/env python
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "cold_sec": {...}, "floor_sec": {...}, "marginal_sec": {...}}
+   "exec_total": N, "cold_total": N, "floor_total": N, "marginal_total": N,
+   "sched_floor_ms": N}
+
+The stdout line is kept deliberately COMPACT (scalars + the headline
+per-query dict only, well under 2 kB): the harness that consumes it
+buffers a bounded tail of stdout, and a line longer than that buffer is
+truncated mid-JSON and unparseable (this silently dropped the round-4
+headline number). The full per-query decomposition (cold_sec, exec_sec,
+floor_sec, marginal_sec) goes to stderr and to BENCH_DETAIL.json next
+to this script.
 
 Measurement model (all numbers reported, nothing hidden):
 
@@ -258,42 +267,55 @@ def _split(times: dict[str, float], times_small: dict[str, float]):
 
 def main() -> None:
     times, execs, colds, times_small, sched_floor_ms = run_spark()
+    # Compact stdout summary: scalar totals + the one headline dict.
     out = {
         "metric": "headline_query_wall_sec",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
         "sf": _sf_from_dir(SF_DIR),
-        # prepared-plan execution (build once, run repeatedly): the
+        # prepared-plan execution total (build once, run repeatedly): the
         # latency profile of any repeated/parameterized production query.
-        "exec_sec": execs,
         "exec_total": round(sum(execs.values()), 4),
         # from-scratch build (plan cache bypassed): py4j construction +
         # Catalyst + execution — first-ever-run latency, single sample.
-        "cold_sec": colds,
         "cold_total": round(sum(colds.values()), 4),
         # steady-state empty-job round-trip: the per-job scheduling floor
         "sched_floor_ms": round(sched_floor_ms, 1),
     }
+    # Full per-query decomposition: stderr + BENCH_DETAIL.json, never stdout.
+    detail = {"exec_sec": execs, "cold_sec": colds}
     if times_small:
         floor, marginal = _split(times, times_small)
-        out["floor_sec"] = floor
-        out["marginal_sec"] = marginal
+        detail["floor_sec"] = floor
+        detail["marginal_sec"] = marginal
         out["floor_total"] = round(sum(floor.values()), 4)
         out["marginal_total"] = round(sum(marginal.values()), 4)
     if "--duckdb" in sys.argv:
         duck, duck_small = run_duckdb()
-        extra = {"duckdb_baseline": duck, "duckdb_total": round(sum(duck.values()), 4)}
-        if duck_small:
+        detail["duckdb_baseline"] = duck
+        detail["duckdb_total"] = round(sum(duck.values()), 4)
+        if duck_small and "marginal_sec" in detail:
             dfloor, dmarg = _split(duck, duck_small)
-            extra["duckdb_marginal"] = dmarg
-            extra["marginal_ratio"] = {
-                n: round(out["marginal_sec"][n] / dmarg[n], 2)
+            detail["duckdb_marginal"] = dmarg
+            detail["marginal_ratio"] = {
+                n: round(detail["marginal_sec"][n] / dmarg[n], 2)
                 for n in dmarg
-                if dmarg.get(n) and out.get("marginal_sec", {}).get(n) is not None
+                if dmarg.get(n) and detail["marginal_sec"].get(n) is not None
             }
-        print(json.dumps(extra), file=sys.stderr)
-    print(json.dumps(out))
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump({**out, **detail}, f, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(out)
+    # Hard guard: the consumer's stdout tail buffer is ~2000 chars.
+    assert len(line) < 1900, f"stdout JSON line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

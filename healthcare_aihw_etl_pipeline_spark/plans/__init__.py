@@ -15,10 +15,15 @@ from healthcare_aihw_etl_pipeline_spark.plans import reference_queries  # noqa: 
 from healthcare_aihw_etl_pipeline_spark.plans import llm_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import ingest_queries  # noqa: F401,E402
 
-# Names already green in CORRECTNESS_r03.json (driver rounds 1–3). Everything
+# Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the
 # yet-unverified families first. Keep this list in sync when a round's
 # CORRECTNESS report lands.
+#
+# Rounds 1–3 verified the first 50 registrations (reference_queries);
+# round 4's rotated window (CORRECTNESS_r04.json, 50/50 green) verified
+# the LLM-pipeline family, the round-3 TPC-H shapes, events_typed_agg and
+# ingest_clean_admissions.
 _DRIVER_GREEN_R3 = [
     "revenue_by_nation", "top_nation", "pricing_summary", "filter_in_agg",
     "distinct_event_types", "count_distinct_years", "top10_brands_by_revenue",
@@ -38,16 +43,7 @@ _DRIVER_GREEN_R3 = [
     "idle_rich_customers", "important_parts_by_share", "shipping_priority_top10",
     "cross_nation_shipping", "returned_item_top_customers",
     "disjunctive_brand_revenue",
-]
-
-
-# The 50 queries the round-4 correctness window MUST sample (all oracle-
-# backed, never driver-checked before round 4): the newest TPC-H shapes,
-# the full LLM-pipeline family, the typed-events production query, and
-# the ingest staging≡clean contract. Pinned explicitly so adding new
-# queries mid-round cannot displace them from the window; queries added
-# after this pin queue up right behind and rotate in next round.
-_MUST_VERIFY_R4 = [
+    # CORRECTNESS_r04.json — rotated window, 50/50 green.
     "forecast_discount_revenue", "order_priority_check",
     "local_supplier_volume", "nation_market_share", "product_type_profit",
     "late_shipment_priority_mix", "top_revenue_suppliers",
@@ -70,17 +66,32 @@ _MUST_VERIFY_R4 = [
 ]
 
 
+# Queries the round-5 correctness window MUST sample: everything with no
+# driver-side CORRECTNESS row yet — the four round-4 additions, the
+# deterministic MODE query, and the five hash-seeded approximate ops
+# (rows-only; the driver records the weaker rows check, making their
+# registration visible in the report). Pinned explicitly so adding new
+# queries mid-round cannot displace them from the window; new queries
+# queue up right behind (see _curate) and rotate in next round.
+_MUST_VERIFY_R5 = [
+    "ewma_daily_revenue", "mode_ship_priority", "char_diversity_profile",
+    "levenshtein_blocked_pairs", "bipartite_pagerank_top20",
+    "ann_lsh_top10", "minhash_dup_clusters", "simhash_dup_clusters",
+    "ivf_cosine_top10", "approx_event_profile",
+]
+
+
 def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     """Rebuild the registry dict with unverified queries first.
 
-    Order: the pinned round-4 verification window, then any other
+    Order: the pinned round-5 verification window, then any other
     yet-unverified oracle-backed queries (registration order), then
     rows-only queries, then the already-driver-green set. Deterministic
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R4 if n in registry]
-    placed = set(_MUST_VERIFY_R4)
+    pinned = [registry[n] for n in _MUST_VERIFY_R5 if n in registry]
+    placed = set(_MUST_VERIFY_R5)
     promoted_oracle = [
         q
         for n, q in registry.items()

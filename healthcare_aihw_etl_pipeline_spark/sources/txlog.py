@@ -96,8 +96,18 @@ class TxLogTable:
         table is partitioned); files are then MOVED (metadata-only
         rename) into the shared data dir under commit-scoped names —
         the manifest, not the directory listing, defines the table.
+
+        Data-file names carry a per-transaction UUID: two writers racing
+        from the same head both compute version_hint = head+1 and the
+        same sequential n, so names built from (version_hint, n) alone
+        COLLIDE — the second os.rename silently replaces the first
+        writer's bytes while the first writer's manifest still references
+        the path, i.e. silent corruption in exactly the optimistic-
+        concurrency scenario this module exists for. Delta avoids the
+        same race by embedding a UUID in every data-file name.
         """
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        tx_uid = uuid.uuid4().hex[:12]
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -112,7 +122,7 @@ class TxLogTable:
                 rel_dir = "" if rel_dir == "." else rel_dir
                 dest_dir = os.path.join(self.data_dir, rel_dir)
                 os.makedirs(dest_dir, exist_ok=True)
-                dest_name = f"c{version_hint}-{n}.parquet"
+                dest_name = f"c{version_hint}-{tx_uid}-{n}.parquet"
                 n += 1
                 os.rename(
                     os.path.join(dirpath, fn), os.path.join(dest_dir, dest_name)
@@ -238,8 +248,12 @@ class TxLogTable:
                     "meant to replace were modified by a concurrent commit"
                 )
             removed_now = removed
+            # added paths are UUID-unique per transaction, so they cannot
+            # appear in prev["files"]; the set guard keeps the invariant
+            # (no duplicate manifest entries) even if that ever changes.
+            drop = set(removed) | set(added)
             manifest = {
-                "files": [p for p in prev["files"] if p not in set(removed)] + added,
+                "files": [p for p in prev["files"] if p not in drop] + added,
                 "txn": {**prev.get("txn", {})},
                 "removed": removed,
             }
@@ -353,13 +367,29 @@ class TxLogTable:
             batch_id=None,
         )
 
-    def vacuum(self, *, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        *,
+        retain_versions: int = 1,
+        retention_seconds: float = 7 * 24 * 3600.0,
+    ) -> list[str]:
         """Delete data files referenced ONLY by manifests older than the
         last `retain_versions`, then drop those manifests. This is the
         step that finally reclaims space from copy-on-write — and the
         step that ends time travel past the horizon, which is why it is
         a separate, explicitly-invoked operation (Delta's VACUUM has the
-        same contract). Returns the deleted relative paths."""
+        same contract). Returns the deleted relative paths.
+
+        `retention_seconds` is the age guard that makes vacuum safe
+        against IN-FLIGHT commits: a concurrent transaction moves its
+        staged files into the data dir BEFORE its manifest exists, so
+        "present on disk but unreferenced" does not imply garbage — it
+        may be the next commit's data. Files younger (by mtime) than the
+        horizon are skipped, mirroring Delta's
+        deletedFileRetentionDuration contract; pass 0 only when no
+        writer can be active (tests, single-writer maintenance)."""
+        import time as _time
+
         vs = self._versions()
         if not vs:
             return []
@@ -368,13 +398,21 @@ class TxLogTable:
         referenced: set[str] = set()
         for v in kept:
             referenced.update(self._read_manifest(v)["files"])
+        horizon = _time.time() - max(retention_seconds, 0.0)
         deleted: list[str] = []
         for dirpath, _dirs, files in os.walk(self.data_dir):
             for fn in files:
-                rel = os.path.relpath(os.path.join(dirpath, fn), self.data_dir)
-                if rel not in referenced:
-                    os.unlink(os.path.join(dirpath, fn))
-                    deleted.append(rel)
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.data_dir)
+                if rel in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(full) > horizon:
+                        continue  # possibly an in-flight commit's file
+                except OSError:
+                    continue  # raced with its own cleanup
+                os.unlink(full)
+                deleted.append(rel)
         for v in dropped:
             os.unlink(os.path.join(self.log_dir, f"{v:020d}.json"))
         return sorted(deleted)

@@ -172,11 +172,30 @@ def test_compact_and_vacuum_lifecycle(spark, tmp_path):
     for f in click_before:
         assert os.path.exists(os.path.join(t.data_dir, f))
 
-    deleted = t.vacuum(retain_versions=1)
+    # default retention horizon: young unreferenced files are NOT deleted
+    # (they may belong to an in-flight commit that has staged but not yet
+    # committed) — only the manifests past the horizon are dropped.
+    assert t.vacuum(retain_versions=1) == []
+    for f in click_before:
+        assert os.path.exists(os.path.join(t.data_dir, f))
+
+    deleted = t.vacuum(retain_versions=1, retention_seconds=0.0)
     assert set(click_before) <= set(deleted)
     # head snapshot unaffected; dropped manifests gone
     assert _rows(t.snapshot(spark)) == want
     assert t._versions() == [head_v]
+
+
+def test_staged_file_names_unique_across_racing_writers(spark, tmp_path):
+    """Two writers racing from the same head stage files with the same
+    version hint; UUID-scoped names keep their paths disjoint, so the
+    race loser cannot silently overwrite the winner's committed bytes."""
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"])
+    a = t._stage_files(spark.createDataFrame([(1, "click", 1.0)], COLS), 1)
+    b = t._stage_files(spark.createDataFrame([(2, "click", 2.0)], COLS), 1)
+    assert not (set(a) & set(b))
+    for rel in a + b:
+        assert os.path.exists(os.path.join(t.data_dir, rel))
 
 
 def test_compact_zorder_clusters_rows(spark, tmp_path):
