@@ -100,7 +100,11 @@ def top_k_per_group_agg(
     Requirements: `tiebreak` columns must be numeric (they are negated so
     "ascending tiebreak" becomes part of one max), and (order_col,
     *tiebreak) must be unique within a group — the same determinism
-    condition under which row_number itself is well-defined.
+    condition under which row_number itself is well-defined. NULLs in
+    order/tiebreak columns are handled: winner removal uses null-safe
+    equality, so a null-keyed winner is still removed from later rounds
+    (a plain equi-anti-join would never match it and re-select it with
+    every rank — duplicate winners).
 
     Scale: k scans of the (column-pruned) input vs one scan + one sort.
     Wins while k * scan_cost < sort_cost; for large k use the window form.
@@ -129,10 +133,18 @@ def top_k_per_group_agg(
                 *partition_by,
                 *[F.col(f"_b.{c}").alias(c) for c in key_fields],
             )
-            remaining = remaining.join(
-                F.broadcast(winner_keys),
-                [*partition_by, *key_fields],
-                "left_anti",
+            # eqNullSafe, not an equi-join: a NULL order/tiebreak value
+            # still identifies a winner row, and plain `=` would leave it
+            # in `remaining` forever (advisor-reported duplicate-winner
+            # bug). NULL-safe equality still hashes/broadcasts fine.
+            left = remaining.alias("_l")
+            right = F.broadcast(winner_keys.alias("_r"))
+            cond = None
+            for c in [*partition_by, *key_fields]:
+                e = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+                cond = e if cond is None else cond & e
+            remaining = left.join(right, cond, "left_anti").select(
+                *[F.col(f"_l.{c}").alias(c) for c in work.columns]
             )
     out = rounds[0]
     for r in rounds[1:]:

@@ -2396,6 +2396,11 @@ def bipartite_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("id DIV 2").cast("long").alias("key"),
             F.col("r").alias("rank_ppb"),
         )
-        .orderBy(F.desc("rank_ppb"), F.asc("key"))
+        # Tiebreak must TOTALLY order: (key ASC, kind ASC) is exactly
+        # id ASC (id = 2*key + [kind='part'], 'order' < 'part'), matching
+        # the oracle's ORDER BY r DESC, id ASC. With integer ranks, an
+        # order and a part node CAN tie on (rank, key); without kind the
+        # LIMIT 20 boundary would be nondeterministic across engines.
+        .orderBy(F.desc("rank_ppb"), F.asc("key"), F.asc("kind"))
         .limit(20)
     )

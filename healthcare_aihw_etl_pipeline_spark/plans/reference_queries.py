@@ -552,12 +552,17 @@ def _events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         from pyspark.sql.types import IntegerType, StructField, StructType
 
+        from healthcare_aihw_etl_pipeline_spark.plans.registry import invalidate
+
         events = load_table(spark, sf_dir, "events")
         k_schema = StructType([StructField("k", IntegerType())])
         typed = events.withColumn("k", F.from_json("props", k_schema)["k"]).drop(
             "props"
         )
         typed.write.mode("overwrite").parquet(base)
+        # Cached plans for this sf_dir pinned the PREVIOUS derived-table
+        # file listing; drop them so readers resolve the rebuilt snapshot.
+        invalidate(sf_dir=sf_dir)
     return spark.read.parquet(base)
 
 

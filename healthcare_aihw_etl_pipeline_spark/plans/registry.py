@@ -83,7 +83,33 @@ REGISTRY: dict[str, Query] = {}
 # statements / plan caches). Keyed by applicationId so a new session
 # never sees another session's plans; entries are logical plans only —
 # no rows are pinned.
+#
+# IMMUTABILITY CONTRACT: a cached plan pins the parquet FILE LISTING at
+# construction time, so the cache assumes the data under `sf_dir` does
+# not change for the session's lifetime (true for the read-only testdata
+# dirs this registry serves). Whoever rewrites an input — e.g. the
+# `_events_typed` derived-table rebuild in reference_queries.py — must
+# call :func:`invalidate` for that sf_dir, or readers keep resolving the
+# stale snapshot. Size is bounded in practice by
+# |registered queries| × |sf_dirs| (~a few hundred logical plans, no
+# pinned rows); `invalidate()` is also the full-reset hook for tests.
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate(name: str | None = None, sf_dir: str | None = None) -> int:
+    """Drop cached plans matching `name` and/or `sf_dir` (None = any).
+
+    Returns the number of entries dropped. Call after mutating data
+    under an sf_dir (derived-table rebuild, test fixture rewrite) so
+    subsequent registry calls re-resolve the file listing."""
+    keys = [
+        k
+        for k in _PLAN_CACHE
+        if (name is None or k[1] == name) and (sf_dir is None or k[2] == sf_dir)
+    ]
+    for k in keys:
+        del _PLAN_CACHE[k]
+    return len(keys)
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):

@@ -506,6 +506,47 @@ def test_top_k_per_group_agg_matches_window(spark, sf_dir):
     assert got == want
 
 
+def test_top_k_per_group_agg_null_order_values(spark):
+    """A NULL order value must not produce duplicate winners: winner
+    removal between rounds uses null-safe equality, so the null-keyed
+    row is selected at most once (advisor-reported bug: plain equi
+    anti-join re-selected it with every rank)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.windows import (
+        top_k_per_group_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, None), ("g", 2, 5.0), ("g", 3, 3.0)],
+        ["grp", "id", "score"],
+    )
+    got = sorted(
+        (r.grp, r.id, r.score, r.rn)
+        for r in top_k_per_group_agg(
+            df, ["grp"], "score", 3, tiebreak=["id"]
+        ).collect()
+    )
+    # descending max: 5.0, 3.0, then the NULL row exactly once, rank 3
+    assert [(g, i, rn) for g, i, _s, rn in got] == [
+        ("g", 1, 3), ("g", 2, 1), ("g", 3, 2)
+    ], got
+
+
+def test_plan_cache_invalidate(spark, sf_dir):
+    """The prepared-plan cache assumes immutable inputs; invalidate() is
+    the hook a data-rewriting path (e.g. the _events_typed rebuild) must
+    call so readers re-resolve the file listing."""
+    from healthcare_aihw_etl_pipeline_spark.plans import registry as reg
+
+    q = REGISTRY["filter_in_agg"]
+    a = q.fn(spark, sf_dir)
+    assert q.fn(spark, sf_dir) is a  # cache hit: same DataFrame object
+    dropped = reg.invalidate(name="filter_in_agg", sf_dir=sf_dir)
+    assert dropped == 1
+    b = q.fn(spark, sf_dir)
+    assert b is not a  # rebuilt after invalidation
+    assert reg.invalidate(sf_dir="/nonexistent") == 0
+
+
 def test_round4_query_plan_shapes(spark, sf_dir):
     """Round-4 additions: the EWMA self range join must compile to an
     EQUI join on the month bucket (never BroadcastNestedLoopJoin — the
