@@ -437,6 +437,57 @@ def main() -> None:
 
     timed("ewma_series_sec", ewma_series, n=1)
 
+    # --- round-5 ops at corpus scale
+    from healthcare_aihw_etl_pipeline_spark.plans.round5_queries import (
+        _word_ngrams,
+    )
+
+    def ngram_census():
+        # duplicate_ngram_top20 shape: explode 8-grams (113 per 120-token
+        # doc), one shuffle with map-side partial count/count-distinct.
+        return (
+            docs.select("doc_id", F.explode(_word_ngrams("text", 8)).alias("g"))
+            .groupBy("g")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occ"),
+            )
+            .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("g"))
+            .limit(20)
+            .collect()
+        )
+
+    timed("ngram_census_sec", ngram_census, n=1)
+
+    def jaccard_pairs():
+        # jaccard_pair_similarity shape WITH the document-frequency cap
+        # the query's docstring prescribes at scale: drop grams with
+        # df > 50 before the self-join (stopword-like grams dominate
+        # pair fan-out: Σ df² over grams). The cap turns a potentially
+        # quadratic join into one bounded by 50·|rare grams|.
+        grams = (
+            docs.select("doc_id", F.explode(_word_ngrams("text", 5)).alias("g"))
+            .distinct()
+        )
+        rare = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") <= 50
+        )
+        pruned = grams.join(rare.select("g"), "g")
+        a, b = pruned.alias("a"), pruned.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .where(F.col("inter") >= 20)
+            .count()
+        )
+
+    timed("jaccard_pairs_sec", jaccard_pairs, n=1)
+
     out["rows"] = rows
     out["n_docs"] = n_docs
     print(json.dumps(out))

@@ -572,3 +572,27 @@ def test_round4_query_plan_shapes(spark, sf_dir):
     ]
     assert gen_ids and exch_ids and partial_ids, p3
     assert max(gen_ids) < min(partial_ids) < min(exch_ids), p3
+
+
+def test_round5_query_plan_shapes(spark, sf_dir):
+    """Round-5 additions: the similarity/co-occurrence self-joins must
+    compile to EQUI joins (the `a.key < b.key` conjunct is a post-join
+    filter, never the join strategy); the histogram's bounds join must
+    be a 1-row broadcast; the z-score's stats join must broadcast, not
+    shuffle, the per-type stats."""
+    for name in ("jaccard_pair_similarity", "part_pair_cooccurrence"):
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, (name, p)
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), (name, p)
+
+    # broadcast-scalar bounds: nested-loop over a 1-row aggregate is the
+    # correct shape (a shuffle join on a scalar would be wrong)
+    p = plan_of(REGISTRY["value_histogram"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+    p = plan_of(REGISTRY["event_volume_zscore"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+    # n-gram census: explode feeds a partial aggregate before the exchange
+    p = plan_of(REGISTRY["duplicate_ngram_top20"].fn(spark, sf_dir))
+    assert "Generate" in p and "partial" in p, p
