@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from healthcare_aihw_etl_pipeline_spark.plans.registry import cents, dollars, register
-from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table, spread
 
 
 @register(
@@ -461,7 +461,7 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_aihw_etl_pipeline_spark.operators.text import rolling_fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id", rolling_fingerprint("text", portable=True).alias("fp")
@@ -2257,7 +2257,7 @@ def char_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join. levenshtein is an exact integer both engines agree on.",
 )
 def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     blocked = docs.select(
         "doc_id",
         "source",

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
 from healthcare_aihw_etl_pipeline_spark.plans.registry import cents, register
-from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table, spread
 
 
 def _word_ngrams(text_col: str, n: int) -> F.Column:
@@ -73,7 +73,7 @@ def _word_ngrams(text_col: str, n: int) -> F.Column:
     "boundary is engine-independent.",
 )
 def duplicate_ngram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     grams = docs.select(
         "doc_id", F.explode(_word_ngrams("text", 8)).alias("ngram")
     )

@@ -100,3 +100,33 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a scan whose FILE layout under-
+    parallelizes CPU-heavy downstream work — no-op when the scan already
+    has enough input files.
+
+    Why: Spark assigns scan tasks at file/row-group granularity, and a
+    single-row-group file is one task no matter what
+    `spark.sql.files.maxPartitionBytes` says. A query whose expensive
+    stage sits BETWEEN the scan and the first shuffle (per-row md5 over
+    exploded shingles, n-gram generation, edit distances) then runs that
+    stage single-threaded. Redistributing the (narrow) source rows first
+    costs one small shuffle of the raw rows and parallelizes the compute
+    by the core count — measured 2.85 s -> 0.55 s on the fingerprint
+    sketch at sf0.1 (one 5 MB file, 32 cores).
+
+    At scale this is a no-op by construction: a 100 TB table has orders
+    of magnitude more files than the cluster has task slots, so the
+    file-count guard leaves the plan untouched — no extra shuffle where
+    the scan already parallelizes.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass  # non-file-backed plans: spreading is still safe
+    return df.repartition(n)
