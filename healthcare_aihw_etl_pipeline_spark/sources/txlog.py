@@ -45,6 +45,19 @@ class CommitConflict(Exception):
     """Another writer invalidated this transaction's read set."""
 
 
+def _merge_schema(prev: dict | None, new: dict) -> dict:
+    """Additive schema union (by field name): previous fields keep their
+    position, new fields append, a same-named field takes the NEW type.
+    This is Delta-style mergeSchema evolution applied at commit time."""
+    if prev is None:
+        return new
+    new_by_name = {f["name"]: f for f in new.get("fields", [])}
+    prev_names = {f["name"] for f in prev.get("fields", [])}
+    fields = [new_by_name.get(f["name"], f) for f in prev.get("fields", [])]
+    fields += [f for f in new.get("fields", []) if f["name"] not in prev_names]
+    return {**new, "fields": fields}
+
+
 class TxLogTable:
     def __init__(self, root: str, partition_by: list[str] | None = None):
         self.root = root
@@ -146,7 +159,13 @@ class TxLogTable:
     def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         """The table as of `version` (default: head) — time travel for
         free, since old manifests and their files are never mutated
-        (a vacuum that respects a retention horizon would prune them)."""
+        (a vacuum that respects a retention horizon would prune them).
+
+        The read uses the SCHEMA RECORDED IN THE MANIFEST (when present),
+        not footer sampling: after an additive schema evolution, files
+        written before the new column existed are read with NULLs for it
+        — and at 100 TB, reading the schema from the log costs nothing
+        while `mergeSchema` would stat every file's footer."""
         if version is None:
             h = self.head()
             if h is None:
@@ -157,7 +176,12 @@ class TxLogTable:
         files = [os.path.join(self.data_dir, p) for p in manifest["files"]]
         if not files:
             return None
-        return spark.read.option("basePath", self.data_dir).parquet(*files)
+        reader = spark.read
+        if manifest.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(manifest["schema"]))
+        return reader.option("basePath", self.data_dir).parquet(*files)
 
     def append(self, df: DataFrame, *, writer_id: str | None = None,
                batch_id: int | None = None) -> int:
@@ -205,8 +229,12 @@ class TxLogTable:
             existing = spark.read.option("basePath", self.data_dir).parquet(*old_files)
             survivors = existing.join(
                 batch_df.select(*key_cols).distinct(), key_cols, "left_anti"
-            ).select(*batch_df.columns)
-            out = survivors.unionByName(batch_df)
+            )
+            # allowMissingColumns = additive schema evolution: a batch
+            # with a new column NULL-fills it for surviving old rows (and
+            # vice versa); the committed manifest records the union
+            # schema, which snapshot() then applies to every file.
+            out = survivors.unionByName(batch_df, allowMissingColumns=True)
         else:
             out = batch_df
         # Cut lineage before staging: the staged write must not re-read
@@ -230,6 +258,7 @@ class TxLogTable:
         base_version = h[0] if h else -1
         if h and self._already_committed(h[1], writer_id, batch_id):
             return base_version
+        schema_json = json.loads(df.schema.json())
         added = self._stage_files(df, base_version + 1)
         removed_now = None
         for _ in range(max_retries):
@@ -256,6 +285,12 @@ class TxLogTable:
                 "files": [p for p in prev["files"] if p not in drop] + added,
                 "txn": {**prev.get("txn", {})},
                 "removed": removed,
+                # Snapshot schema: the previous schema merged additively
+                # with this commit's — a new column joins the table, but
+                # an append of a NARROWER frame cannot silently drop
+                # columns other files still carry (same-named fields take
+                # the newer type).
+                "schema": _merge_schema(prev.get("schema"), schema_json),
             }
             if writer_id is not None and batch_id is not None:
                 manifest["txn"][writer_id] = batch_id

@@ -261,3 +261,36 @@ def test_snapshot_partition_pruning(spark, tmp_path):
     # only the click partition's rows survive, and the scan's selected
     # partition count is 1 of 3
     assert _rows(snap) == [(1, "click", 1.0)]
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Additive evolution: a merge batch carrying a NEW column commits;
+    snapshot() reads the manifest-recorded union schema, so pre-evolution
+    files yield NULL for the new column (no mergeSchema footer walk).
+    A later NARROWER append must not drop the evolved column either.
+    Time travel keeps the old schema at the old version."""
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"])
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+
+    wide = spark.createDataFrame(
+        [(3, "click", 3.0, "mobile")], COLS + ["device"]
+    )
+    t.merge(wide, key_cols=["event_id"])
+    snap = t.snapshot(spark)
+    assert "device" in snap.columns
+    got = sorted(
+        (r.event_id, r.event_type, r.value, r.device) for r in snap.collect()
+    )
+    assert got == [
+        (1, "click", 1.0, None),
+        (2, "view", 2.0, None),
+        (3, "click", 3.0, "mobile"),
+    ]
+    # narrower append keeps the evolved column in the union schema
+    t.append(spark.createDataFrame([(4, "scroll", 4.0)], COLS))
+    snap2 = t.snapshot(spark)
+    assert "device" in snap2.columns
+    assert snap2.where("event_id = 4").first().device is None
+    assert snap2.count() == 4
+    # pre-evolution snapshot: original schema
+    assert "device" not in t.snapshot(spark, version=0).columns
