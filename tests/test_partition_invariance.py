@@ -73,3 +73,37 @@ def test_pagerank_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_round5_queries_layout_invariant(spark, sf_dir):
+    """The FP-bearing round-5 queries must return identical bits under
+    different shuffle partitioning and scan splits — the property the
+    exact-moment designs (zscore/gini/regression) and broadcast-bound
+    binning (histogram) were built for. A stddev_samp-style float
+    merge would fail this under partition-count changes."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    names = [
+        "event_volume_zscore",
+        "customer_revenue_gini",
+        "value_histogram",
+        "price_quantity_regression",
+        "event_type_transitions",
+        "salted_event_type_totals",
+    ]
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        results = {}
+        for sp, mpb in [("3", "1048576"), ("29", "134217728")]:
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            for n in names:
+                results.setdefault(n, []).append(
+                    rows_set(REGISTRY[n].build(spark, sf_dir))
+                )
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} result depends on physical layout"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
