@@ -64,11 +64,18 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
        shrinks the fact stream ~4:1 with map-side combine before the
        first shuffle. At 100 TB this is the difference between joining
        600B rows and joining 150B pre-reduced ones.
-    2. **Dimension-chain reduction**: orders ⋈ customer ⋈ nation collapses
-       to a two-column (o_orderkey, n_name) relation, so the reduced fact
-       is probed exactly once. nation is broadcast explicitly (25 rows at
-       any scale); the other join strategies are left to AQE — broadcast
-       at bench scale, sort-merge + skew-split on a real cluster.
+    2. **Re-aggregate at every key-cardinality drop**: after the orders
+       join the stream re-rolls to o_custkey (orders are ~10× customers),
+       so the customer join probes a customer-count-sized relation, and
+       the nationkey rollup is 25 rows before the broadcast nation join.
+       Each extra aggregate is map-side combined (nearly free); each
+       join gets a strictly smaller probe — measured ~20% lower
+       data-proportional cost than joining the order-grain map (round-5
+       A/B), and the same ordering holds at any scale because
+       |customers| << |orders| by the data model.
+    nation is broadcast explicitly (25 rows at any scale); the other
+    join strategies are left to AQE — broadcast at bench scale,
+    sort-merge + skew-split on a real cluster.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -79,16 +86,25 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sum("rev").alias("rev"))
     )
-    order_nation = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("o_orderkey", "n_name")
+    rev_by_cust = (
+        rev_by_order.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
     )
     return (
-        rev_by_order.join(order_nation, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("n_name")
+        rev_by_cust.join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
         .agg(F.sum("rev").alias("rev"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
         .select(F.col("n_name"), dollars(F.col("rev"), "revenue", 4))
     )
 
