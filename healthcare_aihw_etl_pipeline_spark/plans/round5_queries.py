@@ -862,3 +862,61 @@ def salted_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "doc_length_quartiles_by_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           MAX(n) AS n_docs,
+           MIN(CASE WHEN rn >= CEIL(0.25 * n) THEN n_chars END) AS p25,
+           MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN n_chars END) AS p50,
+           MIN(CASE WHEN rn >= CEIL(0.75 * n) THEN n_chars END) AS p75
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="EXACT grouped quartiles (percentile_disc semantics) computed "
+    "as rank arithmetic: row_number over a TOTAL per-group order "
+    "(n_chars, doc_id) + a windowed count, then each quartile is the "
+    "minimum value at-or-past ceil(p*n) — integer selection, no "
+    "interpolation, so the result is bit-identical on any engine "
+    "(interpolating percentile aggregates differ in FP merge order). "
+    "Scale: ONE shuffle on the group key serves both window functions "
+    "and the final aggregate (same partitioning); per-group state is "
+    "a sort, the standard exact-quantile cost — approximate needs use "
+    "the KLL/GK sketch profile instead (approx_event_profile).",
+)
+def doc_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def q(p: float, name: str) -> F.Column:
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(p * F.col("n")), F.col("n_chars"))
+        ).alias(name)
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            q(0.25, "p25"),
+            q(0.5, "p50"),
+            q(0.75, "p75"),
+        )
+        .orderBy("source")
+    )
