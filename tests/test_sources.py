@@ -91,3 +91,21 @@ def test_excel_roundtrip_if_openpyxl():
     name, rows = sheets[0]
     assert name == "Table 4.1"
     assert rows[0][2] == "NSW" and rows[1][0] == "Injury"
+
+
+def test_spread_guard(spark, tmp_path):
+    """spread() repartitions a few-file scan to defaultParallelism and
+    leaves a many-file scan untouched (no extra shuffle at real file
+    counts)."""
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import spread
+
+    n = spark.sparkContext.defaultParallelism
+    one = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    df1 = spark.read.parquet(one)
+    assert spread(df1).rdd.getNumPartitions() == n
+
+    many = str(tmp_path / "many")
+    spark.range(1000).repartition(n + 4).write.parquet(many)
+    df2 = spark.read.parquet(many)
+    assert spread(df2) is df2  # untouched: enough files already
