@@ -920,3 +920,50 @@ def doc_length_quartiles_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+@register(
+    "events_in_prior_hour",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    c AS (
+      SELECT user_id, event_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN 3599999999 PRECEDING
+                                      AND 1 PRECEDING) AS n_prior_hour
+      FROM e
+    )
+    SELECT user_id, event_id, n_prior_hour
+    FROM c
+    ORDER BY n_prior_hour DESC, user_id ASC, event_id ASC
+    LIMIT 20
+    """,
+    doc="Per-entity sliding interval frame (the rate-limit / burst-"
+    "detection shape): for every event, how many of the SAME user's "
+    "events fell in the preceding hour — a RANGE frame over exact epoch "
+    "microseconds (integer bounds, identical on both engines; Spark's "
+    "rangeBetween needs a numeric ordering key anyway, and epoch micros "
+    "make the frame arithmetic exact rather than interval-typed). One "
+    "shuffle on user_id; the frame is evaluated in a single per-"
+    "partition pass. The streaming twin is a sliding window count "
+    "(streaming/events.py); this is the batch/backfill form.",
+)
+def events_in_prior_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_599_999_999, -1)
+    )
+    return (
+        ev.select("user_id", "event_id", us)
+        .withColumn("n_prior_hour", F.count(F.lit(1)).over(w))
+        .select("user_id", "event_id", "n_prior_hour")
+        .orderBy(
+            F.desc("n_prior_hour"), F.asc("user_id"), F.asc("event_id")
+        )
+        .limit(20)
+    )
