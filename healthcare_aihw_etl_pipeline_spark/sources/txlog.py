@@ -121,6 +121,7 @@ class TxLogTable:
         """
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         tx_uid = uuid.uuid4().hex[:12]
+        self._last_stats: dict[str, dict] = {}
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -135,14 +136,60 @@ class TxLogTable:
                 rel_dir = "" if rel_dir == "." else rel_dir
                 dest_dir = os.path.join(self.data_dir, rel_dir)
                 os.makedirs(dest_dir, exist_ok=True)
+                src_path = os.path.join(dirpath, fn)
+                if self._row_count(src_path) == 0:
+                    continue  # never commit empty part-files (Delta too)
                 dest_name = f"c{version_hint}-{tx_uid}-{n}.parquet"
                 n += 1
-                os.rename(
-                    os.path.join(dirpath, fn), os.path.join(dest_dir, dest_name)
-                )
-                rels.append(os.path.join(rel_dir, dest_name) if rel_dir else dest_name)
+                dest = os.path.join(dest_dir, dest_name)
+                os.rename(src_path, dest)
+                rel = os.path.join(rel_dir, dest_name) if rel_dir else dest_name
+                rels.append(rel)
+                self._last_stats[rel] = self._file_stats(dest)
         shutil.rmtree(staging)
         return rels
+
+    @staticmethod
+    def _row_count(path: str) -> int:
+        try:
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return -1  # unknown: keep the file
+
+    @staticmethod
+    def _file_stats(path: str) -> dict:
+        """Per-file column min/max from the parquet footer — the
+        data-skipping statistics Delta/Iceberg keep in their logs. Read
+        once at commit time (the footer is already hot from the write);
+        numeric/string/timestamp columns only, None when a column has no
+        usable stats."""
+        out: dict[str, list] = {}
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes) or isinstance(hi, bytes):
+                        continue  # undecoded binary stats: skip
+                    name = col.path_in_schema
+                    if hasattr(lo, "isoformat"):
+                        lo, hi = lo.isoformat(), hi.isoformat()
+                    if name in out:
+                        out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+                    else:
+                        out[name] = [lo, hi]
+        except Exception:
+            return {}
+        return out
 
     @staticmethod
     def _partition_values(rel_path: str) -> dict[str, str]:
@@ -173,7 +220,12 @@ class TxLogTable:
             _, manifest = h
         else:
             manifest = self._read_manifest(version)
-        files = [os.path.join(self.data_dir, p) for p in manifest["files"]]
+        return self._read_files(spark, manifest, manifest["files"])
+
+    def _read_files(
+        self, spark: SparkSession, manifest: dict, rels: list[str]
+    ) -> DataFrame | None:
+        files = [os.path.join(self.data_dir, p) for p in rels]
         if not files:
             return None
         reader = spark.read
@@ -182,6 +234,50 @@ class TxLogTable:
 
             reader = reader.schema(StructType.fromJson(manifest["schema"]))
         return reader.option("basePath", self.data_dir).parquet(*files)
+
+    def snapshot_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+    ) -> DataFrame | None:
+        """Head snapshot restricted to `lo <= col <= hi`, pruned at the
+        FILE level by the manifest's per-file min/max statistics before
+        Spark ever lists them — Delta/Iceberg data skipping. A file with
+        no recorded stats for `col` is conservatively kept; the residual
+        row filter is applied on top, so the result equals
+        snapshot().where(...) exactly, just over fewer files. Timestamp
+        bounds are compared as ISO strings (how stats are recorded)."""
+        h = self.head()
+        if h is None:
+            return None
+        _, manifest = h
+        stats = manifest.get("stats", {})
+
+        def keep(rel: str) -> bool:
+            s = stats.get(rel, {}).get(col)
+            if not s:
+                return True
+            flo, fhi = s
+            if lo is not None and fhi < lo:
+                return False
+            if hi is not None and flo > hi:
+                return False
+            return True
+
+        df = self._read_files(
+            spark, manifest, [p for p in manifest["files"] if keep(p)]
+        )
+        if df is None:
+            return None
+        from pyspark.sql import functions as F
+
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+        return df
 
     def append(self, df: DataFrame, *, writer_id: str | None = None,
                batch_id: int | None = None) -> int:
@@ -291,6 +387,17 @@ class TxLogTable:
                 # columns other files still carry (same-named fields take
                 # the newer type).
                 "schema": _merge_schema(prev.get("schema"), schema_json),
+                # Per-file min/max data-skipping stats: carried files keep
+                # their recorded stats, staged files bring footer-derived
+                # ones (snapshot_where prunes on these).
+                "stats": {
+                    **{
+                        p: s
+                        for p, s in prev.get("stats", {}).items()
+                        if p not in drop
+                    },
+                    **{p: self._last_stats.get(p, {}) for p in added},
+                },
             }
             if writer_id is not None and batch_id is not None:
                 manifest["txn"][writer_id] = batch_id

@@ -294,3 +294,42 @@ def test_schema_evolution_additive(spark, tmp_path):
     assert snap2.count() == 4
     # pre-evolution snapshot: original schema
     assert "device" not in t.snapshot(spark, version=0).columns
+
+
+def test_snapshot_where_file_skipping(spark, tmp_path):
+    """snapshot_where prunes FILES via manifest min/max stats before
+    Spark lists them: two appends with disjoint value ranges, a bounded
+    read touches only the intersecting file, and the result still equals
+    the full snapshot filtered row-wise."""
+    t = TxLogTable(str(tmp_path / "t"), [])
+    t.append(
+        spark.createDataFrame(
+            [(1, "click", 10.0), (2, "view", 20.0)], COLS
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, "click", 900.0), (4, "view", 950.0)], COLS
+        ).coalesce(1)
+    )
+    manifest = t.head()[1]
+    assert all(manifest["stats"][p].get("value") for p in manifest["files"])
+
+    pruned = t.snapshot_where(spark, "value", lo=800.0)
+    assert len(pruned.inputFiles()) == 1  # low-range file skipped
+    want = sorted(
+        (r.event_id, r.value)
+        for r in t.snapshot(spark).where("value >= 800.0").collect()
+    )
+    assert sorted((r.event_id, r.value) for r in pruned.collect()) == want
+
+    # integer-column stats prune too
+    assert len(t.snapshot_where(spark, "event_id", hi=2).inputFiles()) == 1
+
+    # files with NO recorded stats are conservatively kept: strip the
+    # stats from the committed manifest and re-read
+    head_v, manifest = t.head()
+    manifest["stats"] = {}
+    with open(os.path.join(t.log_dir, f"{head_v:020d}.json"), "w") as f:
+        json.dump(manifest, f)
+    assert len(t.snapshot_where(spark, "value", lo=800.0).inputFiles()) == 2
