@@ -596,3 +596,31 @@ def test_round5_query_plan_shapes(spark, sf_dir):
     # n-gram census: explode feeds a partial aggregate before the exchange
     p = plan_of(REGISTRY["duplicate_ngram_top20"].fn(spark, sf_dir))
     assert "Generate" in p and "partial" in p, p
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a hive-partitioned fact against a FILTERED dimension must
+    inject a dynamic partition pruning subquery into the fact scan
+    (PartitionFilters: dynamicpruning...) — at 100 TB this is what keeps
+    a dim-filtered join from scanning every fact partition when the
+    filter's partition set is only known at runtime."""
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "events_part")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops"), ("scroll", "engage")],
+        ["event_type", "category"],
+    )
+    j = (
+        fact.join(dim.where(F.col("category") == "convert"), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = plan_of(j)
+    assert "dynamicpruning" in p.lower(), p
+    got = {r.event_type for r in j.collect()}
+    assert got == {"purchase", "signup"}
