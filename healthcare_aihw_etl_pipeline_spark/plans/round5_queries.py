@@ -967,3 +967,68 @@ def events_in_prior_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@register(
+    "event_type_reconciliation",
+    oracle="""
+    WITH expected(event_type, category) AS (
+      VALUES ('click', 'engage'), ('view', 'engage'),
+             ('purchase', 'convert'), ('signup', 'convert'),
+             ('refund', 'convert')
+    ),
+    actual AS (
+      SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1
+    )
+    SELECT COALESCE(e.event_type, a.event_type) AS event_type,
+           e.category,
+           a.n_events,
+           CASE WHEN e.event_type IS NULL THEN 'unexpected'
+                WHEN a.event_type IS NULL THEN 'missing'
+                ELSE 'ok' END AS status
+    FROM expected e FULL OUTER JOIN actual a
+      ON e.event_type = a.event_type
+    ORDER BY event_type
+    """,
+    doc="FULL OUTER join — the reconciliation shape (completing the "
+    "join-type surface: inner/left/semi/anti/range/as-of/interval/cross "
+    "were already covered): an expected-taxonomy dimension against the "
+    "observed event-type census, each side NULL-extending the other, "
+    "with a three-way status verdict (ok / missing expected type / "
+    "unexpected observed type — here 'refund' never occurs and 'error' "
+    "is not in the taxonomy). Scale: the census aggregates the fact "
+    "table map-side to |event_types| rows; the full outer join runs "
+    "over two metadata-sized relations.",
+)
+def event_type_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expected = spark.createDataFrame(
+        [
+            ("click", "engage"),
+            ("view", "engage"),
+            ("purchase", "convert"),
+            ("signup", "convert"),
+            ("refund", "convert"),
+        ],
+        ["event_type", "category"],
+    )
+    actual = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    e, a = expected.alias("e"), actual.alias("a")
+    return (
+        e.join(a, F.col("e.event_type") == F.col("a.event_type"), "full_outer")
+        .select(
+            F.coalesce(F.col("e.event_type"), F.col("a.event_type")).alias(
+                "event_type"
+            ),
+            F.col("e.category").alias("category"),
+            F.col("a.n_events").alias("n_events"),
+            F.when(F.col("e.event_type").isNull(), F.lit("unexpected"))
+            .when(F.col("a.event_type").isNull(), F.lit("missing"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+        .orderBy("event_type")
+    )
