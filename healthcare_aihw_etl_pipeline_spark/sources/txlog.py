@@ -59,11 +59,24 @@ def _merge_schema(prev: dict | None, new: dict) -> dict:
 
 
 class TxLogTable:
-    def __init__(self, root: str, partition_by: list[str] | None = None):
+    def __init__(
+        self,
+        root: str,
+        partition_by: list[str] | None = None,
+        *,
+        track_changes: bool = False,
+    ):
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.log_dir = os.path.join(root, "_txlog")
+        self.changes_dir = os.path.join(root, "_changes")
         self.partition_by = partition_by or []
+        # Change data feed (Delta CDF pattern): when enabled, each
+        # append/merge also writes a per-commit parquet of the rows it
+        # inserted/updated, keyed by version — downstream incremental
+        # consumers read changes(), never diff snapshots. Opt-in: the
+        # classification costs one extra semi-join job per merge.
+        self.track_changes = track_changes
 
     # -- log primitives ----------------------------------------------
 
@@ -282,10 +295,17 @@ class TxLogTable:
     def append(self, df: DataFrame, *, writer_id: str | None = None,
                batch_id: int | None = None) -> int:
         """Blind append: stage files, commit head+1 with them added."""
-        return self._commit_loop(
+        import pyspark.sql.functions as F
+
+        version = self._commit_loop(
             df, remove_pred=lambda rel: False, writer_id=writer_id,
             batch_id=batch_id,
         )
+        if self.track_changes:
+            self._write_changes(
+                df.withColumn("_change_type", F.lit("insert")), version
+            )
+        return version
 
     def merge(self, batch_df: DataFrame, key_cols: list[str], *,
               writer_id: str | None = None, batch_id: int | None = None) -> int:
@@ -321,6 +341,7 @@ class TxLogTable:
             for p in manifest["files"]
             if in_touched(p)
         ]
+        change_df = None
         if old_files:
             existing = spark.read.option("basePath", self.data_dir).parquet(*old_files)
             survivors = existing.join(
@@ -331,14 +352,81 @@ class TxLogTable:
             # vice versa); the committed manifest records the union
             # schema, which snapshot() then applies to every file.
             out = survivors.unionByName(batch_df, allowMissingColumns=True)
+            if self.track_changes:
+                old_keys = existing.select(*key_cols).distinct()
+                change_df = (
+                    batch_df.join(old_keys, key_cols, "left_semi")
+                    .withColumn("_change_type", F.lit("update"))
+                    .unionByName(
+                        batch_df.join(old_keys, key_cols, "left_anti")
+                        .withColumn("_change_type", F.lit("insert"))
+                    )
+                )
         else:
             out = batch_df
+            if self.track_changes:
+                change_df = batch_df.withColumn(
+                    "_change_type", F.lit("insert")
+                )
         # Cut lineage before staging: the staged write must not re-read
         # files this commit is about to drop from the manifest.
         out = out.localCheckpoint(eager=True)
-        return self._commit_loop(
+        version = self._commit_loop(
             out, remove_pred=in_touched, writer_id=writer_id, batch_id=batch_id
         )
+        # COW keeps the pre-merge files on disk (until vacuum), so the
+        # change classification still evaluates correctly after commit.
+        self._write_changes(change_df, version)
+        return version
+
+    def _write_changes(self, change_df: DataFrame | None, version: int) -> None:
+        """Persist a commit's change rows under _changes/<version>.
+        Idempotent by existence check — a replayed batch whose commit was
+        a no-op never gets here with a NEW version, and a crash between
+        commit and change-write loses only the feed entry (the snapshot
+        stays correct; Delta CDF has the same write-after-commit gap for
+        its separate change files)."""
+        if change_df is None:
+            return
+        dest = os.path.join(self.changes_dir, f"{version:020d}")
+        if os.path.isdir(dest):
+            return
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
+        change_df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a write race
+
+    def changes(
+        self,
+        spark: SparkSession,
+        since: int = 0,
+        until: int | None = None,
+    ) -> DataFrame | None:
+        """The change data feed for commits `since <= version <= until`:
+        each row is an inserted/updated row as of its commit, with
+        `_change_type` and `_commit_version` columns — the incremental-
+        consumer API (read the feed, never diff snapshots)."""
+        import pyspark.sql.functions as F
+
+        if not os.path.isdir(self.changes_dir):
+            return None
+        parts = []
+        for name in sorted(os.listdir(self.changes_dir)):
+            if not name.isdigit():
+                continue
+            v = int(name)
+            if v < since or (until is not None and v > until):
+                continue
+            df = spark.read.parquet(os.path.join(self.changes_dir, name))
+            parts.append(df.withColumn("_commit_version", F.lit(v)))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def _already_committed(self, manifest: dict, writer_id: str | None,
                            batch_id: int | None) -> bool:

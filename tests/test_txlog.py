@@ -333,3 +333,39 @@ def test_snapshot_where_file_skipping(spark, tmp_path):
     with open(os.path.join(t.log_dir, f"{head_v:020d}.json"), "w") as f:
         json.dump(manifest, f)
     assert len(t.snapshot_where(spark, "value", lo=800.0).inputFiles()) == 2
+
+
+def test_change_data_feed(spark, tmp_path):
+    """Opt-in CDF: append records inserts; a merge records updates vs
+    inserts against the pre-merge snapshot; the feed is version-stamped,
+    range-filterable, and a replayed batch adds nothing."""
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"], track_changes=True)
+    v0 = t.append(
+        spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS)
+    )
+    v1 = t.merge(
+        spark.createDataFrame([(1, "click", 9.0), (3, "click", 3.0)], COLS),
+        key_cols=["event_id"],
+        writer_id="s",
+        batch_id=1,
+    )
+    feed = t.changes(spark)
+    got = sorted(
+        (r.event_id, r._change_type, r._commit_version) for r in feed.collect()
+    )
+    assert got == [
+        (1, "insert", v0),
+        (1, "update", v1),
+        (2, "insert", v0),
+        (3, "insert", v1),
+    ]
+    # range filter: only the merge commit
+    assert {r.event_id for r in t.changes(spark, since=v1).collect()} == {1, 3}
+    # replay: no-op commit, no new feed entries
+    t.merge(
+        spark.createDataFrame([(1, "click", 9.0), (3, "click", 3.0)], COLS),
+        key_cols=["event_id"],
+        writer_id="s",
+        batch_id=1,
+    )
+    assert t.changes(spark).count() == feed.count()
