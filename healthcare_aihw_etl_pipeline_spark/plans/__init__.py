@@ -64,35 +64,42 @@ _DRIVER_GREEN_R3 = [
     "multimodal_byte_profile", "chunk_dedup_reassembly", "incremental_dedup",
     "mixture_weights", "embedding_centroid_per_label",
     "ingest_clean_admissions",
-]
-
-
-# Queries the round-5 correctness window MUST sample: everything with no
-# driver-side CORRECTNESS row yet — the four round-4 additions, the
-# deterministic MODE query, and the five hash-seeded approximate ops
-# (rows-only; the driver records the weaker rows check, making their
-# registration visible in the report). Pinned explicitly so adding new
-# queries mid-round cannot displace them from the window; new queries
-# queue up right behind (see _curate) and rotate in next round.
-_MUST_VERIFY_R5 = [
+    # CORRECTNESS_r05.json — rotated window, 45/45 oracle queries hash-green;
+    # the five hash-seeded approximate ops recorded their rows-only check.
     "ewma_daily_revenue", "mode_ship_priority", "char_diversity_profile",
     "levenshtein_blocked_pairs", "bipartite_pagerank_top20",
     "ann_lsh_top10", "minhash_dup_clusters", "simhash_dup_clusters",
     "ivf_cosine_top10", "approx_event_profile",
+    "duplicate_ngram_top20", "jaccard_pair_similarity",
+    "part_pair_cooccurrence", "top_session_paths", "value_histogram",
+    "event_volume_zscore", "customer_segment_setops",
+    "price_quantity_regression", "lsh_bucket_histogram",
+    "supplier_balance_position", "regression_by_returnflag",
+    "time_rollup_revenue", "event_type_transitions", "customer_revenue_gini",
+    "salted_event_type_totals", "doc_length_quartiles_by_source",
+    "events_in_prior_hour", "event_type_reconciliation",
 ]
+
+
+# Queries the current round's correctness window MUST sample ahead of
+# everything else. After CORRECTNESS_r05 every registered query has a
+# driver-side row (cumulatively), so the round-6 pin starts empty; new
+# round-6 queries auto-promote to the front via _curate, and any leftover
+# window slots re-verify already-green queries from the back.
+_MUST_VERIFY_R6: list[str] = []
 
 
 def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     """Rebuild the registry dict with unverified queries first.
 
-    Order: the pinned round-5 verification window, then any other
+    Order: the pinned verification window, then any other
     yet-unverified oracle-backed queries (registration order), then
     rows-only queries, then the already-driver-green set. Deterministic
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R5 if n in registry]
-    placed = set(_MUST_VERIFY_R5)
+    pinned = [registry[n] for n in _MUST_VERIFY_R6 if n in registry]
+    placed = set(_MUST_VERIFY_R6)
     promoted_oracle = [
         q
         for n, q in registry.items()
