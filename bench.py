@@ -265,6 +265,23 @@ def _split(times: dict[str, float], times_small: dict[str, float]):
     return floor, marginal
 
 
+def stdout_line(out: dict, limit: int = 1900) -> str:
+    """The single stdout JSON line, guarded against the consumer's ~2000
+    char tail buffer: on overflow, fall back to the scalar totals only
+    (dropping the per-query dict) so the harness always gets a parseable
+    headline — a bare assert would vanish under `python -O` and, when it
+    fired, would emit no stdout JSON at all."""
+    line = json.dumps(out)
+    if len(line) >= limit:
+        print(
+            f"bench: stdout JSON line too long ({len(line)} chars); "
+            "emitting minimal line without 'queries'",
+            file=sys.stderr,
+        )
+        line = json.dumps({k: v for k, v in out.items() if k != "queries"})
+    return line
+
+
 def main() -> None:
     times, execs, colds, times_small, sched_floor_ms = run_spark()
     # Compact stdout summary: scalar totals + the one headline dict.
@@ -312,10 +329,7 @@ def main() -> None:
             json.dump({**out, **detail}, f, indent=1)
     except OSError:
         pass
-    line = json.dumps(out)
-    # Hard guard: the consumer's stdout tail buffer is ~2000 chars.
-    assert len(line) < 1900, f"stdout JSON line too long ({len(line)} chars)"
-    print(line)
+    print(stdout_line(out))
 
 
 if __name__ == "__main__":

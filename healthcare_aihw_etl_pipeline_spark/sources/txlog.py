@@ -45,15 +45,53 @@ class CommitConflict(Exception):
     """Another writer invalidated this transaction's read set."""
 
 
+class SchemaIncompatible(ValueError):
+    """A commit tried to change an existing column's type in a way older
+    data files cannot be read under (Delta rejects the same at commit)."""
+
+
+# Type changes a manifest may record for an EXISTING column: the new
+# (wider) logical type still reads every already-committed parquet file
+# correctly (parquet INT32 pages upcast to long, FLOAT to double). Any
+# other same-named type change would brick the table on a *successful*
+# commit — snapshot() would later fail with "Parquet column cannot be
+# converted" or silently misread old files — so it is rejected here,
+# exactly where Delta rejects non-additive evolution.
+_SAFE_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
 def _merge_schema(prev: dict | None, new: dict) -> dict:
     """Additive schema union (by field name): previous fields keep their
-    position, new fields append, a same-named field takes the NEW type.
-    This is Delta-style mergeSchema evolution applied at commit time."""
+    position, new fields append. A same-named field must keep its
+    recorded type (or widen it along _SAFE_WIDENINGS, in which case the
+    wider type is recorded); any other type change raises
+    SchemaIncompatible BEFORE the manifest is written — Delta-style
+    mergeSchema evolution with Delta's commit-time compatibility gate."""
     if prev is None:
         return new
     new_by_name = {f["name"]: f for f in new.get("fields", [])}
     prev_names = {f["name"] for f in prev.get("fields", [])}
-    fields = [new_by_name.get(f["name"], f) for f in prev.get("fields", [])]
+    fields = []
+    for pf in prev.get("fields", []):
+        nf = new_by_name.get(pf["name"])
+        if nf is None or nf["type"] == pf["type"]:
+            fields.append(nf or pf)
+        elif (pf["type"], nf["type"]) in _SAFE_WIDENINGS:
+            fields.append(nf)  # record the widened type
+        elif (nf["type"], pf["type"]) in _SAFE_WIDENINGS:
+            fields.append(pf)  # narrower frame: keep the wide type
+        else:
+            raise SchemaIncompatible(
+                f"column {pf['name']!r}: committed type {pf['type']!r} "
+                f"cannot change to {nf['type']!r} (only additive columns "
+                "and safe numeric widenings evolve; rewrite the table to "
+                "change a column's type)"
+            )
     fields += [f for f in new.get("fields", []) if f["name"] not in prev_names]
     return {**new, "fields": fields}
 
@@ -260,23 +298,46 @@ class TxLogTable:
         Spark ever lists them — Delta/Iceberg data skipping. A file with
         no recorded stats for `col` is conservatively kept; the residual
         row filter is applied on top, so the result equals
-        snapshot().where(...) exactly, just over fewer files. Timestamp
-        bounds are compared as ISO strings (how stats are recorded)."""
+        snapshot().where(...) exactly, just over fewer files.
+
+        Timestamp/date stats are recorded as isoformat STRINGS ('T'
+        separator), so bounds are normalized before the string compare:
+        datetime/date bounds via .isoformat(), and a space-separated
+        timestamp string ('2024-01-01 00:00:00') to the 'T' form. A bound
+        that still isn't comparable to a file's recorded stats keeps the
+        file (correctness over pruning)."""
         h = self.head()
         if h is None:
             return None
         _, manifest = h
         stats = manifest.get("stats", {})
 
+        def norm(bound, ref):
+            """Make `bound` comparable to the recorded stat value `ref`."""
+            if hasattr(bound, "isoformat"):  # datetime.date / datetime
+                bound = bound.isoformat()
+            if (
+                isinstance(bound, str)
+                and isinstance(ref, str)
+                and "T" in ref
+                and " " in bound
+                and "T" not in bound
+            ):
+                bound = bound.replace(" ", "T", 1)
+            return bound
+
         def keep(rel: str) -> bool:
             s = stats.get(rel, {}).get(col)
             if not s:
                 return True
             flo, fhi = s
-            if lo is not None and fhi < lo:
-                return False
-            if hi is not None and flo > hi:
-                return False
+            try:
+                if lo is not None and fhi < norm(lo, fhi):
+                    return False
+                if hi is not None and flo > norm(hi, flo):
+                    return False
+            except TypeError:
+                return True  # incomparable bound/stat types: never prune
             return True
 
         df = self._read_files(
@@ -297,15 +358,15 @@ class TxLogTable:
         """Blind append: stage files, commit head+1 with them added."""
         import pyspark.sql.functions as F
 
-        version = self._commit_loop(
-            df, remove_pred=lambda rel: False, writer_id=writer_id,
-            batch_id=batch_id,
-        )
+        changes_rel = None
         if self.track_changes:
-            self._write_changes(
-                df.withColumn("_change_type", F.lit("insert")), version
+            changes_rel = self._stage_changes(
+                df.withColumn("_change_type", F.lit("insert"))
             )
-        return version
+        return self._commit_loop(
+            df, remove_pred=lambda rel: False, writer_id=writer_id,
+            batch_id=batch_id, changes_rel=changes_rel,
+        )
 
     def merge(self, batch_df: DataFrame, key_cols: list[str], *,
               writer_id: str | None = None, batch_id: int | None = None) -> int:
@@ -326,6 +387,11 @@ class TxLogTable:
         version, manifest = h
         if self._already_committed(manifest, writer_id, batch_id):
             return version
+        # Schema gate BEFORE building the union: unionByName would
+        # otherwise coerce an incompatible batch column (e.g. string
+        # into double) and fail deep inside the staging job — or worse,
+        # succeed and commit a flipped type.
+        _merge_schema(manifest.get("schema"), json.loads(batch_df.schema.json()))
 
         touched = {
             tuple(str(r[c]) for c in self.partition_by)
@@ -368,35 +434,40 @@ class TxLogTable:
                 change_df = batch_df.withColumn(
                     "_change_type", F.lit("insert")
                 )
+        # Stage the change feed BEFORE the commit (Delta writes its cdc
+        # files before the commit JSON for the same reason): a committed
+        # version must never exist without its feed. The pre-merge files
+        # the classification reads are still on disk here.
+        changes_rel = self._stage_changes(change_df)
         # Cut lineage before staging: the staged write must not re-read
         # files this commit is about to drop from the manifest.
         out = out.localCheckpoint(eager=True)
-        version = self._commit_loop(
-            out, remove_pred=in_touched, writer_id=writer_id, batch_id=batch_id
+        return self._commit_loop(
+            out, remove_pred=in_touched, writer_id=writer_id,
+            batch_id=batch_id, changes_rel=changes_rel,
         )
-        # COW keeps the pre-merge files on disk (until vacuum), so the
-        # change classification still evaluates correctly after commit.
-        self._write_changes(change_df, version)
-        return version
 
-    def _write_changes(self, change_df: DataFrame | None, version: int) -> None:
-        """Persist a commit's change rows under _changes/<version>.
-        Idempotent by existence check — a replayed batch whose commit was
-        a no-op never gets here with a NEW version, and a crash between
-        commit and change-write loses only the feed entry (the snapshot
-        stays correct; Delta CDF has the same write-after-commit gap for
-        its separate change files)."""
+    def _stage_changes(self, change_df: DataFrame | None) -> str | None:
+        """Materialize a commit's change rows under a transaction-unique
+        `_changes/staged-<uuid>` dir and return that name. The winning
+        manifest records it (`"changes"`), which is what makes the feed
+        crash-safe: the dir exists before the manifest that references it
+        is published, so a committed version either has its feed or the
+        commit itself never happened."""
         if change_df is None:
-            return
-        dest = os.path.join(self.changes_dir, f"{version:020d}")
-        if os.path.isdir(dest):
-            return
-        tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
+            return None
+        rel = f"staged-{uuid.uuid4().hex}"
+        tmp = os.path.join(self.changes_dir, f"{rel}.tmp")
         change_df.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost a write race
+        os.rename(tmp, os.path.join(self.changes_dir, rel))
+        return rel
+
+    def _drop_staged_changes(self, changes_rel: str | None) -> None:
+        if changes_rel:
+            shutil.rmtree(
+                os.path.join(self.changes_dir, changes_rel),
+                ignore_errors=True,
+            )
 
     def changes(
         self,
@@ -407,19 +478,31 @@ class TxLogTable:
         """The change data feed for commits `since <= version <= until`:
         each row is an inserted/updated row as of its commit, with
         `_change_type` and `_commit_version` columns — the incremental-
-        consumer API (read the feed, never diff snapshots)."""
+        consumer API (read the feed, never diff snapshots).
+
+        Feed discovery is MANIFEST-driven, not a directory listing: each
+        committed manifest that carried a feed names its change dir. A
+        manifest that names a dir which is missing on disk raises — an
+        incremental consumer must hear about a lost feed entry, never
+        silently skip a version's rows."""
         import pyspark.sql.functions as F
 
-        if not os.path.isdir(self.changes_dir):
-            return None
         parts = []
-        for name in sorted(os.listdir(self.changes_dir)):
-            if not name.isdigit():
-                continue
-            v = int(name)
+        for v in self._versions():
             if v < since or (until is not None and v > until):
                 continue
-            df = spark.read.parquet(os.path.join(self.changes_dir, name))
+            manifest = self._read_manifest(v)
+            rel = manifest.get("changes")
+            if rel is None:
+                continue  # commit recorded no feed (tracking off / no-op)
+            path = os.path.join(self.changes_dir, rel)
+            if not os.path.isdir(path):
+                raise ValueError(
+                    f"change feed for committed version {v} is missing "
+                    f"({path}): the feed was vacuumed or lost; incremental "
+                    "consumers must re-sync from a snapshot"
+                )
+            df = spark.read.parquet(path)
             parts.append(df.withColumn("_commit_version", F.lit(v)))
         if not parts:
             return None
@@ -437,12 +520,23 @@ class TxLogTable:
         )
 
     def _commit_loop(self, df: DataFrame, *, remove_pred, writer_id,
-                     batch_id, max_retries: int = 5) -> int:
+                     batch_id, changes_rel: str | None = None,
+                     max_retries: int = 5) -> int:
         h = self.head()
         base_version = h[0] if h else -1
         if h and self._already_committed(h[1], writer_id, batch_id):
+            self._drop_staged_changes(changes_rel)
             return base_version
         schema_json = json.loads(df.schema.json())
+        # Fail-fast schema gate: reject an incompatible type change
+        # BEFORE the (expensive) staging write. Re-checked inside the
+        # retry loop against whichever head actually wins.
+        if h:
+            try:
+                _merge_schema(h[1].get("schema"), schema_json)
+            except SchemaIncompatible:
+                self._drop_staged_changes(changes_rel)
+                raise
         added = self._stage_files(df, base_version + 1)
         removed_now = None
         for _ in range(max_retries):
@@ -453,9 +547,11 @@ class TxLogTable:
                 # replay lost a race to its own retry — clean up staged
                 for rel in added:
                     os.unlink(os.path.join(self.data_dir, rel))
+                self._drop_staged_changes(changes_rel)
                 return version - 1
             removed = [p for p in prev["files"] if remove_pred(p)]
             if removed_now is not None and removed != removed_now:
+                self._drop_staged_changes(changes_rel)
                 raise CommitConflict(
                     "read set changed under this transaction: the files it "
                     "meant to replace were modified by a concurrent commit"
@@ -465,16 +561,23 @@ class TxLogTable:
             # appear in prev["files"]; the set guard keeps the invariant
             # (no duplicate manifest entries) even if that ever changes.
             drop = set(removed) | set(added)
+            try:
+                # Snapshot schema: the previous schema merged additively
+                # with this commit's — a new column joins the table, an
+                # append of a NARROWER frame cannot silently drop columns
+                # other files still carry, and an incompatible type change
+                # aborts the commit (cleaning up its staged files).
+                merged_schema = _merge_schema(prev.get("schema"), schema_json)
+            except SchemaIncompatible:
+                for rel in added:
+                    os.unlink(os.path.join(self.data_dir, rel))
+                self._drop_staged_changes(changes_rel)
+                raise
             manifest = {
                 "files": [p for p in prev["files"] if p not in drop] + added,
                 "txn": {**prev.get("txn", {})},
                 "removed": removed,
-                # Snapshot schema: the previous schema merged additively
-                # with this commit's — a new column joins the table, but
-                # an append of a NARROWER frame cannot silently drop
-                # columns other files still carry (same-named fields take
-                # the newer type).
-                "schema": _merge_schema(prev.get("schema"), schema_json),
+                "schema": merged_schema,
                 # Per-file min/max data-skipping stats: carried files keep
                 # their recorded stats, staged files bring footer-derived
                 # ones (snapshot_where prunes on these).
@@ -487,10 +590,16 @@ class TxLogTable:
                     **{p: self._last_stats.get(p, {}) for p in added},
                 },
             }
+            if changes_rel is not None:
+                # The staged feed dir already exists on disk (written
+                # before this point), so referencing it here is safe:
+                # a reader of THIS manifest always finds the feed.
+                manifest["changes"] = changes_rel
             if writer_id is not None and batch_id is not None:
                 manifest["txn"][writer_id] = batch_id
             if self._try_commit(version, manifest):
                 return version
+        self._drop_staged_changes(changes_rel)
         raise CommitConflict(f"lost the commit race {max_retries} times")
 
 
@@ -643,6 +752,26 @@ class TxLogTable:
                     continue  # raced with its own cleanup
                 os.unlink(full)
                 deleted.append(rel)
+        # Change-feed dirs referenced by a KEPT manifest must survive
+        # (changes() raises on a committed version with a missing feed);
+        # dirs referenced only by dropped manifests, and staged dirs
+        # orphaned by aborted commits, reclaim under the same mtime
+        # horizon as data files.
+        kept_changes = {
+            self._read_manifest(v).get("changes") for v in kept
+        } - {None}
+        if os.path.isdir(self.changes_dir):
+            for name in os.listdir(self.changes_dir):
+                if name in kept_changes:
+                    continue
+                full = os.path.join(self.changes_dir, name)
+                try:
+                    if os.path.getmtime(full) > horizon:
+                        continue  # possibly an in-flight commit's feed
+                except OSError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                deleted.append(os.path.join("_changes", name))
         for v in dropped:
             os.unlink(os.path.join(self.log_dir, f"{v:020d}.json"))
         return sorted(deleted)

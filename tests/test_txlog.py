@@ -369,3 +369,167 @@ def test_change_data_feed(spark, tmp_path):
         batch_id=1,
     )
     assert t.changes(spark).count() == feed.count()
+
+
+def test_schema_incompatible_type_change_rejected(spark, tmp_path):
+    """A commit whose frame flips an existing column's type (double ->
+    string) must ABORT — Delta rejects non-additive type changes at
+    commit time, because the alternative is a successful commit that
+    bricks every later snapshot() ('Parquet column cannot be
+    converted'). The table stays readable and the aborted commit leaves
+    no staged files behind."""
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        SchemaIncompatible,
+    )
+
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"])
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    head_before = t.head()
+
+    bad = spark.createDataFrame([(3, "click", "oops")], COLS)  # value: str
+    with pytest.raises(SchemaIncompatible):
+        t.append(bad)
+    with pytest.raises(SchemaIncompatible):
+        t.merge(bad, key_cols=["event_id"])
+
+    # nothing committed, nothing staged, table still reads
+    assert t.head()[0] == head_before[0]
+    on_disk = {
+        os.path.relpath(os.path.join(d, f), t.data_dir)
+        for d, _, fs in os.walk(t.data_dir)
+        for f in fs
+    }
+    assert on_disk == set(head_before[1]["files"])
+    assert _rows(t.snapshot(spark)) == [(1, "click", 1.0), (2, "view", 2.0)]
+
+
+def test_schema_safe_widening_accepted(spark, tmp_path):
+    """int -> long is a safe widening (parquet INT32 pages upcast): the
+    commit succeeds and the manifest records the WIDER type, in both
+    directions of arrival order."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    narrow_schema = StructType(
+        [
+            StructField("event_id", IntegerType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    t = TxLogTable(str(tmp_path / "t"), [])
+    t.append(spark.createDataFrame([(1, "click")], narrow_schema))
+    # wider frame arrives: commit succeeds, manifest type widens to long
+    t.append(spark.createDataFrame([(2**40, "view")], ["event_id", "event_type"]))
+    recorded = {
+        f["name"]: f["type"] for f in t.head()[1]["schema"]["fields"]
+    }
+    assert recorded["event_id"] == "long"
+    # narrower frame AFTER widening: commit succeeds, wide type kept
+    t.append(spark.createDataFrame([(3, "scroll")], narrow_schema))
+    recorded = {
+        f["name"]: f["type"] for f in t.head()[1]["schema"]["fields"]
+    }
+    assert recorded["event_id"] == "long"
+    got = sorted(r.event_id for r in t.snapshot(spark).collect())
+    assert got == [1, 3, 2**40]
+
+
+def test_change_feed_recorded_in_manifest(spark, tmp_path):
+    """The feed dir is written BEFORE the manifest that references it
+    (Delta writes cdc files before the commit JSON): every committed
+    manifest with a feed names an existing dir, and a LOST feed entry
+    surfaces as an error from changes(), never a silent gap."""
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"], track_changes=True)
+    t.append(spark.createDataFrame([(1, "click", 1.0)], COLS))
+    v1 = t.merge(
+        spark.createDataFrame([(1, "click", 9.0), (2, "view", 2.0)], COLS),
+        key_cols=["event_id"],
+    )
+    # each commit's manifest names its feed dir, and the dir exists
+    for v in (0, v1):
+        rel = t._read_manifest(v).get("changes")
+        assert rel is not None
+        assert os.path.isdir(os.path.join(t.changes_dir, rel))
+    # simulate a lost feed: remove the merge commit's dir
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(t.changes_dir, t._read_manifest(v1)["changes"]))
+    with pytest.raises(ValueError, match="change feed .* missing"):
+        t.changes(spark).collect()
+    # ranges that exclude the lost version still read
+    assert t.changes(spark, until=0).count() == 1
+
+
+def test_vacuum_reclaims_unreferenced_change_dirs(spark, tmp_path):
+    """vacuum drops feed dirs referenced only by dropped manifests (and
+    orphaned staged dirs), but never a kept manifest's feed."""
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"], track_changes=True)
+    t.append(spark.createDataFrame([(1, "click", 1.0)], COLS))
+    t.merge(
+        spark.createDataFrame([(2, "view", 2.0)], COLS), key_cols=["event_id"]
+    )
+    # orphan staged dir (an aborted commit's leftovers)
+    orphan = os.path.join(t.changes_dir, "staged-deadbeef")
+    os.makedirs(orphan)
+    kept_rel = t.head()[1]["changes"]
+    deleted = t.vacuum(retain_versions=1, retention_seconds=0)
+    assert os.path.join("_changes", "staged-deadbeef") in deleted
+    assert not os.path.isdir(orphan)
+    assert os.path.isdir(os.path.join(t.changes_dir, kept_rel))
+    # the surviving head version's feed still reads cleanly
+    assert {r.event_id for r in t.changes(spark).collect()} == {2}
+
+
+def test_snapshot_where_timestamp_and_datetime_bounds(spark, tmp_path):
+    """Timestamp stats are recorded as isoformat strings ('T'
+    separator); bounds given as datetime objects or space-separated
+    strings must normalize instead of raising TypeError / silently
+    mispruning."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+        ]
+    )
+    t = TxLogTable(str(tmp_path / "t"), [])
+    t.append(
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 2, 1))],
+            schema,
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, dt.datetime(2024, 8, 1)), (4, dt.datetime(2024, 9, 1))],
+            schema,
+        ).coalesce(1)
+    )
+    manifest = t.head()[1]
+    recorded = [manifest["stats"][p]["ts"][0] for p in manifest["files"]]
+    assert all("T" in s for s in recorded)  # isoformat form on disk
+
+    # datetime bound
+    pruned = t.snapshot_where(spark, "ts", lo=dt.datetime(2024, 6, 1))
+    assert len(pruned.inputFiles()) == 1
+    assert {r.event_id for r in pruned.collect()} == {3, 4}
+    # space-separated string bound (SQL literal form)
+    pruned2 = t.snapshot_where(spark, "ts", lo="2024-06-01 00:00:00")
+    assert len(pruned2.inputFiles()) == 1
+    assert {r.event_id for r in pruned2.collect()} == {3, 4}
+    # upper bound, date object
+    pruned3 = t.snapshot_where(spark, "ts", hi=dt.date(2024, 6, 1))
+    assert len(pruned3.inputFiles()) == 1
+    assert {r.event_id for r in pruned3.collect()} == {1, 2}
