@@ -563,6 +563,12 @@ def _events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = os.path.join(sf_dir, "events.parquet")
     success = os.path.join(base, "_SUCCESS")
+    # The derived root lives OUTSIDE sf_dir, so register it with the
+    # plan cache's staleness token — a rebuild is then visible to every
+    # cached plan for this sf_dir even without the explicit invalidate.
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import watch_path
+
+    watch_path(sf_dir, success)
     if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
         src
     ):

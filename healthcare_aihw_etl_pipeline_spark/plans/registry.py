@@ -84,16 +84,59 @@ REGISTRY: dict[str, Query] = {}
 # never sees another session's plans; entries are logical plans only —
 # no rows are pinned.
 #
-# IMMUTABILITY CONTRACT: a cached plan pins the parquet FILE LISTING at
-# construction time, so the cache assumes the data under `sf_dir` does
-# not change for the session's lifetime (true for the read-only testdata
-# dirs this registry serves). Whoever rewrites an input — e.g. the
-# `_events_typed` derived-table rebuild in reference_queries.py — must
-# call :func:`invalidate` for that sf_dir, or readers keep resolving the
-# stale snapshot. Size is bounded in practice by
+# STALENESS GUARD: a cached plan pins the parquet FILE LISTING at
+# construction time. Rather than trusting every writer to remember
+# :func:`invalidate` (the footgun: a query that writes-then-reads inside
+# one registered fn silently serves a stale snapshot), each cache entry
+# carries an mtime TOKEN — the (name, mtime_ns) listing of `sf_dir`'s
+# immediate children plus any extra paths registered via
+# :func:`watch_path` (derived-table roots living outside sf_dir, e.g.
+# the `_events_typed` materialization under tempdir). A lookup whose
+# current token differs rebuilds the plan. One scandir + a few stats per
+# call (~tens of µs) buys back 25–160 ms of py4j/Catalyst work per
+# query, so the economics are unchanged. `invalidate()` remains the
+# explicit hook (tests, bulk reset). Size is bounded in practice by
 # |registered queries| × |sf_dirs| (~a few hundred logical plans, no
-# pinned rows); `invalidate()` is also the full-reset hook for tests.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# pinned rows).
+_PLAN_CACHE: dict[tuple[str, str, str], tuple[tuple, DataFrame]] = {}
+
+# Extra filesystem paths (per sf_dir) whose mtime feeds the staleness
+# token: derived-table writers register their output's _SUCCESS marker
+# (or root dir) here so a rebuild is visible to the guard even though it
+# happens outside sf_dir.
+_WATCHED: dict[str, set[str]] = {}
+
+
+def watch_path(sf_dir: str, path: str) -> None:
+    """Fold `path`'s mtime into the plan-cache staleness token for
+    `sf_dir`. Call from any query that materializes a derived table
+    outside sf_dir; idempotent."""
+    _WATCHED.setdefault(sf_dir, set()).add(path)
+
+
+def _state_token(sf_dir: str) -> tuple:
+    """Cheap fingerprint of the inputs cached plans resolve against:
+    (name, mtime_ns) of sf_dir's immediate children + watched paths.
+    A Spark overwrite of any child (or a watched derived root) bumps an
+    mtime, so write-then-read within a session can't serve stale plans."""
+    import os
+
+    entries: list[tuple[str, int]] = []
+    try:
+        with os.scandir(sf_dir) as it:
+            for e in it:
+                try:
+                    entries.append((e.name, e.stat().st_mtime_ns))
+                except OSError:
+                    entries.append((e.name, -1))
+    except OSError:
+        entries.append(("<missing-sf-dir>", -1))
+    for p in _WATCHED.get(sf_dir, ()):
+        try:
+            entries.append((p, os.stat(p).st_mtime_ns))
+        except OSError:
+            entries.append((p, -1))
+    return tuple(sorted(entries))
 
 
 def invalidate(name: str | None = None, sf_dir: str | None = None) -> int:
@@ -121,10 +164,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
         @functools.wraps(fn)
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (spark.sparkContext.applicationId, name, sf_dir)
-            df = _PLAN_CACHE.get(key)
-            if df is None:
-                df = fn(spark, sf_dir)
-                _PLAN_CACHE[key] = df
+            hit = _PLAN_CACHE.get(key)
+            if hit is not None and hit[0] == _state_token(sf_dir):
+                return hit[1]
+            df = fn(spark, sf_dir)
+            # Token taken AFTER construction: a first call that also
+            # materializes a derived table (bumping a watched mtime)
+            # records the post-build state, so the next call hits.
+            _PLAN_CACHE[key] = (_state_token(sf_dir), df)
             return df
 
         REGISTRY[name] = Query(

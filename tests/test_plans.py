@@ -547,6 +547,40 @@ def test_plan_cache_invalidate(spark, sf_dir):
     assert reg.invalidate(sf_dir="/nonexistent") == 0
 
 
+def test_plan_cache_mtime_guard(spark, tmp_path, sf_dir):
+    """The structural staleness guard: rewriting an input under sf_dir
+    (or a watched external path) invalidates cached plans WITHOUT an
+    explicit invalidate() call — the footgun the immutability contract
+    used to leave open."""
+    import os
+    import shutil
+
+    from healthcare_aihw_etl_pipeline_spark.plans import registry as reg
+
+    d = str(tmp_path / "sf")
+    shutil.copytree(sf_dir, d)
+    q = REGISTRY["filter_in_agg"]
+    a = q.fn(spark, d)
+    assert q.fn(spark, d) is a  # steady state: cache hit
+    # simulate a write-then-read: bump an input file's mtime
+    os.utime(os.path.join(d, "lineitem.parquet"))
+    b = q.fn(spark, d)
+    assert b is not a  # guard caught the rewrite, plan rebuilt
+    assert q.fn(spark, d) is b  # and re-settles
+
+    # a derived root OUTSIDE sf_dir, registered via watch_path, feeds
+    # the token the same way
+    marker = str(tmp_path / "derived" / "_SUCCESS")
+    reg.watch_path(d, marker)
+    c = q.fn(spark, d)  # token changed shape (marker now tracked)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w"):
+        pass
+    e = q.fn(spark, d)
+    assert e is not c  # marker creation invalidated the cached plan
+    assert q.fn(spark, d) is e
+
+
 def test_round4_query_plan_shapes(spark, sf_dir):
     """Round-4 additions: the EWMA self range join must compile to an
     EQUI join on the month bucket (never BroadcastNestedLoopJoin — the
