@@ -15,6 +15,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import reference_queries  # noqa: 
 from healthcare_aihw_etl_pipeline_spark.plans import llm_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import ingest_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round5_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import round6_queries  # noqa: F401,E402
 
 # Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the

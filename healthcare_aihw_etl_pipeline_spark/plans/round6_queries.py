@@ -1,0 +1,1033 @@
+"""Round-6 query surface: distributed EDA profiling (the full
+ydata-profiling-style statistics the reference's dashboard exposes,
+/root/reference/streamlit_app.py:204-209, generalized to moments /
+frequent values / correlations), gaps-and-islands, batch sessionization,
+decile analysis, drawdown, correlated-predicate decorrelation, embedding
+quantization, and vocabulary-growth curves.
+
+Hash-exactness discipline (same as the rest of the registry): every
+aggregate that feeds a float output is an EXACT BIGINT sum over scaled
+integers; doubles appear only inside ONE final expression written with
+identical operation order in Spark and DuckDB; every LIMIT sits under a
+TOTAL order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+from healthcare_aihw_etl_pipeline_spark.plans.registry import (
+    cents,
+    register,
+    sql_cents,
+)
+from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# 1. Column-moment profile (EDA): mean / std / skewness / kurtosis from
+#    exact integer moment sums. Spark's built-in skewness()/kurtosis()
+#    merge float moments in partial-aggregation order (nondeterministic
+#    last ulp) AND use different bias conventions than DuckDB — so both
+#    engines compute population moments from the same four BIGINT sums.
+# ---------------------------------------------------------------------------
+
+# (output name, scaled-int expression spark, scaled-int sql, unit doc)
+_PROFILE_COLS = [
+    ("l_quantity", lambda: cents("l_quantity", 0), sql_cents("l_quantity", 0)),
+    # extendedprice in THOUSANDS of dollars so the 4th-power sum stays
+    # far inside BIGINT at any realistic SF (105^4 ≈ 1.2e8 per row).
+    (
+        "l_extendedprice_k",
+        lambda: F.floor(F.col("l_extendedprice") / 1000 + F.lit(0.5)).cast(
+            "long"
+        ),
+        "CAST(round(l_extendedprice / 1000) AS BIGINT)",
+    ),
+    ("l_discount_pct", lambda: cents("l_discount"), sql_cents("l_discount")),
+    ("l_tax_pct", lambda: cents("l_tax"), sql_cents("l_tax")),
+]
+
+
+def _moment_sql(name: str, tag: str) -> str:
+    """One UNION-ALL branch of the oracle: population moments of column
+    `tag` from its exact sums, operation-for-operation identical to the
+    Spark expressions in numeric_profile_lineitem."""
+    n = "CAST(n AS DOUBLE)"
+    s1 = f"CAST({tag}_s1 AS DOUBLE)"
+    s2 = f"CAST({tag}_s2 AS DOUBLE)"
+    s3 = f"CAST({tag}_s3 AS DOUBLE)"
+    s4 = f"CAST({tag}_s4 AS DOUBLE)"
+    mean = f"({s1} / {n})"
+    m2 = f"({s2} / {n} - {mean} * {mean})"
+    m3 = f"({s3} / {n} - 3.0 * {mean} * ({s2} / {n}) + 2.0 * {mean} * {mean} * {mean})"
+    m4 = (
+        f"({s4} / {n} - 4.0 * {mean} * ({s3} / {n}) "
+        f"+ 6.0 * {mean} * {mean} * ({s2} / {n}) "
+        f"- 3.0 * {mean} * {mean} * {mean} * {mean})"
+    )
+    return f"""
+    SELECT '{name}' AS "column", n AS n_rows,
+           ROUND({mean}, 6) AS mean_scaled,
+           ROUND(sqrt({m2}), 6) AS std_scaled,
+           ROUND({m3} / (sqrt({m2}) * sqrt({m2}) * sqrt({m2})), 6) AS skewness,
+           ROUND({m4} / ({m2} * {m2}) - 3.0, 6) AS kurtosis
+    FROM m"""
+
+
+_PROFILE_ORACLE = (
+    "WITH m AS (SELECT COUNT(*) AS n, "
+    + ", ".join(
+        f"SUM({sql}) AS {name}_s1, "
+        f"SUM({sql} * {sql}) AS {name}_s2, "
+        f"SUM({sql} * {sql} * {sql}) AS {name}_s3, "
+        f"SUM({sql} * {sql} * {sql} * {sql}) AS {name}_s4"
+        for name, _, sql in _PROFILE_COLS
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(_moment_sql(name, name) for name, _, _ in _PROFILE_COLS)
+)
+
+
+@register(
+    "numeric_profile_lineitem",
+    oracle=_PROFILE_ORACLE,
+    doc="Distributed EDA column profile: population mean/std/skewness/"
+    "kurtosis for every numeric lineitem column, from ONE scan whose "
+    "only aggregates are exact BIGINT moment sums over scaled integers "
+    "(map-side combined, associative, partial-order-proof). The four "
+    "profile rows are exploded from the single aggregate row — no "
+    "second job, no driver loop. The generalization of analytics."
+    "profile()'s numeric block to full 4th-moment shape statistics.",
+)
+def numeric_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, mk, _sql in _PROFILE_COLS:
+        x = mk()
+        aggs += [
+            F.sum(x).alias(f"{name}_s1"),
+            F.sum(x * x).alias(f"{name}_s2"),
+            F.sum(x * x * x).alias(f"{name}_s3"),
+            F.sum(x * x * x * x).alias(f"{name}_s4"),
+        ]
+    m = li.agg(*aggs)
+
+    def row(name: str) -> F.Column:
+        n = F.col("n").cast("double")
+        s1 = F.col(f"{name}_s1").cast("double")
+        s2 = F.col(f"{name}_s2").cast("double")
+        s3 = F.col(f"{name}_s3").cast("double")
+        s4 = F.col(f"{name}_s4").cast("double")
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+        m4 = (
+            s4 / n
+            - F.lit(4.0) * mean * (s3 / n)
+            + F.lit(6.0) * mean * mean * (s2 / n)
+            - F.lit(3.0) * mean * mean * mean * mean
+        )
+        return F.struct(
+            F.lit(name).alias("column"),
+            F.col("n").alias("n_rows"),
+            F.round(mean, 6).alias("mean_scaled"),
+            F.round(F.sqrt(m2), 6).alias("std_scaled"),
+            F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias(
+                "skewness"
+            ),
+            F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis"),
+        )
+
+    return (
+        m.select(
+            F.explode(
+                F.array(*[row(name) for name, _, _ in _PROFILE_COLS])
+            ).alias("r")
+        ).select("r.*")
+    )
+
+
+@register(
+    "frequent_values_orders",
+    oracle="""
+    WITH kv AS (
+      SELECT 'o_orderstatus' AS "column", o_orderstatus AS "value" FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority' AS "column", o_orderpriority AS "value" FROM orders
+    ),
+    c AS (
+      SELECT "column", "value", COUNT(*) AS n_rows
+      FROM kv GROUP BY "column", "value"
+    ),
+    r AS (
+      SELECT "column", "value", n_rows,
+             ROW_NUMBER() OVER (PARTITION BY "column"
+                                ORDER BY n_rows DESC, "value" ASC) AS rk
+      FROM c
+    )
+    SELECT "column", "value", n_rows, rk FROM r WHERE rk <= 5
+    """,
+    doc="EDA frequent-values block (ydata-profiling's top-N table) for "
+    "every categorical column in ONE scan: the columns are exploded to "
+    "(column, value) pairs via a map literal — not one groupBy job per "
+    "column — then a single count + per-column row_number keeps the top "
+    "5 under a total order. Scales as one shuffle keyed by (column, "
+    "value); domain cardinality, not row count, bounds the window input.",
+)
+def frequent_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    kv = o.select(
+        F.explode(
+            F.create_map(
+                F.lit("o_orderstatus"), F.col("o_orderstatus"),
+                F.lit("o_orderpriority"), F.col("o_orderpriority"),
+            )
+        ).alias("column", "value")
+    )
+    counts = kv.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy("column").orderBy(
+        F.desc("n_rows"), F.asc("value")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("column", "value", "n_rows", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Pairwise correlation matrix from shared exact moments (one scan).
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = [
+    ("q", sql_cents("l_quantity", 0)),
+    ("p", "CAST(round(l_extendedprice) AS BIGINT)"),
+    ("d", sql_cents("l_discount")),
+    ("t", sql_cents("l_tax")),
+]
+_CORR_NAMES = {
+    "q": "l_quantity",
+    "p": "l_extendedprice",
+    "d": "l_discount",
+    "t": "l_tax",
+}
+_CORR_PAIRS = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+
+
+def _corr_sql(a: str, b: str) -> str:
+    n = "CAST(n AS DOUBLE)"
+    sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+    return f"""
+    SELECT '{_CORR_NAMES[a]}' AS x_col, '{_CORR_NAMES[b]}' AS y_col,
+           ROUND(({n} * CAST(s_{a}{b} AS DOUBLE) - {sa} * {sb})
+                 / (sqrt({n} * CAST(s_{a}{a} AS DOUBLE) - {sa} * {sa})
+                    * sqrt({n} * CAST(s_{b}{b} AS DOUBLE) - {sb} * {sb})),
+                 6) AS corr
+    FROM m"""
+
+
+_CORR_ORACLE = (
+    "WITH m AS (SELECT COUNT(*) AS n, "
+    + ", ".join(f"SUM({sql}) AS s_{tag}" for tag, sql in _CORR_COLS)
+    + ", "
+    + ", ".join(
+        f"SUM(({dict(_CORR_COLS)[a]}) * ({dict(_CORR_COLS)[b]})) AS s_{a}{b}"
+        for a, b in _CORR_PAIRS
+    )
+    + ", "
+    + ", ".join(
+        f"SUM(({sql}) * ({sql})) AS s_{tag}{tag}" for tag, sql in _CORR_COLS
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(_corr_sql(a, b) for a, b in _CORR_PAIRS)
+)
+
+
+@register(
+    "lineitem_correlation_matrix",
+    oracle=_CORR_ORACLE,
+    doc="EDA correlation block: all 6 Pearson correlations between the "
+    "numeric lineitem columns from ONE scan — the 14 moment sums are "
+    "exact BIGINT (quantity units, whole dollars, percent points), "
+    "shared across pairs, and each correlation is one final double "
+    "expression identical in both engines. The all-pairs form of "
+    "price_quantity_regression's hash-stable corr discipline.",
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    mk = {
+        "q": cents("l_quantity", 0),
+        "p": F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long"),
+        "d": cents("l_discount"),
+        "t": cents("l_tax"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for tag, x in mk.items():
+        aggs.append(F.sum(x).alias(f"s_{tag}"))
+        aggs.append(F.sum(x * x).alias(f"s_{tag}{tag}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(mk[a] * mk[b]).alias(f"s_{a}{b}"))
+    m = li.agg(*aggs)
+
+    def corr_row(a: str, b: str) -> F.Column:
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        cov_n = n * F.col(f"s_{a}{b}").cast("double") - sa * sb
+        var_a = n * F.col(f"s_{a}{a}").cast("double") - sa * sa
+        var_b = n * F.col(f"s_{b}{b}").cast("double") - sb * sb
+        return F.struct(
+            F.lit(_CORR_NAMES[a]).alias("x_col"),
+            F.lit(_CORR_NAMES[b]).alias("y_col"),
+            F.round(cov_n / (F.sqrt(var_a) * F.sqrt(var_b)), 6).alias("corr"),
+        )
+
+    return m.select(
+        F.explode(F.array(*[corr_row(a, b) for a, b in _CORR_PAIRS])).alias("r")
+    ).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# 3. Gaps and islands / cumulative acquisition / share-of-total windows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_date_islands",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+    r AS (SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER) AS rn FROM d),
+    g AS (SELECT d, d - rn AS grp FROM r)
+    SELECT strftime(MIN(d), '%Y-%m-%d') AS island_start,
+           strftime(MAX(d), '%Y-%m-%d') AS island_end,
+           COUNT(*) AS n_days
+    FROM g GROUP BY grp
+    ORDER BY n_days DESC, island_start ASC
+    LIMIT 20
+    """,
+    doc="Gaps-and-islands: maximal runs of CONSECUTIVE order dates via "
+    "the date-minus-row_number grouping trick, longest 20 islands under "
+    "a total order. The global window runs over DISTINCT DATES — a "
+    "calendar-bounded set (thousands of rows at any SF), so the single-"
+    "partition sort is safe at 100 TB; the distinct itself is a "
+    "map-side-combined shuffle over the fact table.",
+)
+def orders_date_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    r = d.withColumn(
+        "rn", F.row_number().over(Window.orderBy("d")).cast("int")
+    )
+    g = r.withColumn("grp", F.date_sub(F.col("d"), F.col("rn")))
+    return (
+        g.groupBy("grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("island_start", "island_end", "n_days")
+        .orderBy(F.desc("n_days"), F.asc("island_start"))
+        .limit(20)
+    )
+
+
+@register(
+    "customer_acquisition_curve",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_ts FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+      SELECT strftime(date_trunc('month', first_ts), '%Y-%m-%d') AS month,
+             COUNT(*) AS new_customers
+      FROM first_order GROUP BY 1
+    )
+    SELECT month, new_customers,
+           CAST(SUM(new_customers) OVER (ORDER BY month
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_customers
+    FROM monthly
+    """,
+    doc="Cumulative-distinct without a running COUNT(DISTINCT): each "
+    "customer contributes once at their FIRST order month (groupBy min, "
+    "map-side combined), then a calendar-bounded running sum over the "
+    "monthly rollup. The running-distinct window that would shuffle "
+    "every (month, customer) pair is avoided entirely — the expensive "
+    "part is a plain per-key min over the fact table.",
+)
+def customer_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_ts"))
+    monthly = (
+        first.select(
+            F.date_format(
+                F.date_trunc("month", F.col("first_ts")), "yyyy-MM-dd"
+            ).alias("month")
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("new_customers"))
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.withColumn(
+        "cum_customers", F.sum("new_customers").over(w)
+    )
+
+
+_REV = f"{sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})"
+
+
+def _rev_col() -> F.Column:
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+@register(
+    "nation_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             CAST(SUM({_REV}) AS BIGINT) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region_name, nation_name,
+           CAST(rev AS DOUBLE) / 10000.0 AS revenue,
+           ROUND(100.0 * (CAST(rev AS DOUBLE)
+                          / CAST(SUM(rev) OVER () AS DOUBLE)), 6)
+             AS pct_of_total,
+           ROUND(100.0 * (CAST(rev AS DOUBLE)
+                          / CAST(SUM(rev) OVER (PARTITION BY region_name)
+                                 AS DOUBLE)), 6)
+             AS pct_of_region
+    FROM rev
+    """,
+    doc="Share-of-total windows at two grains (grand total + per-region) "
+    "over the nation revenue rollup: the windows run over the 25-row "
+    "AGGREGATE, never the fact table, so the unpartitioned SUM() OVER () "
+    "is free at any scale. Revenue is the exact integer-cents sum; each "
+    "share is one double division written identically in both engines. "
+    "nation/region joins broadcast (bounded dims).",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev_by_order = (
+        li.select("l_orderkey", _rev_col().alias("rev"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    rev = (
+        rev_by_order.join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("rev").alias("rev"))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("rev"),
+        )
+    )
+    revd = F.col("rev").cast("double")
+    tot = F.sum("rev").over(Window.partitionBy())
+    reg = F.sum("rev").over(Window.partitionBy("region_name"))
+    return rev.select(
+        "region_name",
+        "nation_name",
+        (revd / F.lit(10000.0)).alias("revenue"),
+        F.round(F.lit(100.0) * (revd / tot.cast("double")), 6).alias(
+            "pct_of_total"
+        ),
+        F.round(F.lit(100.0) * (revd / reg.cast("double")), 6).alias(
+            "pct_of_region"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Exact grouped percentiles, deciles, correlated-predicate shapes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_value_percentiles_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)
+                      AS DOUBLE) / 100.0, 6) AS p25,
+           ROUND(CAST(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+                      AS DOUBLE) / 100.0, 6) AS median,
+           ROUND(CAST(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75)
+                      AS DOUBLE) / 100.0, 6) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact grouped percentiles (linear interpolation) over integer "
+    "cents: both engines interpolate between the same exact BIGINT "
+    "order statistics, so quarter-fraction interpolation is "
+    "bit-deterministic. Spark's percentile() is a full-sort-per-group "
+    "aggregate — correct here; at 100 TB the scale path is "
+    "approx_percentile with an error budget (value_percentiles covers "
+    "that family).",
+)
+def order_value_percentiles_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    q = lambda p: F.round(  # noqa: E731
+        F.percentile(c, F.lit(p)).cast("double") / F.lit(100.0), 6
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        q(0.25).alias("p25"),
+        q(0.5).alias("median"),
+        q(0.75).alias("p75"),
+    )
+
+
+@register(
+    "order_value_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             NTILE(10) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+                             o_orderkey ASC) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           CAST(MIN(c) AS DOUBLE) / 100.0 AS min_value,
+           CAST(MAX(c) AS DOUBLE) / 100.0 AS max_value,
+           ROUND((CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0, 6)
+             AS avg_value
+    FROM t GROUP BY decile
+    """,
+    doc="Equal-frequency binning: NTILE(10) under a TOTAL order (cents, "
+    "then orderkey) so bucket assignment is engine-independent, then "
+    "per-decile stats from exact integer sums. The global NTILE sort is "
+    "the honest cost of exact deciles; the scale path is binning by "
+    "approx_percentile cutpoints (no global sort), which "
+    "customer_balance_quartiles demonstrates.",
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        cents("o_totalprice").alias("c"), F.col("o_orderkey")
+    ).withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.asc("c"), F.asc("o_orderkey"))),
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.min("c").cast("double") / F.lit(100.0)).alias("min_value"),
+        (F.max("c").cast("double") / F.lit(100.0)).alias("max_value"),
+        F.round(
+            (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(100.0),
+            6,
+        ).alias("avg_value"),
+    )
+
+
+@register(
+    "customers_above_own_avg",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey) AS total_c
+      FROM orders
+    ),
+    above AS (
+      SELECT o_custkey FROM o WHERE c * n_orders > total_c
+    )
+    SELECT c.c_mktsegment,
+           COUNT(DISTINCT a.o_custkey) AS customers_with_above,
+           COUNT(*) AS orders_above
+    FROM above a JOIN customer c ON a.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="The correlated-EXISTS shape (orders priced above their own "
+    "customer's average) DECORRELATED into a window: one shuffle on "
+    "custkey computes each customer's count and exact total, and the "
+    "predicate cross-multiplies integers (c * n > total) instead of "
+    "comparing against a float average — exact, and no per-customer "
+    "subquery. The join to customer dims the result by segment.",
+)
+def customers_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey")
+    above = (
+        o.select("o_custkey", cents("o_totalprice").alias("c"))
+        .withColumn("n_orders", F.count(F.lit(1)).over(w))
+        .withColumn("total_c", F.sum("c").over(w))
+        .where(F.col("c") * F.col("n_orders") > F.col("total_c"))
+    )
+    return (
+        above.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("customers_with_above"),
+            F.count(F.lit(1)).alias("orders_above"),
+        )
+    )
+
+
+@register(
+    "first_last_order_shift",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+      FROM orders
+    ),
+    fl AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN rn_a = 1 THEN c END) AS first_c,
+             MAX(CASE WHEN rn_d = 1 THEN c END) AS last_c
+      FROM r GROUP BY o_custkey
+      HAVING COUNT(*) >= 2
+    )
+    SELECT cu.c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND((CAST(SUM(fl.last_c - fl.first_c) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) / 100.0, 6) AS avg_shift,
+           CAST(SUM(fl.last_c - fl.first_c) AS DOUBLE) / 100.0 AS total_shift
+    FROM fl JOIN customer cu ON fl.o_custkey = cu.c_custkey
+    GROUP BY cu.c_mktsegment
+    """,
+    doc="First-vs-last value shift per customer (did order values grow?) "
+    "— the first/last extraction uses two row_numbers with OPPOSITE "
+    "total orders over ONE custkey shuffle and explicit (date, key) "
+    "tiebreaks, because first_value/last_value with default frames and "
+    "min_by/max_by without total-order keys are both nondeterministic "
+    "under ties. Aggregated to segment via the customer dim join.",
+)
+def first_last_order_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wa = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    wd = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    r = o.select(
+        "o_custkey",
+        cents("o_totalprice").alias("c"),
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    fl = (
+        r.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("c"))).alias("first_c"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("c"))).alias("last_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    shift = F.col("last_c") - F.col("first_c")
+    return (
+        fl.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                (F.sum(shift).cast("double") / F.count(F.lit(1)).cast("double"))
+                / F.lit(100.0),
+                6,
+            ).alias("avg_shift"),
+            (F.sum(shift).cast("double") / F.lit(100.0)).alias("total_shift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Batch sessionization, composite-key churn, drawdown.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_session_stats",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) IS NULL
+                       OR us - LAG(us) OVER (PARTITION BY user_id
+                                             ORDER BY us, event_id)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    per AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             MAX(us) - MIN(us) AS dur_us
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT COUNT(*) AS n_sessions,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_events_per_session,
+           ROUND((CAST(SUM(dur_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 / 1000000.0, 6) AS avg_session_seconds,
+           MAX(n_events) AS max_session_events
+    FROM per
+    """,
+    doc="Batch (backfill) sessionization with a 30-minute inactivity "
+    "gap: the lag/cumsum gaps-and-islands form over ONE user_id shuffle "
+    "— the SQL twin of the streaming session window "
+    "(events_session_window / streaming.events), verifying the same "
+    "session semantics offline. Time arithmetic is exact integer epoch "
+    "microseconds; the two windows share one partitioning and sort.",
+)
+def event_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(wc))
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_events_per_session"),
+        F.round(
+            (F.sum("dur_us").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_session_seconds"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@register(
+    "lapsed_part_suppliers",
+    oracle="""
+    WITH p96 AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) = 1996
+    ),
+    p97 AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) = 1997
+    ),
+    lapsed AS (
+      SELECT l_partkey, l_suppkey FROM p96
+      EXCEPT
+      SELECT l_partkey, l_suppkey FROM p97
+    )
+    SELECT p.p_brand, COUNT(*) AS n_lapsed_pairs
+    FROM lapsed la JOIN part p ON la.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY n_lapsed_pairs DESC, p.p_brand ASC
+    LIMIT 10
+    """,
+    doc="Composite-key churn: (part, supplier) pairs that shipped in "
+    "1996 but not 1997 — a multi-column anti-join (EXCEPT over the "
+    "2-key distinct sets compiles to left-anti in Spark), rolled up to "
+    "brand under a total order. Both year filters push to the scan; "
+    "the anti-join shuffles the two deduped pair sets, not the fact "
+    "table.",
+)
+def lapsed_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pairs = lambda yr: (  # noqa: E731
+        li.where(F.year("l_shipdate") == yr)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    lapsed = pairs(1996).join(
+        pairs(1997), ["l_partkey", "l_suppkey"], "left_anti"
+    )
+    return (
+        lapsed.join(
+            part.select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lapsed_pairs"))
+        .orderBy(F.desc("n_lapsed_pairs"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+@register(
+    "revenue_drawdown_by_year",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM({_REV}) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    dd AS (
+      SELECT d, rev,
+             MAX(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) - rev
+               AS drawdown
+      FROM daily
+    ),
+    ranked AS (
+      SELECT CAST(EXTRACT(year FROM d) AS INTEGER) AS year, d, drawdown,
+             ROW_NUMBER() OVER (PARTITION BY CAST(EXTRACT(year FROM d) AS INTEGER)
+                                ORDER BY drawdown DESC, d ASC) AS rk
+      FROM dd
+    )
+    SELECT year, strftime(d, '%Y-%m-%d') AS worst_day,
+           CAST(drawdown AS DOUBLE) / 10000.0 AS max_drawdown
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Running-max drawdown over the daily revenue series, worst day "
+    "per year via a per-year argmax (row_number with a date tiebreak). "
+    "The unpartitioned running max runs over the DAILY ROLLUP — a "
+    "calendar-bounded series, safe at any SF — while the revenue "
+    "aggregation underneath is the usual map-side-combined integer-"
+    "cents groupBy over the fact table.",
+)
+def revenue_drawdown_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.col("l_shipdate").cast("date").alias("d"),
+            _rev_col().alias("r"),
+        )
+        .groupBy("d")
+        .agg(F.sum("r").alias("rev"))
+    )
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.withColumn(
+        "drawdown", F.max("rev").over(w_run) - F.col("rev")
+    ).withColumn("year", F.year("d").cast("int"))
+    w_rank = Window.partitionBy("year").orderBy(F.desc("drawdown"), F.asc("d"))
+    return (
+        dd.withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") == 1)
+        .select(
+            "year",
+            F.date_format("d", "yyyy-MM-dd").alias("worst_day"),
+            (F.col("drawdown").cast("double") / F.lit(10000.0)).alias(
+                "max_drawdown"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. LLM-pipeline additions: embedding quantization, vocabulary growth.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantization_error",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT label,
+             list_max(list_transform(ev, x -> abs(x))) AS m,
+             ev
+      FROM v
+    ),
+    err AS (
+      SELECT label,
+             CASE WHEN m = 0 THEN 0
+                  ELSE CAST(round(sqrt(list_sum(list_transform(ev,
+                         x -> (x - round(x * 127.0 / m) * m / 127.0)
+                              * (x - round(x * 127.0 / m) * m / 127.0))))
+                       * 1000000.0) AS BIGINT)
+             END AS err_micro
+      FROM scaled
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND((CAST(SUM(err_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 / 1000000.0, 6) AS avg_l2_error
+    FROM err GROUP BY label
+    """,
+    doc="Symmetric int8 quantization (per-vector absmax scale, the "
+    "standard weight/activation quantization scheme) with exact "
+    "reconstruction-error accounting: the per-vector L2 error is "
+    "computed element-by-element in array order (deterministic in both "
+    "engines), frozen to integer MICRO-units per row, and only the "
+    "exact BIGINT sum crosses the aggregation — so partial-aggregation "
+    "order cannot wiggle the result. The absmax is let-bound "
+    "(functions.scalar.bind) so it is computed once per vector, not "
+    "once per element — the HOF outer-expression trap documented in "
+    "BASELINE.md.",
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def err_micro(ev_b: F.Column) -> F.Column:
+        return bind(
+            F.array_max(F.transform(ev_b, lambda x: F.abs(x))),
+            lambda m: F.when(m == 0, F.lit(0).cast("long")).otherwise(
+                F.floor(
+                    F.sqrt(
+                        F.aggregate(
+                            F.transform(
+                                ev_b,
+                                lambda x: (
+                                    x
+                                    - F.round(x * F.lit(127.0) / m)
+                                    * m
+                                    / F.lit(127.0)
+                                )
+                                * (
+                                    x
+                                    - F.round(x * F.lit(127.0) / m)
+                                    * m
+                                    / F.lit(127.0)
+                                ),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            ),
+        )
+
+    err = emb.select(
+        "label", bind(ev, lambda b: err_micro(b)).alias("err_micro")
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            (
+                F.sum("err_micro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_l2_error"),
+    )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    first_seen AS (
+      SELECT gram, MIN(doc_id) AS first_doc
+      FROM grams GROUP BY gram
+    ),
+    buckets AS (
+      SELECT CAST(FLOOR(CAST(first_doc AS DOUBLE) / 10.0) AS BIGINT) AS bucket,
+             COUNT(*) AS new_grams
+      FROM first_seen GROUP BY 1
+    )
+    SELECT bucket, new_grams,
+           CAST(SUM(new_grams) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_vocab
+    FROM buckets
+    """,
+    doc="Heaps'-law vocabulary growth over word BIGRAMS (the unigram "
+    "vocabulary of the synthetic corpus saturates within the first few "
+    "documents — bigrams keep discovering new types corpus-deep): each "
+    "distinct bigram contributes once at the FIRST document containing "
+    "it (groupBy min, map-side combined over the exploded gram stream), "
+    "then a running sum over 10-doc buckets. The naive running "
+    "COUNT(DISTINCT) over a gram window would shuffle every (bucket, "
+    "gram) pair through one partition; this form reduces to "
+    "|vocabulary| rows before the bounded window.",
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.plans.round5_queries import (
+        _word_ngrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams("text", 2)).alias("gram")
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    buckets = (
+        first_seen.select(
+            F.floor(F.col("first_doc").cast("double") / F.lit(10.0))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_grams"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.withColumn("cum_vocab", F.sum("new_grams").over(w))

@@ -658,3 +658,35 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in p.lower(), p
     got = {r.event_type for r in j.collect()}
     assert got == {"purchase", "signup"}
+
+
+def test_round6_query_plan_shapes(spark, sf_dir):
+    """Round-6 additions compile to the scale-safe shapes they claim:
+    the moment profile is ONE scan with a map-side-combined global
+    aggregate; batch sessionization shuffles user_id exactly once and
+    both windows share that exchange; the revenue-share windows run over
+    the 25-row rollup AFTER broadcast dim joins; NTILE deciles sort on a
+    total order; no plan contains a cartesian product."""
+    p = plan_of(REGISTRY["numeric_profile_lineitem"].fn(spark, sf_dir))
+    assert shuffle_count(p) == 1, p  # single one-row exchange
+    assert "partial_sum" in p or "HashAggregate" in p, p
+
+    p = plan_of(REGISTRY["event_session_stats"].fn(spark, sf_dir))
+    # one hash exchange on user_id + the final single-partition rollup;
+    # the two window functions must NOT add a second user_id shuffle
+    assert shuffle_count(p) <= 2, p
+    assert p.count("Window") >= 2, p
+
+    p = plan_of(REGISTRY["nation_revenue_share"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+    p = plan_of(REGISTRY["lapsed_part_suppliers"].fn(spark, sf_dir))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+    p = plan_of(REGISTRY["lineitem_correlation_matrix"].fn(spark, sf_dir))
+    assert shuffle_count(p) == 1, p  # shared moments: one scan, one agg
+
+    p = plan_of(REGISTRY["vocab_growth_curve"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
