@@ -84,10 +84,19 @@ _DRIVER_GREEN_R3 = [
 
 # Queries the current round's correctness window MUST sample ahead of
 # everything else. After CORRECTNESS_r05 every registered query has a
-# driver-side row (cumulatively), so the round-6 pin starts empty; new
-# round-6 queries auto-promote to the front via _curate, and any leftover
-# window slots re-verify already-green queries from the back.
-_MUST_VERIFY_R6: list[str] = []
+# driver-side row (cumulatively), so the round-6 window is exactly the
+# round-6 additions (pinned explicitly for deterministic ordering); any
+# leftover window slots re-verify already-green queries from the back.
+_MUST_VERIFY_R6: list[str] = [
+    "numeric_profile_lineitem", "frequent_values_orders",
+    "lineitem_correlation_matrix", "orders_date_islands",
+    "customer_acquisition_curve", "nation_revenue_share",
+    "order_value_percentiles_by_status", "order_value_deciles",
+    "customers_above_own_avg", "first_last_order_shift",
+    "event_session_stats", "lapsed_part_suppliers",
+    "revenue_drawdown_by_year", "embedding_quantization_error",
+    "vocab_growth_curve", "txlog_delete_update_snapshot",
+]
 
 
 def _curate(registry: dict[str, Query]) -> dict[str, Query]:

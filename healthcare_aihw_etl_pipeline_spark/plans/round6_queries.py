@@ -1031,3 +1031,94 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return buckets.withColumn("cum_vocab", F.sum("new_grams").over(w))
+
+
+# ---------------------------------------------------------------------------
+# 7. Row-level DML on the transactional table: build a txlog table from
+#    orders, DELETE a predicate slice, UPDATE another, then aggregate the
+#    resulting snapshot. The oracle replays the same DML as pure SQL
+#    (DELETE -> WHERE NOT(p), UPDATE -> CASE WHEN), so the copy-on-write
+#    rewrite path is hash-checked end-to-end against DuckDB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "txlog_delete_update_snapshot",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    after_delete AS (
+      SELECT * FROM base
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000.0)
+    ),
+    after_update AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS price_cents
+      FROM after_delete
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents
+    FROM after_update
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Row-level DML on the transactional table (sources/txlog.py "
+    "delete_where/update_where): load pre-1998 orders into a txlog "
+    "table partitioned by o_orderstatus, copy-on-write DELETE the "
+    "expensive finished orders, copy-on-write UPDATE (double, in exact "
+    "cents) the urgent ones, then aggregate the head snapshot. The "
+    "oracle replays the identical DML in closed form (DELETE -> WHERE "
+    "NOT p, UPDATE -> CASE WHEN), so both rewrite paths — file-level "
+    "pruning, survivor restaging, manifest swap — are hash-verified. "
+    "Only files containing a matching row are rewritten; at 100 TB the "
+    "DELETE's cost is proportional to the matched-file count, not the "
+    "table size. The update is applied in the integer cents domain so "
+    "doubling stays exact.",
+)
+def txlog_delete_update_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import TxLogTable
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        cents("o_totalprice").alias("price_cents"),
+        F.col("o_totalprice"),
+    )
+    tmp = tempfile.mkdtemp(prefix="txlog-dml-")
+    try:
+        t = TxLogTable(os.path.join(tmp, "t"), ["o_orderstatus"])
+        t.append(base)
+        t.delete_where(
+            spark, "o_orderstatus = 'F' AND o_totalprice > 200000.0"
+        )
+        t.update_where(
+            spark,
+            "o_orderpriority = '1-URGENT'",
+            {"price_cents": F.col("price_cents") * 2},
+        )
+        snap = t.snapshot(spark)
+        out = (
+            snap.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # Materialize before the scratch table is deleted: the returned
+        # frame must not lazily re-read the dropped files.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

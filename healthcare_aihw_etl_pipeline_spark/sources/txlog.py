@@ -447,6 +447,135 @@ class TxLogTable:
             batch_id=batch_id, changes_rel=changes_rel,
         )
 
+    def _rel_from_uri(self, uri: str) -> str:
+        """Map an input_file_name() URI back to its manifest-relative path."""
+        from urllib.parse import unquote, urlparse
+
+        p = urlparse(uri)
+        path = unquote(p.path) if p.scheme else uri
+        return os.path.relpath(path, self.data_dir)
+
+    def _matching_files(self, spark: SparkSession, manifest: dict, pred) -> list[str]:
+        """Relative paths of current files containing >=1 row matching
+        `pred`. One aggregation job over the snapshot grouped by
+        input_file_name() — file-level metadata (bounded by file count,
+        not row count), the same cardinality class as the manifest
+        itself, so the collect is scale-safe."""
+        import pyspark.sql.functions as F
+
+        df = self._read_files(spark, manifest, manifest["files"])
+        if df is None:
+            return []
+        hits = (
+            df.where(pred)
+            .select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()
+        )
+        return [self._rel_from_uri(r["_f"]) for r in hits]
+
+    def delete_where(self, spark: SparkSession, predicate, *,
+                     writer_id: str | None = None,
+                     batch_id: int | None = None) -> int | None:
+        """Copy-on-write row-level DELETE (Delta `DELETE FROM t WHERE p`):
+        rewrite ONLY the files that contain a matching row — survivors of
+        those files are restaged, every untouched file is carried by
+        reference — and publish one atomic manifest. With track_changes
+        on, the deleted rows are recorded in the change feed with
+        `_change_type='delete'` BEFORE the manifest lands (crash-safe,
+        same ordering as merge).
+
+        `predicate` is a Column or a SQL expression string. At 100 TB the
+        file-level pruning is the entire point: a DELETE touching 0.1% of
+        files rewrites 0.1% of the bytes. Returns the new version, the
+        unchanged head version when nothing matches (no empty commits),
+        or None on an empty table."""
+        import pyspark.sql.functions as F
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        h = self.head()
+        if h is None:
+            return None
+        version, manifest = h
+        if self._already_committed(manifest, writer_id, batch_id):
+            return version
+        touched = set(self._matching_files(spark, manifest, pred))
+        if not touched:
+            return version
+        touched_df = self._read_files(
+            spark, manifest, [p for p in manifest["files"] if p in touched]
+        )
+        # Rows where the predicate is NULL are NOT matches and must
+        # survive — `where(~pred)` would silently drop them (three-valued
+        # logic), so the keep-filter coalesces NULL to "keep".
+        survivors = touched_df.where(~F.coalesce(pred, F.lit(False)))
+        changes_rel = None
+        if self.track_changes:
+            changes_rel = self._stage_changes(
+                touched_df.where(pred).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        # Cut lineage before staging (same contract as merge): the staged
+        # write must not lazily re-read files this commit drops from the
+        # manifest under a concurrent vacuum.
+        survivors = survivors.localCheckpoint(eager=True)
+        return self._commit_loop(
+            survivors, remove_pred=lambda rel: rel in touched,
+            writer_id=writer_id, batch_id=batch_id, changes_rel=changes_rel,
+        )
+
+    def update_where(self, spark: SparkSession, predicate,
+                     assignments: dict, *,
+                     writer_id: str | None = None,
+                     batch_id: int | None = None) -> int | None:
+        """Copy-on-write row-level UPDATE (Delta `UPDATE t SET ... WHERE
+        p`): rewrite only the files containing a matching row; within
+        them, matching rows take the assigned expressions and
+        non-matching rows pass through byte-identical. `assignments`
+        maps column name -> Column or SQL expression string; assigning a
+        NEW column evolves the schema additively (old files read it as
+        NULL), while an incompatible type change aborts at the
+        _merge_schema gate exactly like append/merge. Change feed rows
+        carry `_change_type='update'` (postimage, consistent with
+        merge's classification)."""
+        import pyspark.sql.functions as F
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        h = self.head()
+        if h is None:
+            return None
+        version, manifest = h
+        if self._already_committed(manifest, writer_id, batch_id):
+            return version
+        touched = set(self._matching_files(spark, manifest, pred))
+        if not touched:
+            return version
+        touched_df = self._read_files(
+            spark, manifest, [p for p in manifest["files"] if p in touched]
+        )
+        out = touched_df
+        for c, expr in assigns.items():
+            base = F.col(c) if c in touched_df.columns else F.lit(None)
+            out = out.withColumn(c, F.when(pred, expr).otherwise(base))
+        changes_rel = None
+        if self.track_changes:
+            updated = touched_df.where(pred)
+            for c, expr in assigns.items():
+                updated = updated.withColumn(c, expr)
+            changes_rel = self._stage_changes(
+                updated.withColumn("_change_type", F.lit("update"))
+            )
+        out = out.localCheckpoint(eager=True)
+        return self._commit_loop(
+            out, remove_pred=lambda rel: rel in touched,
+            writer_id=writer_id, batch_id=batch_id, changes_rel=changes_rel,
+        )
+
     def _stage_changes(self, change_df: DataFrame | None) -> str | None:
         """Materialize a commit's change rows under a transaction-unique
         `_changes/staged-<uuid>` dir and return that name. The winning

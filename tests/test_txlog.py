@@ -533,3 +533,133 @@ def test_snapshot_where_timestamp_and_datetime_bounds(spark, tmp_path):
     pruned3 = t.snapshot_where(spark, "ts", hi=dt.date(2024, 6, 1))
     assert len(pruned3.inputFiles()) == 1
     assert {r.event_id for r in pruned3.collect()} == {1, 2}
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "click", 1.0), (2, "view", 2.0), (3, "view", 3.0)], COLS
+        )
+    )
+    files_before = set(t.head()[1]["files"])
+    click_before = {f for f in files_before if "event_type=click" in f}
+
+    v = t.delete_where(spark, "event_type = 'view' AND value > 2.5")
+    assert v == 1
+    assert _rows(t.snapshot(spark)) == [(1, "click", 1.0), (2, "view", 2.0)]
+    # time travel: pre-delete snapshot intact
+    assert len(_rows(t.snapshot(spark, version=0))) == 3
+
+    files_after = set(t.head()[1]["files"])
+    # copy-on-write is FILE-level: every file without a matching row —
+    # including view files that only hold non-matching rows — is carried
+    # by reference; only the file(s) containing value=3.0 are dropped.
+    assert click_before <= files_after
+    rewritten = files_before - files_after
+    assert rewritten and all("event_type=view" in f for f in rewritten)
+
+
+def test_delete_where_no_match_is_noop_commit(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    v0 = t.append(spark.createDataFrame([(1, "click", 1.0)], COLS))
+    v = t.delete_where(spark, F.col("value") > 100)
+    assert v == v0  # no empty commit published
+    assert t.head()[0] == v0
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    # SQL DELETE removes rows where the predicate is TRUE; a NULL
+    # predicate is NOT a match and the row must survive.
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "click", None), (2, "click", 5.0), (3, "click", 1.0)], COLS
+        )
+    )
+    t.delete_where(spark, "value > 2.0")
+    assert _rows(t.snapshot(spark)) == [(1, "click", None), (3, "click", 1.0)]
+
+
+def test_delete_where_all_rows_in_file(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"])
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    t.delete_where(spark, "event_type = 'view'")
+    got = _rows(t.snapshot(spark))
+    assert got == [(1, "click", 1.0)]
+    # the emptied partition's files are gone from the manifest entirely
+    assert not any("event_type=view" in f for f in t.head()[1]["files"])
+
+
+def test_delete_where_change_feed(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"), track_changes=True)
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    v = t.delete_where(spark, "event_type = 'view'")
+    feed = t.changes(spark, since=v, until=v)
+    rows = [(r.event_id, r._change_type) for r in feed.collect()]
+    assert rows == [(2, "delete")]
+
+
+def test_update_where_copy_on_write(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "click", 1.0), (2, "view", 2.0), (3, "view", 3.0)], COLS
+        )
+    )
+    files_before = set(t.head()[1]["files"])
+    click_before = {f for f in files_before if "event_type=click" in f}
+
+    t.update_where(spark, "event_type = 'view'", {"value": F.col("value") * 10})
+    assert _rows(t.snapshot(spark)) == [
+        (1, "click", 1.0), (2, "view", 20.0), (3, "view", 30.0)
+    ]
+    # untouched click partition carried by reference
+    assert click_before <= set(t.head()[1]["files"])
+
+
+def test_update_where_change_feed_postimage(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"), track_changes=True)
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    v = t.update_where(spark, "event_id = 2", {"value": "value + 0.5"})
+    feed = t.changes(spark, since=v, until=v)
+    rows = [(r.event_id, r.value, r._change_type) for r in feed.collect()]
+    assert rows == [(2, 2.5, "update")]
+
+
+def test_update_where_new_column_evolves_schema(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    t.update_where(spark, "event_id = 2", {"flagged": F.lit(True)})
+    snap = t.snapshot(spark)
+    assert "flagged" in snap.columns
+    got = sorted((r.event_id, r.flagged) for r in snap.collect())
+    assert got == [(1, None), (2, True)]
+
+
+def test_delete_concurrent_writer_conflict(spark, tmp_path):
+    """A delete whose read set is invalidated by a concurrent commit must
+    raise CommitConflict, never publish survivors computed from a stale
+    file list."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+
+    t2 = TxLogTable(str(tmp_path / "t"))
+    orig_try = t._try_commit
+    raced = {"done": False}
+
+    def race_then_commit(version, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            # concurrent writer rewrites the SAME files (merge on key 2)
+            t2.merge(
+                spark.createDataFrame([(2, "view", 99.0)], COLS),
+                key_cols=["event_id"],
+            )
+        return orig_try(version, manifest)
+
+    t._try_commit = race_then_commit
+    with pytest.raises(CommitConflict):
+        t.delete_where(spark, "event_type = 'view'")
+    # the concurrent merge's row is intact — the stale delete never landed
+    assert (2, "view", 99.0) in _rows(t2.snapshot(spark))
