@@ -127,9 +127,9 @@ def _warmup(spark) -> None:
 
 
 def _time_query(
-    spark, name: str, sf_dir: str, reps: int = 4
-) -> tuple[float, float, float]:
-    """(warm, exec_only, cold) seconds; warm/exec are min-of-`reps`.
+    spark, name: str, sf_dir: str, reps: int = 5
+) -> tuple[float, float, float, float]:
+    """(warm_min, warm_med, exec_only, cold) seconds over `reps` reps.
 
     warm goes through the registry's prepared-statement path (plan-cache
     lookup + scheduling + execution + collect) — the profile of any
@@ -149,25 +149,45 @@ def _time_query(
     # under-measure. All headline results are small (≤ ~3.5k rows).
     (q.build or q.fn)(spark, sf_dir).collect()
     cold = time.perf_counter() - t0
-    best = float("inf")
+    samples: list[float] = []
     for _ in range(reps):
         t0 = time.perf_counter()
         # where(lit(True)): new physical plan each rep → shuffles and
         # scans actually re-run (see module docstring); the filter
         # itself is constant-folded away, the plan shape is identical.
         q.fn(spark, sf_dir).where(F.lit(True)).collect()
-        best = min(best, time.perf_counter() - t0)
+        samples.append(time.perf_counter() - t0)
+    best = min(samples)
+    med = sorted(samples)[len(samples) // 2]
     df = q.fn(spark, sf_dir)
     best_exec = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         df.collect()
         best_exec = min(best_exec, time.perf_counter() - t0)
-    return best, best_exec, cold
+    return best, med, best_exec, cold
+
+
+def _noise_probe(spark, reps: int = 3) -> float:
+    """min-of-N of ONE fixed reference query (pricing_summary) — run
+    once right after warm-up and once after the full suite, so the two
+    samples bound the host-noise drift across the measurement window.
+    Rounds whose probes disagree by more than ~15% are noise-limited
+    and should be compared on the probe-normalized numbers."""
+    from pyspark.sql import functions as F
+
+    q = REGISTRY["pricing_summary"]
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).where(F.lit(True)).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def run_spark() -> tuple[
-    dict[str, float], dict[str, float], dict[str, float], dict[str, float], float
+    dict[str, float], dict[str, float], dict[str, float], dict[str, float],
+    dict[str, float], float, list[float]
 ]:
     # Bench-profile tuning: shuffle partitions sized to the (tiny) bench
     # inputs — 4 post-shuffle partitions for ≤14 MB files (knob matrix,
@@ -209,17 +229,21 @@ def run_spark() -> tuple[
     for _ in range(10):
         spark.range(1).collect()
     sched_floor_ms = (time.perf_counter() - t0) / 10 * 1000
+    probe_start = _noise_probe(spark)
     pairs = {name: _time_query(spark, name, SF_DIR) for name in HEADLINE}
     times = {name: round(p[0], 4) for name, p in pairs.items()}
-    execs = {name: round(p[1], 4) for name, p in pairs.items()}
-    colds = {name: round(p[2], 4) for name, p in pairs.items()}
+    medians = {name: round(p[1], 4) for name, p in pairs.items()}
+    execs = {name: round(p[2], 4) for name, p in pairs.items()}
+    colds = {name: round(p[3], 4) for name, p in pairs.items()}
     small = _small_dir(SF_DIR)
     times_small = (
         {name: round(_time_query(spark, name, small)[0], 4) for name in HEADLINE}
         if small
         else {}
     )
-    return times, execs, colds, times_small, sched_floor_ms
+    probe_end = _noise_probe(spark)
+    return (times, medians, execs, colds, times_small, sched_floor_ms,
+            [round(probe_start, 4), round(probe_end, 4)])
 
 
 def run_duckdb() -> tuple[dict[str, float], dict[str, float]]:
@@ -283,7 +307,8 @@ def stdout_line(out: dict, limit: int = 1900) -> str:
 
 
 def main() -> None:
-    times, execs, colds, times_small, sched_floor_ms = run_spark()
+    (times, medians, execs, colds, times_small, sched_floor_ms,
+     noise_floor) = run_spark()
     # Compact stdout summary: scalar totals + the one headline dict.
     out = {
         "metric": "headline_query_wall_sec",
@@ -299,9 +324,15 @@ def main() -> None:
         "cold_total": round(sum(colds.values()), 4),
         # steady-state empty-job round-trip: the per-job scheduling floor
         "sched_floor_ms": round(sched_floor_ms, 1),
+        # median-of-reps total: robust to one slow rep, comparable
+        # round-over-round when min is noise-limited.
+        "value_med": round(sum(medians.values()), 4),
+        # [start, end] min-of-3 of one fixed query bracketing the whole
+        # run: their ratio bounds host-noise drift inside this round.
+        "noise_floor": noise_floor,
     }
     # Full per-query decomposition: stderr + BENCH_DETAIL.json, never stdout.
-    detail = {"exec_sec": execs, "cold_sec": colds}
+    detail = {"exec_sec": execs, "cold_sec": colds, "med_sec": medians}
     if times_small:
         floor, marginal = _split(times, times_small)
         detail["floor_sec"] = floor

@@ -53,47 +53,69 @@ def _revenue() -> F.Column:
     return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
 
 
+# Broadcast-strategy ceiling for the flagship's orders map: 2M rows of
+# (orderkey, custkey) ≈ 32 MB built hash relation — comfortably inside a
+# worker's broadcast budget; above it the shuffle form is the only safe
+# plan. The statistic comes from parquet footers (the metastore at
+# scale), so the choice costs no Spark job.
+_BCAST_ORDERS_MAX_ROWS = 2_000_000
+
+
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ orders ⋈ customer ⋈ nation → revenue per nation.
 
-    The physical spine of the flagship path (SURVEY §7.2), shaped for
-    scale twice over:
+    The physical spine of the flagship path (SURVEY §7.2). Strategy is
+    picked from TABLE STATISTICS (footer row counts — what a CBO reads
+    from the metastore), because the optimal plan flips with |orders|:
 
-    1. **Partial aggregation below the join**: revenue is pre-summed per
-       l_orderkey BEFORE any join — exact (associative integer cents), it
-       shrinks the fact stream ~4:1 with map-side combine before the
-       first shuffle. At 100 TB this is the difference between joining
-       600B rows and joining 150B pre-reduced ones.
-    2. **Re-aggregate at every key-cardinality drop**: after the orders
-       join the stream re-rolls to o_custkey (orders are ~10× customers),
-       so the customer join probes a customer-count-sized relation, and
-       the nationkey rollup is 25 rows before the broadcast nation join.
-       Each extra aggregate is map-side combined (nearly free); each
-       join gets a strictly smaller probe — measured ~20% lower
-       data-proportional cost than joining the order-grain map (round-5
-       A/B), and the same ordering holds at any scale because
-       |customers| << |orders| by the data model.
-    nation is broadcast explicitly (25 rows at any scale); the other
-    join strategies are left to AQE — broadcast at bench scale,
-    sort-merge + skew-split on a real cluster.
+    - |orders| small enough to broadcast → **zero fact shuffles**: the
+      (o_orderkey, o_custkey) map broadcasts into the lineitem scan, so
+      the fact table is consumed in one pass — probe + map-side combine
+      at custkey grain — and only the 15k-row custkey aggregate crosses
+      the wire. Measured ~18% lower wall than the shuffle form at sf0.1
+      (round-6 A/B; spread() variants lost 2×, the shuffle costing more
+      than the single-row-group decode it parallelizes).
+    - |orders| beyond the broadcast budget (the 100 TB case) → the
+      round-5 shuffle spine: pre-aggregate revenue per l_orderkey below
+      the join (map-side combine shrinks the fact stream ~4:1 before
+      the first shuffle), re-aggregate at every key-cardinality drop
+      (custkey, then nationkey), leaving join strategy to AQE
+      (sort-merge + skew-split on a real cluster).
+
+    nation is broadcast explicitly in both forms (25 rows at any scale).
     """
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import table_rows
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    rev_by_order = (
-        lineitem.select("l_orderkey", _revenue().alias("rev"))
-        .groupBy("l_orderkey")
-        .agg(F.sum("rev").alias("rev"))
-    )
-    rev_by_cust = (
-        rev_by_order.join(
-            orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+
+    n_orders = table_rows(sf_dir, "orders")
+    if n_orders is not None and n_orders <= _BCAST_ORDERS_MAX_ROWS:
+        rev_by_cust = (
+            lineitem.select("l_orderkey", _revenue().alias("rev"))
+            .join(
+                F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("rev").alias("rev"))
         )
-        .groupBy("o_custkey")
-        .agg(F.sum("rev").alias("rev"))
-    )
+    else:
+        rev_by_order = (
+            lineitem.select("l_orderkey", _revenue().alias("rev"))
+            .groupBy("l_orderkey")
+            .agg(F.sum("rev").alias("rev"))
+        )
+        rev_by_cust = (
+            rev_by_order.join(
+                orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("rev").alias("rev"))
+        )
     return (
         rev_by_cust.join(
             customer.select("c_custkey", "c_nationkey"),

@@ -87,6 +87,32 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Footer row-count cache: (sf_dir, table) -> rows. Pure file metadata —
+# the statistic a real catalog serves from the metastore.
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a corpus table from parquet footer metadata —
+    no data scan, no Spark job. This is the table-statistics primitive a
+    cost-based planner needs for strategy selection (broadcast vs
+    shuffle); on a cluster the metastore serves the same number. Returns
+    None when the footer is unreadable (callers must then choose the
+    scale-safe strategy)."""
+    key = (sf_dir, name)
+    hit = _ROWCOUNT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    except Exception:
+        return None
+    _ROWCOUNT_CACHE[key] = n
+    return n
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the full corpus as a dict of lazy DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Generate an sf1 bench corpus at /tmp/sfbench/sf1 by 10x replication
+of the read-only driver corpus at /root/testdata/sf0.1.
+
+Each copy offsets every key column by copy_index * (max_key + 1), so key
+cardinalities, join fan-outs, and group sizes all scale linearly exactly
+as a larger generator run would produce (10x customers each with the
+same order count, 10x orders each with the same lineitem count). Value
+columns are left untouched — aggregates scale additively and the DuckDB
+oracle stays comparable. Files are written with bounded row groups
+(128k rows) so the sf1 scan parallelizes like real multi-row-group data
+instead of inheriting the single-row-group bench artifact of sf0.1.
+
+A sibling symlink /tmp/sfbench/sf0.1 -> /root/testdata/sf0.1 lets
+bench.py's decade-smaller floor/marginal split work unchanged:
+  SPARK_GRAFT_SF_DIR=/tmp/sfbench/sf1 python bench.py --duckdb
+"""
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sfbench/sf1"
+COPIES = 10
+ROW_GROUP = 131072
+
+# table -> columns needing a per-copy offset (key-space columns)
+OFFSETS: dict[str, list[str]] = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# nation/region are fixed-size dimensions at every SF: copy once.
+SINGLETON = {"region", "nation"}
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    sib = os.path.join(os.path.dirname(DST), "sf0.1")
+    if not os.path.exists(sib):
+        os.symlink(SRC, sib)
+    con = duckdb.connect()
+    for table, keys in OFFSETS.items():
+        src = f"{SRC}/{table}.parquet"
+        if not os.path.exists(src):
+            continue
+        out = f"{DST}/{table}.parquet"
+        if os.path.exists(out):
+            print(f"{table}: exists, skipping")
+            continue
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+        missing = [k for k in keys if k not in cols]
+        keys = [k for k in keys if k in cols]
+        if missing:
+            print(f"{table}: no such key cols {missing}; offsetting {keys}")
+        if table in SINGLETON:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}') TO '{out}' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP})"
+            )
+            print(f"{table}: copied (singleton dim)")
+            continue
+        strides = {
+            k: con.execute(f"SELECT MAX({k}) + 1 FROM '{src}'").fetchone()[0]
+            for k in keys
+        }
+        select = ", ".join(
+            f"({c} + i.c * {strides[c]}) AS {c}" if c in strides else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {select} FROM '{src}', "
+            f"(SELECT UNNEST(range({COPIES})) AS c) i ORDER BY i.c) "
+            f"TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP})"
+        )
+        n = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,34 @@ def test_dimension_joins_broadcast(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_flagship_broadcast_form_zero_fact_shuffles(plans):
+    """At bench scale the stats guard picks the broadcast form: the
+    lineitem stream is consumed in one pass (orders map broadcast into
+    the scan) and only the two aggregate exchanges (custkey, nationkey)
+    remain — no shuffle carries fact-grain rows."""
+    p = plans["revenue_by_nation"]
+    assert shuffle_count(p) <= 2, p
+    assert "SortMergeJoin" not in p
+
+
+def test_flagship_shuffle_form_when_orders_exceed_broadcast(spark, sf_dir, monkeypatch):
+    """Force the stats guard down the scale path (orders 'too big' to
+    broadcast): the pre-aggregation spine must appear — revenue rolled
+    up per l_orderkey BEFORE the orders join — and results must match
+    the broadcast form exactly."""
+    from healthcare_aihw_etl_pipeline_spark.plans import reference_queries as rq
+
+    bcast = rq._revenue_by_nation(spark, sf_dir)
+    monkeypatch.setattr(rq, "_BCAST_ORDERS_MAX_ROWS", -1)
+    shuf = rq._revenue_by_nation(spark, sf_dir)
+    p = plan_of(shuf)
+    # three exchanges: orderkey pre-agg, custkey re-agg, nationkey agg
+    assert shuffle_count(p) >= 2
+    a = sorted((r.n_name, round(r.revenue, 4)) for r in bcast.collect())
+    b = sorted((r.n_name, round(r.revenue, 4)) for r in shuf.collect())
+    assert a == b
+
+
 def test_topk_is_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["top10_brands_by_revenue"]
 
