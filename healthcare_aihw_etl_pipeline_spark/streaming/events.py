@@ -45,7 +45,9 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source event stream → event-time TIMESTAMP.
 
     The streaming file source requires an explicit schema, but the
@@ -70,7 +72,15 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         schema = spark.read.parquet(path).schema
     except Exception:  # AnalysisException: unable to infer schema (no files)
         schema = EVENTS_RAW_SCHEMA
-    raw = spark.readStream.schema(schema).format("parquet").load(path)
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        # One file per micro-batch (oldest mtime first): the replay knob
+        # that turns a file directory into an ordered sequence of
+        # micro-batches — how the late-data tests drive watermark
+        # advancement deterministically, and how a backfill bounds
+        # per-trigger work in production.
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -479,3 +479,148 @@ def test_stream_static_enrichment_matches_batch(
     }
     assert len(got) == len(want) and got == want
     assert any(v[2] is None for v in got.values())  # NULL-dim path hit
+
+
+# ---------------------------------------------------------------------------
+# Late-data torture: out-of-order micro-batches crossing the watermark.
+# Each file is one micro-batch (maxFilesPerTrigger=1, mtime-ordered), so
+# watermark advancement between batches is deterministic and the
+# dropped-row accounting can be asserted exactly.
+# ---------------------------------------------------------------------------
+
+
+def _write_microbatch(spark, dirpath, rows, seq):
+    """Write `rows` [(event_id, ts_str, user_id, value)] as ONE parquet
+    file inside `dirpath`."""
+    import glob
+    import os
+    import shutil
+
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "value"]
+    ).select(
+        F.col("event_id").cast("long"),
+        (F.unix_timestamp("ts_s").cast("long") * F.lit(1_000_000_000)).alias("ts"),
+        F.col("user_id").cast("long"),
+        F.lit("click").alias("event_type"),
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    stage = f"{dirpath}-stage{seq}"
+    df.coalesce(1).write.parquet(stage)
+    os.makedirs(dirpath, exist_ok=True)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    dest = os.path.join(dirpath, f"batch-{seq:03d}.parquet")
+    shutil.move(part, dest)
+    shutil.rmtree(stage)
+
+
+def _replay_batches(spark, tmp_path, batches, transform):
+    """Deterministic micro-batch replay: land file i, run the stream to
+    completion (availableNow) against ONE persistent checkpoint, stop,
+    repeat. Each run sees exactly one new file, so batch boundaries —
+    and therefore watermark advancement and state eviction — are exact,
+    not dependent on the file source's listing order (mtime ordering
+    proved non-deterministic under a single availableNow run). Returns
+    the accumulated rows from the parquet sink."""
+    src = str(tmp_path / "replay_src")
+    ckpt = str(tmp_path / "replay_ckpt")
+    sink = str(tmp_path / "replay_sink")
+    for seq, rows in enumerate(batches, start=1):
+        _write_microbatch(spark, src, rows, seq)
+        stream = read_event_stream(spark, src)
+        q = (
+            transform(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    try:
+        return spark.read.parquet(sink).collect()
+    except Exception:
+        return []  # sink dir empty: nothing was ever emitted
+
+
+def test_late_rows_below_watermark_are_dropped_from_closed_windows(spark, tmp_path):
+    """A row arriving AFTER the watermark passed its window must not
+    appear in the emitted aggregate — and the still-open final window
+    must not be emitted at all. Exact accounting: the closed 10:00
+    window counts its 2 on-time rows, never the late third."""
+    rows = _replay_batches(
+        spark,
+        tmp_path,
+        [
+            # b1: two on-time rows in the 10:00 window
+            [(1, "2024-01-01 10:15:00", 1, 1.0),
+             (2, "2024-01-01 10:45:00", 1, 1.0)],
+            # b2: advances watermark to 12:01 → the 10:00 window closes
+            [(3, "2024-01-01 12:31:00", 1, 1.0)],
+            # b3: id 4 is LATE (10:30 < watermark 12:01) → dropped; id 5 on time
+            [(4, "2024-01-01 10:30:00", 1, 1.0),
+             (5, "2024-01-01 12:45:00", 1, 1.0)],
+        ],
+        lambda s: hourly_event_counts(s, watermark="30 minutes"),
+    )
+    out = {r.window_start: r.n_events for r in rows}
+    # the closed window holds exactly the on-time rows
+    assert out.get("2024-01-01 10:00:00") == 2, out
+    # the late row neither reopened the window nor spawned a new one
+    assert "2024-01-01 10:30:00" not in out
+    # the 12:00 window is still open at the final watermark (12:15) —
+    # append mode must NOT emit it
+    assert "2024-01-01 12:00:00" not in out, out
+
+
+def test_dedup_state_eviction_reemits_after_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops replays only while the key's
+    state lives inside the watermark horizon. A duplicate arriving after
+    eviction is re-emitted (the documented at-least-once-beyond-horizon
+    policy), and a row below the watermark is dropped as late."""
+    rows = _replay_batches(
+        spark,
+        tmp_path,
+        [
+            [(100, "2024-01-01 10:00:00", 1, 1.0)],
+            # duplicate inside the horizon → dropped; 13:00 row pushes
+            # the watermark to 12:30
+            [(100, "2024-01-01 10:05:00", 1, 1.0),
+             (101, "2024-01-01 13:00:00", 1, 1.0)],
+            # id 100's state (last seen 10:00) was evicted at wm 12:30 →
+            # its re-arrival ABOVE the watermark is emitted again; id 102
+            # sits below the watermark → dropped as late data
+            [(100, "2024-01-01 13:05:00", 1, 1.0),
+             (102, "2024-01-01 10:00:00", 1, 1.0)],
+        ],
+        lambda s: dedup_within_watermark(s, watermark="30 minutes"),
+    )
+    ids = [r.event_id for r in rows]
+    assert sorted(ids) == [100, 100, 101], ids
+
+
+def test_out_of_order_event_bridges_sessions_within_watermark(spark, tmp_path):
+    """An out-of-order (but in-watermark) event landing in the gap
+    between two provisional sessions must MERGE them into one — the
+    session-window state is keyed by event time, not arrival order."""
+    rows = _replay_batches(
+        spark,
+        tmp_path,
+        [
+            # b1: two bursts 50 min apart → provisionally TWO sessions
+            [(1, "2024-01-01 10:00:00", 7, 1.0),
+             (2, "2024-01-01 10:50:00", 7, 1.0)],
+            # b2: 10:25 bridges the gap (25 min to each) → ONE session
+            [(3, "2024-01-01 10:25:00", 7, 1.0)],
+            # b3: sentinel pushes the watermark past the session's close
+            [(99, "2024-01-01 14:00:00", 99, 0.0)],
+        ],
+        lambda s: session_windows(s, gap="30 minutes", watermark="1 hour"),
+    )
+    mine = [r for r in rows if r.user_id == 7]
+    assert len(mine) == 1, mine
+    assert mine[0].n_events == 3
+    assert mine[0].session_start == "2024-01-01 10:00:00"
+    assert mine[0].session_end == "2024-01-01 11:20:00"
