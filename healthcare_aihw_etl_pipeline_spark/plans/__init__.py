@@ -96,6 +96,7 @@ _MUST_VERIFY_R6: list[str] = [
     "event_session_stats", "lapsed_part_suppliers",
     "revenue_drawdown_by_year", "embedding_quantization_error",
     "vocab_growth_curve", "txlog_delete_update_snapshot",
+    "lang_id_distribution",
 ]
 
 

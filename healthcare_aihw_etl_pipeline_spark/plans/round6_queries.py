@@ -1122,3 +1122,79 @@ def txlog_delete_update_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# 8. Language-ID distribution: promotes operators.text.lang_id from a
+#    unit-tested scalar to a hash-checked corpus query. The oracle
+#    replays the exact heuristic — CJK character ratio, distinct-token
+#    stopword intersections, and the declared-order tie-break (a CASE
+#    chain of >= tests in en/es/de/fr order is equivalent to the Spark
+#    fold's strict-> update in the same order).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_id_distribution",
+    oracle="""
+    WITH t AS (
+      SELECT list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+             greatest(length(text), 1) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT cjk, n_chars, n_tokens,
+        len(list_intersect(toks, ['the','and','of','to','in','is','that','for','with','as'])) AS s_en,
+        len(list_intersect(toks, ['el','la','de','que','y','en','los','del','las','por'])) AS s_es,
+        len(list_intersect(toks, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS s_de,
+        len(list_intersect(toks, ['le','la','les','de','et','des','est','dans','que','pour'])) AS s_fr
+      FROM t
+    ),
+    lab AS (
+      SELECT n_tokens,
+        CASE WHEN CAST(cjk AS DOUBLE)/n_chars > 0.2 THEN 'zh'
+             WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de'
+             ELSE 'fr' END AS lang
+      FROM s
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM lab GROUP BY lang ORDER BY lang
+    """,
+    doc="Language-ID distribution over the document corpus "
+    "(operators/text.py lang_id — the n-gram/stopword heuristic every "
+    "pretraining pipeline runs before quality filtering): docs and "
+    "token mass per detected language. Single scan, one shuffle on the "
+    "5-value language key, all expression-side (no UDF); the stopword "
+    "intersections are array_intersect over a distinct-token split — "
+    "per-row cost bounded by token count, map-side combined into a "
+    "6-row aggregate. The DuckDB oracle replays the heuristic exactly, "
+    "including the declared-order tie-break.",
+)
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import (
+        lang_id,
+        ws_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            lang_id("text").alias("lang"),
+            F.when(F.trim("text") == "", F.lit(0))
+            .otherwise(ws_token_count("text"))
+            .alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -24,7 +24,12 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sfbench/sf1"
 COPIES = 10
-ROW_GROUP = 131072
+# Per-table row-group sizing: ~32 groups per table (one per core),
+# bounded to [2048, 131072] rows. A single fixed size leaves small
+# tables (embeddings: 20k rows of array<float>) in ONE row group — a
+# one-task scan whose nested-column decode then serializes, which is a
+# layout artifact no real large table has.
+RG_LO, RG_HI, RG_TARGET_GROUPS = 2048, 131072, 32
 
 # table -> columns needing a per-copy offset (key-space columns)
 OFFSETS: dict[str, list[str]] = {
@@ -63,10 +68,12 @@ def main() -> None:
         keys = [k for k in keys if k in cols]
         if missing:
             print(f"{table}: no such key cols {missing}; offsetting {keys}")
+        n_src = con.execute(f"SELECT COUNT(*) FROM '{src}'").fetchone()[0]
+        rg = max(RG_LO, min(RG_HI, (n_src * COPIES) // RG_TARGET_GROUPS))
         if table in SINGLETON:
             con.execute(
                 f"COPY (SELECT * FROM '{src}') TO '{out}' "
-                f"(FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP})"
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
             )
             print(f"{table}: copied (singleton dim)")
             continue
@@ -81,7 +88,7 @@ def main() -> None:
         con.execute(
             f"COPY (SELECT {select} FROM '{src}', "
             f"(SELECT UNNEST(range({COPIES})) AS c) i ORDER BY i.c) "
-            f"TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP})"
+            f"TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
         )
         n = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
         print(f"{table}: {n} rows")

@@ -663,3 +663,26 @@ def test_delete_concurrent_writer_conflict(spark, tmp_path):
         t.delete_where(spark, "event_type = 'view'")
     # the concurrent merge's row is intact — the stale delete never landed
     assert (2, "view", 99.0) in _rows(t2.snapshot(spark))
+
+
+def test_change_feed_replays_to_snapshot(spark, tmp_path):
+    """End-to-end CDC contract: a downstream replica maintained ONLY from
+    changes() — applying inserts/updates as upserts and deletes as
+    removals in commit order — must equal the head snapshot after a
+    history of append, merge, update and delete commits."""
+    t = TxLogTable(str(tmp_path / "t"), track_changes=True)
+    t.append(spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", 2.0), (3, "view", 3.0)], COLS))
+    t.merge(spark.createDataFrame(
+        [(2, "view", 20.0), (4, "click", 4.0)], COLS), key_cols=["event_id"])
+    t.update_where(spark, "event_id = 1", {"value": "value + 100.0"})
+    t.delete_where(spark, "event_id = 3")
+
+    feed = t.changes(spark).collect()
+    replica: dict[int, tuple] = {}
+    for r in sorted(feed, key=lambda r: r._commit_version):
+        if r._change_type == "delete":
+            replica.pop(r.event_id, None)
+        else:  # insert / update: upsert by key
+            replica[r.event_id] = (r.event_id, r.event_type, r.value)
+    assert sorted(replica.values()) == _rows(t.snapshot(spark))
