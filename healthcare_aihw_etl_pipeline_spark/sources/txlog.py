@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,6 +44,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 class CommitConflict(Exception):
     """Another writer invalidated this transaction's read set."""
+
+
+class ConstraintViolation(ValueError):
+    """A commit's rows violate a registered CHECK constraint."""
 
 
 class SchemaIncompatible(ValueError):
@@ -576,6 +581,145 @@ class TxLogTable:
             writer_id=writer_id, batch_id=batch_id, changes_rel=changes_rel,
         )
 
+    # -- constraints / restore / time travel ---------------------------
+
+    @staticmethod
+    def _validate_constraints(df: DataFrame, constraints: dict) -> None:
+        """Raise ConstraintViolation if any row of `df` violates any
+        registered CHECK expression. SQL CHECK semantics: a row passes
+        when the expression is TRUE **or NULL** — only FALSE violates.
+        All constraints are counted in ONE aggregation job (map-side
+        combined), so commit-time validation costs a single scan of the
+        commit's rows regardless of how many checks exist."""
+        import pyspark.sql.functions as F
+
+        if not constraints:
+            return
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+            ).alias(n)
+            for n, e in constraints.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {n: row[n] for n in constraints if row[n]}
+        if bad:
+            raise ConstraintViolation(
+                f"CHECK constraint(s) violated: "
+                + ", ".join(f"{n} ({bad[n]} rows)" for n in sorted(bad))
+            )
+
+    def _commit_manifest_change(self, mutate, max_retries: int = 5) -> int:
+        """Commit a metadata-only change (no data staging): `mutate`
+        receives a copy of the head manifest and returns the next one.
+        Same optimistic O_EXCL protocol as data commits."""
+        for _ in range(max_retries):
+            h = self.head()
+            version = (h[0] if h else -1) + 1
+            prev = dict(h[1]) if h else {"files": [], "txn": {}}
+            manifest = mutate(prev)
+            manifest["committed_at"] = time.time()
+            if self._try_commit(version, manifest):
+                return version
+        raise CommitConflict(f"lost the commit race {max_retries} times")
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """Register a CHECK constraint (Delta `ADD CONSTRAINT`): the
+        FULL current snapshot is validated first (one aggregation job),
+        then a metadata-only commit records it; every subsequent
+        append/merge/update commit validates its rows against the check
+        before staging, and a concurrent commit in flight during the add
+        re-validates against the delta inside its retry loop."""
+        snap = self.snapshot(spark)
+        if snap is not None:
+            self._validate_constraints(snap, {name: expr})
+
+        def mutate(prev: dict) -> dict:
+            prev["constraints"] = {**prev.get("constraints", {}), name: expr}
+            return prev
+
+        return self._commit_manifest_change(mutate)
+
+    def drop_constraint(self, name: str) -> int:
+        def mutate(prev: dict) -> dict:
+            cs = dict(prev.get("constraints", {}))
+            cs.pop(name, None)
+            if cs:
+                prev["constraints"] = cs
+            else:
+                prev.pop("constraints", None)
+            return prev
+
+        return self._commit_manifest_change(mutate)
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF `version` (Delta): commit a
+        NEW version whose file list, schema and stats are the target
+        snapshot's — history is never rewritten, the restore itself is
+        an auditable commit, and the exactly-once `txn` map of the
+        CURRENT head carries forward (a restore must not resurrect
+        already-processed streaming batch ids). Fails if the target's
+        manifest or data files were vacuumed."""
+        try:
+            target = self._read_manifest(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot restore to version {version}: its manifest was "
+                "vacuumed past the retention horizon"
+            ) from None
+        missing = [
+            p
+            for p in target["files"]
+            if not os.path.exists(os.path.join(self.data_dir, p))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"file(s) were vacuumed (first: {missing[0]})"
+            )
+
+        def mutate(prev: dict) -> dict:
+            out = {
+                "files": list(target["files"]),
+                "txn": {**prev.get("txn", {})},
+                "removed": [p for p in prev["files"] if p not in set(target["files"])],
+                "schema": target.get("schema"),
+                "stats": dict(target.get("stats", {})),
+                "restored_from": version,
+            }
+            if prev.get("constraints"):
+                out["constraints"] = prev["constraints"]
+            return out
+
+        return self._commit_manifest_change(mutate)
+
+    def _commit_time(self, version: int, manifest: dict) -> float:
+        ts = manifest.get("committed_at")
+        if ts is not None:
+            return ts
+        # pre-round-6 manifests: fall back to the log file's mtime
+        return os.path.getmtime(
+            os.path.join(self.log_dir, f"{version:020d}.json")
+        )
+
+    def snapshot_as_of(self, spark: SparkSession, ts) -> DataFrame | None:
+        """Timestamp time travel (Delta `timestampAsOf`): the snapshot of
+        the LATEST commit at or before `ts` (epoch seconds, datetime, or
+        ISO string). None when the table did not exist yet."""
+        if hasattr(ts, "timestamp"):  # datetime.datetime
+            ts = ts.timestamp()
+        elif isinstance(ts, str):
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(ts).timestamp()
+        best = None
+        for v in self._versions():
+            if self._commit_time(v, self._read_manifest(v)) <= ts:
+                best = v
+        if best is None:
+            return None
+        return self.snapshot(spark, version=best)
+
     def _stage_changes(self, change_df: DataFrame | None) -> str | None:
         """Materialize a commit's change rows under a transaction-unique
         `_changes/staged-<uuid>` dir and return that name. The winning
@@ -666,6 +810,13 @@ class TxLogTable:
             except SchemaIncompatible:
                 self._drop_staged_changes(changes_rel)
                 raise
+        entry_constraints = (h[1].get("constraints") if h else None) or {}
+        if entry_constraints:
+            try:
+                self._validate_constraints(df, entry_constraints)
+            except ConstraintViolation:
+                self._drop_staged_changes(changes_rel)
+                raise
         added = self._stage_files(df, base_version + 1)
         removed_now = None
         for _ in range(max_retries):
@@ -678,6 +829,23 @@ class TxLogTable:
                     os.unlink(os.path.join(self.data_dir, rel))
                 self._drop_staged_changes(changes_rel)
                 return version - 1
+            # A concurrent commit may have ADDED a constraint between our
+            # entry gate and this head resolution: validate the delta so
+            # no commit ever lands rows that bypass a registered check.
+            drift = {
+                n: e
+                for n, e in (prev.get("constraints") or {}).items()
+                if entry_constraints.get(n) != e
+            }
+            if drift:
+                try:
+                    self._validate_constraints(df, drift)
+                    entry_constraints = {**entry_constraints, **drift}
+                except ConstraintViolation:
+                    for rel in added:
+                        os.unlink(os.path.join(self.data_dir, rel))
+                    self._drop_staged_changes(changes_rel)
+                    raise
             removed = [p for p in prev["files"] if remove_pred(p)]
             if removed_now is not None and removed != removed_now:
                 self._drop_staged_changes(changes_rel)
@@ -707,6 +875,17 @@ class TxLogTable:
                 "txn": {**prev.get("txn", {})},
                 "removed": removed,
                 "schema": merged_schema,
+                # Wall-clock commit time: what timestamp-based time travel
+                # (snapshot_as_of) resolves against, like Delta's
+                # timestampAsOf over commit-file times.
+                "committed_at": time.time(),
+                # CHECK constraints carry forward unchanged; commits are
+                # validated against them in _commit_loop's entry gate.
+                **(
+                    {"constraints": prev["constraints"]}
+                    if prev.get("constraints")
+                    else {}
+                ),
                 # Per-file min/max data-skipping stats: carried files keep
                 # their recorded stats, staged files bring footer-derived
                 # ones (snapshot_where prunes on these).

@@ -686,3 +686,90 @@ def test_change_feed_replays_to_snapshot(spark, tmp_path):
         else:  # insert / update: upsert by key
             replica[r.event_id] = (r.event_id, r.event_type, r.value)
     assert sorted(replica.values()) == _rows(t.snapshot(spark))
+
+
+def test_check_constraint_blocks_bad_commit(spark, tmp_path):
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "click", 1.0)], COLS))
+    t.add_constraint(spark, "value_nonneg", "value >= 0.0")
+
+    # a violating append aborts BEFORE any manifest lands
+    v_before = t.head()[0]
+    with pytest.raises(ConstraintViolation, match="value_nonneg"):
+        t.append(spark.createDataFrame([(2, "view", -5.0)], COLS))
+    assert t.head()[0] == v_before
+    assert _rows(t.snapshot(spark)) == [(1, "click", 1.0)]
+
+    # NULL passes (SQL CHECK three-valued semantics); valid rows commit
+    t.append(spark.createDataFrame([(3, "view", None), (4, "view", 2.0)], COLS))
+    assert len(_rows(t.snapshot(spark))) == 3
+
+    # a violating UPDATE is also blocked
+    with pytest.raises(ConstraintViolation):
+        t.update_where(spark, "event_id = 4", {"value": F.lit(-1.0)})
+
+    # dropping the constraint re-opens the gate
+    t.drop_constraint("value_nonneg")
+    t.append(spark.createDataFrame([(5, "view", -9.0)], COLS))
+    assert (5, "view", -9.0) in _rows(t.snapshot(spark))
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        ConstraintViolation,
+    )
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "click", -1.0)], COLS))
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint(spark, "value_nonneg", "value >= 0.0")
+    # the failed add left no metadata commit behind
+    assert "constraints" not in t.head()[1]
+
+
+def test_restore_to_version(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"), track_changes=True)
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    t.delete_where(spark, "event_id = 2")
+    t.append(spark.createDataFrame([(3, "click", 3.0)], COLS))
+    assert _rows(t.snapshot(spark)) == [(1, "click", 1.0), (3, "click", 3.0)]
+
+    v = t.restore(0)
+    # restore is a NEW commit reproducing version 0's content
+    assert v == t.head()[0]
+    assert t.head()[1]["restored_from"] == 0
+    assert _rows(t.snapshot(spark)) == [(1, "click", 1.0), (2, "view", 2.0)]
+    # history intact: the pre-restore head is still readable
+    assert _rows(t.snapshot(spark, version=v - 1)) == [
+        (1, "click", 1.0), (3, "click", 3.0)
+    ]
+
+
+def test_restore_after_vacuum_refuses(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "click", 1.0)], COLS))
+    t.compact(spark)  # no-op (1 file) or rewrite; make version 1 distinct
+    t.delete_where(spark, "event_id = 1")
+    t.append(spark.createDataFrame([(2, "view", 2.0)], COLS))
+    t.vacuum(retain_versions=1, retention_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(0)
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    import time as _time
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "click", 1.0)], COLS))
+    between = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2, "view", 2.0)], COLS))
+
+    assert _rows(t.snapshot_as_of(spark, between)) == [(1, "click", 1.0)]
+    assert len(_rows(t.snapshot_as_of(spark, _time.time()))) == 2
+    # before the table existed
+    assert t.snapshot_as_of(spark, between - 3600) is None
