@@ -370,25 +370,48 @@ class TxLogTable:
             )
         return self._commit_loop(
             df, remove_pred=lambda rel: False, writer_id=writer_id,
-            batch_id=batch_id, changes_rel=changes_rel,
+            batch_id=batch_id, changes_rel=changes_rel, operation="append",
         )
 
     def merge(self, batch_df: DataFrame, key_cols: list[str], *,
+              delete_predicate=None, drop_after: list[str] | None = None,
               writer_id: str | None = None, batch_id: int | None = None) -> int:
         """Copy-on-write keyed MERGE (upsert): rewrite ONLY the files of
         partitions the batch touches; carry every other file by
         reference. Existing rows in touched partitions whose key is
         absent from the batch survive; matching keys take the batch row.
 
+        `delete_predicate` (Column or SQL string over the BATCH row) is
+        the `WHEN MATCHED ... THEN DELETE` clause: a batch row where it
+        is TRUE claims its key — removing any existing row — but is not
+        re-inserted. This is how a change-data-feed consumer applies
+        upstream deletes in the same single commit as its upserts.
+        `drop_after` names batch columns that exist only to drive the
+        predicate (e.g. `_change_type`): they are dropped from the
+        upserted rows AFTER filtering, so control columns never evolve
+        into the target schema.
+
         At 100 TB this file-level pruning is the entire point: a daily
         batch touching 1/1000th of the partitions rewrites 1/1000th of
         the files, and the commit is one atomic manifest create."""
         import pyspark.sql.functions as F
 
+        del_pred = (
+            F.expr(delete_predicate)
+            if isinstance(delete_predicate, str)
+            else delete_predicate
+        )
+        upserts = (
+            batch_df.where(~F.coalesce(del_pred, F.lit(False)))
+            if del_pred is not None
+            else batch_df
+        )
+        if drop_after:
+            upserts = upserts.drop(*drop_after)
         spark = batch_df.sparkSession
         h = self.head()
         if h is None:
-            return self.append(batch_df, writer_id=writer_id, batch_id=batch_id)
+            return self.append(upserts, writer_id=writer_id, batch_id=batch_id)
         version, manifest = h
         if self._already_committed(manifest, writer_id, batch_id):
             return version
@@ -396,7 +419,7 @@ class TxLogTable:
         # otherwise coerce an incompatible batch column (e.g. string
         # into double) and fail deep inside the staging job — or worse,
         # succeed and commit a flipped type.
-        _merge_schema(manifest.get("schema"), json.loads(batch_df.schema.json()))
+        _merge_schema(manifest.get("schema"), json.loads(upserts.schema.json()))
 
         touched = {
             tuple(str(r[c]) for c in self.partition_by)
@@ -422,21 +445,34 @@ class TxLogTable:
             # with a new column NULL-fills it for surviving old rows (and
             # vice versa); the committed manifest records the union
             # schema, which snapshot() then applies to every file.
-            out = survivors.unionByName(batch_df, allowMissingColumns=True)
+            out = survivors.unionByName(upserts, allowMissingColumns=True)
             if self.track_changes:
                 old_keys = existing.select(*key_cols).distinct()
                 change_df = (
-                    batch_df.join(old_keys, key_cols, "left_semi")
+                    upserts.join(old_keys, key_cols, "left_semi")
                     .withColumn("_change_type", F.lit("update"))
                     .unionByName(
-                        batch_df.join(old_keys, key_cols, "left_anti")
+                        upserts.join(old_keys, key_cols, "left_anti")
                         .withColumn("_change_type", F.lit("insert"))
                     )
                 )
+                if del_pred is not None:
+                    deleted = (
+                        existing.join(
+                            batch_df.where(F.coalesce(del_pred, F.lit(False)))
+                            .select(*key_cols)
+                            .distinct(),
+                            key_cols,
+                            "left_semi",
+                        ).withColumn("_change_type", F.lit("delete"))
+                    )
+                    change_df = change_df.unionByName(
+                        deleted, allowMissingColumns=True
+                    )
         else:
-            out = batch_df
+            out = upserts
             if self.track_changes:
-                change_df = batch_df.withColumn(
+                change_df = upserts.withColumn(
                     "_change_type", F.lit("insert")
                 )
         # Stage the change feed BEFORE the commit (Delta writes its cdc
@@ -449,7 +485,7 @@ class TxLogTable:
         out = out.localCheckpoint(eager=True)
         return self._commit_loop(
             out, remove_pred=in_touched, writer_id=writer_id,
-            batch_id=batch_id, changes_rel=changes_rel,
+            batch_id=batch_id, changes_rel=changes_rel, operation="merge",
         )
 
     def _rel_from_uri(self, uri: str) -> str:
@@ -528,6 +564,7 @@ class TxLogTable:
         return self._commit_loop(
             survivors, remove_pred=lambda rel: rel in touched,
             writer_id=writer_id, batch_id=batch_id, changes_rel=changes_rel,
+            operation="delete",
         )
 
     def update_where(self, spark: SparkSession, predicate,
@@ -579,6 +616,7 @@ class TxLogTable:
         return self._commit_loop(
             out, remove_pred=lambda rel: rel in touched,
             writer_id=writer_id, batch_id=batch_id, changes_rel=changes_rel,
+            operation="update",
         )
 
     # -- constraints / restore / time travel ---------------------------
@@ -636,6 +674,7 @@ class TxLogTable:
 
         def mutate(prev: dict) -> dict:
             prev["constraints"] = {**prev.get("constraints", {}), name: expr}
+            prev["operation"] = "add_constraint"
             return prev
 
         return self._commit_manifest_change(mutate)
@@ -648,6 +687,7 @@ class TxLogTable:
                 prev["constraints"] = cs
             else:
                 prev.pop("constraints", None)
+            prev["operation"] = "drop_constraint"
             return prev
 
         return self._commit_manifest_change(mutate)
@@ -686,6 +726,7 @@ class TxLogTable:
                 "schema": target.get("schema"),
                 "stats": dict(target.get("stats", {})),
                 "restored_from": version,
+                "operation": "restore",
             }
             if prev.get("constraints"):
                 out["constraints"] = prev["constraints"]
@@ -719,6 +760,30 @@ class TxLogTable:
         if best is None:
             return None
         return self.snapshot(spark, version=best)
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one dict per retained commit, newest first —
+        version, operation verb, commit time, file/row deltas, and the
+        audit fields individual operations record (restored_from, txn).
+        Pure log metadata; no data files are opened."""
+        out = []
+        for v in self._versions():
+            m = self._read_manifest(v)
+            entry = {
+                "version": v,
+                "operation": m.get("operation", "write"),
+                "committed_at": self._commit_time(v, m),
+                "n_files": len(m.get("files", [])),
+                "n_removed": len(m.get("removed", [])),
+            }
+            for k in ("restored_from", "constraints"):
+                if m.get(k) is not None:
+                    entry[k] = m[k]
+            if m.get("txn"):
+                entry["txn"] = m["txn"]
+            out.append(entry)
+        out.reverse()
+        return out
 
     def _stage_changes(self, change_df: DataFrame | None) -> str | None:
         """Materialize a commit's change rows under a transaction-unique
@@ -794,7 +859,7 @@ class TxLogTable:
 
     def _commit_loop(self, df: DataFrame, *, remove_pred, writer_id,
                      batch_id, changes_rel: str | None = None,
-                     max_retries: int = 5) -> int:
+                     operation: str = "write", max_retries: int = 5) -> int:
         h = self.head()
         base_version = h[0] if h else -1
         if h and self._already_committed(h[1], writer_id, batch_id):
@@ -879,6 +944,8 @@ class TxLogTable:
                 # (snapshot_as_of) resolves against, like Delta's
                 # timestampAsOf over commit-file times.
                 "committed_at": time.time(),
+                # Operation tag for history() — DESCRIBE HISTORY's verb.
+                "operation": operation,
                 # CHECK constraints carry forward unchanged; commits are
                 # validated against them in _commit_loop's entry gate.
                 **(
@@ -948,6 +1015,7 @@ class TxLogTable:
             remove_pred=lambda rel: rel in to_rewrite,
             writer_id=None,
             batch_id=None,
+            operation="compact",
         )
 
     def compact_zorder(
@@ -1012,6 +1080,7 @@ class TxLogTable:
             remove_pred=lambda rel: rel in to_rewrite,
             writer_id=None,
             batch_id=None,
+            operation="compact_zorder",
         )
 
     def vacuum(
@@ -1116,3 +1185,101 @@ def write_stream_txlog_merge(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+class ChangeFeedConsumer:
+    """Incremental CDC consumer with a durable offset: each sync() pulls
+    the source table's change feed SINCE the last consumed version and
+    applies the NET effect per key to a target table in one MERGE commit
+    (upserts + WHEN-MATCHED-DELETE), then atomically advances the offset.
+
+    Net-effect semantics: for each key, only its LATEST change in the
+    pending window matters — an insert later deleted applies as a
+    delete; a delete later re-inserted applies as an upsert. The
+    reduction is a per-key argmax on (_commit_version, change-order)
+    computed engine-side (aggregate, not a window over the full feed).
+
+    Crash safety: the offset advances AFTER the target commit. A crash
+    between commit and offset write replays the window — idempotent,
+    because the target MERGE keys on the same columns and the net effect
+    of a replayed window is unchanged (at-least-once pull, exactly-once
+    effect). The offset file is written tmp+rename (atomic on POSIX).
+    """
+
+    def __init__(self, source: TxLogTable, offset_path: str):
+        self.source = source
+        self.offset_path = offset_path
+
+    def last_consumed(self) -> int:
+        try:
+            with open(self.offset_path) as f:
+                return json.load(f)["version"]
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _advance(self, version: int) -> None:
+        tmp = f"{self.offset_path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "advanced_at": time.time()}, f)
+        os.replace(tmp, self.offset_path)
+
+    def sync_to(self, spark: SparkSession, target: TxLogTable,
+                key_cols: list[str]) -> int | None:
+        """Apply all pending changes to `target`; returns the target's
+        new version (None when nothing is pending)."""
+        import pyspark.sql.functions as F
+
+        h = self.source.head()
+        if h is None:
+            return None
+        head_v = h[0]
+        since = self.last_consumed() + 1
+        if since > head_v:
+            return None
+        feed = self.source.changes(spark, since=since, until=head_v)
+        if feed is None:  # only no-feed commits in the window
+            self._advance(head_v)
+            return None
+        # Net effect per key: keep the row of the highest
+        # (_commit_version, is_delete) — within one commit a key appears
+        # at most once per change type, and a delete+reinsert inside one
+        # MERGE commit surfaces as update/insert only, so version order
+        # is sufficient; the encoded argmax is one aggregation, no
+        # full-feed window sort.
+        data_cols = [
+            c for c in feed.columns
+            if c not in ("_change_type", "_commit_version")
+        ]
+        latest = (
+            feed.withColumn(
+                "_k",
+                F.struct(
+                    F.col("_commit_version"),
+                    F.struct(
+                        F.col("_change_type"),
+                        *[F.col(c) for c in data_cols],
+                    ).alias("row"),
+                ),
+            )
+            .groupBy(*key_cols)
+            .agg(F.max("_k").alias("_k"))
+            .select(
+                *key_cols,
+                F.col("_k.row._change_type").alias("_change_type"),
+                *[
+                    F.col(f"_k.row.{c}").alias(c)
+                    for c in data_cols
+                    if c not in key_cols
+                ],
+            )
+        )
+        new_v = target.merge(
+            latest,
+            key_cols,
+            delete_predicate=F.col("_change_type") == F.lit("delete"),
+            drop_after=["_change_type"],
+            writer_id=f"cdc:{self.offset_path}",
+            batch_id=head_v,
+        )
+        self._advance(head_v)
+        return new_v

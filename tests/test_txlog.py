@@ -773,3 +773,85 @@ def test_snapshot_as_of_timestamp(spark, tmp_path):
     assert len(_rows(t.snapshot_as_of(spark, _time.time()))) == 2
     # before the table existed
     assert t.snapshot_as_of(spark, between - 3600) is None
+
+
+def test_merge_when_matched_delete(spark, tmp_path):
+    """MERGE with a delete clause: flagged batch rows remove their key,
+    unflagged rows upsert, all in ONE commit; CDF classifies all three."""
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"], track_changes=True)
+    t.append(spark.createDataFrame(
+        [(1, "click", 1.0), (2, "click", 2.0), (3, "view", 3.0)], COLS))
+
+    batch = spark.createDataFrame(
+        [(1, "click", 9.0, False),   # matched → update
+         (2, "click", 0.0, True),    # matched → DELETE
+         (4, "click", 4.0, False)],  # unmatched → insert
+        COLS + ["is_del"],
+    )
+    v = t.merge(batch, ["event_id"], delete_predicate="is_del",
+                drop_after=["is_del"])
+    assert _rows(t.snapshot(spark)) == [
+        (1, "click", 9.0), (3, "view", 3.0), (4, "click", 4.0)
+    ]
+    # the control column never evolved into the table schema
+    assert "is_del" not in t.snapshot(spark).columns
+    feed = {(r.event_id, r._change_type)
+            for r in t.changes(spark, since=v, until=v).collect()}
+    assert feed == {(1, "update"), (2, "delete"), (4, "insert")}
+
+
+def test_history_records_operations(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    t.merge(spark.createDataFrame([(2, "view", 9.0)], COLS), ["event_id"])
+    t.delete_where(spark, "event_id = 1")
+    t.add_constraint(spark, "v_nonneg", "value >= 0.0")
+    t.restore(0)
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["restore", "add_constraint", "delete", "merge", "append"]
+    assert t.history()[0]["restored_from"] == 0
+    # commit times are monotone non-decreasing oldest→newest
+    ts = [h["committed_at"] for h in reversed(t.history())]
+    assert ts == sorted(ts)
+
+
+def test_change_feed_consumer_incremental_sync(spark, tmp_path):
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        ChangeFeedConsumer,
+    )
+
+    src = TxLogTable(str(tmp_path / "src"), track_changes=True)
+    dst = TxLogTable(str(tmp_path / "dst"))
+    c = ChangeFeedConsumer(src, str(tmp_path / "offset.json"))
+
+    # window 1: inserts
+    src.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    c.sync_to(spark, dst, ["event_id"])
+    assert _rows(dst.snapshot(spark)) == _rows(src.snapshot(spark))
+
+    # window 2: update + delete + insert, netted across commits
+    src.merge(spark.createDataFrame([(2, "view", 20.0)], COLS), ["event_id"])
+    src.delete_where(spark, "event_id = 1")
+    src.append(spark.createDataFrame([(3, "click", 3.0)], COLS))
+    c.sync_to(spark, dst, ["event_id"])
+    assert _rows(dst.snapshot(spark)) == _rows(src.snapshot(spark))
+    assert _rows(dst.snapshot(spark)) == [(2, "view", 20.0), (3, "click", 3.0)]
+
+    # net effect: a key inserted then deleted in ONE window never lands
+    src.append(spark.createDataFrame([(9, "view", 9.0)], COLS))
+    src.delete_where(spark, "event_id = 9")
+    c.sync_to(spark, dst, ["event_id"])
+    assert _rows(dst.snapshot(spark)) == _rows(src.snapshot(spark))
+    assert all(r[0] != 9 for r in _rows(dst.snapshot(spark)))
+
+    # idempotent replay: nothing pending → no new target commit
+    v = dst.head()[0]
+    assert c.sync_to(spark, dst, ["event_id"]) is None
+    assert dst.head()[0] == v
+
+    # crash replay: offset lost AFTER a target commit — the txn map
+    # makes the re-applied window a no-op commit-wise
+    import os as _os
+    _os.remove(str(tmp_path / "offset.json"))
+    c.sync_to(spark, dst, ["event_id"])
+    assert _rows(dst.snapshot(spark)) == _rows(src.snapshot(spark))
