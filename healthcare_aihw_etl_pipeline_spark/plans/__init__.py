@@ -96,7 +96,8 @@ _MUST_VERIFY_R6: list[str] = [
     "event_session_stats", "lapsed_part_suppliers",
     "revenue_drawdown_by_year", "embedding_quantization_error",
     "vocab_growth_curve", "txlog_delete_update_snapshot",
-    "lang_id_distribution",
+    "lang_id_distribution", "rolling_7day_distinct_users",
+    "top_orders_with_ties", "order_vs_peers_leave_one_out",
 ]
 
 

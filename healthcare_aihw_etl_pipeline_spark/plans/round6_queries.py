@@ -1198,3 +1198,178 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Rolling 7-day distinct users: sliding-window COUNT DISTINCT, which
+#    no windowed aggregate computes exactly (distinct is not
+#    decomposable over frames). The scale-safe exact form: distinct
+#    (user, day) pairs, each exploded to the <=7 window-end dates it
+#    contributes to, dedup, count — a bounded x7 expansion of the
+#    DISTINCT PAIRS (not the raw events), all shuffles keyed well.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_7day_distinct_users",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    expand AS (
+      SELECT DISTINCT strftime(CAST(u.wd AS DATE), '%Y-%m-%d') AS window_date, user_id
+      FROM pairs,
+           UNNEST(generate_series(CAST(d AS TIMESTAMP),
+                                  CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                                  INTERVAL 1 DAY)) AS u(wd)
+    ),
+    days AS (SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d
+             FROM events)
+    SELECT window_date, COUNT(*) AS n_active_users
+    FROM expand
+    WHERE window_date IN (SELECT d FROM days)
+    GROUP BY window_date
+    ORDER BY window_date
+    """,
+    doc="Exact sliding-window COUNT DISTINCT (distinct users active in "
+    "the trailing 7 days, per event date): not expressible as a frame "
+    "aggregate (DISTINCT does not decompose over sliding frames), so "
+    "the exact distributed form reduces to distinct (user, day) pairs "
+    "first (the only fact-grain shuffle), explodes each pair to the "
+    "<=7 window dates it serves (bounded expansion of the REDUCED set), "
+    "dedups, and counts per window date. Window dates without events "
+    "are excluded by a semi-join against the active-day set. At 100 TB "
+    "the expansion factor stays 7 regardless of row count; the state "
+    "never exceeds 7x the distinct-pair cardinality.",
+)
+def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    pairs = ev.distinct()
+    expanded = (
+        pairs.select(
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+                "wd"
+            ),
+            "user_id",
+        )
+        .select(F.date_format("wd", "yyyy-MM-dd").alias("window_date"), "user_id")
+        .distinct()
+    )
+    days = ev.select(F.date_format("d", "yyyy-MM-dd").alias("d")).distinct()
+    return (
+        expanded.join(
+            days, expanded.window_date == days.d, "left_semi"
+        )
+        .groupBy("window_date")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("window_date")
+    )
+
+
+@register(
+    "top_orders_with_ties",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                          DESC) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, price_cents, rk
+    FROM r WHERE rk <= 3
+    ORDER BY o_orderpriority, rk, o_orderkey
+    """,
+    doc="Top-k per group WITH TIES (RANK, not ROW_NUMBER): every order "
+    "tied at the boundary value survives, so the result size is "
+    "data-dependent — the semantics SQL:2016 FETCH ... WITH TIES names. "
+    "Ranking on exact integer cents keeps tie detection engine-"
+    "independent (double comparison ties would differ in the last ulp). "
+    "Same single-shuffle window spine as the row_number top-k; at scale "
+    "the group-limit pushdown still applies because rank's frame is "
+    "running, not full-partition.",
+)
+def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_cents").desc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            cents("o_totalprice").alias("price_cents"),
+        )
+        .withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk", "o_orderkey")
+    )
+
+
+@register(
+    "order_vs_peers_leave_one_out",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER (PARTITION BY o_orderpriority) AS BIGINT) AS grp_sum,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS grp_n
+      FROM orders
+    ),
+    d AS (
+      SELECT o_orderpriority, o_orderkey, price_cents,
+             (price_cents * CAST(grp_n - 1 AS BIGINT))
+               - (grp_sum - price_cents) AS excess
+      FROM b WHERE grp_n > 1
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN excess > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_peer_avg,
+           CAST(MAX(excess) AS BIGINT) AS max_excess_e2
+    FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Leave-one-out peer comparison (each order vs the average of the "
+    "OTHER orders in its priority): the self-excluding average "
+    "(sum-x)/(n-1) is decorrelated into one window pass — group sum and "
+    "count as frameless windows, then the comparison cross-multiplied "
+    "into pure integers (x*(n-1) > sum-x) so no division ever happens. "
+    "One shuffle on the group key; the aggregate rollup reuses the same "
+    "partitioning, so Catalyst plans a single exchange.",
+)
+def order_vs_peers_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    b = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        cents("o_totalprice").alias("price_cents"),
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        "price_cents",
+        F.sum("price_cents").over(w).alias("grp_sum"),
+        F.count(F.lit(1)).over(w).alias("grp_n"),
+    )
+    d = b.where(F.col("grp_n") > 1).select(
+        "o_orderpriority",
+        (
+            F.col("price_cents") * (F.col("grp_n") - 1).cast("long")
+            - (F.col("grp_sum") - F.col("price_cents"))
+        ).alias("excess"),
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("excess") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_above_peer_avg"),
+            F.max("excess").cast("long").alias("max_excess_e2"),
+        )
+        .orderBy("o_orderpriority")
+    )
