@@ -315,10 +315,46 @@ class TxLogTable:
         if h is None:
             return None
         _, manifest = h
+        df = self._read_files(
+            spark, manifest, self._stats_prune(manifest, col, lo, hi)
+        )
+        if df is None:
+            return None
+        from pyspark.sql import functions as F
+
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+        return df
+
+    def _stats_prune(self, manifest: dict, col: str, lo, hi) -> list[str]:
+        """Manifest files whose recorded [min, max] for `col` can
+        intersect [lo, hi] — the data-skipping primitive shared by
+        snapshot_where and the DML candidate selection. A file with no
+        recorded stats, or stats incomparable to the bound, is
+        conservatively KEPT (correctness over pruning). A PARTITION
+        column has no footer stats (Hive layout strips it from the data
+        files); its single value comes from the directory path instead —
+        partition pruning and stats skipping through one bound API."""
         stats = manifest.get("stats", {})
+        if col in self.partition_by:
+            def pkeep(rel: str) -> bool:
+                v = self._partition_values(rel).get(col)
+                if v is None:
+                    return True
+                try:
+                    if lo is not None and v < str(lo):
+                        return False
+                    if hi is not None and v > str(hi):
+                        return False
+                except TypeError:
+                    return True
+                return True
+
+            return [p for p in manifest["files"] if pkeep(p)]
 
         def norm(bound, ref):
-            """Make `bound` comparable to the recorded stat value `ref`."""
             if hasattr(bound, "isoformat"):  # datetime.date / datetime
                 bound = bound.isoformat()
             if (
@@ -345,18 +381,7 @@ class TxLogTable:
                 return True  # incomparable bound/stat types: never prune
             return True
 
-        df = self._read_files(
-            spark, manifest, [p for p in manifest["files"] if keep(p)]
-        )
-        if df is None:
-            return None
-        from pyspark.sql import functions as F
-
-        if lo is not None:
-            df = df.where(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            df = df.where(F.col(col) <= F.lit(hi))
-        return df
+        return [p for p in manifest["files"] if keep(p)]
 
     def append(self, df: DataFrame, *, writer_id: str | None = None,
                batch_id: int | None = None) -> int:
@@ -496,15 +521,20 @@ class TxLogTable:
         path = unquote(p.path) if p.scheme else uri
         return os.path.relpath(path, self.data_dir)
 
-    def _matching_files(self, spark: SparkSession, manifest: dict, pred) -> list[str]:
+    def _matching_files(self, spark: SparkSession, manifest: dict, pred,
+                        candidates: list[str] | None = None) -> list[str]:
         """Relative paths of current files containing >=1 row matching
-        `pred`. One aggregation job over the snapshot grouped by
+        `pred` (searched within `candidates`, default all files). One
+        aggregation job over the candidate scan grouped by
         input_file_name() — file-level metadata (bounded by file count,
         not row count), the same cardinality class as the manifest
         itself, so the collect is scale-safe."""
         import pyspark.sql.functions as F
 
-        df = self._read_files(spark, manifest, manifest["files"])
+        df = self._read_files(
+            spark, manifest,
+            manifest["files"] if candidates is None else candidates,
+        )
         if df is None:
             return []
         hits = (
@@ -516,6 +546,7 @@ class TxLogTable:
         return [self._rel_from_uri(r["_f"]) for r in hits]
 
     def delete_where(self, spark: SparkSession, predicate, *,
+                     prune: tuple | None = None,
                      writer_id: str | None = None,
                      batch_id: int | None = None) -> int | None:
         """Copy-on-write row-level DELETE (Delta `DELETE FROM t WHERE p`):
@@ -526,9 +557,15 @@ class TxLogTable:
         `_change_type='delete'` BEFORE the manifest lands (crash-safe,
         same ordering as merge).
 
-        `predicate` is a Column or a SQL expression string. At 100 TB the
-        file-level pruning is the entire point: a DELETE touching 0.1% of
-        files rewrites 0.1% of the bytes. Returns the new version, the
+        `predicate` is a Column or a SQL expression string. `prune` is an
+        optional (col, lo, hi) bound IMPLIED by the predicate (caller's
+        contract — e.g. a retention DELETE on a date column): the
+        match-discovery scan then reads only the files whose recorded
+        min/max stats intersect the bound, so a DELETE of one day out of
+        a year scans ~1/365th of the files instead of all of them. At
+        100 TB the file-level pruning is the entire point: a DELETE
+        touching 0.1% of files rewrites — and with a prune bound, even
+        scans — 0.1% of the bytes. Returns the new version, the
         unchanged head version when nothing matches (no empty commits),
         or None on an empty table."""
         import pyspark.sql.functions as F
@@ -540,7 +577,10 @@ class TxLogTable:
         version, manifest = h
         if self._already_committed(manifest, writer_id, batch_id):
             return version
-        touched = set(self._matching_files(spark, manifest, pred))
+        candidates = (
+            self._stats_prune(manifest, *prune) if prune else None
+        )
+        touched = set(self._matching_files(spark, manifest, pred, candidates))
         if not touched:
             return version
         touched_df = self._read_files(
@@ -569,6 +609,7 @@ class TxLogTable:
 
     def update_where(self, spark: SparkSession, predicate,
                      assignments: dict, *,
+                     prune: tuple | None = None,
                      writer_id: str | None = None,
                      batch_id: int | None = None) -> int | None:
         """Copy-on-write row-level UPDATE (Delta `UPDATE t SET ... WHERE
@@ -594,7 +635,10 @@ class TxLogTable:
         version, manifest = h
         if self._already_committed(manifest, writer_id, batch_id):
             return version
-        touched = set(self._matching_files(spark, manifest, pred))
+        candidates = (
+            self._stats_prune(manifest, *prune) if prune else None
+        )
+        touched = set(self._matching_files(spark, manifest, pred, candidates))
         if not touched:
             return version
         touched_df = self._read_files(

@@ -855,3 +855,44 @@ def test_change_feed_consumer_incremental_sync(spark, tmp_path):
     _os.remove(str(tmp_path / "offset.json"))
     c.sync_to(spark, dst, ["event_id"])
     assert _rows(dst.snapshot(spark)) == _rows(src.snapshot(spark))
+
+
+def test_delete_where_prune_bounds_shrink_discovery(spark, tmp_path):
+    """A prune bound makes the match-discovery scan read ONLY the files
+    whose stats intersect it — and the result is identical to the
+    unpruned delete."""
+    t = TxLogTable(str(tmp_path / "t"))
+    # three appends → three single-file commits with disjoint value ranges
+    t.append(spark.createDataFrame(
+        [(1, "click", 1.0), (2, "click", 2.0)], COLS).coalesce(1))
+    t.append(spark.createDataFrame(
+        [(3, "click", 10.0), (4, "click", 11.0)], COLS).coalesce(1))
+    t.append(spark.createDataFrame(
+        [(5, "click", 20.0), (6, "click", 21.0)], COLS).coalesce(1))
+    manifest = t.head()[1]
+    assert len(manifest["files"]) == 3
+
+    # the bound (10..11) intersects exactly one file's stats
+    cand = t._stats_prune(manifest, "value", 10.0, 11.0)
+    assert len(cand) == 1
+
+    t.delete_where(
+        spark, "value >= 10.0 AND value <= 11.0", prune=("value", 10.0, 11.0)
+    )
+    assert _rows(t.snapshot(spark)) == [
+        (1, "click", 1.0), (2, "click", 2.0),
+        (5, "click", 20.0), (6, "click", 21.0),
+    ]
+    # only the matched file was rewritten (here: fully deleted)
+    assert len(t.head()[1]["files"]) == 2
+
+
+def test_update_where_prune_bounds(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "click", 1.0)], COLS))
+    t.append(spark.createDataFrame([(2, "click", 10.0)], COLS))
+    t.update_where(
+        spark, "value >= 10.0", {"value": "value + 1.0"},
+        prune=("value", 10.0, None),
+    )
+    assert _rows(t.snapshot(spark)) == [(1, "click", 1.0), (2, "click", 11.0)]
