@@ -1373,3 +1373,68 @@ def order_vs_peers_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. Mergeable-sketch rollup store: the pre-aggregation pattern that
+#     makes distinct counts cheap at 100 TB — per-partition HLL sketches
+#     (Apache DataSketches via hll_sketch_agg) stored at ingest, unioned
+#     at query time instead of rescanning raw data. No DuckDB oracle
+#     (different sketch implementations cannot hash-match); instead the
+#     query is SELF-verifying: it emits the rollup-union estimate, the
+#     direct global-sketch estimate, and the exact distinct count, and
+#     the property test asserts the mergeability law (rollup union ==
+#     direct sketch, exactly) plus a bounded relative error vs exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_rollup_distinct_users",
+    doc="Sketch-rollup distinct users: build one HLL sketch per event "
+    "day (the ingest-time pre-aggregate a 100 TB pipeline stores in a "
+    "metrics table), then answer the global distinct-users question by "
+    "UNIONING the 30-ish daily sketches — touching kilobytes instead "
+    "of the fact table. Emits three columns so the result verifies "
+    "itself: the rollup-union estimate, the direct one-pass sketch "
+    "estimate (must be IDENTICAL — HLL union is order-insensitive and "
+    "lossless over same-lgK sketches, the mergeability law), and the "
+    "exact COUNT DISTINCT with the relative error. Everything is "
+    "JVM-side datasketches (hll_sketch_agg / hll_union_agg); the "
+    "per-day rollup is one shuffle, the union reduces ~30 sketch "
+    "payloads.",
+)
+def hll_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rollup = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("rollup_estimate"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "direct_estimate"
+        )
+    )
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        rollup.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_daily_sketches",
+            "rollup_estimate",
+            "direct_estimate",
+            "exact_distinct",
+            F.round(
+                F.abs(
+                    F.col("rollup_estimate").cast("double")
+                    - F.col("exact_distinct").cast("double")
+                )
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

@@ -549,3 +549,16 @@ def test_asof_cogrouped_matches_native(spark, sf_dir):
     }
     assert cogrouped == native
     assert any(t[2] is not None for t in native)  # matches exist
+
+
+def test_hll_rollup_mergeability_law(spark, sf_dir):
+    """The sketch-rollup pattern is only valid if union-of-partials
+    equals the direct global sketch EXACTLY (HLL union over same-lgK
+    sketches is lossless and order-insensitive) and the estimate stays
+    within HLL's error envelope of the exact count."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    row = REGISTRY["hll_rollup_distinct_users"].fn(spark, sf_dir).first()
+    assert row.rollup_estimate == row.direct_estimate  # mergeability
+    assert row.n_daily_sketches > 1  # the rollup actually unioned
+    assert row.rel_error <= 0.05  # lgK=12 default: ~1.6% typical

@@ -718,3 +718,35 @@ def test_round6_query_plan_shapes(spark, sf_dir):
 
     p = plan_of(REGISTRY["vocab_growth_curve"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
+def test_runtime_bloom_filter_on_selective_shuffle_join(spark, sf_dir):
+    """When a join cannot broadcast (the 100 TB case — here forced by
+    disabling auto-broadcast), Spark injects a runtime Bloom filter
+    built from the SELECTIVE side into the fact scan, so most fact rows
+    die before the shuffle. This pin proves the engine's shuffle joins
+    get row-level semi-join reduction at scale; thresholds are lowered
+    only because bench-scale tables sit under the defaults."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT' AND o_totalprice > 400000"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plan_of(j)
+        assert "bloom_filter_agg" in p, p
+        assert "might_contain" in p, p  # the filter is APPLIED to the scan side
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
