@@ -1,0 +1,81 @@
+"""Driver simulation: entry() smoke + first-N registry queries vs DuckDB.
+
+Mirrors the external driver's contract check in a fresh process with a
+plain (untuned) SparkSession: runs entry(), then compares each of the
+first SIM_N registry queries against its oracle_sql() on SIM_SF's
+parquet (column-sorted, order-insensitive, None-safe multiset compare).
+
+Usage:
+  SIM_N=148 python scripts/driver_sim.py          # full registry
+  SIM_N=20 SIM_SF=/root/testdata/sf0.01 python scripts/driver_sim.py
+  TZ=America/New_York SIM_N=20 python scripts/driver_sim.py  # TZ probe
+Exit code 0 = PASS.
+"""
+import sys, os, math, datetime as dt
+from decimal import Decimal
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+N = int(os.environ.get("SIM_N", "18"))
+SF = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
+
+import __spark_entry__ as e
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry: rows={len(rows)} schema={[f.name for f in df.schema.fields]}")
+assert len(rows) >= 0
+
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+def skey(row):
+    return tuple((c is None, repr(c)) for c in row)
+
+def norm(v):
+    if v is None: return None
+    if isinstance(v, Decimal): return str(v.normalize())
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(round(v, 6))
+    if isinstance(v, dt.datetime): return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date): return v.isoformat()
+    if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
+    return v
+
+qs = e.queries(); osql = e.oracle_sql()
+names = list(qs)[:N]
+bad = []
+for name in names:
+    try:
+        sdf = qs[name](spark, SF)
+        cols = sorted(sdf.columns)
+        srows = sorted((tuple(norm(r[c]) for c in cols) for r in sdf.collect()), key=skey)
+        if name not in osql:
+            print(f"{name}: rows={len(srows)} (no oracle)")
+            continue
+        rel = con.execute(osql[name])
+        dcols = sorted(d[0] for d in rel.description)
+        draws = rel.fetchall()
+        dmap = [d[0] for d in rel.description]
+        drows = sorted((tuple(norm(row[dmap.index(c)]) for c in dcols) for row in draws), key=skey)
+        ok_cols = cols == dcols
+        ok_cnt = len(srows) == len(drows)
+        ok_val = srows == drows
+        status = "OK" if (ok_cols and ok_cnt and ok_val) else f"FAIL cols={ok_cols} cnt={ok_cnt}({len(srows)}/{len(drows)}) val={ok_val}"
+        print(f"{name}: {status}")
+        if not (ok_cols and ok_cnt and ok_val):
+            bad.append(name)
+            if not ok_val and ok_cnt:
+                for a, b in zip(srows, drows):
+                    if a != b:
+                        print("  spark:", a); print("  duck :", b); break
+    except Exception as ex:
+        print(f"{name}: ERROR {type(ex).__name__}: {ex}")
+        bad.append(name)
+print("RESULT:", "PASS" if not bad else f"FAIL {bad}")
+sys.exit(1 if bad else 0)
