@@ -98,6 +98,7 @@ _MUST_VERIFY_R6: list[str] = [
     "vocab_growth_curve", "txlog_delete_update_snapshot",
     "lang_id_distribution", "rolling_7day_distinct_users",
     "top_orders_with_ties", "order_vs_peers_leave_one_out",
+    "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
 ]
 
 

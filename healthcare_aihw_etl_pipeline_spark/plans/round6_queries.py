@@ -1438,3 +1438,70 @@ def hll_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+@register(
+    "theta_sketch_audience_overlap",
+    doc="Theta-sketch set algebra over user audiences (DataSketches "
+    "theta_sketch_agg / theta_intersection / theta_difference): one "
+    "sketch per event_type built in a single grouped pass, then the "
+    "click-AND-purchase overlap, click-only remainder, and union "
+    "estimated from the sketches alone — the mergeable-audience "
+    "pattern ad/analytics systems run at 100 TB, where exact "
+    "INTERSECT of distinct-user sets costs a full shuffle per "
+    "question and the sketch store answers in kilobytes. "
+    "Self-verifying: exact intersect/except/union counts computed "
+    "beside the estimates with relative errors; the property test "
+    "bounds them (theta sketches are exact below the sampling "
+    "threshold, so at bench scale the error is 0).",
+)
+def theta_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = (
+        ev.groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+        .where(F.col("event_type").isin("click", "purchase"))
+    )
+    pair = (
+        sk.groupBy()
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("sk"))
+    )
+    est = pair.select(
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_intersection(click, purchase))"
+            " AS BIGINT)"
+        ).alias("est_both"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_difference(click, purchase))"
+            " AS BIGINT)"
+        ).alias("est_click_only"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_union(click, purchase))"
+            " AS BIGINT)"
+        ).alias("est_either"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        clicks.intersect(buys).agg(F.count(F.lit(1)).alias("exact_both"))
+        .crossJoin(
+            F.broadcast(
+                clicks.exceptAll(buys).agg(
+                    F.count(F.lit(1)).alias("exact_click_only")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                clicks.union(buys).distinct().agg(
+                    F.count(F.lit(1)).alias("exact_either")
+                )
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_both", "exact_both",
+        "est_click_only", "exact_click_only",
+        "est_either", "exact_either",
+    )

@@ -562,3 +562,18 @@ def test_hll_rollup_mergeability_law(spark, sf_dir):
     assert row.rollup_estimate == row.direct_estimate  # mergeability
     assert row.n_daily_sketches > 1  # the rollup actually unioned
     assert row.rel_error <= 0.05  # lgK=12 default: ~1.6% typical
+
+
+def test_theta_sketch_set_algebra_matches_exact(spark, sf_dir):
+    """Theta sketches are EXACT below their sampling threshold, so at
+    bench scale the intersection / difference / union estimates must
+    equal the exact set-operation counts — verifying the sketch algebra
+    wiring end-to-end (at production scale the same columns bound the
+    relative error instead)."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    row = REGISTRY["theta_sketch_audience_overlap"].fn(spark, sf_dir).first()
+    assert row.est_both == row.exact_both
+    assert row.est_click_only == row.exact_click_only
+    assert row.est_either == row.exact_either
+    assert row.exact_either >= row.exact_both > 0
