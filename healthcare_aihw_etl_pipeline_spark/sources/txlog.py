@@ -473,6 +473,14 @@ class TxLogTable:
             out = survivors.unionByName(upserts, allowMissingColumns=True)
             if self.track_changes:
                 old_keys = existing.select(*key_cols).distinct()
+                # Preimages (the replaced rows) ride along with the
+                # postimages — Delta's update_preimage. Without them a
+                # consumer can only REPLACE state; with them it can apply
+                # SIGNED DELTAS (-old +new), which is what incremental
+                # aggregate maintenance needs (incremental_agg_delta).
+                preimages = existing.join(
+                    upserts.select(*key_cols).distinct(), key_cols, "left_semi"
+                ).withColumn("_change_type", F.lit("update_preimage"))
                 change_df = (
                     upserts.join(old_keys, key_cols, "left_semi")
                     .withColumn("_change_type", F.lit("update"))
@@ -480,6 +488,7 @@ class TxLogTable:
                         upserts.join(old_keys, key_cols, "left_anti")
                         .withColumn("_change_type", F.lit("insert"))
                     )
+                    .unionByName(preimages, allowMissingColumns=True)
                 )
                 if del_pred is not None:
                     deleted = (
@@ -650,11 +659,18 @@ class TxLogTable:
             out = out.withColumn(c, F.when(pred, expr).otherwise(base))
         changes_rel = None
         if self.track_changes:
-            updated = touched_df.where(pred)
+            matched = touched_df.where(pred)
+            updated = matched
             for c, expr in assigns.items():
                 updated = updated.withColumn(c, expr)
             changes_rel = self._stage_changes(
                 updated.withColumn("_change_type", F.lit("update"))
+                .unionByName(
+                    matched.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ),
+                    allowMissingColumns=True,
+                )
             )
         out = out.localCheckpoint(eager=True)
         return self._commit_loop(
@@ -1284,6 +1300,10 @@ class ChangeFeedConsumer:
         if feed is None:  # only no-feed commits in the window
             self._advance(head_v)
             return None
+        # update PREIMAGES describe the replaced row, not new state —
+        # a replica consumer applies postimages only (delta consumers
+        # use incremental_agg_delta instead).
+        feed = feed.where(F.col("_change_type") != "update_preimage")
         # Net effect per key: keep the row of the highest
         # (_commit_version, is_delete) — within one commit a key appears
         # at most once per change type, and a delete+reinsert inside one
@@ -1327,3 +1347,98 @@ class ChangeFeedConsumer:
         )
         self._advance(head_v)
         return new_v
+
+
+def incremental_agg_delta(
+    feed: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Signed per-group (count, sum) deltas from a change-feed window —
+    the heart of incremental materialized-view maintenance: inserts and
+    update postimages contribute +1/+value, deletes and update
+    PREIMAGES contribute -1/-value, so summing the signs replays the
+    window's net effect on any distributive aggregate without touching
+    the base table. One map-side-combined aggregation over the feed;
+    at 100 TB the feed window is the day's changes, not the table."""
+    import pyspark.sql.functions as F
+
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update"), F.lit(1))
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
+        )
+        .otherwise(F.lit(0))
+    )
+    return (
+        feed.withColumn("_sign", sign)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_sign").cast("long").alias("d_count"),
+            F.sum(F.col("_sign") * F.col(value_col)).alias("d_sum"),
+        )
+        .where((F.col("d_count") != 0) | (F.col("d_sum") != 0))
+    )
+
+
+def apply_incremental_agg(
+    spark: SparkSession,
+    agg_table: TxLogTable,
+    source: TxLogTable,
+    group_cols: list[str],
+    value_col: str,
+    offset_path: str,
+) -> int | None:
+    """Maintain a materialized (group -> n_rows, sum_value) aggregate
+    table from `source`'s change feed: pull the pending window (durable
+    offset, same crash contract as ChangeFeedConsumer), compute signed
+    deltas, and MERGE old+delta into the aggregate — groups whose count
+    reaches zero are deleted. The aggregate stays equal to
+    `SELECT group, COUNT(*), SUM(value) FROM snapshot GROUP BY group`
+    at every sync point without ever rescanning the base table."""
+    import pyspark.sql.functions as F
+
+    h = source.head()
+    if h is None:
+        return None
+    head_v = h[0]
+    consumer = ChangeFeedConsumer(source, offset_path)
+    since = consumer.last_consumed() + 1
+    if since > head_v:
+        return None
+    feed = source.changes(spark, since=since, until=head_v)
+    if feed is None:
+        consumer._advance(head_v)
+        return None
+    delta = incremental_agg_delta(feed, group_cols, value_col)
+    snap = agg_table.snapshot(spark)
+    if snap is None:
+        merged = delta.select(
+            *group_cols,
+            F.col("d_count").alias("n_rows"),
+            F.col("d_sum").alias("sum_value"),
+        )
+    else:
+        merged = (
+            snap.join(delta, group_cols, "full_outer")
+            .select(
+                *group_cols,
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("d_count"), F.lit(0))
+                ).cast("long").alias("n_rows"),
+                (
+                    F.coalesce(F.col("sum_value"), F.lit(0.0))
+                    + F.coalesce(F.col("d_sum"), F.lit(0.0))
+                ).alias("sum_value"),
+            )
+        )
+    batch = merged.withColumn("_dead", F.col("n_rows") <= 0)
+    v = agg_table.merge(
+        batch,
+        group_cols,
+        delete_predicate=F.col("_dead"),
+        drop_after=["_dead"],
+        writer_id=f"ivm:{offset_path}",
+        batch_id=head_v,
+    )
+    consumer._advance(head_v)
+    return v

@@ -356,6 +356,7 @@ def test_change_data_feed(spark, tmp_path):
     assert got == [
         (1, "insert", v0),
         (1, "update", v1),
+        (1, "update_preimage", v1),  # the replaced row rides along (Delta CDF)
         (2, "insert", v0),
         (3, "insert", v1),
     ]
@@ -623,8 +624,8 @@ def test_update_where_change_feed_postimage(spark, tmp_path):
     t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
     v = t.update_where(spark, "event_id = 2", {"value": "value + 0.5"})
     feed = t.changes(spark, since=v, until=v)
-    rows = [(r.event_id, r.value, r._change_type) for r in feed.collect()]
-    assert rows == [(2, 2.5, "update")]
+    rows = sorted((r.event_id, r.value, r._change_type) for r in feed.collect())
+    assert rows == [(2, 2.0, "update_preimage"), (2, 2.5, "update")]
 
 
 def test_update_where_new_column_evolves_schema(spark, tmp_path):
@@ -680,6 +681,9 @@ def test_change_feed_replays_to_snapshot(spark, tmp_path):
 
     feed = t.changes(spark).collect()
     replica: dict[int, tuple] = {}
+    # preimages describe the REPLACED row — a replica consumer applies
+    # postimages only (delta consumers feed them to incremental_agg_delta)
+    feed = [r for r in feed if r._change_type != "update_preimage"]
     for r in sorted(feed, key=lambda r: r._commit_version):
         if r._change_type == "delete":
             replica.pop(r.event_id, None)
@@ -797,7 +801,9 @@ def test_merge_when_matched_delete(spark, tmp_path):
     assert "is_del" not in t.snapshot(spark).columns
     feed = {(r.event_id, r._change_type)
             for r in t.changes(spark, since=v, until=v).collect()}
-    assert feed == {(1, "update"), (2, "delete"), (4, "insert")}
+    assert feed == {
+        (1, "update"), (1, "update_preimage"), (2, "delete"), (4, "insert")
+    }
 
 
 def test_history_records_operations(spark, tmp_path):
@@ -896,3 +902,52 @@ def test_update_where_prune_bounds(spark, tmp_path):
         prune=("value", 10.0, None),
     )
     assert _rows(t.snapshot(spark)) == [(1, "click", 1.0), (2, "click", 11.0)]
+
+
+def test_incremental_aggregate_maintenance(spark, tmp_path):
+    """A materialized (event_type -> count, sum) aggregate maintained
+    ONLY from the change feed's signed deltas (+insert/+postimage,
+    -delete/-preimage) equals the direct aggregate of the snapshot at
+    every sync point — across appends, merges, updates and deletes —
+    and groups whose count hits zero disappear."""
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        apply_incremental_agg,
+    )
+
+    src = TxLogTable(str(tmp_path / "src"), track_changes=True)
+    agg = TxLogTable(str(tmp_path / "agg"))
+    off = str(tmp_path / "ivm-offset.json")
+
+    def check():
+        apply_incremental_agg(
+            spark, agg, src, ["event_type"], "value", off
+        )
+        got = sorted(
+            (r.event_type, r.n_rows, round(r.sum_value, 6))
+            for r in agg.snapshot(spark).collect()
+        ) if agg.snapshot(spark) is not None else []
+        want = sorted(
+            (r.event_type, r.n, round(r.s, 6))
+            for r in src.snapshot(spark)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+        assert got == want, (got, want)
+
+    src.append(spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", 2.0), (3, "view", 3.0)], COLS))
+    check()
+    # update moves value mass within a group
+    src.update_where(spark, "event_id = 2", {"value": "value + 10.0"})
+    check()
+    # merge updates one key and inserts another
+    src.merge(spark.createDataFrame(
+        [(3, "view", 30.0), (4, "click", 4.0)], COLS), ["event_id"])
+    check()
+    # delete the whole 'click' group -> its aggregate row must vanish
+    src.delete_where(spark, "event_type = 'click'")
+    check()
+    assert all(
+        r.event_type != "click" for r in agg.snapshot(spark).collect()
+    )
