@@ -951,3 +951,105 @@ def test_incremental_aggregate_maintenance(spark, tmp_path):
     assert all(
         r.event_type != "click" for r in agg.snapshot(spark).collect()
     )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_txlog_randomized_dml_against_model(spark, tmp_path, seed):
+    """Model-based check: a seeded random sequence of append / merge /
+    merge-with-delete / update_where / delete_where commits must keep
+    the table equal to a plain in-memory dict model after EVERY commit;
+    afterwards, every historical version must still time-travel to the
+    model state recorded when it was committed, and a CDC replica built
+    from the full change feed must equal the final state."""
+    import random
+
+    rng = random.Random(seed)
+    t = TxLogTable(str(tmp_path / f"t{seed}"), track_changes=True)
+    model: dict[int, tuple] = {}
+    history: list[tuple[int, dict]] = []
+    next_id = 1
+    types = ["click", "view", "purchase"]
+
+    def mk_rows(n, ids=None):
+        nonlocal next_id
+        rows = []
+        for _ in range(n):
+            if ids:
+                eid = rng.choice(ids)
+            else:
+                eid = next_id
+                next_id += 1
+            rows.append((eid, rng.choice(types), round(rng.uniform(0, 100), 2)))
+        return rows
+
+    for _ in range(8):
+        op = rng.choice(["append", "merge", "merge_del", "update", "delete"])
+        if op == "append" or not model:
+            rows = mk_rows(rng.randint(1, 4))
+            v = t.append(spark.createDataFrame(rows, COLS))
+            for r in rows:
+                model[r[0]] = r
+        elif op == "merge":
+            rows = {r[0]: r for r in mk_rows(
+                rng.randint(1, 3), ids=list(model) + [next_id]
+            )}
+            next_id += 1
+            v = t.merge(
+                spark.createDataFrame(list(rows.values()), COLS), ["event_id"]
+            )
+            model.update(rows)
+        elif op == "merge_del":
+            victims = rng.sample(list(model), k=min(2, len(model)))
+            batch = [(eid, "view", 0.0, True) for eid in victims]
+            ins = mk_rows(1)
+            batch += [r + (False,) for r in ins]
+            v = t.merge(
+                spark.createDataFrame(batch, COLS + ["is_del"]),
+                ["event_id"],
+                delete_predicate="is_del",
+                drop_after=["is_del"],
+            )
+            for eid in victims:
+                model.pop(eid, None)
+            for r in ins:
+                model[r[0]] = r
+        elif op == "update":
+            cut = round(rng.uniform(0, 100), 2)
+            v = t.update_where(
+                spark, f"value < {cut}", {"value": F.col("value") + 1000.0}
+            )
+            model = {
+                k: (k, et, round(val + 1000.0, 2) if val < cut else val)
+                for k, (_, et, val) in model.items()
+            }
+        else:  # delete
+            et = rng.choice(types)
+            v = t.delete_where(spark, f"event_type = '{et}'")
+            model = {k: r for k, r in model.items() if r[1] != et}
+        got = [
+            (r.event_id, r.event_type, round(r.value, 2))
+            for r in t.snapshot(spark).collect()
+        ] if t.head() else []
+        assert sorted(got) == sorted(model.values()), (op, seed)
+        history.append((v, dict(model)))
+
+    # whole-history time travel
+    for v, m in history:
+        got = sorted(
+            (r.event_id, r.event_type, round(r.value, 2))
+            for r in t.snapshot(spark, version=v).collect()
+        )
+        assert got == sorted(m.values()), (v, seed)
+
+    # CDC replica from the full feed equals the final state
+    feed = [
+        r for r in t.changes(spark).collect()
+        if r._change_type != "update_preimage"
+    ]
+    replica: dict[int, tuple] = {}
+    for r in sorted(feed, key=lambda r: r._commit_version):
+        if r._change_type == "delete":
+            replica.pop(r.event_id, None)
+        else:
+            replica[r.event_id] = (r.event_id, r.event_type, round(r.value, 2))
+    assert sorted(replica.values()) == sorted(model.values()), seed
