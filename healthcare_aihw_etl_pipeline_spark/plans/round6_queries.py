@@ -1505,3 +1505,60 @@ def theta_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         "est_click_only", "exact_click_only",
         "est_either", "exact_either",
     )
+
+
+@register(
+    "theta_retention_day7",
+    doc="Sketch-based 7-day retention: one theta sketch per activity "
+    "day (the same ingest-time sketch store as the HLL rollup), then "
+    "for every day d the retained-user count |active(d) AND "
+    "active(d+7)| comes from theta_intersection of two STORED sketches "
+    "— a 30-row self-join of kilobyte payloads instead of the "
+    "fact-table self-join exact retention needs. Emits the exact "
+    "intersect count per day beside the estimate (theta is exact below "
+    "its sampling threshold at bench scale, so est == exact here; at "
+    "production scale the pair bounds the error). First 20 days under "
+    "a total order.",
+)
+def theta_retention_day7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = ev.groupBy("d").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    later = daily.select(
+        F.date_sub(F.col("d"), 7).alias("d"), F.col("sk").alias("sk7")
+    )
+    est = (
+        daily.join(later, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.expr(
+                "CAST(theta_sketch_estimate(theta_intersection(sk, sk7))"
+                " AS BIGINT)"
+            ).alias("est_retained"),
+        )
+    )
+    pairs = ev.distinct()
+    exact = (
+        pairs.alias("a")
+        .join(
+            pairs.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.d") == F.date_add(F.col("a.d"), 7)),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.count(F.lit(1)).alias("exact_retained"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "exact_retained")
+    )
+    return (
+        est.join(exact, "day", "left")
+        .select(
+            "day",
+            "est_retained",
+            F.coalesce("exact_retained", F.lit(0)).alias("exact_retained"),
+        )
+        .orderBy("day")
+        .limit(20)
+    )

@@ -577,3 +577,12 @@ def test_theta_sketch_set_algebra_matches_exact(spark, sf_dir):
     assert row.est_click_only == row.exact_click_only
     assert row.est_either == row.exact_either
     assert row.exact_either >= row.exact_both > 0
+
+
+def test_theta_retention_estimates_match_exact(spark, sf_dir):
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    rows = REGISTRY["theta_retention_day7"].fn(spark, sf_dir).collect()
+    assert rows, "no day pairs found"
+    assert all(r.est_retained == r.exact_retained for r in rows)
+    assert any(r.exact_retained > 0 for r in rows)
