@@ -1222,13 +1222,17 @@ def write_stream_txlog_merge(
     key_cols: list[str],
     *,
     available_now: bool = True,
+    track_changes: bool = False,
 ):
     """Streaming incremental load into a TxLogTable: exactly-once keyed
     MERGE per micro-batch. Safe under partition-spanning batches (COW
     merge keeps earlier rows) AND replay (the txn map makes a replayed
     batch_id a no-op) — the log-based form of
-    `streaming.events.write_stream_upsert_partitions`."""
-    table = TxLogTable(root, partition_by)
+    `streaming.events.write_stream_upsert_partitions`. With
+    track_changes on, every micro-batch commit also lands in the change
+    feed, so downstream incremental consumers (ChangeFeedConsumer,
+    apply_incremental_agg) chain off the streamed table."""
+    table = TxLogTable(root, partition_by, track_changes=track_changes)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

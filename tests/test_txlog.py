@@ -1053,3 +1053,63 @@ def test_txlog_randomized_dml_against_model(spark, tmp_path, seed):
         else:
             replica[r.event_id] = (r.event_id, r.event_type, round(r.value, 2))
     assert sorted(replica.values()) == sorted(model.values()), seed
+
+
+def test_stream_to_ivm_aggregate_chain(spark, tmp_path):
+    """End-to-end bronze->silver->gold: a file stream MERGEs into a
+    change-tracked txlog table (exactly-once), and a materialized
+    aggregate is maintained from that table's feed alone — after each
+    sync the gold aggregate equals the direct GROUP BY of the silver
+    snapshot."""
+    import os as _os
+
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        apply_incremental_agg,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    agg = TxLogTable(str(tmp_path / "gold"))
+    off = str(tmp_path / "gold-offset.json")
+
+    def land(rows, i):
+        f = str(src / f"b{i}")
+        spark.createDataFrame(rows, COLS).coalesce(1).write.parquet(f)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        write_stream_txlog_merge(
+            stream, root, ckpt, ["event_type"], ["event_id"],
+            track_changes=True,
+        ).awaitTermination(120)
+
+    def check():
+        t = TxLogTable(root, ["event_type"], track_changes=True)
+        apply_incremental_agg(spark, agg, t, ["event_type"], "value", off)
+        got = sorted(
+            (r.event_type, r.n_rows, round(r.sum_value, 2))
+            for r in agg.snapshot(spark).collect()
+        )
+        want = sorted(
+            (r.event_type, r.n, round(r.s, 2))
+            for r in t.snapshot(spark)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+        assert got == want, (got, want)
+
+    land([(1, "click", 1.0), (2, "view", 2.0)], 0)
+    run_stream()
+    check()
+    # second wave: an update to key 1 and a new key, new micro-batch
+    land([(1, "click", 9.0), (3, "view", 3.0)], 1)
+    run_stream()
+    check()
+    assert _os.path.exists(off)
