@@ -1562,3 +1562,63 @@ def theta_retention_day7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(20)
     )
+
+
+@register(
+    "brand_price_tiers",
+    oracle="""
+    WITH px AS (
+      SELECT DISTINCT p_brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part
+    ),
+    t AS (
+      SELECT p_brand, price_cents,
+             DENSE_RANK() OVER (PARTITION BY p_brand
+                                ORDER BY price_cents DESC) AS tier,
+             LEAD(price_cents) OVER (PARTITION BY p_brand
+                                     ORDER BY price_cents DESC)
+               AS next_lower_cents
+      FROM px
+    )
+    SELECT p_brand, tier, price_cents,
+           next_lower_cents,
+           price_cents - next_lower_cents AS gap_cents
+    FROM t WHERE tier <= 3
+    ORDER BY p_brand, tier
+    """,
+    doc="Distinct-price tiering per brand: DENSE_RANK over the "
+    "DEDUPLICATED price set (ties share a tier and no tier numbers are "
+    "skipped — the semantics rank() cannot give) plus LEAD for the gap "
+    "to the next tier down, on exact integer cents. The distinct "
+    "projection runs BEFORE the window, so the sort input is the tier "
+    "cardinality, not the row count — the detail that keeps this shape "
+    "cheap at 100 TB. Completes the ranking-function surface "
+    "(row_number / rank / dense_rank / ntile / percent_rank / "
+    "cume_dist all now oracled).",
+)
+def brand_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    px = part.select(
+        "p_brand", cents("p_retailprice").alias("price_cents")
+    ).distinct()
+    w = Window.partitionBy("p_brand").orderBy(F.col("price_cents").desc())
+    t = px.select(
+        "p_brand",
+        "price_cents",
+        F.dense_rank().over(w).alias("tier"),
+        F.lead("price_cents").over(w).alias("next_lower_cents"),
+    )
+    return (
+        t.where(F.col("tier") <= 3)
+        .select(
+            "p_brand",
+            "tier",
+            "price_cents",
+            "next_lower_cents",
+            (F.col("price_cents") - F.col("next_lower_cents")).alias(
+                "gap_cents"
+            ),
+        )
+        .orderBy("p_brand", "tier")
+    )
