@@ -1622,3 +1622,48 @@ def brand_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "tier")
     )
+
+
+@register(
+    "user_event_type_map_json",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           '{' || string_agg('"' || event_type || '":' || n, ','
+                             ORDER BY event_type) || '}' AS type_counts_json,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM c GROUP BY user_id ORDER BY user_id LIMIT 20
+    """,
+    doc="Per-user event-type histogram serialized as a deterministic "
+    "JSON map: counts per (user, type), then map_from_entries over the "
+    "entry list SORTED BY KEY before to_json — map column order is "
+    "engine-internal, so the sort is what makes the serialization "
+    "comparable (and stable for downstream feature stores). The DuckDB "
+    "twin builds the same JSON with an ORDER BY inside string_agg. "
+    "Covers the map-construction + JSON-serialization surface "
+    "(map_from_entries / sort_array / to_json) with two well-keyed "
+    "shuffles, both map-side combined.",
+)
+def user_event_type_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.to_json(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(F.struct("event_type", "n"))
+                    )
+                )
+            ).alias("type_counts_json"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+        .limit(20)
+    )
