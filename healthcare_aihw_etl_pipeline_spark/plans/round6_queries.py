@@ -1667,3 +1667,53 @@ def user_event_type_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(20)
     )
+
+
+@register(
+    "quantity_price_covariance",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(round(l_quantity) AS BIGINT)) AS sq,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sp,
+             SUM(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((CAST(sqp AS DOUBLE) / CAST(n AS DOUBLE))
+                 - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+             AS covar_pop_cents
+    FROM m ORDER BY l_returnflag
+    """,
+    doc="Grouped population covariance of quantity vs price from exact "
+    "BIGINT cross-moment sums (n, Σx, Σy, Σxy) — the same "
+    "partial-order-proof discipline as the moment-profile family: "
+    "Spark's covar_pop merges float partials in partition order "
+    "(nondeterministic last ulp vs DuckDB), so both engines compute "
+    "E[xy]−E[x]E[y] from identical integer sums in ONE identical final "
+    "double expression. Single scan, map-side combined, 3-row result.",
+)
+def quantity_price_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = cents("l_quantity", 0)
+    p = cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(q * p).alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (F.col("sqp").cast("double") / n)
+            - (F.col("sq").cast("double") / n)
+            * (F.col("sp").cast("double") / n),
+            4,
+        ).alias("covar_pop_cents"),
+    ).orderBy("l_returnflag")
