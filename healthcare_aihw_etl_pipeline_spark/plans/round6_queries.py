@@ -1717,3 +1717,68 @@ def quantity_price_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("covar_pop_cents"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, price_cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY price_cents, w
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM r
+    )
+    SELECT l_returnflag,
+           MIN(price_cents) AS weighted_median_cents,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM c
+    WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact weighted median (quantity-weighted median line price per "
+    "return flag): no engine has a weighted percentile aggregate, so "
+    "the distributed exact form is a running weight cumsum over one "
+    "(group, price) sort — the first row whose cumulative weight "
+    "reaches half the group total. All arithmetic is integer (cents, "
+    "integral weights, cw*2 >= tw instead of a fractional compare), so "
+    "the boundary row is engine-independent; the tie order includes "
+    "the weight so equal prices accumulate deterministically. One "
+    "shuffle on the group key; the aggregate reuses its partitioning.",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("price_cents"),
+        cents("l_quantity", 0).alias("w"),
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = r.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(w_run).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        c.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("weighted_median_cents"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
