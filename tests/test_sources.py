@@ -109,3 +109,14 @@ def test_spread_guard(spark, tmp_path):
     spark.range(1000).repartition(n + 4).write.parquet(many)
     df2 = spark.read.parquet(many)
     assert spread(df2) is df2  # untouched: enough files already
+
+
+def test_table_rows_serves_footer_statistics(spark, sf_dir):
+    """catalog.table_rows is the metastore statistic the stats-guarded
+    plans read: exact, cached, and computed without a Spark job."""
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import table_rows
+
+    n = table_rows(sf_dir, "orders")
+    assert n == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert table_rows(sf_dir, "orders") is not None  # cache hit path
+    assert table_rows(sf_dir, "no_such_table") is None
