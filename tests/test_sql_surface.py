@@ -140,3 +140,28 @@ def test_write_table_observed_one_pass_metrics(spark, sf_dir, tmp_path):
     assert got["sum_value_cents"] == want["sum_value_cents"]
     # and the write itself landed
     assert spark.read.parquet(str(tmp_path / "obs")).count() == want["n_rows"]
+
+
+def test_cli_list_run_explain(spark, sf_dir, capsys):
+    """The __main__ CLI covers list / run / explain / sql in-process
+    (reusing the test session via the singleton)."""
+    import json as _json
+
+    from healthcare_aihw_etl_pipeline_spark.__main__ import main
+
+    assert main(["list", "pricing"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary  [oracle]" in out
+
+    assert main(["run", "pricing_summary", "--sf", sf_dir, "-n", "2"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert 1 <= len(lines) <= 2
+    assert "l_returnflag" in _json.loads(lines[0])
+
+    assert main(["explain", "pricing_summary", "--sf", sf_dir]) == 0
+    assert "HashAggregate" in capsys.readouterr().out
+
+    assert main(["sql", "SELECT COUNT(*) AS n FROM nation", "--sf", sf_dir]) == 0
+    assert _json.loads(capsys.readouterr().out.strip())["n"] == 25
+
+    assert main(["run", "nope"]) == 2
