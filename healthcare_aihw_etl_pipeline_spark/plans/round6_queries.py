@@ -1782,3 +1782,114 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "mad_outlier_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority,
+             o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderpriority,
+             MIN(CASE WHEN rn >= CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN price_cents END) AS med_cents
+      FROM (
+        SELECT o_orderpriority, price_cents,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY price_cents, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM r
+      ) GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT r.o_orderpriority, r.o_orderkey,
+             ABS(r.price_cents - m.med_cents) AS adev,
+             r.price_cents, m.med_cents
+      FROM r JOIN med m ON r.o_orderpriority = m.o_orderpriority
+    ),
+    mad AS (
+      SELECT o_orderpriority,
+             MIN(CASE WHEN rn >= CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN adev END) AS mad_cents
+      FROM (
+        SELECT o_orderpriority, adev,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY adev, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM dev
+      ) GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           CAST(MIN(d.med_cents) AS BIGINT) AS median_cents,
+           CAST(MIN(x.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN d.adev > 3 * x.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_orders
+    FROM dev d JOIN mad x ON d.o_orderpriority = x.o_orderpriority
+    GROUP BY d.o_orderpriority
+    ORDER BY d.o_orderpriority
+    """,
+    doc="Robust outlier detection via MAD (median absolute deviation): "
+    "exact per-group median of price, exact median of |price - median| "
+    "(both percentile_disc-style rank selections on integers — no "
+    "interpolation, engine-independent ties via the orderkey), then "
+    "count rows beyond 3*MAD. Two sorted windows over the SAME group "
+    "key — Catalyst reuses one partitioning for median, deviation "
+    "join, MAD, and the final rollup; the medians broadcast back as "
+    "5-row joins. The robust alternative to the z-score family "
+    "(event_volume_zscore) for heavy-tailed data at scale, all "
+    "integer-exact.",
+)
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    r = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        cents("o_totalprice").alias("price_cents"),
+    )
+
+    def exact_median(df, val_col, out_name):
+        w = Window.partitionBy("o_orderpriority").orderBy(val_col, "o_orderkey")
+        wc = Window.partitionBy("o_orderpriority")
+        ranked = df.select(
+            "o_orderpriority",
+            val_col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        return ranked.groupBy("o_orderpriority").agg(
+            F.min(
+                F.when(
+                    F.col("rn") >= F.ceil(0.5 * F.col("n")).cast("long"),
+                    F.col(val_col),
+                )
+            ).alias(out_name)
+        )
+
+    med = exact_median(r, "price_cents", "med_cents")
+    dev = r.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.abs(F.col("price_cents") - F.col("med_cents")).alias("adev"),
+        "med_cents",
+    )
+    mad = exact_median(dev, "adev", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("med_cents").cast("long").alias("median_cents"),
+            F.min("mad_cents").cast("long").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
