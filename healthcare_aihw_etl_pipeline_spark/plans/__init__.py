@@ -101,7 +101,7 @@ _MUST_VERIFY_R6: list[str] = [
     "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
     "theta_retention_day7", "brand_price_tiers", "user_event_type_map_json",
     "quantity_price_covariance", "weighted_median_price",
-    "mad_outlier_orders",
+    "mad_outlier_orders", "event_type_run_lengths",
 ]
 
 

@@ -1893,3 +1893,86 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "event_type_run_lengths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, rn,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY rn)
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS new_run
+      FROM e
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY rn
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ),
+    per AS (
+      SELECT user_id, event_type, run_id, COUNT(*) AS run_len
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT event_type,
+           COUNT(*) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           CAST(SUM(run_len) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(run_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_run_len
+    FROM per GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Run-length encoding of per-user event-type sequences (the "
+    "islands trick applied to ORDINAL sequences instead of dates): "
+    "order each user's events on a TOTAL key (ts, event_id), flag "
+    "type changes with null-safe LAG comparison (IS DISTINCT FROM — "
+    "the first row starts run 0 on both engines), cumsum into run ids, "
+    "then roll runs up per type. Behavioral 'streakiness' — how long "
+    "users stay in one activity — from one user-keyed shuffle that "
+    "serves both windows and the first aggregate.",
+)
+def event_type_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    flagged = e.withColumn(
+        "new_run",
+        F.when(
+            ~F.lag("event_type").over(wr).eqNullSafe(F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.withColumn("run_id", F.sum("new_run").over(wcum))
+    per = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").cast("long").alias("max_run"),
+            F.sum("run_len").cast("long").alias("n_events"),
+            F.round(
+                F.sum("run_len").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_run_len"),
+        )
+        .orderBy("event_type")
+    )
