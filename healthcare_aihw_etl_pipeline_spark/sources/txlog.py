@@ -339,15 +339,44 @@ class TxLogTable:
         partition pruning and stats skipping through one bound API."""
         stats = manifest.get("stats", {})
         if col in self.partition_by:
+            # Hive path values are ALWAYS strings, so a raw compare
+            # against a numeric bound would be lexicographic ("10" < "2")
+            # and silently drop matching files. Parse the path value to
+            # the BOUND's type first; a value that won't parse keeps the
+            # file (conservative, like missing footer stats).
+            def _typed(v: str, ref):
+                try:
+                    if isinstance(ref, bool):  # before int: bool is int
+                        return v.lower() in ("true", "1")
+                    if isinstance(ref, int):
+                        return int(v)
+                    if isinstance(ref, float):
+                        return float(v)
+                    if hasattr(ref, "isoformat"):  # date / datetime
+                        import datetime as _dt
+
+                        if isinstance(ref, _dt.datetime):
+                            return _dt.datetime.fromisoformat(
+                                v.replace(" ", "T", 1)
+                            )
+                        return _dt.date.fromisoformat(v)
+                except (ValueError, TypeError):
+                    return None
+                return v  # string bound: plain string compare is correct
+
             def pkeep(rel: str) -> bool:
                 v = self._partition_values(rel).get(col)
                 if v is None:
                     return True
                 try:
-                    if lo is not None and v < str(lo):
-                        return False
-                    if hi is not None and v > str(hi):
-                        return False
+                    if lo is not None:
+                        tv = _typed(v, lo)
+                        if tv is not None and tv < lo:
+                            return False
+                    if hi is not None:
+                        tv = _typed(v, hi)
+                        if tv is not None and tv > hi:
+                            return False
                 except TypeError:
                     return True
                 return True
@@ -653,16 +682,44 @@ class TxLogTable:
         touched_df = self._read_files(
             spark, manifest, [p for p in manifest["files"] if p in touched]
         )
-        out = touched_df
-        for c, expr in assigns.items():
-            base = F.col(c) if c in touched_df.columns else F.lit(None)
-            out = out.withColumn(c, F.when(pred, expr).otherwise(base))
+        # SQL/Delta UPDATE semantics: every SET expression evaluates
+        # against the PRE-update row, so {"a": "b", "b": "a"} swaps.
+        # One select computing all new columns simultaneously from the
+        # original frame — NOT chained withColumn, where a later
+        # assignment would read an earlier assignment's NEW value.
+        def _assigned(src: DataFrame) -> DataFrame:
+            kept = [
+                (
+                    F.when(pred, assigns[c])
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assigns
+                    else F.col(c)
+                )
+                for c in src.columns
+            ]
+            new = [
+                F.when(pred, assigns[c]).otherwise(F.lit(None)).alias(c)
+                for c in assigns
+                if c not in src.columns
+            ]
+            return src.select(*kept, *new)
+
+        out = _assigned(touched_df)
         changes_rel = None
         if self.track_changes:
             matched = touched_df.where(pred)
-            updated = matched
-            for c, expr in assigns.items():
-                updated = updated.withColumn(c, expr)
+            updated = matched.select(
+                *[
+                    (assigns[c].alias(c) if c in assigns else F.col(c))
+                    for c in matched.columns
+                ],
+                *[
+                    assigns[c].alias(c)
+                    for c in assigns
+                    if c not in matched.columns
+                ],
+            )
             changes_rel = self._stage_changes(
                 updated.withColumn("_change_type", F.lit("update"))
                 .unionByName(
@@ -707,14 +764,30 @@ class TxLogTable:
                 + ", ".join(f"{n} ({bad[n]} rows)" for n in sorted(bad))
             )
 
+    # Manifest keys that describe ONE commit (its change feed, its removed
+    # set, its restore provenance, its verb/time) and must NOT leak into
+    # the next version. _commit_loop builds each manifest from an explicit
+    # whitelist so it can't leak; metadata-only commits start from a copy
+    # of the head, so they strip these first — otherwise an add_constraint
+    # on a track_changes table would re-reference the PREVIOUS commit's
+    # "changes" feed dir and changes() would emit that window's rows twice
+    # (double-counting every incremental-agg consumer downstream).
+    _PER_COMMIT_KEYS = ("changes", "removed", "restored_from", "operation",
+                        "committed_at")
+
     def _commit_manifest_change(self, mutate, max_retries: int = 5) -> int:
         """Commit a metadata-only change (no data staging): `mutate`
-        receives a copy of the head manifest and returns the next one.
-        Same optimistic O_EXCL protocol as data commits."""
+        receives a copy of the head manifest — with per-commit keys
+        (change feed, removed list, restore tag) stripped, so a
+        constraint commit never replays the previous commit's feed —
+        and returns the next one. Same optimistic O_EXCL protocol as
+        data commits."""
         for _ in range(max_retries):
             h = self.head()
             version = (h[0] if h else -1) + 1
             prev = dict(h[1]) if h else {"files": [], "txn": {}}
+            for k in self._PER_COMMIT_KEYS:
+                prev.pop(k, None)
             manifest = mutate(prev)
             manifest["committed_at"] = time.time()
             if self._try_commit(version, manifest):
@@ -806,13 +879,24 @@ class TxLogTable:
     def snapshot_as_of(self, spark: SparkSession, ts) -> DataFrame | None:
         """Timestamp time travel (Delta `timestampAsOf`): the snapshot of
         the LATEST commit at or before `ts` (epoch seconds, datetime, or
-        ISO string). None when the table did not exist yet."""
+        ISO string). None when the table did not exist yet.
+
+        `committed_at` is a UTC epoch (time.time()), so a NAIVE datetime
+        or ISO string is interpreted as UTC — `.timestamp()` on a naive
+        value would use the host's LOCAL timezone and resolve the same
+        query string to different versions on different hosts. Pass a
+        tz-aware datetime (or epoch seconds) for any other zone."""
+        import datetime as _dt
+
         if hasattr(ts, "timestamp"):  # datetime.datetime
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
             ts = ts.timestamp()
         elif isinstance(ts, str):
-            import datetime as _dt
-
-            ts = _dt.datetime.fromisoformat(ts).timestamp()
+            dt = _dt.datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            ts = dt.timestamp()
         best = None
         for v in self._versions():
             if self._commit_time(v, self._read_manifest(v)) <= ts:
@@ -1405,8 +1489,24 @@ def apply_incremental_agg(
         return None
     head_v = h[0]
     consumer = ChangeFeedConsumer(source, offset_path)
-    since = consumer.last_consumed() + 1
+    writer_id = f"ivm:{offset_path}"
+    # Crash contract: the merge below records batch_id = the window's END
+    # version in the TARGET's txn map, so the target itself remembers the
+    # last window actually applied. The durable offset file alone is not
+    # enough: if we crash after the merge but before _advance, and NEW
+    # source commits land before the retry, the retry's window would start
+    # at the stale offset while its batch_id is the new head — the
+    # `txn >= batch_id` dedupe misses and the already-applied deltas land
+    # a second time on top of a snapshot that includes them. The window
+    # start is therefore max(offset, last-applied-in-target) + 1.
+    agg_h = agg_table.head()
+    applied = (
+        agg_h[1].get("txn", {}).get(writer_id, -1) if agg_h else -1
+    )
+    since = max(consumer.last_consumed(), applied) + 1
     if since > head_v:
+        if consumer.last_consumed() < applied:
+            consumer._advance(applied)  # heal the stale offset file
         return None
     feed = source.changes(spark, since=since, until=head_v)
     if feed is None:
@@ -1421,13 +1521,19 @@ def apply_incremental_agg(
             F.col("d_sum").alias("sum_value"),
         )
     else:
+        # Incremental by construction: only groups PRESENT IN THE DELTA
+        # are merged (a left join from delta pulls their prior totals);
+        # untouched groups survive through merge()'s copy-on-write
+        # without being re-upserted. A full_outer join here would rewrite
+        # the whole aggregate table every sync — at 100 TB the day's
+        # changed groups are the work, not the group universe.
         merged = (
-            snap.join(delta, group_cols, "full_outer")
+            delta.join(snap, group_cols, "left")
             .select(
                 *group_cols,
                 (
                     F.coalesce(F.col("n_rows"), F.lit(0))
-                    + F.coalesce(F.col("d_count"), F.lit(0))
+                    + F.col("d_count")
                 ).cast("long").alias("n_rows"),
                 (
                     F.coalesce(F.col("sum_value"), F.lit(0.0))
@@ -1441,7 +1547,7 @@ def apply_incremental_agg(
         group_cols,
         delete_predicate=F.col("_dead"),
         drop_after=["_dead"],
-        writer_id=f"ivm:{offset_path}",
+        writer_id=writer_id,
         batch_id=head_v,
     )
     consumer._advance(head_v)

@@ -1113,3 +1113,176 @@ def test_stream_to_ivm_aggregate_chain(spark, tmp_path):
     run_stream()
     check()
     assert _os.path.exists(off)
+
+
+# -- round-7 regression tests (defects found in review) ----------------
+
+
+def test_constraint_commit_does_not_replay_change_feed(spark, tmp_path):
+    """A metadata-only commit (add/drop constraint) must not carry the
+    previous commit's per-commit keys forward: on a track_changes table
+    the head's "changes" feed dir would be re-referenced under the new
+    version and changes() would emit that window's rows TWICE — every
+    incremental-agg consumer downstream double-counts."""
+    t = TxLogTable(str(tmp_path / "t"), track_changes=True)
+    t.append(spark.createDataFrame([(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    v = t.add_constraint(spark, "value_nonneg", "value >= 0.0")
+
+    m = t._read_manifest(v)
+    for k in ("changes", "removed", "restored_from"):
+        assert k not in m, f"constraint commit leaked per-commit key {k!r}"
+    # feed window of ONLY the constraint commit: no rows re-emitted
+    assert t.changes(spark, since=v) is None
+    # full feed still sees the original insert exactly once per row
+    feed = t.changes(spark).collect()
+    assert sorted(r.event_id for r in feed) == [1, 2]
+
+    v2 = t.drop_constraint("value_nonneg")
+    assert "changes" not in t._read_manifest(v2)
+    assert sorted(r.event_id for r in t.changes(spark).collect()) == [1, 2]
+
+
+def test_partition_prune_numeric_values_not_lexicographic(spark, tmp_path):
+    """Hive path values are strings; pruning against a NUMERIC bound
+    must parse them, not compare lexicographically ("10" < "2" is True
+    as strings — the old compare silently dropped matching files)."""
+    t = TxLogTable(str(tmp_path / "t"), ["event_id"])
+    t.append(spark.createDataFrame(
+        [(2, "click", 1.0), (10, "view", 2.0), (30, "view", 3.0)], COLS))
+    manifest = t.head()[1]
+
+    kept = set(t._stats_prune(manifest, "event_id", 3, None))
+    assert all("event_id=2" not in p for p in kept)
+    assert any("event_id=10" in p for p in kept), \
+        "event_id=10 lexicographically pruned by lo=3"
+    assert any("event_id=30" in p for p in kept)
+
+    # end-to-end: a pruned snapshot read equals the plain filter
+    got = _rows(t.snapshot_where(spark, "event_id", 3, None))
+    assert got == [(10, "view", 2.0), (30, "view", 3.0)]
+    # and a pruned DELETE does not skip the matching file
+    t.delete_where(spark, "event_id >= 3", prune=("event_id", 3, None))
+    assert _rows(t.snapshot(spark)) == [(2, "click", 1.0)]
+
+
+def test_partition_prune_unparseable_value_kept(spark, tmp_path):
+    """A partition value that won't parse to the bound's type keeps the
+    file (conservative, like missing footer stats)."""
+    t = TxLogTable(str(tmp_path / "t"), ["event_type"])
+    t.append(spark.createDataFrame([(1, "click", 1.0)], COLS))
+    manifest = t.head()[1]
+    # numeric bound over a string-valued partition column: keep all
+    assert set(t._stats_prune(manifest, "event_type", 5, None)) == set(
+        manifest["files"]
+    )
+
+
+def test_update_where_set_reads_old_row_swap(spark, tmp_path):
+    """SQL/Delta UPDATE: all SET expressions evaluate against the
+    PRE-update row, so {"a": "b", "b": "a"} swaps. Chained withColumn
+    would make the second assignment read the first one's NEW value."""
+    t = TxLogTable(str(tmp_path / "t"), track_changes=True)
+    df = spark.createDataFrame([(1, 10.0, 20.0), (2, 3.0, 4.0)],
+                               ["k", "a", "b"])
+    t.append(df)
+    t.update_where(spark, "k = 1", {"a": "b", "b": "a"})
+    got = sorted((r.k, r.a, r.b) for r in t.snapshot(spark).collect())
+    assert got == [(1, 20.0, 10.0), (2, 3.0, 4.0)]
+    # change-feed postimage reflects the same old-row semantics
+    post = [
+        r for r in t.changes(spark, since=1).collect()
+        if r._change_type == "update"
+    ]
+    assert [(r.k, r.a, r.b) for r in post] == [(1, 20.0, 10.0)]
+
+
+def test_incremental_agg_crash_retry_does_not_double_apply(spark, tmp_path):
+    """Crash window: the agg MERGE commits (txn map advanced) but the
+    offset file write is lost, then NEW source commits land before the
+    retry. The retry must resume from the TARGET's last applied window
+    end, not the stale offset — else the first window's deltas are
+    applied twice on top of a snapshot that already includes them."""
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        apply_incremental_agg,
+    )
+
+    src = TxLogTable(str(tmp_path / "src"), track_changes=True)
+    agg = TxLogTable(str(tmp_path / "agg"))
+    off = str(tmp_path / "off.json")
+
+    src.append(spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    apply_incremental_agg(spark, agg, src, ["event_type"], "value", off)
+
+    # simulate the lost offset write
+    with open(off, "w") as f:
+        json.dump({"version": -1}, f)
+    # new source commits land before the retry
+    src.append(spark.createDataFrame([(3, "view", 30.0)], COLS))
+
+    apply_incremental_agg(spark, agg, src, ["event_type"], "value", off)
+    got = sorted(
+        (r.event_type, r.n_rows, round(r.sum_value, 6))
+        for r in agg.snapshot(spark).collect()
+    )
+    assert got == [("click", 1, 1.0), ("view", 2, 32.0)], got
+
+    # idempotent replay with a healed offset: no state change
+    v_before = agg.head()[0]
+    apply_incremental_agg(spark, agg, src, ["event_type"], "value", off)
+    assert agg.head()[0] == v_before
+
+
+def test_incremental_agg_untouched_groups_not_rewritten(spark, tmp_path):
+    """Sync batches contain ONLY groups present in the delta window —
+    a partition-per-group agg table keeps untouched groups' files by
+    reference instead of re-upserting the whole aggregate each sync."""
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        apply_incremental_agg,
+    )
+
+    src = TxLogTable(str(tmp_path / "src"), track_changes=True)
+    agg = TxLogTable(str(tmp_path / "agg"), ["event_type"])
+    off = str(tmp_path / "off.json")
+
+    src.append(spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", 2.0)], COLS))
+    apply_incremental_agg(spark, agg, src, ["event_type"], "value", off)
+    click_files = {
+        f for f in agg.head()[1]["files"] if "event_type=click" in f
+    }
+    # second window touches ONLY the view group
+    src.append(spark.createDataFrame([(3, "view", 30.0)], COLS))
+    apply_incremental_agg(spark, agg, src, ["event_type"], "value", off)
+    after = {f for f in agg.head()[1]["files"] if "event_type=click" in f}
+    assert after == click_files, "untouched group's files were rewritten"
+    got = sorted(
+        (r.event_type, r.n_rows, round(r.sum_value, 6))
+        for r in agg.snapshot(spark).collect()
+    )
+    assert got == [("click", 1, 1.0), ("view", 2, 32.0)]
+
+
+def test_snapshot_as_of_naive_inputs_are_utc(spark, tmp_path):
+    """committed_at is a UTC epoch; a naive ISO string / datetime must
+    be interpreted as UTC so the same query string resolves to the same
+    version on every host TZ. tz-aware inputs convert exactly."""
+    import datetime as _dt
+    import time as _time
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "click", 1.0)], COLS))
+    _time.sleep(0.05)
+    between = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2, "view", 2.0)], COLS))
+
+    aware = _dt.datetime.fromtimestamp(between, _dt.timezone.utc)
+    naive_utc_str = aware.replace(tzinfo=None).isoformat()
+    assert _rows(t.snapshot_as_of(spark, naive_utc_str)) == [(1, "click", 1.0)]
+    assert _rows(t.snapshot_as_of(spark, aware.replace(tzinfo=None))) == [
+        (1, "click", 1.0)
+    ]
+    # tz-aware input in another zone: same instant, same version
+    plus5 = aware.astimezone(_dt.timezone(_dt.timedelta(hours=5)))
+    assert _rows(t.snapshot_as_of(spark, plus5)) == [(1, "click", 1.0)]
