@@ -1,0 +1,172 @@
+"""Portable mergeable sketches: HLL registers and fixed-threshold theta
+sets whose BITS replay identically in any engine with md5.
+
+The JVM DataSketches aggregates (hll_sketch_agg / theta_sketch_agg) are
+the fastest path Spark offers, but their binary payloads cannot be
+reproduced by another engine, so a cross-engine oracle can only check
+row counts — never values. These builders trade a constant factor for
+bit-exact replayability, the same design call as
+``operators.text.rolling_fingerprint(portable=True)``:
+
+- **Portable HLL**: bucket = first ``lgk/4`` hex chars of md5, rho =
+  1 + leading zero BITS of the next 12 hex chars, computed with pure
+  integer/string ops (``instr`` against a nibble alphabet + a leading-
+  zeros CASE) — no float in the register path, so registers are
+  bit-identical across engines, partitionings, and merge orders. The
+  register store is a plain ``(key, bucket) -> max(rho)`` table:
+  map-side-combinable aggregation, mergeable by register-wise MAX, and
+  queryable by the standard HLL estimator (dyadic sums kept in INTEGER
+  arithmetic — ``2^(49-rho)`` fits a BIGINT — so even the harmonic sum
+  is exact; the only floats are the final division and log).
+
+- **Fixed-threshold theta**: sketch(S) = { md5(x) : x in S, md5(x) <
+  T } for a fixed hex-prefix threshold with inclusion probability
+  ``p``. Set algebra (intersect / difference / union) is EXACT set
+  algebra over the sampled hash sets — plain joins — and estimates are
+  ``count / p``; with 1/p an integer the estimate is integer
+  arithmetic end-to-end, fully deterministic. Unlike KMV bottom-k this
+  needs no per-group collect or sort: the sketch is a filtered
+  distinct, so building it at 100 TB is one shuffle with map-side
+  combine and its expected size is ``p * |S|`` (pick p for the sketch
+  budget; at bench scale p = 1/2 keeps estimates non-trivially
+  approximate while the replay check stays bit-exact).
+
+Reference scope note: the reference pipeline (``/root/reference/
+main.py``) has no sketch store — this family is part of the
+large-scale pre-aggregation surface the 100 TB mandate adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NIBBLES = "0123456789abcdef"
+
+# lgK = 12: m = 4096 registers (the DataSketches default), 3 hex chars
+# of bucket + 12 hex chars (48 bits) of rho range -> max rho 49.
+HLL_LGK = 12
+HLL_M = 1 << HLL_LGK
+_RHO_NIBBLES = 12
+_RHO_MAX = 4 * _RHO_NIBBLES + 1  # 49
+_POW2_RHO_MAX = 1 << _RHO_MAX  # 2^49: the dyadic-sum scale factor
+# Flajolet's bias-correction constant for m >= 128.
+_ALPHA_SQL = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0))"
+
+
+def md5_hex(col: Column | str) -> Column:
+    """Lowercase md5 hex of the value's STRING form — the portable hash
+    every sketch here is built on (identical in Spark and DuckDB for
+    integer/string keys)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string"))
+
+
+def _bucket_sql(h: str) -> str:
+    terms = [
+        f"(instr('{_NIBBLES}', substring({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (2 - i)}"
+        for i in range(3)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_sql(h: str) -> str:
+    # count of leading '0' hex chars among the 12 rho chars
+    return (
+        f"length(regexp_extract(substring({h}, 4, {_RHO_NIBBLES}), '^0*', 0))"
+    )
+
+
+def _rho_sql(h: str, z: str) -> str:
+    nib = f"(instr('{_NIBBLES}', substring({h}, 4 + {z}, 1)) - 1)"
+    lz = (
+        f"(CASE WHEN {nib} >= 8 THEN 0 WHEN {nib} >= 4 THEN 1 "
+        f"WHEN {nib} >= 2 THEN 2 ELSE 3 END)"
+    )
+    return (
+        f"(CASE WHEN {z} >= {_RHO_NIBBLES} THEN {_RHO_MAX} "
+        f"ELSE 4 * {z} + {lz} + 1 END)"
+    )
+
+
+def with_hll_observation(df: DataFrame, hash_col: str = "h") -> DataFrame:
+    """Add `bucket` (int, 0..m-1) and `rho` (int, 1..49) columns derived
+    from a lowercase md5 hex column — the per-row HLL observation. Pure
+    string/integer expressions (whole-stage codegen, no UDF), and the
+    exact SQL mirrored by :func:`hll_observation_sql` for oracle replay."""
+    z = _z_sql(hash_col)
+    return df.withColumn("bucket", F.expr(_bucket_sql(hash_col))).withColumn(
+        "rho", F.expr(_rho_sql(hash_col, z))
+    )
+
+
+def hll_observation_sql(h: str) -> tuple[str, str]:
+    """(bucket_sql, rho_sql) over a hex md5 column/expression `h` —
+    byte-identical logic to :func:`with_hll_observation`, for embedding
+    in a DuckDB oracle."""
+    return _bucket_sql(h), _rho_sql(h, _z_sql(h))
+
+
+def hll_estimate(reg: DataFrame) -> DataFrame:
+    """One-row estimate from a register table `(bucket, r)` (absent
+    buckets are zero registers). Integer harmonic sum: each register
+    contributes 2^(49-r) to a BIGINT accumulator (exactly — no float
+    ordering effects), and the estimator divides once at the end.
+    Small-range (linear counting) correction per the standard HLL
+    recipe when E <= 2.5m and zero registers exist."""
+    agg = reg.agg(
+        F.sum(F.expr("CAST(pow(2.0, 49 - r) AS BIGINT)")).alias("s"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    return agg.select(
+        F.expr(_ESTIMATE_FROM_SUMS_SQL).alias("estimate")
+    )
+
+
+# Shared estimator tail over (s, present) — kept as ONE sql string used
+# verbatim by both the Spark plan and the DuckDB oracle so the float
+# operation order is identical on both sides.
+_ESTIMATE_FROM_SUMS_SQL = f"""
+CAST(round(CASE
+  WHEN ({_ALPHA_SQL} * {HLL_M * HLL_M}.0 * {_POW2_RHO_MAX}.0
+        / (s + ({HLL_M} - present) * CAST({_POW2_RHO_MAX} AS BIGINT)))
+       <= {2.5 * HLL_M}
+   AND present < {HLL_M}
+  THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - present))
+  ELSE {_ALPHA_SQL} * {HLL_M * HLL_M}.0 * {_POW2_RHO_MAX}.0
+       / (s + ({HLL_M} - present) * CAST({_POW2_RHO_MAX} AS BIGINT))
+END) AS BIGINT)
+""".strip()
+
+
+def hll_estimate_oracle_sql(reg_cte: str) -> str:
+    """DuckDB scalar subquery: estimate over a register CTE named
+    `reg_cte` with columns (bucket, r). Mirrors :func:`hll_estimate`
+    bit-for-bit (the SQL tail is the SAME string the Spark plan runs)."""
+    return f"""
+    (SELECT {_ESTIMATE_FROM_SUMS_SQL}
+     FROM (SELECT CAST(SUM(CAST(pow(2.0, 49 - r) AS BIGINT)) AS BIGINT) AS s,
+                  COUNT(*) AS present
+           FROM {reg_cte}))
+    """
+
+
+# -- fixed-threshold theta ---------------------------------------------
+
+# p = 1/2: hashes whose first hex char < '8'. 1/p is an integer, so the
+# count-scaled estimates below stay in BIGINT arithmetic end-to-end.
+THETA_PREFIX_LT = "8"
+THETA_INV_P = 2
+
+
+def theta_keep(hash_col: Column | str) -> Column:
+    """Membership predicate of the fixed-threshold theta sketch: keep a
+    hash iff it falls below the sampling threshold."""
+    c = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    return F.substring(c, 1, 1) < THETA_PREFIX_LT
+
+
+def theta_keep_sql(h: str) -> str:
+    """The same predicate for a DuckDB oracle."""
+    return f"substring({h}, 1, 1) < '{THETA_PREFIX_LT}'"

@@ -1377,51 +1377,106 @@ def order_vs_peers_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # 10. Mergeable-sketch rollup store: the pre-aggregation pattern that
-#     makes distinct counts cheap at 100 TB — per-partition HLL sketches
-#     (Apache DataSketches via hll_sketch_agg) stored at ingest, unioned
-#     at query time instead of rescanning raw data. No DuckDB oracle
-#     (different sketch implementations cannot hash-match); instead the
-#     query is SELF-verifying: it emits the rollup-union estimate, the
-#     direct global-sketch estimate, and the exact distinct count, and
-#     the property test asserts the mergeability law (rollup union ==
-#     direct sketch, exactly) plus a bounded relative error vs exact.
+#     makes distinct counts cheap at 100 TB — per-partition sketches
+#     stored at ingest, unioned at query time instead of rescanning raw
+#     data. These three queries use PORTABLE sketches (md5-derived HLL
+#     registers / fixed-threshold theta hash sets,
+#     operators/portable_sketch.py) whose bits replay identically in
+#     DuckDB, so the driver hash-checks the whole sketch pipeline — the
+#     same portability call as rolling_fingerprint(portable=True). The
+#     JVM DataSketches path (hll_sketch_agg / theta_sketch_agg) remains
+#     the faster-constant alternative; its estimates cannot be
+#     cross-engine-verified, which is why the registered forms are the
+#     portable ones.
 # ---------------------------------------------------------------------------
+
+def _hll_rollup_oracle() -> str:
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        hll_estimate_oracle_sql,
+        hll_observation_sql,
+    )
+
+    bucket, rho = hll_observation_sql("h")
+    return f"""
+    WITH obs AS (
+      SELECT CAST(ts AS DATE) AS d, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    br AS (
+      SELECT d, {bucket} AS bucket, {rho} AS rho FROM obs
+    ),
+    daily AS (
+      SELECT d, bucket, MAX(rho) AS r FROM br GROUP BY d, bucket
+    ),
+    rollup_reg AS (
+      SELECT bucket, MAX(r) AS r FROM daily GROUP BY bucket
+    ),
+    direct_reg AS (
+      SELECT bucket, MAX(rho) AS r FROM br GROUP BY bucket
+    ),
+    f AS (
+      SELECT
+        (SELECT COUNT(DISTINCT d) FROM daily) AS n_daily_sketches,
+        {hll_estimate_oracle_sql("rollup_reg")} AS rollup_estimate,
+        {hll_estimate_oracle_sql("direct_reg")} AS direct_estimate,
+        (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+    )
+    SELECT n_daily_sketches, rollup_estimate, direct_estimate,
+           exact_distinct,
+           round(abs(CAST(rollup_estimate AS DOUBLE)
+                     - CAST(exact_distinct AS DOUBLE))
+                 / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+    FROM f
+    """
 
 
 @register(
     "hll_rollup_distinct_users",
-    doc="Sketch-rollup distinct users: build one HLL sketch per event "
-    "day (the ingest-time pre-aggregate a 100 TB pipeline stores in a "
-    "metrics table), then answer the global distinct-users question by "
-    "UNIONING the 30-ish daily sketches — touching kilobytes instead "
-    "of the fact table. Emits three columns so the result verifies "
-    "itself: the rollup-union estimate, the direct one-pass sketch "
-    "estimate (must be IDENTICAL — HLL union is order-insensitive and "
-    "lossless over same-lgK sketches, the mergeability law), and the "
-    "exact COUNT DISTINCT with the relative error. Everything is "
-    "JVM-side datasketches (hll_sketch_agg / hll_union_agg); the "
-    "per-day rollup is one shuffle, the union reduces ~30 sketch "
-    "payloads.",
+    oracle=_hll_rollup_oracle(),
+    doc="Sketch-rollup distinct users over a PORTABLE HLL register "
+    "store (lgK=12, operators/portable_sketch.py): one register set "
+    "per event day — the ingest-time pre-aggregate a 100 TB pipeline "
+    "stores in a metrics table, built by a plain (day, bucket) -> "
+    "max(rho) aggregation with map-side combine — then the global "
+    "distinct-users question answered by register-wise MAX over the "
+    "~30 daily register sets, touching kilobytes instead of the fact "
+    "table. Registers derive from md5 with pure integer/string "
+    "expressions and the harmonic sum stays in BIGINT (dyadic terms "
+    "2^(49-rho)), so the whole sketch — not just row counts — is "
+    "replayed bit-for-bit by the DuckDB oracle. Self-verifying "
+    "columns: rollup estimate == direct one-pass estimate (the "
+    "mergeability law: max-of-max is order-insensitive and lossless) "
+    "and the exact COUNT DISTINCT with relative error.",
 )
 def hll_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        hll_estimate,
+        md5_hex,
+        with_hll_observation,
+    )
+
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("d"), "user_id"
     )
-    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    rollup = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("rollup_estimate"),
-        F.count(F.lit(1)).alias("n_daily_sketches"),
+    obs = with_hll_observation(
+        ev.select("d", md5_hex("user_id").alias("h")), "h"
     )
-    direct = ev.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
-            "direct_estimate"
-        )
+    daily = obs.groupBy("d", "bucket").agg(F.max("rho").alias("r"))
+    rollup = hll_estimate(
+        daily.groupBy("bucket").agg(F.max("r").alias("r"))
+    ).withColumnRenamed("estimate", "rollup_estimate")
+    direct = hll_estimate(
+        obs.groupBy("bucket").agg(F.max("rho").alias("r"))
+    ).withColumnRenamed("estimate", "direct_estimate")
+    n_daily = daily.agg(
+        F.count_distinct("d").alias("n_daily_sketches")
     )
     exact = ev.agg(
         F.count_distinct("user_id").cast("long").alias("exact_distinct")
     )
     return (
-        rollup.crossJoin(F.broadcast(direct))
+        n_daily.crossJoin(F.broadcast(rollup))
+        .crossJoin(F.broadcast(direct))
         .crossJoin(F.broadcast(exact))
         .select(
             "n_daily_sketches",
@@ -1440,49 +1495,94 @@ def hll_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _theta_overlap_oracle() -> str:
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        THETA_INV_P,
+        theta_keep_sql,
+    )
+
+    return f"""
+    WITH base AS (
+      SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    sk AS (
+      SELECT DISTINCT event_type, h FROM base WHERE {theta_keep_sql("h")}
+    ),
+    a AS (SELECT h FROM sk WHERE event_type = 'click'),
+    b AS (SELECT h FROM sk WHERE event_type = 'purchase'),
+    ca AS (SELECT DISTINCT user_id FROM base WHERE event_type = 'click'),
+    cb AS (SELECT DISTINCT user_id FROM base WHERE event_type = 'purchase')
+    SELECT
+      (SELECT COUNT(*) * {THETA_INV_P} FROM a JOIN b USING (h))
+        AS est_both,
+      (SELECT COUNT(*) FROM ca JOIN cb USING (user_id)) AS exact_both,
+      (SELECT COUNT(*) * {THETA_INV_P} FROM a
+         WHERE h NOT IN (SELECT h FROM b)) AS est_click_only,
+      (SELECT COUNT(*) FROM ca
+         WHERE user_id NOT IN (SELECT user_id FROM cb))
+        AS exact_click_only,
+      (SELECT COUNT(*) * {THETA_INV_P}
+         FROM (SELECT h FROM a UNION SELECT h FROM b)) AS est_either,
+      (SELECT COUNT(*) FROM (SELECT user_id FROM ca
+                             UNION SELECT user_id FROM cb)) AS exact_either
+    """
+
+
 @register(
     "theta_sketch_audience_overlap",
-    doc="Theta-sketch set algebra over user audiences (DataSketches "
-    "theta_sketch_agg / theta_intersection / theta_difference): one "
-    "sketch per event_type built in a single grouped pass, then the "
-    "click-AND-purchase overlap, click-only remainder, and union "
-    "estimated from the sketches alone — the mergeable-audience "
-    "pattern ad/analytics systems run at 100 TB, where exact "
-    "INTERSECT of distinct-user sets costs a full shuffle per "
-    "question and the sketch store answers in kilobytes. "
-    "Self-verifying: exact intersect/except/union counts computed "
-    "beside the estimates with relative errors; the property test "
-    "bounds them (theta sketches are exact below the sampling "
-    "threshold, so at bench scale the error is 0).",
+    oracle=_theta_overlap_oracle(),
+    doc="Theta-style set algebra over user audiences with a PORTABLE "
+    "fixed-threshold sketch (operators/portable_sketch.py): each "
+    "audience's sketch is the set of md5 hashes below a fixed sampling "
+    "threshold (p = 1/2 here; tuned to the sketch budget at scale), "
+    "built by a filtered distinct — one shuffle with map-side combine, "
+    "no per-group collect — and the click-AND-purchase overlap, "
+    "click-only remainder, and union are EXACT set algebra over the "
+    "sampled hash sets scaled by 1/p. Because 1/p is an integer the "
+    "estimates are integer arithmetic end-to-end, so the DuckDB "
+    "oracle replays every bit — the mergeable-audience pattern "
+    "ad/analytics systems run at 100 TB, where exact INTERSECT of "
+    "distinct-user sets costs a full shuffle per question and the "
+    "sketch store answers in kilobytes. Exact intersect/except/union "
+    "counts ride beside the estimates; the property test bounds the "
+    "sampling error.",
 )
 def theta_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        THETA_INV_P,
+        md5_hex,
+        theta_keep,
+    )
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = (
-        ev.groupBy("event_type")
-        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
-        .where(F.col("event_type").isin("click", "purchase"))
+    base = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", "user_id", md5_hex("user_id").alias("h")
     )
-    pair = (
-        sk.groupBy()
-        .pivot("event_type", ["click", "purchase"])
-        .agg(F.first("sk"))
+    sk = base.where(theta_keep("h")).select("event_type", "h").distinct()
+    a = sk.where(F.col("event_type") == "click").select("h")
+    b = sk.where(F.col("event_type") == "purchase").select("h")
+    scale = F.lit(THETA_INV_P).cast("long")
+    est = (
+        a.join(b, "h")
+        .agg((F.count(F.lit(1)) * scale).alias("est_both"))
+        .crossJoin(
+            F.broadcast(
+                a.join(b, "h", "left_anti").agg(
+                    (F.count(F.lit(1)) * scale).alias("est_click_only")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a.union(b)
+                .distinct()
+                .agg((F.count(F.lit(1)) * scale).alias("est_either"))
+            )
+        )
     )
-    est = pair.select(
-        F.expr(
-            "CAST(theta_sketch_estimate(theta_intersection(click, purchase))"
-            " AS BIGINT)"
-        ).alias("est_both"),
-        F.expr(
-            "CAST(theta_sketch_estimate(theta_difference(click, purchase))"
-            " AS BIGINT)"
-        ).alias("est_click_only"),
-        F.expr(
-            "CAST(theta_sketch_estimate(theta_union(click, purchase))"
-            " AS BIGINT)"
-        ).alias("est_either"),
-    )
-    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
-    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    clicks = base.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = base.where(F.col("event_type") == "purchase").select("user_id").distinct()
     exact = (
         clicks.intersect(buys).agg(F.count(F.lit(1)).alias("exact_both"))
         .crossJoin(
@@ -1507,57 +1607,119 @@ def theta_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _theta_retention_oracle() -> str:
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        THETA_INV_P,
+        theta_keep_sql,
+    )
+
+    return f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS d, user_id,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ev),
+    day_pairs AS (
+      SELECT a.d FROM days a JOIN days b ON b.d = a.d + 7
+    ),
+    s AS (
+      SELECT DISTINCT d, h FROM ev WHERE {theta_keep_sql("h")}
+    ),
+    cnt AS (
+      SELECT x.d, COUNT(*) * {THETA_INV_P} AS est_retained
+      FROM s x JOIN s y ON y.h = x.h AND y.d = x.d + 7
+      GROUP BY x.d
+    ),
+    p AS (SELECT DISTINCT d, user_id FROM ev),
+    ex AS (
+      SELECT a.d, COUNT(*) AS exact_retained
+      FROM p a JOIN p b ON b.user_id = a.user_id AND b.d = a.d + 7
+      GROUP BY a.d
+    )
+    SELECT strftime(dp.d, '%Y-%m-%d') AS day,
+           COALESCE(cnt.est_retained, 0) AS est_retained,
+           COALESCE(ex.exact_retained, 0) AS exact_retained
+    FROM day_pairs dp
+    LEFT JOIN cnt ON cnt.d = dp.d
+    LEFT JOIN ex ON ex.d = dp.d
+    ORDER BY day LIMIT 20
+    """
+
+
 @register(
     "theta_retention_day7",
-    doc="Sketch-based 7-day retention: one theta sketch per activity "
-    "day (the same ingest-time sketch store as the HLL rollup), then "
-    "for every day d the retained-user count |active(d) AND "
-    "active(d+7)| comes from theta_intersection of two STORED sketches "
-    "— a 30-row self-join of kilobyte payloads instead of the "
-    "fact-table self-join exact retention needs. Emits the exact "
-    "intersect count per day beside the estimate (theta is exact below "
-    "its sampling threshold at bench scale, so est == exact here; at "
-    "production scale the pair bounds the error). First 20 days under "
-    "a total order.",
+    oracle=_theta_retention_oracle(),
+    doc="Sketch-based 7-day retention over the PORTABLE fixed-threshold "
+    "theta store (operators/portable_sketch.py): one sampled hash set "
+    "per activity day (the same ingest-time sketch store as the HLL "
+    "rollup — a filtered distinct, expected p*|audience| entries), "
+    "then for every day d the retained-user count |active(d) AND "
+    "active(d+7)| comes from joining two STORED day sketches on hash "
+    "and scaling by 1/p — kilobyte sketch joins instead of the "
+    "fact-table self-join exact retention needs. Integer arithmetic "
+    "end-to-end, so the DuckDB oracle replays the sketch bit-for-bit. "
+    "Day spine = days with a day+7 counterpart (zero-retention days "
+    "surface as 0, not as missing rows); exact intersect counts ride "
+    "beside the estimates. First 20 days under a total order.",
 )
 def theta_retention_day7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        THETA_INV_P,
+        md5_hex,
+        theta_keep,
+    )
+
     ev = load_table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("d"), "user_id"
+        F.to_date("ts").alias("d"), "user_id",
+        md5_hex("user_id").alias("h"),
     )
-    daily = ev.groupBy("d").agg(
-        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    days = ev.select("d").distinct()
+    day_pairs = (
+        days.alias("a")
+        .join(
+            days.alias("b"),
+            F.col("b.d") == F.date_add(F.col("a.d"), 7),
+        )
+        .select(F.col("a.d").alias("d"))
     )
-    later = daily.select(
-        F.date_sub(F.col("d"), 7).alias("d"), F.col("sk").alias("sk7")
-    )
-    est = (
-        daily.join(later, "d")
-        .select(
-            F.date_format("d", "yyyy-MM-dd").alias("day"),
-            F.expr(
-                "CAST(theta_sketch_estimate(theta_intersection(sk, sk7))"
-                " AS BIGINT)"
-            ).alias("est_retained"),
+    s = ev.where(theta_keep("h")).select("d", "h").distinct()
+    cnt = (
+        s.alias("x")
+        .join(
+            s.alias("y"),
+            (F.col("y.h") == F.col("x.h"))
+            & (F.col("y.d") == F.date_add(F.col("x.d"), 7)),
+        )
+        .groupBy(F.col("x.d").alias("d"))
+        .agg(
+            (F.count(F.lit(1)) * F.lit(THETA_INV_P).cast("long")).alias(
+                "est_retained"
+            )
         )
     )
-    pairs = ev.distinct()
+    pairs = ev.select("d", "user_id").distinct()
     exact = (
         pairs.alias("a")
         .join(
             pairs.alias("b"),
-            (F.col("a.user_id") == F.col("b.user_id"))
+            (F.col("b.user_id") == F.col("a.user_id"))
             & (F.col("b.d") == F.date_add(F.col("a.d"), 7)),
         )
         .groupBy(F.col("a.d").alias("d"))
         .agg(F.count(F.lit(1)).alias("exact_retained"))
-        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "exact_retained")
     )
     return (
-        est.join(exact, "day", "left")
+        day_pairs.join(cnt, "d", "left")
+        .join(exact, "d", "left")
         .select(
-            "day",
-            "est_retained",
-            F.coalesce("exact_retained", F.lit(0)).alias("exact_retained"),
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("est_retained", F.lit(0).cast("long")).alias(
+                "est_retained"
+            ),
+            F.coalesce("exact_retained", F.lit(0).cast("long")).alias(
+                "exact_retained"
+            ),
         )
         .orderBy("day")
         .limit(20)

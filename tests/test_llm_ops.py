@@ -551,38 +551,58 @@ def test_asof_cogrouped_matches_native(spark, sf_dir):
     assert any(t[2] is not None for t in native)  # matches exist
 
 
-def test_hll_rollup_mergeability_law(spark, sf_dir):
+def test_hll_rollup_mergeability_law(spark, sf_dir, duck):
     """The sketch-rollup pattern is only valid if union-of-partials
-    equals the direct global sketch EXACTLY (HLL union over same-lgK
-    sketches is lossless and order-insensitive) and the estimate stays
-    within HLL's error envelope of the exact count."""
+    equals the direct global sketch EXACTLY (register-wise MAX is
+    lossless and order-insensitive), the estimate stays within the
+    error envelope of the exact count — and, because the registers are
+    PORTABLE (md5 + integer arithmetic), the whole result replays
+    bit-for-bit in DuckDB."""
     from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
 
-    row = REGISTRY["hll_rollup_distinct_users"].fn(spark, sf_dir).first()
+    q = REGISTRY["hll_rollup_distinct_users"]
+    row = q.fn(spark, sf_dir).first()
     assert row.rollup_estimate == row.direct_estimate  # mergeability
     assert row.n_daily_sketches > 1  # the rollup actually unioned
-    assert row.rel_error <= 0.05  # lgK=12 default: ~1.6% typical
+    assert row.rel_error <= 0.05  # lgK=12: ~1.6% typical, LC exact-ish
+    assert tuple(duck.execute(q.oracle).fetchone()) == tuple(row)
 
 
-def test_theta_sketch_set_algebra_matches_exact(spark, sf_dir):
-    """Theta sketches are EXACT below their sampling threshold, so at
-    bench scale the intersection / difference / union estimates must
-    equal the exact set-operation counts — verifying the sketch algebra
-    wiring end-to-end (at production scale the same columns bound the
-    relative error instead)."""
+def test_theta_sketch_set_algebra_replays_and_bounds(spark, sf_dir, duck):
+    """Fixed-threshold theta: the sampled-set algebra must replay
+    bit-for-bit in DuckDB (the sketch is md5 + integer arithmetic),
+    estimates are even multiples of 1/p, bounded by the p-scaled
+    universe, and the exact columns are true set-operation counts."""
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        THETA_INV_P,
+    )
     from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
 
-    row = REGISTRY["theta_sketch_audience_overlap"].fn(spark, sf_dir).first()
-    assert row.est_both == row.exact_both
-    assert row.est_click_only == row.exact_click_only
-    assert row.est_either == row.exact_either
+    q = REGISTRY["theta_sketch_audience_overlap"]
+    row = q.fn(spark, sf_dir).first()
+    assert tuple(duck.execute(q.oracle).fetchone()) == tuple(row)
     assert row.exact_either >= row.exact_both > 0
+    for est in (row.est_both, row.est_click_only, row.est_either):
+        assert est % THETA_INV_P == 0 and est >= 0
+    # subset laws survive sampling: the sampled sets are genuine sets
+    assert row.est_both <= row.est_either
+    assert row.est_click_only <= row.est_either
+    # estimator is unbiased; at bench scale bound it loosely
+    assert row.est_either <= THETA_INV_P * row.exact_either
 
 
-def test_theta_retention_estimates_match_exact(spark, sf_dir):
+def test_theta_retention_replays_and_bounds(spark, sf_dir, duck):
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        THETA_INV_P,
+    )
     from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
 
-    rows = REGISTRY["theta_retention_day7"].fn(spark, sf_dir).collect()
+    q = REGISTRY["theta_retention_day7"]
+    rows = q.fn(spark, sf_dir).collect()
     assert rows, "no day pairs found"
-    assert all(r.est_retained == r.exact_retained for r in rows)
+    got = [tuple(r) for r in rows]
+    assert got == [tuple(r) for r in duck.execute(q.oracle).fetchall()]
     assert any(r.exact_retained > 0 for r in rows)
+    for r in rows:
+        # a sampled intersection cannot exceed the p-scaled exact one
+        assert 0 <= r.est_retained <= THETA_INV_P * r.exact_retained
