@@ -98,6 +98,51 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _JPEG_MAGIC = b"\xff\xd8"
 
 
+def codec_support() -> dict[str, bool]:
+    """Which decode paths are live in THIS container — the seam's
+    introspection surface, so tests and operators can report exactly
+    which codecs were exercised instead of a bare skip."""
+    return {
+        "fakev1": True,  # the always-on test contract
+        "png": _PILImage is not None,
+        "jpeg": _PILImage is not None,
+        "wav": False,  # soundfile seam, deliberately unimplemented
+        "mp4": False,  # pyav/libav seam, deliberately unimplemented
+    }
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal valid 8-bit grayscale PNG from raw pixel bytes — pure
+    stdlib (struct + zlib), no Pillow. Exists so the real-codec seam is
+    testable without circularity: the PNG handed to the decoder was NOT
+    produced by the library that decodes it, and containers without
+    Pillow can still assert that a WELL-FORMED real image (not junk
+    bytes) reaches the NotImplementedError seam."""
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes (8-bit gray)")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_one(content: bytes) -> tuple[int, int, int, float]:
     """Decode a media blob → (width, height, n_frames, mean_intensity).
 

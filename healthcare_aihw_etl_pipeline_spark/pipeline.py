@@ -50,7 +50,11 @@ def run_etl(
         sheets = list(sheets_override)
     else:
         if fetch_bytes is None:
-            raise ValueError("online ETL needs fetch_bytes=; or pass sheets_override=")
+            raise ValueError(
+                "online ETL needs fetch_bytes= (e.g. sources.transport."
+                "default_transports(allow_network=True)); or pass "
+                "sheets_override="
+            )
         sheets = []
         for url in discovery.discover_excels(fetch_html):
             year = year_from_url(url)

@@ -637,6 +637,45 @@ def events_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_props_regexp_agg",
+    # The oracle replays the REAL JSON parse, not the regexp: a hash
+    # match therefore proves the fast path preserves the parser's
+    # semantics on this corpus, which is exactly the claim that makes
+    # the shortcut admissible.
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Regexp fast path for the JSON extraction (third variant beside "
+    "json_props_agg / events_typed_agg): pull `k` with a single "
+    "regexp_extract instead of a JSON parser — measured 2.3x faster "
+    "than from_json on this query (round 6 A/B). DELIBERATELY "
+    "narrower semantics: correct only for flat, unescaped payloads "
+    "where the key's value is a bare integer (no nested objects whose "
+    "inner 'k' could shadow, no string-quoted numbers) — which the "
+    "oracle PROVES holds for this corpus by replaying the true JSON "
+    "parse in DuckDB and hash-matching. Production ranking: "
+    "events_typed_agg (parse once at ingest) > this (when the payload "
+    "shape is contractual) > json_props_agg (full parser, reference "
+    "semantics).",
+)
+def json_props_regexp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr(
+        r"""CAST(nullif(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1),
+                 '') AS INT)"""
+    )
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
     "events_hourly_window",
     oracle=f"""
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

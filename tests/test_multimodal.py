@@ -40,43 +40,79 @@ def test_frame_sample_only_videos(spark):
         assert fr.frame_idx % 2 == 0
 
 
-def test_real_codec_stub_raises():
+def test_real_codec_seam_on_wellformed_png():
+    """The seam contract exercised with a VALID real PNG (encoded by the
+    stdlib encoder, not by the decoding library — no circularity):
+    without Pillow a well-formed image raises NotImplementedError AT THE
+    SEAM; with Pillow it decodes. Either way the test reports exactly
+    which codecs this container exercised via codec_support()."""
     from healthcare_aihw_etl_pipeline_spark.operators import multimodal
+    from healthcare_aihw_etl_pipeline_spark.operators.multimodal import (
+        codec_support,
+        encode_png_gray,
+    )
 
-    if multimodal._PILImage is None:
-        # no Pillow: PNG magic hits the NotImplementedError seam
+    png = encode_png_gray(4, 3, bytes(range(12)))
+    support = codec_support()
+    assert support["fakev1"] is True
+    assert support["wav"] is False and support["mp4"] is False
+    if not support["png"]:
         with pytest.raises(NotImplementedError):
-            _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+            _decode_one(png)
     else:
-        # Pillow present: a junk PNG payload fails inside the decoder
-        with pytest.raises(Exception):
-            _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+        w, h, fr, mean = _decode_one(png)
+        assert (w, h, fr) == (4, 3, 1)
+        assert abs(mean - sum(range(12)) / 12.0) < 1e-9
     # audio/video containers stay at the seam regardless of Pillow
     with pytest.raises(NotImplementedError):
         _decode_one(b"RIFF" + b"\x00" * 32)
+    # junk after a PNG magic fails in SOME way on both paths
+    with pytest.raises(Exception):
+        _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
 
 
 def test_pillow_decode_real_png(spark):
     """Real-codec path (skip-gated like the TWS protobuf pair): a
-    Pillow-encoded PNG decodes through the same mapInPandas stage and
-    contract as FAKEv1 — dims, one frame, grayscale mean intensity."""
+    stdlib-encoded PNG decodes through Pillow inside the same
+    mapInPandas stage and contract as FAKEv1 — dims, one frame,
+    grayscale mean intensity — and a Pillow-encoded PNG agrees, so the
+    two encoders cross-check each other. The skip reason names the
+    codecs that could not be exercised in this container."""
+    from healthcare_aihw_etl_pipeline_spark.operators.multimodal import (
+        codec_support,
+        encode_png_gray,
+    )
+
+    support = codec_support()
+    untested = sorted(k for k, ok in support.items() if not ok)
     pil_image = pytest.importorskip(
-        "PIL.Image", reason="Pillow not installed in this container"
+        "PIL.Image",
+        reason=(
+            "Pillow not installed in this container; codecs NOT "
+            f"exercised here: {untested} (fakev1 always tested; the "
+            "seam contract on well-formed PNG is still asserted by "
+            "test_real_codec_seam_on_wellformed_png)"
+        ),
     )
     import io
 
     from healthcare_aihw_etl_pipeline_spark.operators.multimodal import MEDIA_SCHEMA
 
+    stdlib_png = encode_png_gray(8, 6, bytes([100]) * 48)
     img = pil_image.new("L", (8, 6), color=100)
     buf = io.BytesIO()
     img.save(buf, format="PNG")
     df = spark.createDataFrame(
-        [(1, "image", bytearray(buf.getvalue()), ("test", "image/png"))],
+        [
+            (1, "image", bytearray(stdlib_png), ("test", "image/png")),
+            (2, "image", bytearray(buf.getvalue()), ("test", "image/png")),
+        ],
         schema=MEDIA_SCHEMA,
     )
-    r = decode_media(df).collect()[0]
-    assert (r.width, r.height, r.n_frames) == (8, 6, 1)
-    assert abs(r.mean_intensity - 100.0) < 1e-9
+    rows = {r.media_id: r for r in decode_media(df).collect()}
+    for r in rows.values():
+        assert (r.width, r.height, r.n_frames) == (8, 6, 1)
+        assert abs(r.mean_intensity - 100.0) < 1e-9
 
 
 def test_truncated_blob_raises():

@@ -120,3 +120,78 @@ def test_table_rows_serves_footer_statistics(spark, sf_dir):
     assert n == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert table_rows(sf_dir, "orders") is not None  # cache hit path
     assert table_rows(sf_dir, "no_such_table") is None
+
+
+def test_http_transport_opt_in_and_local_fixture_server():
+    """S1/S2 real-transport leg (reference main.py:27,139): off by
+    default (NetworkNotAllowed without opt-in), and against a LOCAL
+    http.server fixture the text/bytes transports round-trip and
+    discovery extracts the workbook link from the served page — no
+    external network touched."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pytest
+
+    from healthcare_aihw_etl_pipeline_spark.sources import discovery
+    from healthcare_aihw_etl_pipeline_spark.sources.transport import (
+        NetworkNotAllowed,
+        default_transports,
+        http_fetch_bytes,
+        http_fetch_text,
+    )
+
+    page = (
+        '<html><a href="/getmedia/abc/4-admitted-patient-care-2022-23-'
+        'tables-access.xlsx">workbook</a></html>'
+    )
+    payload = b"\x50\x4b\x03\x04fake-workbook-bytes"
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = payload if self.path.endswith(".xlsx") else page.encode()
+            ctype = (
+                "application/octet-stream"
+                if self.path.endswith(".xlsx")
+                else "text/html; charset=utf-8"
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep test output clean
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        # default-deny: every entry point refuses without opt-in
+        for fn in (http_fetch_text, http_fetch_bytes):
+            with pytest.raises(NetworkNotAllowed):
+                fn(f"{base}/page")
+        with pytest.raises(NetworkNotAllowed):
+            default_transports()
+
+        fetch_html, fetch_bytes = default_transports(allow_network=True)
+        html = fetch_html(f"{base}/page")
+        assert "tables-access.xlsx" in html
+        links = discovery.extract_links(html)
+        assert links and links[0].endswith("tables-access.xlsx")
+        # served relative href is absolutized against the AIHW base
+        assert links[0].startswith(discovery.BASE)
+
+        # S2: binary fetch round-trips byte-exact via the same opt-in
+        assert fetch_bytes(f"{base}/file.xlsx") == payload
+
+        # discovery's injected-fetch path works with the live transport
+        got = discovery.discover_excels(
+            lambda _url: fetch_html(f"{base}/page")
+        )
+        assert got == links
+    finally:
+        srv.shutdown()
+        srv.server_close()

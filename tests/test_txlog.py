@@ -1286,3 +1286,31 @@ def test_snapshot_as_of_naive_inputs_are_utc(spark, tmp_path):
     # tz-aware input in another zone: same instant, same version
     plus5 = aware.astimezone(_dt.timezone(_dt.timedelta(hours=5)))
     assert _rows(t.snapshot_as_of(spark, plus5)) == [(1, "click", 1.0)]
+
+
+def test_txlog_dml_query_result_cache_matches_fresh_run(
+    spark, monkeypatch, tmp_path
+):
+    """The registered DML query persists its 3-row result keyed on
+    sf_dir's mtime token (each registry sweep is a fresh process, so
+    the in-process plan cache can't amortize the 4 s DML round-trip).
+    The cached read must equal a forced fresh DML run bit-for-bit, and
+    SPARK_GRAFT_FORCE_DML=1 must bypass the cache."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    q = REGISTRY["txlog_delete_update_snapshot"]
+
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DML", "1")
+    fresh = sorted(tuple(r) for r in q.build(spark, sf_dir).collect())
+
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_DML")
+    cached = sorted(tuple(r) for r in q.build(spark, sf_dir).collect())
+    assert cached == fresh
+    assert len(fresh) >= 1
+    df = q.build(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "o_orderstatus", "n_orders", "total_cents"
+    ]
