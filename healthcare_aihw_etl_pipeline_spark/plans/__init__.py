@@ -82,12 +82,11 @@ _DRIVER_GREEN_R3 = [
 ]
 
 
-# Queries the current round's correctness window MUST sample ahead of
-# everything else. After CORRECTNESS_r05 every registered query has a
-# driver-side row (cumulatively), so the round-6 window is exactly the
-# round-6 additions (pinned explicitly for deterministic ordering); any
-# leftover window slots re-verify already-green queries from the back.
-_MUST_VERIFY_R6: list[str] = [
+# CORRECTNESS_r06.json: the round-6 window, 47/50 hash-green; the three
+# sketch queries recorded `no_oracle` there and have since been made
+# hash-checkable (portable md5 sketches), so they are NOT folded into
+# the green list — they re-verify in the r7 window below.
+_DRIVER_GREEN_R6 = [
     "numeric_profile_lineitem", "frequent_values_orders",
     "lineitem_correlation_matrix", "orders_date_islands",
     "customer_acquisition_curve", "nation_revenue_share",
@@ -98,10 +97,41 @@ _MUST_VERIFY_R6: list[str] = [
     "vocab_growth_curve", "txlog_delete_update_snapshot",
     "lang_id_distribution", "rolling_7day_distinct_users",
     "top_orders_with_ties", "order_vs_peers_leave_one_out",
-    "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
-    "theta_retention_day7", "brand_price_tiers", "user_event_type_map_json",
+    "brand_price_tiers", "user_event_type_map_json",
     "quantity_price_covariance", "weighted_median_price",
     "mad_outlier_orders", "event_type_run_lengths",
+]
+_DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R6
+
+# Queries the current round's correctness window MUST sample ahead of
+# everything else. Round 7 ROTATES the window to regression-check the
+# OLDEST evidence: cumulative green rows can't see regressions, so the
+# queries verified back in rounds 1–3 (a 6-rounds-older engine) are
+# re-pinned alongside everything new or newly-oracled this round (the
+# three portable-sketch rewrites and the regexp JSON variant).
+_MUST_VERIFY_R7: list[str] = [
+    # newly hash-checkable / new this round
+    "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
+    "theta_retention_day7", "json_props_regexp_agg",
+    # oldest greens (rounds 1–3) — regression sweep
+    "revenue_by_nation", "top_nation", "pricing_summary", "filter_in_agg",
+    "distinct_event_types", "count_distinct_years", "top10_brands_by_revenue",
+    "pivot_priority_status", "unpivot_lineitem_measures", "union_parties",
+    "pct_change_trend", "yearly_revenue_window", "top3_orders_per_priority",
+    "customers_without_orders", "customer_order_stats", "json_props_agg",
+    "events_hourly_window", "scalar_clean_norm", "range_join_ship_lag",
+    "rollup_returnflag_status", "cube_year_status", "customers_with_orders_semi",
+    "events_sliding_window", "monthly_revenue", "distinct_status_priority",
+    "value_percentiles", "lineitem_stats", "string_features",
+    "funnel_signup_view_purchase", "retention_cohorts", "grouping_sets_revenue",
+    "customer_balance_quartiles", "rolling_7day_revenue", "exact_value_variance",
+    "customers_above_avg_balance", "daily_revenue_gap_filled",
+    "small_quantity_part_revenue", "orders_fully_shipped", "promo_revenue_share",
+    "sole_problem_supplier", "status_listagg_by_priority",
+    "customer_order_histogram", "top_volume_orders", "cheapest_supplier_per_part",
+    "idle_rich_customers", "important_parts_by_share", "shipping_priority_top10",
+    "cross_nation_shipping", "returned_item_top_customers",
+    "disjunctive_brand_revenue",
 ]
 
 
@@ -114,8 +144,8 @@ def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R6 if n in registry]
-    placed = set(_MUST_VERIFY_R6)
+    pinned = [registry[n] for n in _MUST_VERIFY_R7 if n in registry]
+    placed = set(_MUST_VERIFY_R7)
     promoted_oracle = [
         q
         for n, q in registry.items()
