@@ -34,3 +34,36 @@ def test_overflow_drops_queries_but_stays_parseable(capsys):
     assert "queries" not in parsed
     # the overflow is reported on stderr, not swallowed
     assert "too long" in capsys.readouterr().err
+
+
+def test_wave_runs_and_is_positive(spark, sf_dir):
+    """The concurrent suite-wall path (bench._wave): pre-resolved plans
+    collected from a thread pool must complete and return sane
+    timings at any sf_dir."""
+    import bench
+
+    wave_min, wave_med = bench._wave(spark, sf_dir, reps=2)
+    assert 0 < wave_min <= wave_med
+
+
+def test_bench_stdout_line_under_limit_with_current_shape():
+    """The real stdout shape (13-query dict + both-engine scalars + the
+    sf1 block) must stay under the consumer's tail buffer."""
+    out = {
+        "metric": "headline_suite_wall_sec", "value": 0.55, "unit": "sec",
+        "queries": {f"some_query_name_{i:02d}": 0.1234 for i in range(13)},
+        "sf": 0.1, "value_seq": 2.25, "value_wave_med": 0.66,
+        "exec_total": 0.34, "cold_total": 4.38, "sched_floor_ms": 36.4,
+        "value_med": 2.54, "noise_floor": [0.177, 0.1443],
+        "duckdb_total": 1.2425, "duckdb_wave": 0.4612,
+        "sf1": {"wall": 2.31, "wall_med": 2.84, "seq": 4.49,
+                "duckdb": 2.65, "duckdb_wave": 1.02},
+        "floor_total": 0.92, "marginal_total": 1.32,
+    }
+    import json as _json
+
+    from bench import stdout_line
+
+    line = stdout_line(out)
+    assert _json.loads(line)["metric"] == "headline_suite_wall_sec"
+    assert "queries" in _json.loads(line)
