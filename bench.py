@@ -283,7 +283,11 @@ def run_spark() -> tuple[
     medians = {name: round(p[1], 4) for name, p in pairs.items()}
     execs = {name: round(p[2], 4) for name, p in pairs.items()}
     colds = {name: round(p[3], 4) for name, p in pairs.items()}
-    wave_min, wave_med = _wave(spark, SF_DIR, reps=5)
+    # reps=7: this host stalls ~13% of concurrent waves (multi-second
+    # Python/py4j-side lag with the JVM idle — host noise, jstack'd);
+    # min-of-7 puts P(all reps stalled) below 1e-6 for ~0.6 s of extra
+    # bench time.
+    wave_min, wave_med = _wave(spark, SF_DIR, reps=7)
     small = _small_dir(SF_DIR)
     times_small = (
         {name: round(_time_query(spark, name, small)[0], 4) for name in HEADLINE}

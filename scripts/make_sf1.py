@@ -21,9 +21,13 @@ import os
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sfbench/sf1"
-COPIES = 10
+# Env overrides generalize the replicator to further decades, e.g.
+#   SFB_SRC=/tmp/sfbench/sf1 SFB_DST=/tmp/sfbench/sf10 python make_sf1.py
+# (strides derive from MAX(key)+1 of whatever SRC is, so chained
+# replication keeps key spaces disjoint).
+SRC = os.environ.get("SFB_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("SFB_DST", "/tmp/sfbench/sf1")
+COPIES = int(os.environ.get("SFB_COPIES", "10"))
 # Per-table row-group sizing: ~32 groups per table (one per core),
 # bounded to [2048, 131072] rows. A single fixed size leaves small
 # tables (embeddings: 20k rows of array<float>) in ONE row group — a
@@ -50,7 +54,12 @@ SINGLETON = {"region", "nation"}
 
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
-    sib = os.path.join(os.path.dirname(DST), "sf0.1")
+    # decade-smaller sibling for bench.py's floor/marginal split:
+    # symlink the SOURCE next to DST under its sf name (sf1 builds get
+    # sf0.1 -> /root/testdata/sf0.1; chained sf10 builds already have
+    # the real sf1 directory sitting beside them).
+    src_name = os.path.basename(SRC.rstrip("/"))
+    sib = os.path.join(os.path.dirname(DST), src_name)
     if not os.path.exists(sib):
         os.symlink(SRC, sib)
     con = duckdb.connect()
