@@ -67,3 +67,23 @@ def test_bench_stdout_line_under_limit_with_current_shape():
     line = stdout_line(out)
     assert _json.loads(line)["metric"] == "headline_suite_wall_sec"
     assert "queries" in _json.loads(line)
+
+
+def test_collect_wave_matches_sequential(spark, sf_dir):
+    """The serving-layer wave (plans/serving.py) returns exactly the
+    rows each query returns sequentially — concurrency must not change
+    results — and unknown names / failing queries surface by name."""
+    import pytest
+
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+    from healthcare_aihw_etl_pipeline_spark.plans.serving import collect_wave
+
+    names = ["revenue_by_nation", "pricing_summary", "top_nation",
+             "filter_in_agg", "distinct_event_types"]
+    wave = collect_wave(spark, names, sf_dir, fresh_plans=True)
+    for n in names:
+        seq = REGISTRY[n].fn(spark, sf_dir).collect()
+        assert sorted(map(tuple, wave[n])) == sorted(map(tuple, seq)), n
+
+    with pytest.raises(KeyError):
+        collect_wave(spark, ["no_such_query"], sf_dir)
