@@ -750,3 +750,34 @@ def test_runtime_bloom_filter_on_selective_shuffle_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_round7_sketch_query_plan_shapes(spark, sf_dir):
+    """The portable-sketch rewrites keep scale-safe shapes: the HLL
+    register build is a map-side-combined hash aggregate (partial +
+    final) with NO row-Python anywhere; the register path is pure
+    expressions (whole-stage codegen); theta sketches are filtered
+    distincts + hash joins — no cartesian between data-bearing sides
+    (the 1-row estimate crossJoins are broadcast and harmless)."""
+    p = plan_of(REGISTRY["hll_rollup_distinct_users"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "HashAggregate" in p, p
+    # register build must partially aggregate before the bucket shuffle
+    # (AQE-wrapped formatted plans omit WholeStageCodegen markers until
+    # execution, so codegen is covered by the expression-only lint).
+    assert "partial_max" in p, p
+
+    p = plan_of(REGISTRY["theta_sketch_audience_overlap"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p, p
+    # audience intersection/difference are hash joins on the hash sets
+    assert "HashJoin" in p, p
+
+    p = plan_of(REGISTRY["theta_retention_day7"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p, p
+    assert "HashJoin" in p, p
+
+    p = plan_of(REGISTRY["json_props_regexp_agg"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p, p
+    # the whole point: no JSON parser node, one scan, partial agg
+    assert "JsonToStructs" not in p and "from_json" not in p, p
+    assert shuffle_count(p) == 1, p
