@@ -266,6 +266,87 @@ def minhash_dedup(
     )
 
 
+def minhash_dedup_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash+LSH with ENGINE-PORTABLE hash functions: DuckDB-replayable
+    bit-for-bit, the same design call as the portable sketches
+    (operators/portable_sketch.py) and rolling_fingerprint(portable=True).
+
+    Instead of xxhash64 + affine permutations (minhash_dedup — the
+    faster JVM path), each of the ``num_hashes`` minwise functions is an
+    INDEPENDENT md5: sig_i(doc) = min over shingles of
+    md5(i || ':' || shingle), a lexicographic min of hex strings — the
+    textbook minwise family, identical in any engine with md5. Bands
+    hash the concatenated signature slice with md5 again. ~2x the hash
+    cost of the xxhash64 path for full cross-engine verifiability; the
+    shuffle shape is IDENTICAL (explode bands -> groupBy bucket min ->
+    join back, map-side combined, AQE-skew-splittable — never a window).
+
+    Returns (id_col, dup_of) like :func:`minhash_dedup`.
+    """
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+
+    rows_per_band = num_hashes // bands
+    shingles = word_shingles(F.col(text_col), shingle_k)
+
+    def _minwise(prefix: Column):
+        # MUST be a one-parameter lambda: F.transform binds a second
+        # parameter to the ELEMENT INDEX, so a `lambda s, p=prefix`
+        # default would be silently overwritten by the index column.
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    def signature(sh: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(sh, _minwise(F.lit(f"{i}:"))))
+                for i in range(num_hashes)
+            ]
+        )
+
+    with_sig = df.select(
+        F.col(id_col), bind(shingles, signature).alias("_sig")
+    )
+    banded = with_sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    F.col("_sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                ",",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    banded = banded.localCheckpoint(eager=True)
+    bucket_mins = banded.groupBy("band", "band_hash").agg(
+        F.min(id_col).alias("bucket_min")
+    )
+    return (
+        banded.join(bucket_mins, ["band", "band_hash"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_min").alias("dup_of"))
+    )
+
+
 def simhash64(text_col: Column | str) -> Column:
     """63-bit SimHash over whitespace tokens, as a non-negative long.
 

@@ -282,6 +282,88 @@ def minhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_dup_clusters_portable",
+    # Full bit-replay of the LSH pipeline in DuckDB: shingling, 16
+    # independent md5 minwise functions, 4-band hashing, bucket-min,
+    # join-back, cluster rollup — the hash-green twin of the xxhash64
+    # fast path (same shuffle shape; see minhash_dedup_portable).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i : i + 4], ' ') AS shingle
+      FROM toks,
+           UNNEST(generate_series(1, greatest(len(t) - 4, 1))) AS u(i)
+    ),
+    sig AS (
+      SELECT doc_id, s.i AS hi,
+             MIN(md5(s.i || ':' || shingle)) AS m
+      FROM sh, (SELECT UNNEST(range(16)) AS i) s
+      GROUP BY doc_id, s.i
+    ),
+    sigarr AS (
+      SELECT doc_id, array_agg(m ORDER BY hi) AS sig
+      FROM sig GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ','))
+               AS band_hash
+      FROM sigarr, (SELECT UNNEST(range(4)) AS b) b
+    ),
+    mins AS (
+      SELECT band, band_hash, MIN(doc_id) AS bucket_min
+      FROM bands GROUP BY band, band_hash
+    ),
+    dup AS (
+      SELECT bands.doc_id, MIN(bucket_min) AS dup_of
+      FROM bands JOIN mins USING (band, band_hash)
+      GROUP BY bands.doc_id
+    )
+    SELECT dup_of AS cluster_rep,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN doc_id <> dup_of THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_duplicates
+    FROM dup
+    GROUP BY dup_of
+    ORDER BY n_members DESC, cluster_rep
+    LIMIT 20
+    """,
+    doc="PORTABLE MinHash+LSH near-dup clusters (16 independent md5 "
+    "minwise functions, 4 bands, 5-word shingles): the hash-green twin "
+    "of minhash_dup_clusters — the ENTIRE LSH pipeline (shingling, "
+    "signatures, banding, bucket-min, join-back, cluster rollup) "
+    "replays bit-for-bit in DuckDB, so the driver hash-checks the "
+    "dedup operator itself rather than trusting a property test. Top "
+    "20 clusters by size under a total order. The xxhash64+affine fast "
+    "path stays registered for throughput; shuffle shape is identical "
+    "(explode bands, map-side-combined bucket min, AQE-skew-splittable "
+    "equi join — never a window).",
+)
+def minhash_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        minhash_dedup_portable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = minhash_dedup_portable(docs, "text", "doc_id")
+    return (
+        dup.groupBy(F.col("dup_of").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(
+                (F.col("doc_id") != F.col("dup_of")).cast("long")
+            ).alias("n_duplicates"),
+        )
+        .orderBy(F.col("n_members").desc(), "cluster_rep")
+        .limit(20)
+    )
+
+
+@register(
     "simhash_dup_clusters",
     oracle=None,  # hash-function-specific: property-tested instead
     doc="SimHash (64-bit, 16-bit banding) near-dup clusters over documents "

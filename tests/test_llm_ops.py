@@ -606,3 +606,26 @@ def test_theta_retention_replays_and_bounds(spark, sf_dir, duck):
     for r in rows:
         # a sampled intersection cannot exceed the p-scaled exact one
         assert 0 <= r.est_retained <= THETA_INV_P * r.exact_retained
+
+
+def test_minhash_portable_catches_near_dup_and_replays(spark, planted, duck, sf_dir):
+    """Portable md5-minwise MinHash: same dedup behavior as the
+    xxhash64 fast path on planted docs, and the registered cluster
+    query replays bit-for-bit in DuckDB (full LSH pipeline oracle)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        minhash_dedup_portable,
+    )
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    dup = {
+        r.doc_id: r.dup_of
+        for r in minhash_dedup_portable(planted, "text", "doc_id").collect()
+    }
+    assert dup[1] == 0  # identical always collides
+    assert dup[2] == 0  # one-token edit shares most shingles
+    assert dup[3] == 3  # unrelated text stays its own cluster
+
+    q = REGISTRY["minhash_dup_clusters_portable"]
+    sp = [tuple(r) for r in q.fn(spark, sf_dir).collect()]
+    du = [tuple(r) for r in duck.execute(q.oracle).fetchall()]
+    assert sp == du
