@@ -347,6 +347,55 @@ def minhash_dedup_portable(
     )
 
 
+def simhash_portable(text_col: Column | str) -> Column:
+    """60-bit SimHash whose bits replay in any engine with md5.
+
+    Per distinct token: v = first 15 hex chars of md5 as a 60-bit
+    integer (Spark: conv(hex,16,10); DuckDB: CAST('0x'||hex AS
+    BIGINT) — same value, engine-native syntax). Bit b (MSB-first)
+    contributes sign(2*bit-1) to counter b; the signature packs
+    (counter > 0) bits by a doubling fold. All arithmetic is INTEGER
+    (DIV + pow-of-two cast to BIGINT — no float division whose 53-bit
+    mantissa would corrupt a 60-bit value), so Spark and DuckDB agree
+    bit-for-bit. ~2x the cost of :func:`simhash64` (md5 + conv vs
+    xxhash64 + getbit) — the price of cross-engine verifiability."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.array_distinct(F.split(F.trim(c), r"\s+"))
+    vals = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), 60)
+    counters = F.aggregate(
+        vals,
+        zeros,
+        lambda acc, v: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                # MSB-first bit b: (v >> (59-b)) & 1, as ±1. Variable
+                # shift via call_function (the F.shiftright wrapper only
+                # takes a Python-int count) — stays integer end-to-end.
+                lambda b: (
+                    F.call_function(
+                        "shiftright", v, (F.lit(59) - b).cast("int")
+                    )
+                    % F.lit(2).cast("long")
+                )
+                * F.lit(2)
+                - F.lit(1),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    bits_msb_first = F.transform(counters, lambda cnt: (cnt > 0).cast("long"))
+    return F.aggregate(
+        bits_msb_first,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * F.lit(2).cast("long") + b,
+    )
+
+
 def simhash64(text_col: Column | str) -> Column:
     """63-bit SimHash over whitespace tokens, as a non-negative long.
 
@@ -421,6 +470,51 @@ def simhash_dedup(
         bands.join(bucket_mins, ["band", "band_val"])
         .groupBy(id_col)
         .agg(F.first("simhash").alias("simhash"), F.min("bucket_min").alias("dup_of"))
+    )
+
+
+def simhash_dedup_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """SimHash near-dup on the PORTABLE 60-bit signature
+    (:func:`simhash_portable`): 4 bands of 15 bits — two docs within
+    Hamming distance 3 share an intact band (pigeonhole) — with the
+    same groupBy/join-back bucket shape as :func:`simhash_dedup`.
+    Every step is integer arithmetic on md5-derived values, so the
+    full pipeline replays bit-for-bit in DuckDB (the registered query
+    carries the oracle). Returns (id_col, simhash, dup_of)."""
+    sig = simhash_portable(text_col)
+    with_sig = df.select(F.col(id_col), sig.alias("simhash"))
+    bands = with_sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 15 * b)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.band_val")
+    bands = bands.localCheckpoint(eager=True)
+    bucket_mins = bands.groupBy("band", "band_val").agg(
+        F.min(id_col).alias("bucket_min")
+    )
+    return (
+        bands.join(bucket_mins, ["band", "band_val"])
+        .groupBy(id_col)
+        .agg(
+            F.first("simhash").alias("simhash"),
+            F.min("bucket_min").alias("dup_of"),
+        )
     )
 
 

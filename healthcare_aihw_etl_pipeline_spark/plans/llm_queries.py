@@ -364,6 +364,92 @@ def minhash_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "simhash_dup_clusters_portable",
+    # Full bit-replay of the SimHash pipeline: md5-derived 60-bit token
+    # values, ±1 bit counters, sign-packed signature, 15-bit banding,
+    # bucket-min, cluster rollup — integer arithmetic end-to-end on
+    # both engines ('0x'||hex cast in DuckDB == conv(hex,16,10) in
+    # Spark; >> and % on BIGINT everywhere else).
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+    ),
+    tv AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS v
+      FROM toks
+    ),
+    cnt AS (
+      SELECT doc_id, b.b AS b,
+             SUM(((v >> (59 - b.b)) % 2) * 2 - 1) AS c
+      FROM tv, (SELECT UNNEST(range(60)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 0
+                           THEN CAST(pow(2, 59 - b) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM cnt GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, c.c AS band,
+             (simhash >> (15 * c.c)) % 32768 AS band_val
+      FROM sig, (SELECT UNNEST(range(4)) AS c) c
+    ),
+    mins AS (
+      SELECT band, band_val, MIN(doc_id) AS bucket_min
+      FROM bands GROUP BY band, band_val
+    ),
+    dup AS (
+      SELECT bands.doc_id, MIN(bucket_min) AS dup_of
+      FROM bands JOIN mins USING (band, band_val)
+      GROUP BY bands.doc_id
+    )
+    SELECT dup_of AS cluster_rep,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN doc_id <> dup_of THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_duplicates
+    FROM dup
+    GROUP BY dup_of
+    ORDER BY n_members DESC, cluster_rep
+    LIMIT 20
+    """,
+    doc="PORTABLE SimHash near-dup clusters (60-bit md5-derived "
+    "signature, 4 bands of 15 bits, Hamming<=3 pigeonhole): the "
+    "hash-green twin of simhash_dup_clusters — signature bits, "
+    "banding, bucket-min and cluster rollup all replay bit-for-bit in "
+    "DuckDB because every step is integer arithmetic on md5 values "
+    "(no float division near the 53-bit mantissa limit; variable bit "
+    "shifts via shiftright). With minhash_dup_clusters_portable this "
+    "makes the whole near-dup family driver-hash-checkable; the "
+    "xxhash64 fast paths stay registered for throughput. Top 20 "
+    "clusters under a total order.",
+)
+def simhash_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        simhash_dedup_portable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = simhash_dedup_portable(docs, "text", "doc_id")
+    return (
+        dup.groupBy(F.col("dup_of").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(
+                (F.col("doc_id") != F.col("dup_of")).cast("long")
+            ).alias("n_duplicates"),
+        )
+        .orderBy(F.col("n_members").desc(), "cluster_rep")
+        .limit(20)
+    )
+
+
+@register(
     "simhash_dup_clusters",
     oracle=None,  # hash-function-specific: property-tested instead
     doc="SimHash (64-bit, 16-bit banding) near-dup clusters over documents "

@@ -629,3 +629,33 @@ def test_minhash_portable_catches_near_dup_and_replays(spark, planted, duck, sf_
     sp = [tuple(r) for r in q.fn(spark, sf_dir).collect()]
     du = [tuple(r) for r in duck.execute(q.oracle).fetchall()]
     assert sp == du
+
+
+def test_simhash_portable_catches_near_dup_and_replays(spark, planted, duck, sf_dir):
+    """Portable md5 SimHash: identical docs share a signature, a
+    one-token edit lands within banding distance, and the registered
+    cluster query replays bit-for-bit in DuckDB."""
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        simhash_dedup_portable,
+        simhash_portable,
+    )
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    res = {
+        r.doc_id: (r.simhash, r.dup_of)
+        for r in simhash_dedup_portable(planted, "text", "doc_id").collect()
+    }
+    assert res[0][0] == res[1][0]  # identical text -> identical simhash
+    assert res[1][1] == 0
+    assert res[2][1] == 0  # small edit -> shares a 15-bit band
+    assert res[3][1] == 3
+    assert all(0 <= h < (1 << 60) for h, _ in res.values())
+
+    # deterministic across plan instances
+    a = planted.select(simhash_portable("text").alias("h")).collect()
+    b = planted.select(simhash_portable("text").alias("h")).collect()
+    assert [r.h for r in a] == [r.h for r in b]
+
+    q = REGISTRY["simhash_dup_clusters_portable"]
+    sp = [tuple(r) for r in q.fn(spark, sf_dir).collect()]
+    assert sp == [tuple(r) for r in duck.execute(q.oracle).fetchall()]
