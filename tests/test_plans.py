@@ -28,10 +28,22 @@ def shuffle_count(plan: str) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.MULTILINE))
 
 
+def fresh_plan(spark, sf_dir, name: str) -> str:
+    """Formatted plan of a FRESH, never-executed construction.
+
+    Plan-shape assertions must bypass the registry's prepared-plan
+    cache: once another test EXECUTES a cached DataFrame, explain on
+    that same instance renders the AQE FINAL plan (ResultQueryStage,
+    per-stage exchange rendering) and shuffle counts shift — the shape
+    under test is the pre-execution plan every fresh run gets."""
+    q = REGISTRY[name]
+    return plan_of((q.build or q.fn)(spark, sf_dir))
+
+
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
     return {
-        name: plan_of(REGISTRY[name].fn(spark, sf_dir))
+        name: fresh_plan(spark, sf_dir, name)
         for name in [
             "pricing_summary",
             "revenue_by_nation",
@@ -224,7 +236,7 @@ def test_round2_query_plan_shapes(spark, sf_dir):
         and len(re.findall(r"HashAggregate", p)) >= 4,
     }
     for name, ok in shapes.items():
-        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        p = fresh_plan(spark, sf_dir, name)
         assert ok(p), f"{name} plan shape regressed:\n{p}"
 
 
@@ -255,7 +267,7 @@ def test_round3_query_plan_shapes(spark, sf_dir):
         "pii_redaction_stats": lambda p: shuffle_count(p) <= 3,
     }
     for name, ok in shapes.items():
-        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        p = fresh_plan(spark, sf_dir, name)
         assert ok(p), f"{name} plan shape regressed:\n{p}"
         assert "CartesianProduct" not in p, name
 
@@ -279,7 +291,7 @@ def test_ranked_window_pushes_group_limit(spark, sf_dir):
     shuffle carries at most k rows per group per task instead of the
     whole fact — the difference between shuffling 3×P rows and 600B at
     100 TB. Spark's rank-limit pushdown provides it; this test pins it."""
-    p = plan_of(REGISTRY["top3_orders_per_priority"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "top3_orders_per_priority")
     m = re.findall(r"^\(\d+\) (WindowGroupLimit|Exchange|Window)\b", p, re.MULTILINE)
     assert m.count("WindowGroupLimit") == 2, p  # partial (map-side) + final
     assert m.index("WindowGroupLimit") < m.index("Exchange"), p
@@ -288,7 +300,7 @@ def test_ranked_window_pushes_group_limit(spark, sf_dir):
 def test_documents_scan_prunes_columns(spark, sf_dir):
     """Text-quality queries must not drag the whole documents row through
     the scan: ReadSchema stays at the referenced columns."""
-    p = plan_of(REGISTRY["gopher_quality_flags"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "gopher_quality_flags")
     rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert rs is not None, p
     cols = {c.split(":")[0] for c in rs.group(1).split(",") if c}
@@ -332,7 +344,7 @@ def test_new_tpch_shape_plans(spark, sf_dir):
         and shuffle_count(p) == 2,
     }
     for name, ok in shapes.items():
-        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        p = fresh_plan(spark, sf_dir, name)
         assert ok(p), f"{name} plan shape regressed:\n{p}"
         assert "CartesianProduct" not in p, name
 
@@ -360,7 +372,7 @@ def test_classic_tpch_shape_plans(spark, sf_dir):
         is not None,
     }
     for name, ok in shapes.items():
-        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        p = fresh_plan(spark, sf_dir, name)
         assert ok(p), f"{name} plan shape regressed:\n{p}"
         assert "CartesianProduct" not in p, name
 
@@ -410,14 +422,14 @@ def test_remaining_tpch_shape_plans(spark, sf_dir):
         and re.search(r"PushedFilters:.*StringStartsWith\(p_name,small\)", p),
     }
     for name, ok in shapes.items():
-        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        p = fresh_plan(spark, sf_dir, name)
         assert ok(p), f"{name} plan shape regressed:\n{p}"
         assert "CartesianProduct" not in p, name
     # Q8/Q9 share the Q7 budget: fact probed once, nation dims broadcast
     # (Q8 pays one extra pre-AQE exchange pair for the orders⋈customer
     # arm, like Q5).
     for name in ["nation_market_share", "product_type_profit"]:
-        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        p = fresh_plan(spark, sf_dir, name)
         assert shuffle_count(p) <= 4, f"{name}:\n{p}"
         assert "CartesianProduct" not in p, name
         assert len(re.findall(r"BroadcastExchange", p)) >= 2, name
@@ -430,7 +442,7 @@ def test_curation_packing_plans(spark, sf_dir):
     distribution), so the only other exchange is the final presentation
     sort's range partitioning."""
     for name in ["sequence_packing", "domain_quota_sample"]:
-        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        p = fresh_plan(spark, sf_dir, name)
         assert shuffle_count(p) == 2, f"{name} lost exchange reuse:\n{p}"
         assert "Window" in p, name
         assert "CartesianProduct" not in p, name
@@ -441,12 +453,12 @@ def test_chunk_dedup_and_incremental_plans(spark, sf_dir):
     chunk hash (map-side partials — hot boilerplate chunks cannot pin a
     task), never a Window over the hash; incremental_dedup: one
     aggregation + one co-partitioned join back, no anti-join chain."""
-    p = plan_of(REGISTRY["chunk_dedup_reassembly"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "chunk_dedup_reassembly")
     assert "Window" not in p, p
     assert "partial_min" in p or "HashAggregate" in p, p
     assert "CartesianProduct" not in p
 
-    p2 = plan_of(REGISTRY["incremental_dedup"].fn(spark, sf_dir))
+    p2 = fresh_plan(spark, sf_dir, "incremental_dedup")
     assert "Window" not in p2, p2
     # base∪new flags and the probe join both hash on h: the join must be
     # an equi-join (SortMergeJoin or ShuffledHashJoin or Broadcast), and
@@ -461,7 +473,7 @@ def test_mixture_and_centroid_plans(spark, sf_dir):
     below the window; embedding_centroid_per_label: the posexplode
     (Generate) must sit UNDER a hash aggregate with a partial phase —
     the exploded stream aggregates before any exchange."""
-    p = plan_of(REGISTRY["mixture_weights"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "mixture_weights")
     agg_ids = [int(n) for n in re.findall(r"^\((\d+)\) HashAggregate", p, re.MULTILINE)]
     win_ids = [int(n) for n in re.findall(r"^\((\d+)\) Window", p, re.MULTILINE)]
     assert agg_ids and win_ids, p
@@ -471,7 +483,7 @@ def test_mixture_and_centroid_plans(spark, sf_dir):
         "window should apply to the aggregated rollup:\n" + p
     )
 
-    p2 = plan_of(REGISTRY["embedding_centroid_per_label"].fn(spark, sf_dir))
+    p2 = fresh_plan(spark, sf_dir, "embedding_centroid_per_label")
     # Positional contract via node ids (detail blocks `(N) Node`; id 1 is
     # the plan bottom): Generate (posexplode) must feed a PARTIAL hash
     # aggregate BEFORE the first Exchange — the exploded stream is
@@ -498,7 +510,7 @@ def test_events_typed_agg_no_parser_in_plan(spark, sf_dir):
     """The production twin of json_props_agg must carry NO JSON parser:
     the parse happened once at ingest, so the per-query plan is a plain
     columnar scan-aggregate over the typed column."""
-    p = plan_of(REGISTRY["events_typed_agg"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "events_typed_agg")
     assert "from_json" not in p and "get_json_object" not in p, p
     assert "HashAggregate" in p, p
 
@@ -614,15 +626,15 @@ def test_round4_query_plan_shapes(spark, sf_dir):
     EQUI join on the month bucket (never BroadcastNestedLoopJoin — the
     non-equi-only trap); the levenshtein blocking join likewise; the
     char-diversity explode must aggregate map-side before any exchange."""
-    p = plan_of(REGISTRY["ewma_daily_revenue"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "ewma_daily_revenue")
     assert "NestedLoop" not in p and "CartesianProduct" not in p, p
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p
 
-    p2 = plan_of(REGISTRY["levenshtein_blocked_pairs"].fn(spark, sf_dir))
+    p2 = fresh_plan(spark, sf_dir, "levenshtein_blocked_pairs")
     assert "NestedLoop" not in p2 and "CartesianProduct" not in p2, p2
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p2), p2
 
-    p3 = plan_of(REGISTRY["char_diversity_profile"].fn(spark, sf_dir))
+    p3 = fresh_plan(spark, sf_dir, "char_diversity_profile")
     parts = re.split(r"^\((\d+)\) ", p3, flags=re.MULTILINE)
     blocks = [(int(parts[i]), parts[i + 1]) for i in range(1, len(parts) - 1, 2)]
     gen_ids = [i for i, b in blocks if b.startswith("Generate")]
@@ -643,20 +655,20 @@ def test_round5_query_plan_shapes(spark, sf_dir):
     be a 1-row broadcast; the z-score's stats join must broadcast, not
     shuffle, the per-type stats."""
     for name in ("jaccard_pair_similarity", "part_pair_cooccurrence"):
-        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        p = fresh_plan(spark, sf_dir, name)
         assert "CartesianProduct" not in p, (name, p)
         assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), (name, p)
 
     # broadcast-scalar bounds: nested-loop over a 1-row aggregate is the
     # correct shape (a shuffle join on a scalar would be wrong)
-    p = plan_of(REGISTRY["value_histogram"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "value_histogram")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
 
-    p = plan_of(REGISTRY["event_volume_zscore"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "event_volume_zscore")
     assert "BroadcastHashJoin" in p, p
 
     # n-gram census: explode feeds a partial aggregate before the exchange
-    p = plan_of(REGISTRY["duplicate_ngram_top20"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "duplicate_ngram_top20")
     assert "Generate" in p and "partial" in p, p
 
 
@@ -695,28 +707,28 @@ def test_round6_query_plan_shapes(spark, sf_dir):
     both windows share that exchange; the revenue-share windows run over
     the 25-row rollup AFTER broadcast dim joins; NTILE deciles sort on a
     total order; no plan contains a cartesian product."""
-    p = plan_of(REGISTRY["numeric_profile_lineitem"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "numeric_profile_lineitem")
     assert shuffle_count(p) == 1, p  # single one-row exchange
     assert "partial_sum" in p or "HashAggregate" in p, p
 
-    p = plan_of(REGISTRY["event_session_stats"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "event_session_stats")
     # one hash exchange on user_id + the final single-partition rollup;
     # the two window functions must NOT add a second user_id shuffle
     assert shuffle_count(p) <= 2, p
     assert p.count("Window") >= 2, p
 
-    p = plan_of(REGISTRY["nation_revenue_share"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "nation_revenue_share")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
 
-    p = plan_of(REGISTRY["lapsed_part_suppliers"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "lapsed_part_suppliers")
     assert "LeftAnti" in p, p
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
 
-    p = plan_of(REGISTRY["lineitem_correlation_matrix"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "lineitem_correlation_matrix")
     assert shuffle_count(p) == 1, p  # shared moments: one scan, one agg
 
-    p = plan_of(REGISTRY["vocab_growth_curve"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "vocab_growth_curve")
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
 
 
@@ -759,7 +771,7 @@ def test_round7_sketch_query_plan_shapes(spark, sf_dir):
     expressions (whole-stage codegen); theta sketches are filtered
     distincts + hash joins — no cartesian between data-bearing sides
     (the 1-row estimate crossJoins are broadcast and harmless)."""
-    p = plan_of(REGISTRY["hll_rollup_distinct_users"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "hll_rollup_distinct_users")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "HashAggregate" in p, p
     # register build must partially aggregate before the bucket shuffle
@@ -767,16 +779,16 @@ def test_round7_sketch_query_plan_shapes(spark, sf_dir):
     # execution, so codegen is covered by the expression-only lint).
     assert "partial_max" in p, p
 
-    p = plan_of(REGISTRY["theta_sketch_audience_overlap"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "theta_sketch_audience_overlap")
     assert "BatchEvalPython" not in p, p
     # audience intersection/difference are hash joins on the hash sets
     assert "HashJoin" in p, p
 
-    p = plan_of(REGISTRY["theta_retention_day7"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "theta_retention_day7")
     assert "BatchEvalPython" not in p, p
     assert "HashJoin" in p, p
 
-    p = plan_of(REGISTRY["json_props_regexp_agg"].fn(spark, sf_dir))
+    p = fresh_plan(spark, sf_dir, "json_props_regexp_agg")
     assert "BatchEvalPython" not in p, p
     # the whole point: no JSON parser node, one scan, partial agg
     assert "JsonToStructs" not in p and "from_json" not in p, p
