@@ -1,11 +1,11 @@
 """Named query surface. Importing this package registers all queries.
 
 Registration order is curated: the driver's correctness harness samples a
-bounded window of the registry (first ~50 entries), so queries that have
-not yet appeared in a driver-side CORRECTNESS report are promoted to the
-front — newest TPC-H shapes, the full LLM-data-pipeline family, and the
-reference's own staging≡clean ingest contract — while queries already
-driver-green in rounds 1–3 sit at the back (their evidence stands).
+bounded window of the registry (first ~50 entries). Each round the window
+is rotated — new or newly-oracled queries lead, followed by whichever
+verified cohort is due a regression sweep (round 7 re-pins the rounds-1–3
+greens, the oldest evidence); everything else sits behind the window with
+its cumulative driver-side record standing.
 """
 
 from healthcare_aihw_etl_pipeline_spark.plans.registry import REGISTRY, Query, register
