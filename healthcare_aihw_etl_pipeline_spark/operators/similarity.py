@@ -360,3 +360,60 @@ def cluster_outlier_scores(
         _as_double_array(vec_col).alias("_v"),
     )
     return prepped.groupBy("_g").applyInPandas(score, schema=out_schema)
+
+
+# -- portable quantized-LSH ANN ----------------------------------------
+
+
+def qlsh_signs(planes: int = 4, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplane entries derived from md5(j ',' d) —
+    the same values any engine's md5 produces, so the LSH partitioning
+    replays exactly (unlike :func:`hyperplanes`, whose float Gaussians
+    are seeded-RNG-specific). Sign = parity of the first hex nibble."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j},{d}".encode()).hexdigest()[0], 16) % 2
+            == 1
+            else -1
+            for d in range(dim)
+        ]
+        for j in range(planes)
+    ]
+
+
+def quantize_q127(vec_col: Column | str) -> Column:
+    """Embedding floats -> BIGINT codes round(x*127): x*127 is exact in
+    double (24-bit float32 mantissa + 7 bits), and both Spark and DuckDB
+    round halves away from zero — so the codes, and every integer dot
+    product over them, are bit-identical across engines. The
+    reproducibility contract distributed float sums cannot give (the
+    same rule as the quantized embedding centroids)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * F.lit(127.0)).cast("long")
+    )
+
+
+def qlsh_signature(q_col: Column | str, signs: list[list[int]]) -> Column:
+    """LSH bucket id of a quantized vector: bit j = (q . signs[j]) > 0,
+    packed little-endian. Pure integer expressions (|dot| <= 64*127*127
+    < 2^21 — no overflow, ANSI-safe)."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+
+    def dot_signs(row: list[int]) -> Column:
+        lits = F.array(*[F.lit(v).cast("long") for v in row])
+        return F.aggregate(
+            F.zip_with(q, lits, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.lit(0).cast("long")
+    for j, row in enumerate(signs):
+        sig = sig + F.when(dot_signs(row) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return sig

@@ -114,6 +114,7 @@ _MUST_VERIFY_R7: list[str] = [
     "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
     "theta_retention_day7", "json_props_regexp_agg",
     "minhash_dup_clusters_portable", "simhash_dup_clusters_portable",
+    "ann_qlsh_top10_portable",
     # oldest greens (rounds 1–3) — regression sweep
     "revenue_by_nation", "top_nation", "pricing_summary", "filter_in_agg",
     "distinct_event_types", "count_distinct_years", "top10_brands_by_revenue",

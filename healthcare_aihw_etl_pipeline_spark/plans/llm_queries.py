@@ -155,6 +155,94 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
 
 
 @register(
+    "ann_qlsh_top10_portable",
+    # Full bit-replay of an LSH-bucketed ANN: int7 quantization
+    # (round(x*127) — exact in double, same away-from-zero halves both
+    # engines), md5-derived +/-1 hyperplanes, integer dot products,
+    # bucket filter on the probe's signature, integer-dot ranking.
+    oracle="""
+    WITH signs AS (
+      SELECT j.j AS j, d.d AS d,
+             CASE WHEN CAST('0x' || substring(md5(j.j || ',' || d.d), 1, 1)
+                        AS INT) % 2 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT UNNEST(range(4)) AS j) j,
+           (SELECT UNNEST(range(64)) AS d) d
+    ),
+    qv AS (
+      SELECT vec_id, u.d AS d,
+             CAST(round(CAST(embedding[u.d + 1] AS DOUBLE) * 127)
+                  AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(64)) AS u(d)
+    ),
+    dots AS (
+      SELECT qv.vec_id, signs.j, SUM(qv.q * signs.s) AS dot
+      FROM qv JOIN signs ON signs.d = qv.d
+      GROUP BY qv.vec_id, signs.j
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, j) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id
+    ),
+    probe AS (SELECT sig AS s0 FROM sig WHERE vec_id = 0),
+    pq AS (SELECT d, q AS q0 FROM qv WHERE vec_id = 0),
+    cand AS (
+      SELECT sig.vec_id FROM sig, probe WHERE sig.sig = probe.s0
+    ),
+    scored AS (
+      SELECT qv.vec_id, CAST(SUM(qv.q * pq.q0) AS BIGINT) AS qdot
+      FROM qv JOIN pq USING (d)
+      WHERE qv.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY qv.vec_id
+    )
+    SELECT vec_id, qdot FROM scored
+    ORDER BY qdot DESC, vec_id LIMIT 10
+    """,
+    doc="PORTABLE quantized-LSH ANN (operators/similarity.py "
+    "qlsh_signs/quantize_q127/qlsh_signature): embeddings quantized to "
+    "int7 codes (exact in double both engines), 4 md5-derived +/-1 "
+    "hyperplanes partition vectors into 16 buckets by integer-dot "
+    "signs, and the probe's bucket is ranked by exact integer inner "
+    "product — top 10 under a total order. Every step is integer "
+    "arithmetic, so the ENTIRE ANN pipeline hash-checks against DuckDB "
+    "— the reproducibility pattern for distributed vector search, "
+    "where float-random hyperplanes (ann_lsh_top10's BRP-style path, "
+    "still registered) can never be cross-engine-verified and float "
+    "sum order is partition-dependent. Scale shape: signature build is "
+    "one narrow pass; the bucket filter prunes to ~1/2^planes of the "
+    "corpus before any pairwise scoring.",
+)
+def ann_qlsh_top10_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        qlsh_signature,
+        qlsh_signs,
+        quantize_q127,
+    )
+
+    signs = qlsh_signs(4, 64)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_q127("embedding").alias("q")
+    )
+    sigd = emb.withColumn("sig", qlsh_signature("q", signs))
+    probe = sigd.where(F.col("vec_id") == 0).select("q", "sig").first()
+    q0 = F.array(*[F.lit(int(v)).cast("long") for v in probe["q"]])
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), q0, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
+
+    scored = (
+        sigd.where(F.col("sig") == F.lit(int(probe["sig"])))
+        .select("vec_id", qdot.alias("qdot"))
+    )
+    return top_k(scored, "qdot", 10, tiebreak=["vec_id"])
+
+
+@register(
     "ann_cosine_top10",
     oracle="""
     WITH q AS (

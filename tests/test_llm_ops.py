@@ -659,3 +659,28 @@ def test_simhash_portable_catches_near_dup_and_replays(spark, planted, duck, sf_
     q = REGISTRY["simhash_dup_clusters_portable"]
     sp = [tuple(r) for r in q.fn(spark, sf_dir).collect()]
     assert sp == [tuple(r) for r in duck.execute(q.oracle).fetchall()]
+
+
+def test_qlsh_portable_ann_properties_and_replay(spark, sf_dir, duck):
+    """Portable quantized-LSH ANN: the probe's own bucket contains the
+    probe, ranking is a total order on exact integer dots, signs are
+    genuinely mixed (the md5 parity isn't degenerate), and the full
+    pipeline replays bit-for-bit in DuckDB."""
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        qlsh_signs,
+    )
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    signs = qlsh_signs(4, 64)
+    flat = [v for row in signs for v in row]
+    assert set(flat) == {1, -1}
+    assert 0.2 < flat.count(1) / len(flat) < 0.8  # not degenerate
+
+    q = REGISTRY["ann_qlsh_top10_portable"]
+    rows = q.fn(spark, sf_dir).collect()
+    assert any(r.vec_id == 0 for r in rows)  # probe is in its bucket
+    dots = [r.qdot for r in rows]
+    assert dots == sorted(dots, reverse=True)
+    assert [tuple(r) for r in rows] == [
+        tuple(r) for r in duck.execute(q.oracle).fetchall()
+    ]
