@@ -278,7 +278,10 @@ def test_q21_window_decorrelation_single_fact_shuffle(spark, sf_dir):
     fact subplan (3 scans, no exchange reuse, measured) — and exactly
     one fact-sized exchange (the explicit l_orderkey repartition) plus
     the candidate-set supplier rollup."""
-    df = REGISTRY["sole_problem_supplier"].fn(spark, sf_dir)
+    q = REGISTRY["sole_problem_supplier"]
+    # fresh construction: executedPlan() on a cached instance another
+    # test already ran would render the AQE FINAL plan (see fresh_plan)
+    df = (q.build or q.fn)(spark, sf_dir)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("FileScan") == 2, p
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
