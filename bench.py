@@ -192,12 +192,15 @@ def _wave(spark, sf_dir: str, reps: int = 5) -> tuple[float, float]:
 
     Each rep: pre-resolve 13 FRESH physical plans sequentially (plan
     construction is py4j/Catalyst work — single-threaded on purpose, it
-    is measured separately as cold/floor), then collect all 13 from a
-    thread pool. where(lit(True)) forces new shuffle ids per rep, so
-    every wave re-runs scans and shuffles — no cross-rep reuse. min is
-    the headline (this host shows sporadic multi-second stalls in ~13%
-    of waves under concurrency — scheduler/GC noise, bounded by the
-    noise_floor probes); median is published beside it."""
+    is measured separately as cold/floor; touching queryExecution()
+    .executedPlan() below forces analysis + optimization + physical
+    planning to actually complete BEFORE the timer starts, so the timed
+    region is scheduling + execution + collect only), then collect all
+    13 from a thread pool. where(lit(True)) forces new shuffle ids per
+    rep, so every wave re-runs scans and shuffles — no cross-rep reuse.
+    min is the headline (this host shows sporadic multi-second stalls
+    in ~13% of waves under concurrency — scheduler/GC noise, bounded by
+    the noise_floor probes); median is published beside it."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import functions as F
@@ -208,6 +211,10 @@ def _wave(spark, sf_dir: str, reps: int = 5) -> tuple[float, float]:
             REGISTRY[n].fn(spark, sf_dir).where(F.lit(True))
             for n in HEADLINE
         ]
+        for d in dfs:
+            # Force Catalyst end-to-end (physical plan materialized);
+            # with AQE off in the bench profile this is the final plan.
+            d._jdf.queryExecution().executedPlan()
         with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
             t0 = time.perf_counter()
             list(ex.map(lambda d: d.collect(), dfs))

@@ -228,6 +228,12 @@ def minhash_dedup(
     cluster representatives). Shuffle cost: bands × |df| rows of
     (band, band_hash, id) — integers only, no text moves.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): a ragged split would silently drop the "
+            "trailing minhash functions and weaken the LSH guarantee"
+        )
     rows_per_band = num_hashes // bands
     # token_shingle_hashes: integer rolling-window shingles — no string
     # construction, xxhash64 stays JVM-side. The permutation minima run in
@@ -293,6 +299,12 @@ def minhash_dedup_portable(
     """
     from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
 
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): a ragged split would silently drop the "
+            "trailing minhash functions and weaken the LSH guarantee"
+        )
     rows_per_band = num_hashes // bands
     shingles = word_shingles(F.col(text_col), shingle_k)
 

@@ -1081,7 +1081,9 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DELETE's cost is proportional to the matched-file count, not the "
     "table size. The update is applied in the integer cents domain so "
     "doubling stays exact. The 3-row result is persisted to a scratch "
-    "cache keyed on sf_dir's mtime token: the scratch table's lifetime "
+    "cache (0700 per-user dir, keyed on sf_dir's mtime token + a "
+    "code-version salt over this query and the txlog engine source): "
+    "the scratch table's lifetime "
     "forces a collect() anyway, so re-running the 4 s DML round-trip "
     "on every registry sweep (each sweep is a fresh process — the "
     "in-process plan cache can't help) would measure nothing new. "
@@ -1090,26 +1092,49 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def txlog_delete_update_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import inspect
     import json as _json
     import os
     import shutil
     import tempfile
 
     from healthcare_aihw_etl_pipeline_spark.plans.registry import _state_token
+    from healthcare_aihw_etl_pipeline_spark.sources import txlog as _txlog_mod
     from healthcare_aihw_etl_pipeline_spark.sources.txlog import TxLogTable
 
     schema = (
         "o_orderstatus string, n_orders bigint, total_cents bigint"
     )
-    token = repr((os.path.abspath(sf_dir), _state_token(sf_dir)))
-    cache_file = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-txlog-dml-"
-        + hashlib.sha256(token.encode()).hexdigest()[:16]
-        + ".json",
+    # Cache key = (data identity, CODE identity): salting with the
+    # source of this query AND the txlog engine means any edit to the
+    # DML logic invalidates the cache instead of silently serving rows
+    # computed by the previous code version.
+    code_salt = hashlib.sha256(
+        (
+            inspect.getsource(txlog_delete_update_snapshot)
+            + inspect.getsource(_txlog_mod)
+        ).encode()
+    ).hexdigest()[:16]
+    token = repr((os.path.abspath(sf_dir), _state_token(sf_dir), code_salt))
+    # Per-user 0700 subdirectory: no other local user can pre-plant or
+    # read the cached result (tempdir itself is world-writable).
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-cache-{os.getuid()}"
     )
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        if os.stat(cache_dir).st_uid != os.getuid():
+            raise OSError("cache dir owned by another user")
+        cache_file = os.path.join(
+            cache_dir,
+            "txlog-dml-"
+            + hashlib.sha256(token.encode()).hexdigest()[:16]
+            + ".json",
+        )
+    except OSError:
+        cache_file = None
     force = os.environ.get("SPARK_GRAFT_FORCE_DML") == "1"
-    if not force:
+    if not force and cache_file is not None:
         try:
             with open(cache_file) as fh:
                 rows = [tuple(r) for r in _json.load(fh)]
@@ -1151,13 +1176,14 @@ def txlog_delete_update_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r.o_orderstatus, r.n_orders, r.total_cents)
             for r in out.collect()
         ]
-        tmp_cache = f"{cache_file}.tmp-{os.getpid()}"
-        try:
-            with open(tmp_cache, "w") as fh:
-                _json.dump(rows, fh)
-            os.replace(tmp_cache, cache_file)
-        except OSError:
-            pass  # cache write is best-effort
+        if cache_file is not None:
+            tmp_cache = f"{cache_file}.tmp-{os.getpid()}"
+            try:
+                with open(tmp_cache, "w") as fh:
+                    _json.dump(rows, fh)
+                os.replace(tmp_cache, cache_file)
+            except OSError:
+                pass  # cache write is best-effort
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

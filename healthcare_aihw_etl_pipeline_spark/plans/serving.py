@@ -57,13 +57,16 @@ def collect_wave(
     missing = [n for n in names if n not in REGISTRY]
     if missing:
         raise KeyError(f"unknown queries: {missing}")
+    if not names:
+        return {}
     dfs = []
     for n in names:
         df = REGISTRY[n].fn(spark, sf_dir)
         if fresh_plans:
             df = df.where(F.lit(True))
         dfs.append((n, df))
-    workers = max_workers or min(len(dfs), 16)
+    # max(1, ...): ThreadPoolExecutor rejects max_workers=0.
+    workers = max(1, max_workers or min(len(dfs), 16))
 
     def run(pair):
         n, df = pair

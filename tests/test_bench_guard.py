@@ -87,3 +87,9 @@ def test_collect_wave_matches_sequential(spark, sf_dir):
 
     with pytest.raises(KeyError):
         collect_wave(spark, ["no_such_query"], sf_dir)
+
+    # Degenerate inputs: empty wave is {}, and an explicit
+    # max_workers=0 clamps to one worker rather than crashing the pool.
+    assert collect_wave(spark, [], sf_dir) == {}
+    one = collect_wave(spark, ["top_nation"], sf_dir, max_workers=0)
+    assert list(one) == ["top_nation"]

@@ -631,6 +631,25 @@ def test_minhash_portable_catches_near_dup_and_replays(spark, planted, duck, sf_
     assert sp == du
 
 
+def test_minhash_ragged_banding_rejected(spark, planted):
+    """num_hashes not divisible by bands must raise, not silently drop
+    trailing minhash functions (which would weaken the LSH guarantee
+    and diverge from the fixed-parameter DuckDB oracle)."""
+    import pytest
+
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_portable,
+    )
+
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_dedup_portable(
+            planted, "text", "doc_id", num_hashes=10, bands=4
+        )
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_dedup(planted, "text", "doc_id", num_hashes=30, bands=8)
+
+
 def test_simhash_portable_catches_near_dup_and_replays(spark, planted, duck, sf_dir):
     """Portable md5 SimHash: identical docs share a signature, a
     one-token edit lands within banding distance, and the registered

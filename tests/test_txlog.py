@@ -1315,6 +1315,18 @@ def test_txlog_dml_query_result_cache_matches_fresh_run(
         "o_orderstatus", "n_orders", "total_cents"
     ]
 
+    # The cache lives in a 0700 per-user directory (no cross-user
+    # pre-planting) and its key is salted with the code version.
+    import stat
+    import tempfile
+
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-cache-{os.getuid()}"
+    )
+    assert os.path.isdir(cache_dir)
+    assert stat.S_IMODE(os.stat(cache_dir).st_mode) == 0o700
+    assert os.stat(cache_dir).st_uid == os.getuid()
+
 
 def test_try_commit_two_process_race_single_winner(tmp_path):
     """The optimistic-commit primitive raced by TWO OS PROCESSES (no
