@@ -174,3 +174,67 @@ def theta_keep(hash_col: Column | str) -> Column:
 def theta_keep_sql(h: str) -> str:
     """The same predicate for a DuckDB oracle."""
     return f"substring({h}, 1, 1) < '{THETA_PREFIX_LT}'"
+
+
+# -- sampled rank quantiles --------------------------------------------
+
+# Quantile sketch via deterministic threshold sampling: keep rows whose
+# md5(id) first hex char < QSKETCH_PREFIX_LT (p = 1/4), then answer
+# quantile queries EXACTLY over the sample by rank selection. The
+# sample IS the sketch: mergeable by trivial union (a threshold sample
+# of a union is the union of threshold samples — same property the
+# theta sketch exploits), deterministic across engines/partitionings
+# (md5, no RNG), and its size budget is p·N — pick p so the sketch fits
+# the sort budget of one executor, exactly the sample-fit contract the
+# IVF coarse quantizer documents (operators/similarity.py). Rank
+# selection (row_number == floor((n-1)·q) + 1 under a TOTAL order) is
+# integer-exact — no interpolation, so no cross-engine float drift.
+QSKETCH_PREFIX_LT = "4"
+QSKETCH_INV_P = 4
+
+
+def qsketch_keep(hash_col: Column | str) -> Column:
+    """Membership predicate of the quantile sketch's threshold sample."""
+    c = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    return F.substring(c, 1, 1) < QSKETCH_PREFIX_LT
+
+
+def qsketch_keep_sql(h: str) -> str:
+    """The same predicate for a DuckDB oracle."""
+    return f"substring({h}, 1, 1) < '{QSKETCH_PREFIX_LT}'"
+
+
+def sampled_rank_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    id_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Exact rank-selected quantiles over an (already threshold-sampled)
+    frame: (q, value, sample_n) with value at 1-based rank
+    floor((n-1)·q) + 1 under the total order (value, id).
+
+    The global row_number is a sort of the SKETCH, not the data — the
+    single-partition window is the documented trade for integer
+    exactness at sketch size (see module comment). qs literals must be
+    written identically in the oracle (CAST(... AS DOUBLE) in DuckDB —
+    its bare decimal literals are DECIMAL-typed and would change the
+    rank arithmetic)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    ranked = sample.withColumn("_rn", F.row_number().over(w))
+    n = sample.groupBy().agg(F.count(F.lit(1)).alias("sample_n"))
+    spark = sample.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    target = (
+        F.floor(
+            (F.col("sample_n") - F.lit(1)).cast("double") * F.col("q")
+        )
+        + F.lit(1)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .join(F.broadcast(qdf), F.col("_rn") == target)
+        .select("q", value_col, "sample_n")
+    )

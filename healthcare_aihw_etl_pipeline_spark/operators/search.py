@@ -1,0 +1,222 @@
+"""Full-text retrieval over the documents corpus: inverted index
+statistics and BM25 ranking as distributed relational plans.
+
+A training-data pipeline needs keyword retrieval at corpus scale —
+contamination lookups ("which documents contain this eval question"),
+targeted curation ("pull the docs matching these domain terms"), and
+boolean/ranked audits. Both operators here are pure DataFrame
+aggregation pipelines (explode -> groupBy with map-side combine ->
+bounded top-k), no UDFs, no collected postings:
+
+- **Inverted index**: term -> (doc_freq, total_tf, capped posting
+  preview). The unbounded part of a posting list never materializes on
+  one node: document frequency and term frequency are plain aggregates,
+  and the posting preview takes the 5 smallest doc ids per term via a
+  streaming row_number window (each term's rows arrive sorted to one
+  reducer, early-out after 5) — never a per-term collect_set, which at
+  100 TB would OOM on stopword-grade terms.
+
+- **BM25**: the standard Robertson/Sparck-Jones formulation
+  (k1 = 1.2, b = 0.75). Corpus stats (N, total token count) are one
+  tiny aggregate broadcast into the per-document term-frequency scan;
+  per-term document frequencies for the handful of query terms are a
+  second tiny broadcast. Scoring therefore needs ONE shuffle of the
+  (doc, query-term) matches — rows proportional to the posting lists of
+  the query terms, not the corpus — and the final ranking is a
+  TakeOrderedAndProject, never a global sort.
+
+Cross-engine determinism: per-(doc, term) BM25 contributions are
+quantized to integer ten-thousandths (floor(x * 1e4 + 0.5)) BEFORE the
+per-document sum, so partial-aggregation order cannot change the score
+and the DuckDB oracle replays bit-for-bit; doubles appear only inside
+one identically-written scalar expression per contribution.
+
+Reference scope note: the reference pipeline (/root/reference/main.py)
+has no text-retrieval surface; this module belongs to the LLM-corpus
+operator family the 100 TB mandate adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Score quantum: integer ten-thousandths. Coarse enough that a 1-ulp
+# libm ln() divergence between engines cannot flip a quantized value
+# (would require the true value to sit within ~1e-12 of a boundary),
+# fine enough that rankings keep 4 decimal places of resolution.
+SCORE_QUANT = 10_000
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Lowercased whitespace tokens of a text column (empty-safe).
+
+    Mirrors the corpus tokenization used by the dedup/token-stats
+    family so retrieval and curation agree on what a "term" is.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def sql_tokens(text_expr: str) -> str:
+    """DuckDB twin of :func:`tokens` (pre-filtered by trim != '')."""
+    return f"string_split_regex(lower(trim({text_expr})), '\\s+')"
+
+
+def doc_term_freqs(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, token, tf, dl): term frequency per document plus document
+    length in tokens. One explode + one groupBy (map-side combined);
+    dl rides along via a max() since it is functionally dependent on
+    the document id."""
+    exploded = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    return exploded.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+
+
+def inverted_index_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    preview_docs: int = 5,
+) -> DataFrame:
+    """Per-term index statistics: (token, doc_freq, total_tf,
+    posting_preview) where posting_preview is the `preview_docs`
+    smallest doc ids comma-joined (a bounded, deterministic sample of
+    the posting list — the full list is a query, not a column).
+
+    Shuffle shape: one groupBy(token, id) for tf, one window partitioned
+    by token for the preview row_number (streaming — no per-term
+    buffering beyond the sort), one groupBy(token) rollup.
+    """
+    tf = doc_term_freqs(df, text_col, id_col)
+    w = Window.partitionBy("token").orderBy(F.col(id_col).asc())
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= preview_docs, F.col(id_col))
+                )
+            ),
+        ).alias("posting_preview"),
+    )
+
+
+def _contrib(n_docs: Column, sum_dl: Column) -> Column:
+    """Quantized BM25 contribution of one (doc, term) match. Every
+    arithmetic step is written with the same shape as :func:`sql_contrib`
+    so Spark and DuckDB evaluate the identical IEEE expression tree."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    dfreq = F.col("doc_freq").cast("double")
+    avgdl = sum_dl.cast("double") / n_docs.cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (n_docs.cast("double") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+    )
+    denom = tf + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (dl / avgdl)
+    )
+    raw = idf * ((tf * F.lit(BM25_K1 + 1.0)) / denom)
+    return F.floor(raw * F.lit(float(SCORE_QUANT)) + F.lit(0.5)).cast("long")
+
+
+def sql_contrib(n_docs: str, sum_dl: str) -> str:
+    """DuckDB twin of :func:`_contrib` over columns tf, dl, doc_freq."""
+    avgdl = f"(CAST({sum_dl} AS DOUBLE) / CAST({n_docs} AS DOUBLE))"
+    idf = (
+        f"ln(1.0 + (CAST({n_docs} AS DOUBLE) - CAST(doc_freq AS DOUBLE)"
+        f" + 0.5) / (CAST(doc_freq AS DOUBLE) + 0.5))"
+    )
+    denom = (
+        f"(CAST(tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+        f" * (CAST(dl AS DOUBLE) / {avgdl})))"
+    )
+    raw = f"({idf} * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0}) / {denom}))"
+    return f"CAST(floor({raw} * {float(SCORE_QUANT)} + 0.5) AS BIGINT)"
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag of query terms.
+
+    Returns (id, n_terms_matched, score_q, score) ordered by score desc
+    with an id tie-break; score_q is the exact integer-quantized score
+    (the hash-stable column), score its dollar-style double display.
+
+    Plan — two scans total, tuned for a 100 TB corpus:
+
+    1. Corpus stats (N, total token count) come from a PROJECTION-ONLY
+       pass (size(tokens), no explode, no shuffle beyond a scalar agg)
+       — not from the term-frequency aggregate, which would re-shuffle
+       the whole corpus for two numbers.
+    2. The term-frequency path filters to the query terms BEFORE its
+       groupBy, so the only fact-grain work shuffled is rows matching
+       the query's posting lists; per-term document frequency is a
+       count() window over those grouped rows (reuses the same hash
+       partitioning — no third scan, no join-back).
+
+    The scalar stats row enters via a 1-row broadcast crossJoin and the
+    ranking is a bounded TakeOrderedAndProject.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    stats = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.size(tokens(text_col)).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+    exploded = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    matches = (
+        exploded.where(F.col("token").isin(query_terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    wf = Window.partitionBy("token")
+    scored = (
+        matches.withColumn("doc_freq", F.count(F.lit(1)).over(wf))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib_q", _contrib(F.col("n_docs"), F.col("sum_dl"))
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("contrib_q").alias("score_q"),
+        )
+        .withColumn(
+            "score",
+            F.col("score_q").cast("double") / F.lit(float(SCORE_QUANT)),
+        )
+        .orderBy(F.col("score_q").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -3,9 +3,10 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 7 re-pins the rounds-1–3
-greens, the oldest evidence); everything else sits behind the window with
-its cumulative driver-side record standing.
+verified cohort is due a regression sweep (round 8 pins the six new
+round-8 queries, the rounds-1–3 tail the r7 window missed, then the
+round-4 cohort — now the oldest evidence); everything else sits behind
+the window with its cumulative driver-side record standing.
 """
 
 from healthcare_aihw_etl_pipeline_spark.plans.registry import REGISTRY, Query, register
@@ -16,6 +17,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import llm_queries  # noqa: F401,E
 from healthcare_aihw_etl_pipeline_spark.plans import ingest_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round5_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round6_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import round8_queries  # noqa: F401,E402
 
 # Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the
@@ -103,37 +105,52 @@ _DRIVER_GREEN_R6 = [
 ]
 _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R6
 
-# Queries the current round's correctness window MUST sample ahead of
-# everything else. Round 7 ROTATES the window to regression-check the
-# OLDEST evidence: cumulative green rows can't see regressions, so the
-# queries verified back in rounds 1–3 (a 6-rounds-older engine) are
-# re-pinned alongside everything new or newly-oracled this round (the
-# three portable-sketch rewrites and the regexp JSON variant).
-_MUST_VERIFY_R7: list[str] = [
-    # newly hash-checkable / new this round
+# CORRECTNESS_r07.json: the round-7 window, 50/50 hash-green — the 7
+# newly-portable sketch/ANN/JSON queries plus the first 43 of the
+# rounds-1–3 regression sweep. The 7 round-1–3 names the window didn't
+# reach (cheapest_supplier_per_part .. disjunctive_brand_revenue) are
+# re-pinned in the r8 window below.
+_DRIVER_GREEN_R7 = [
     "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
     "theta_retention_day7", "json_props_regexp_agg",
     "minhash_dup_clusters_portable", "simhash_dup_clusters_portable",
     "ann_qlsh_top10_portable",
-    # oldest greens (rounds 1–3) — regression sweep
-    "revenue_by_nation", "top_nation", "pricing_summary", "filter_in_agg",
-    "distinct_event_types", "count_distinct_years", "top10_brands_by_revenue",
-    "pivot_priority_status", "unpivot_lineitem_measures", "union_parties",
-    "pct_change_trend", "yearly_revenue_window", "top3_orders_per_priority",
-    "customers_without_orders", "customer_order_stats", "json_props_agg",
-    "events_hourly_window", "scalar_clean_norm", "range_join_ship_lag",
-    "rollup_returnflag_status", "cube_year_status", "customers_with_orders_semi",
-    "events_sliding_window", "monthly_revenue", "distinct_status_priority",
-    "value_percentiles", "lineitem_stats", "string_features",
-    "funnel_signup_view_purchase", "retention_cohorts", "grouping_sets_revenue",
-    "customer_balance_quartiles", "rolling_7day_revenue", "exact_value_variance",
-    "customers_above_avg_balance", "daily_revenue_gap_filled",
-    "small_quantity_part_revenue", "orders_fully_shipped", "promo_revenue_share",
-    "sole_problem_supplier", "status_listagg_by_priority",
-    "customer_order_histogram", "top_volume_orders", "cheapest_supplier_per_part",
-    "idle_rich_customers", "important_parts_by_share", "shipping_priority_top10",
+]
+_DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R7
+
+# Queries the current round's correctness window MUST sample ahead of
+# everything else. Round 8 continues the rotation policy: the six new
+# round-8 queries lead (first driver-side verification), then the seven
+# rounds-1–3 greens the r7 window didn't reach, then the round-4 cohort
+# — now the OLDEST evidence (verified on a 4-rounds-older engine).
+# Entries past the driver's ~50-slot window roll forward to round 9.
+_MUST_VERIFY_R8: list[str] = [
+    # new this round
+    "bm25_search_top10", "inverted_index_top20", "weighted_sample_orders",
+    "scd2_user_tier_history", "scd2_temporal_join", "data_quality_audit",
+    "quantile_sketch_prices",
+    # rounds-1–3 tail the r7 window did not reach
+    "cheapest_supplier_per_part", "idle_rich_customers",
+    "important_parts_by_share", "shipping_priority_top10",
     "cross_nation_shipping", "returned_item_top_customers",
     "disjunctive_brand_revenue",
+    # round-4 cohort — oldest evidence, regression sweep
+    "forecast_discount_revenue", "order_priority_check",
+    "local_supplier_volume", "nation_market_share", "product_type_profit",
+    "late_shipment_priority_mix", "top_revenue_suppliers",
+    "supplier_variety_by_part_class", "concentrated_recent_suppliers",
+    "zorder_layout_stats", "events_typed_agg",
+    "dedup_exact_stats", "dedup_prefix_keepers", "text_token_stats",
+    "embedding_norms", "ann_cosine_top10", "embedding_near_dup_top20",
+    "bpe_token_totals", "text_quality_profile", "fingerprint_dup_groups",
+    "events_session_window", "dedup_transitive_clusters", "asof_purchase_lag",
+    "purchase_click_window", "split_contamination", "doc_chunks",
+    "hash_split_assign", "top_tokens", "returning_users",
+    "stratified_sample_stats", "bigram_top20", "tfidf_top20",
+    "long_token_profile", "churned_users", "pii_redaction_stats",
+    "token_position_profile", "source_token_entropy", "gopher_quality_flags",
+    "repetition_profile", "corpus_curation_funnel", "dedup_keep_best",
+    "oov_rate_by_source", "sequence_packing", "domain_quota_sample",
 ]
 
 
@@ -146,8 +163,8 @@ def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R7 if n in registry]
-    placed = set(_MUST_VERIFY_R7)
+    pinned = [registry[n] for n in _MUST_VERIFY_R8 if n in registry]
+    placed = set(_MUST_VERIFY_R8)
     promoted_oracle = [
         q
         for n, q in registry.items()

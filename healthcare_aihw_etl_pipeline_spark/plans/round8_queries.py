@@ -1,0 +1,445 @@
+"""Round-8 query surface: full-text retrieval (inverted index + BM25),
+weighted sampling without replacement, SCD2 dimension history, a
+one-pass declarative data-quality audit, and a mergeable sampled
+quantile sketch.
+
+Every query carries a DuckDB oracle under the registry's exactness
+discipline (plans/registry.py): integer arithmetic wherever a sum
+crosses an aggregation boundary (quantized BM25 contributions, cents),
+identically-written single IEEE expressions where a divide/ln is
+unavoidable, and a TOTAL order under every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.operators import quality
+from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+    QSKETCH_INV_P,
+    qsketch_keep,
+    qsketch_keep_sql,
+    sampled_rank_quantiles,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
+    sql_md5_uniform,
+    weighted_sample_topk,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.scd import scd2_history
+from healthcare_aihw_etl_pipeline_spark.operators.search import (
+    bm25_topk,
+    inverted_index_stats,
+    sql_contrib,
+    sql_tokens,
+)
+from healthcare_aihw_etl_pipeline_spark.plans.registry import (
+    cents,
+    register,
+    sql_cents,
+)
+from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+# Shared oracle CTE: per-(doc, token) term frequencies + doc length,
+# the DuckDB twin of operators.search.doc_term_freqs.
+_TF_CTE = f"""
+    tf AS (
+      SELECT doc_id, tok AS token, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (
+        SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS tok
+        FROM (SELECT doc_id, {sql_tokens('text')} AS toks
+              FROM documents WHERE trim(text) <> '')
+      )
+      GROUP BY doc_id, tok
+    )
+"""
+
+_BM25_TERMS = ["dup", "spark", "merge"]
+
+
+@register(
+    "bm25_search_top10",
+    oracle=f"""
+    WITH stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl
+      FROM (SELECT len({sql_tokens('text')}) AS dl
+            FROM documents WHERE trim(text) <> '')
+    ),
+    matches AS (
+      SELECT doc_id, tok AS token, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (
+        SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS tok
+        FROM (SELECT doc_id, {sql_tokens('text')} AS toks
+              FROM documents WHERE trim(text) <> '')
+      )
+      WHERE tok IN ('dup', 'spark', 'merge')
+      GROUP BY doc_id, tok
+    ),
+    dfm AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY token) AS doc_freq
+      FROM matches
+    ),
+    scored AS (
+      SELECT m.doc_id,
+             {sql_contrib('s.n_docs', 's.sum_dl')} AS contrib_q
+      FROM dfm m, stats s
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_terms_matched,
+           CAST(SUM(contrib_q) AS BIGINT) AS score_q,
+           CAST(SUM(contrib_q) AS DOUBLE) / 10000.0 AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 top-10 over the documents corpus for the query bag "
+    "{dup, spark, merge} ('dup' is the rare/high-idf term). Spark side "
+    "is operators/search.bm25_topk — a TWO-scan plan: corpus stats "
+    "(N, total tokens) from a projection-only pass (size(tokens), no "
+    "explode, no corpus-grain shuffle), and a term-frequency path that "
+    "filters to the query terms BEFORE its groupBy so only posting-"
+    "list rows shuffle; per-term document frequency is a count() "
+    "window over those grouped rows (no third scan, no join-back). "
+    "Ranking is a TakeOrderedAndProject. Per-(doc,term) contributions "
+    "are quantized to integer 1e-4 BEFORE the per-doc sum — partial-"
+    "agg order cannot move the score and the oracle replays the "
+    "identical expression tree bit-for-bit.",
+)
+def bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=10)
+
+
+@register(
+    "inverted_index_top20",
+    oracle=f"""
+    WITH {_TF_CTE},
+    ranked AS (
+      SELECT token, doc_id, tf,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM tf
+    )
+    SELECT token,
+           COUNT(*) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY doc_id) AS posting_preview
+    FROM ranked
+    GROUP BY token
+    ORDER BY doc_freq DESC, total_tf DESC, token
+    LIMIT 20
+    """,
+    doc="Inverted-index statistics: top-20 terms by document frequency "
+    "with total term frequency and a capped posting preview (5 smallest "
+    "doc ids, comma-joined — a bounded deterministic column; the full "
+    "posting list is a query, not a column). The preview comes from a "
+    "streaming row_number window partitioned by token, NOT a per-term "
+    "collect_set — at 100 TB a stopword's posting list must never "
+    "materialize on one node. Total order under the LIMIT: "
+    "(doc_freq, total_tf, token).",
+)
+def inverted_index_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        inverted_index_stats(docs, "text", "doc_id", preview_docs=5)
+        .orderBy(
+            F.col("doc_freq").desc(),
+            F.col("total_tf").desc(),
+            F.col("token").asc(),
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "weighted_sample_orders",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey,
+             {sql_cents('o_totalprice')} AS weight_cents,
+             {sql_md5_uniform('o_orderkey')} AS u
+      FROM orders
+      WHERE CAST({sql_cents('o_totalprice')} AS DOUBLE) > 0
+    )
+    SELECT o_orderkey, weight_cents, u
+    FROM w
+    ORDER BY ln(u) / CAST(weight_cents AS DOUBLE) DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="Efraimidis-Spirakis A-ES weighted sample (without replacement) "
+    "of 20 orders, weight = order value in exact cents. u is an md5-"
+    "derived uniform — (52 hash bits + 1)/2^52, EXACT in double — so "
+    "the sampled set is reproducible across engines/partitionings/"
+    "reruns (the property a dataset-lineage audit needs; no RNG). Rank "
+    "key ln(u)/w is monotone-equivalent to the textbook u^(1/w); the "
+    "plan is one scan + TakeOrderedAndProject — per-partition top-k, "
+    "no global sort, no shuffle of the full table. The emitted columns "
+    "(key, weight, u) are all integer-or-exact — hash-stable; the libm "
+    "ln only ORDERS rows, where a last-ulp divergence would need two "
+    "keys within ~1e-16 relative to flip membership.",
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("weight_cents")
+    )
+    return weighted_sample_topk(o, "o_orderkey", "weight_cents", k=20)
+
+
+@register(
+    "scd2_user_tier_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 10.0 THEN 'low'
+                  WHEN value < 100.0 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, tier, ts, event_id,
+             lag(tier) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, tier, ts, event_id FROM m
+      WHERE prev IS NULL OR prev <> tier
+    )
+    SELECT user_id, tier, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM s
+    """,
+    doc="SCD type-2 history (operators/scd.scd2_history) of each "
+    "user's value tier over event time: one row per maximal run of "
+    "equal tier with half-open [valid_from, valid_to) and an is_current "
+    "flag — the canonical warehouse dimension-maintenance op the "
+    "reference's two-tier staging/clean contract stops short of. Pure "
+    "streaming window algebra, ONE shuffle on user_id; determinism "
+    "from the (ts, event_id) total order within each user.",
+)
+def scd2_user_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 10.0, "low")
+        .when(F.col("value") < 100.0, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    return scd2_history(e, "user_id", "tier", "ts", "event_id")
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS ship_ok,
+             COUNT(DISTINCT (l_orderkey, l_linenumber)) AS key_distinct,
+             SUM(CASE WHEN l_quantity IS NOT NULL
+                       AND (l_quantity < 1.0 OR l_quantity > 50.0)
+                      THEN 1 ELSE 0 END) AS qty_bad,
+             SUM(CASE WHEN l_discount IS NOT NULL
+                       AND (l_discount < 0.0 OR l_discount > 0.1)
+                      THEN 1 ELSE 0 END) AS disc_bad,
+             SUM(CASE WHEN l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A', 'N', 'R')
+                      THEN 1 ELSE 0 END) AS rf_bad
+      FROM lineitem
+    ),
+    orphans AS (
+      SELECT COUNT(*) AS n_orphan
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT check_name, metric, passed FROM (
+      SELECT 'accepted_values(l_returnflag)' AS check_name,
+             CAST(rf_bad AS DOUBLE) AS metric, rf_bad = 0 AS passed
+      FROM agg
+      UNION ALL
+      SELECT 'completeness(l_shipdate)',
+             CAST(ship_ok AS DOUBLE) / CAST(n AS DOUBLE), ship_ok = n
+      FROM agg
+      UNION ALL
+      SELECT 'in_range(l_discount,0.0,0.1)',
+             CAST(disc_bad AS DOUBLE), disc_bad = 0 FROM agg
+      UNION ALL
+      SELECT 'in_range(l_quantity,1.0,50.0)',
+             CAST(qty_bad AS DOUBLE), qty_bad = 0 FROM agg
+      UNION ALL
+      SELECT 'referential(l_orderkey->orders)',
+             CAST(n_orphan AS DOUBLE), n_orphan = 0 FROM orphans
+      UNION ALL
+      SELECT 'uniqueness(l_orderkey,l_linenumber)',
+             CAST(key_distinct AS DOUBLE) / CAST(n AS DOUBLE),
+             key_distinct = n
+      FROM agg
+    )
+    ORDER BY check_name
+    """,
+    doc="Deequ-style declarative expectation suite "
+    "(operators/quality.py) over lineitem: completeness, composite-key "
+    "uniqueness, numeric ranges, accepted values — ALL compiled into "
+    "ONE aggregation pass (map-side partials, scalar row out, unpivoted "
+    "to report rows via stack) — plus a referential orphan check "
+    "against orders as its own anti-join aggregate, unioned in. At "
+    "100 TB the whole audit costs one scan + one anti join; metrics "
+    "are exact integer counts with a single final IEEE divide, so the "
+    "report is hash-verifiable.",
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    checks = quality.audit(
+        li,
+        [
+            quality.completeness("l_shipdate"),
+            quality.uniqueness("l_orderkey", "l_linenumber"),
+            quality.in_range("l_quantity", 1.0, 50.0),
+            quality.in_range("l_discount", 0.0, 0.1),
+            quality.accepted_values("l_returnflag", ["A", "N", "R"]),
+        ],
+    )
+    ref = quality.referential_orphans(
+        li, orders, "l_orderkey", "o_orderkey",
+        "referential(l_orderkey->orders)",
+    )
+    return checks.unionByName(ref).orderBy("check_name")
+
+
+@register(
+    "quantile_sketch_prices",
+    oracle=f"""
+    WITH base AS (
+      SELECT {sql_cents('l_extendedprice')} AS price_cents,
+             CAST(l_orderkey AS VARCHAR) || ':'
+               || CAST(l_linenumber AS VARCHAR) AS rid
+      FROM lineitem
+    ),
+    s AS (
+      SELECT * FROM base WHERE {qsketch_keep_sql('md5(rid)')}
+    ),
+    ranked AS (
+      SELECT price_cents, rid,
+             row_number() OVER (ORDER BY price_cents, rid) AS rn
+      FROM s
+    ),
+    n AS (SELECT COUNT(*) AS sample_n FROM s),
+    qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                     (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                     (CAST(0.99 AS DOUBLE)))
+    SELECT q, price_cents, sample_n
+    FROM ranked, n, qs
+    WHERE rn = CAST(floor(CAST(sample_n - 1 AS DOUBLE) * q) AS BIGINT) + 1
+    ORDER BY q
+    """,
+    doc="Mergeable quantile sketch (operators/portable_sketch."
+    "sampled_rank_quantiles): md5 threshold sample at p = 1/"
+    f"{QSKETCH_INV_P}, then EXACT rank selection over the sample "
+    "(row_number == floor((n-1)q)+1 under the total order "
+    "(price_cents, rid)) — integer-exact, no interpolation, no "
+    "cross-engine float drift. The sample is the sketch: union-"
+    "mergeable and deterministic (md5, no RNG); its global sort is "
+    "sketch-sized by construction (pick p for the executor sort "
+    "budget — the same sample-fit contract as the IVF quantizer).",
+)
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("price_cents"),
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+    )
+    sample = li.where(qsketch_keep(F.md5(F.col("rid"))))
+    return sampled_rank_quantiles(
+        sample, "price_cents", "rid", [0.25, 0.5, 0.75, 0.9, 0.99]
+    ).orderBy("q")
+
+
+@register(
+    "scd2_temporal_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value < 10.0 THEN 'low'
+                  WHEN value < 100.0 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, tier, ts, event_id,
+             lag(tier) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, tier, ts, event_id FROM m
+      WHERE prev IS NULL OR prev <> tier
+    ),
+    dim AS (
+      SELECT user_id, tier, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM s
+    )
+    SELECT d.tier,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY d.tier
+    ORDER BY d.tier
+    """,
+    doc="Point-in-time (temporal) join of the event facts against the "
+    "SCD2 tier dimension built by scd2_user_tier_history: each event "
+    "joins the dimension version whose half-open validity interval "
+    "covers its timestamp — THE consumption pattern SCD2 exists for. "
+    "Self-verifying semantics: an event's joined tier must equal its "
+    "own computed tier (each event falls in exactly one interval), so "
+    "the aggregate doubles as an interval-correctness proof (n_events "
+    "== |events|, no duplicates from overlapping intervals). Plan: "
+    "equi-join on user_id (one shuffle pair) with the range predicate "
+    "applied as a post-join filter inside SortMergeJoin — no "
+    "CartesianProduct; the dimension side is runs-only (much smaller "
+    "than facts).",
+)
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 10.0, "low")
+        .when(F.col("value") < 100.0, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    dim = scd2_history(e, "user_id", "tier", "ts", "event_id").select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("tier").alias("d_tier"),
+        "valid_from",
+        "valid_to",
+    )
+    joined = e.join(
+        dim,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy(F.col("d_tier").alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("tier")
+    )
