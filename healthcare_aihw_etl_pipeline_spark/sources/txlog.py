@@ -1474,6 +1474,7 @@ def apply_incremental_agg(
     group_cols: list[str],
     value_col: str,
     offset_path: str,
+    feed_transform=None,
 ) -> int | None:
     """Maintain a materialized (group -> n_rows, sum_value) aggregate
     table from `source`'s change feed: pull the pending window (durable
@@ -1481,7 +1482,18 @@ def apply_incremental_agg(
     deltas, and MERGE old+delta into the aggregate — groups whose count
     reaches zero are deleted. The aggregate stays equal to
     `SELECT group, COUNT(*), SUM(value) FROM snapshot GROUP BY group`
-    at every sync point without ever rescanning the base table."""
+    at every sync point without ever rescanning the base table.
+
+    `feed_transform` (optional, DataFrame -> DataFrame) maps each feed
+    window row-wise BEFORE delta computation while PRESERVING the
+    `_change_type` column — this generalizes maintenance to aggregates
+    over a derived grain. The canonical use is incremental inverted-
+    index maintenance: explode each changed document into (token, tf)
+    rows, so the maintained table is (token -> doc_freq, total_tf) and
+    an insert/delete of a document adjusts exactly its own tokens. The
+    transform must be deterministic and linear (one output multiset per
+    input row independent of the rest of the window) — the signed-delta
+    algebra only distributes over such maps."""
     import pyspark.sql.functions as F
 
     h = source.head()
@@ -1512,13 +1524,20 @@ def apply_incremental_agg(
     if feed is None:
         consumer._advance(head_v)
         return None
+    if feed_transform is not None:
+        feed = feed_transform(feed)
     delta = incremental_agg_delta(feed, group_cols, value_col)
     snap = agg_table.snapshot(spark)
     if snap is None:
+        # Cast to double HERE, not just in the else-branch: with an
+        # integer value column the first sync would otherwise commit
+        # sum_value as LONG and the second sync's coalesce(+0.0)
+        # arithmetic would try to evolve it to DOUBLE — a rejected
+        # (non-widening-safe) schema change.
         merged = delta.select(
             *group_cols,
             F.col("d_count").alias("n_rows"),
-            F.col("d_sum").alias("sum_value"),
+            F.col("d_sum").cast("double").alias("sum_value"),
         )
     else:
         # Incremental by construction: only groups PRESENT IN THE DELTA

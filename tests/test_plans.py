@@ -796,3 +796,56 @@ def test_round7_sketch_query_plan_shapes(spark, sf_dir):
     # the whole point: no JSON parser node, one scan, partial agg
     assert "JsonToStructs" not in p and "from_json" not in p, p
     assert shuffle_count(p) == 1, p
+
+
+def scan_count(plan: str) -> int:
+    """Count parquet scans by detail header (formatted explain prints
+    each node in both the tree and the detail section)."""
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+
+
+def test_round8_retrieval_and_sampling_plans(spark, sf_dir):
+    """Round-8 plan pins. weighted_sample_orders: ONE scan + a
+    TakeOrderedAndProject — per-partition top-k, zero shuffles, no
+    global sort. bm25_search_top10: exactly TWO document scans
+    (projection-only stats pass + pre-filtered term-frequency pass) —
+    the doc_freq join-back was rewritten as a count() window, so a
+    third scan must not reappear. inverted_index_top20: the posting
+    preview must come from a streaming Window (row_number), never an
+    unbounded per-term collect of the posting list before the cap."""
+    p = fresh_plan(spark, sf_dir, "weighted_sample_orders")
+    assert "TakeOrderedAndProject" in p, p
+    assert shuffle_count(p) == 0, f"weighted sample must not shuffle:\n{p}"
+    assert scan_count(p) == 1, p
+
+    p2 = fresh_plan(spark, sf_dir, "bm25_search_top10")
+    assert scan_count(p2) == 2, f"bm25 regained a scan:\n{p2}"
+    assert "TakeOrderedAndProject" in p2, p2
+    assert "CartesianProduct" not in p2
+
+    p3 = fresh_plan(spark, sf_dir, "inverted_index_top20")
+    assert "Window" in p3, p3
+    assert "TakeOrderedAndProject" in p3, p3
+    assert scan_count(p3) == 1, p3
+
+
+def test_round8_scd2_and_audit_plans(spark, sf_dir):
+    """scd2_user_tier_history: both windows share ONE user_id shuffle
+    (subset-clustering — the run-start filter preserves partitioning).
+    scd2_temporal_join: the interval join must be an equi-join on
+    user_id with the range predicate as a post-join filter — never a
+    CartesianProduct/BroadcastNestedLoopJoin over facts.
+    data_quality_audit: the five single-pass checks plus the
+    count_distinct expansion may scan lineitem a bounded number of
+    times but must never row-explode."""
+    p = fresh_plan(spark, sf_dir, "scd2_user_tier_history")
+    assert p.count("Window") >= 1, p
+    assert shuffle_count(p) == 1, f"scd2 windows must share the shuffle:\n{p}"
+
+    p2 = fresh_plan(spark, sf_dir, "scd2_temporal_join")
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p2), p2
+    assert "CartesianProduct" not in p2
+
+    p3 = fresh_plan(spark, sf_dir, "data_quality_audit")
+    assert "CartesianProduct" not in p3
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*LeftAnti", p3, re.DOTALL), p3
