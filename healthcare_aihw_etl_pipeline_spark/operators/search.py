@@ -220,3 +220,63 @@ def bm25_topk(
         .orderBy(F.col("score_q").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def term_positions(
+    df: DataFrame, text_col: str, id_col: str, terms: list[str]
+) -> DataFrame:
+    """(id, token, positions): sorted 1-based token positions per
+    document for each term in `terms` — the positional-posting slice a
+    phrase query needs. The isin filter runs BEFORE the groupBy, so
+    only the phrase terms' occurrences shuffle (posting-list-sized,
+    not corpus-sized); positions are sort_array'd because collect_list
+    order is partition-dependent."""
+    posed = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("_pos0", "token"),
+    )
+    return (
+        posed.where(F.col("token").isin(terms))
+        .select(id_col, "token", (F.col("_pos0") + 1).alias("pos"))
+        .groupBy(id_col, "token")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_search_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents containing the exact two-term phrase, ranked by
+    occurrence count: (id, n_hits). A hit is a position p of phrase[0]
+    with phrase[1] at p+1 — computed as
+    size(array_intersect(positions[t0] + 1, positions[t1])), pure
+    integer set algebra on the positional postings. The doc-level join
+    is an equi-join on the id (both sides already grouped to one row
+    per doc per term), so cost is proportional to the SMALLER posting
+    list — the classic positional-index intersection, not a scan."""
+    if len(phrase) != 2:
+        raise ValueError("phrase_search_topk supports two-term phrases")
+    t0, t1 = phrase
+    pos = term_positions(df, text_col, id_col, phrase)
+    a = pos.where(F.col("token") == t0).select(
+        F.col(id_col), F.col("positions").alias("_p0")
+    )
+    b = pos.where(F.col("token") == t1).select(
+        F.col(id_col).alias("_id1"), F.col("positions").alias("_p1")
+    )
+    joined = a.join(b, a[id_col] == b["_id1"])
+    hits = joined.select(
+        F.col(id_col),
+        F.size(
+            F.array_intersect(
+                F.transform("_p0", lambda x: x + F.lit(1)), F.col("_p1")
+            )
+        ).alias("n_hits"),
+    ).where(F.col("n_hits") > 0)
+    return hits.orderBy(
+        F.col("n_hits").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -126,7 +126,8 @@ _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R7
 # Entries past the driver's ~50-slot window roll forward to round 9.
 _MUST_VERIFY_R8: list[str] = [
     # new this round
-    "bm25_search_top10", "inverted_index_top20", "weighted_sample_orders",
+    "bm25_search_top10", "inverted_index_top20", "phrase_search_top10",
+    "weighted_sample_orders",
     "scd2_user_tier_history", "scd2_temporal_join", "data_quality_audit",
     "quantile_sketch_prices",
     # rounds-1–3 tail the r7 window did not reach

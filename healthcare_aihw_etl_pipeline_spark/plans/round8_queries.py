@@ -30,6 +30,7 @@ from healthcare_aihw_etl_pipeline_spark.operators.scd import scd2_history
 from healthcare_aihw_etl_pipeline_spark.operators.search import (
     bm25_topk,
     inverted_index_stats,
+    phrase_search_topk,
     sql_contrib,
     sql_tokens,
 )
@@ -443,3 +444,45 @@ def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "phrase_search_top10",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens('text')} AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    posed AS (
+      SELECT doc_id, t[i] AS token, i AS pos
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS x(i)
+      WHERE t[i] IN ('window', 'join')
+    ),
+    p AS (
+      SELECT doc_id, token, list_sort(list(pos)) AS positions
+      FROM posed GROUP BY doc_id, token
+    ),
+    hits AS (
+      SELECT a.doc_id,
+             len(list_intersect(
+                 list_transform(a.positions, x -> x + 1),
+                 b.positions)) AS n_hits
+      FROM p a JOIN p b ON a.doc_id = b.doc_id
+      WHERE a.token = 'window' AND b.token = 'join'
+    )
+    SELECT doc_id, n_hits FROM hits
+    WHERE n_hits > 0
+    ORDER BY n_hits DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Exact-phrase search ('window join') over positional postings "
+    "(operators/search.phrase_search_topk): 1-based token positions "
+    "per (doc, term) — filtered to the phrase terms BEFORE the groupBy "
+    "so only posting-list rows shuffle — then the classic positional-"
+    "index intersection: size(array_intersect(pos[t0]+1, pos[t1])) on "
+    "an equi-join by doc id. Integer set algebra end-to-end (no "
+    "floats), total order (n_hits desc, doc_id) under the LIMIT.",
+)
+def phrase_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search_topk(docs, "text", "doc_id", ["window", "join"], k=10)

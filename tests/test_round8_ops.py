@@ -16,6 +16,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
 R8_QUERIES = [
     "bm25_search_top10",
     "inverted_index_top20",
+    "phrase_search_top10",
     "weighted_sample_orders",
     "scd2_user_tier_history",
     "scd2_temporal_join",
@@ -231,3 +232,29 @@ def test_quantile_sketch_brackets_exact_quantiles(spark, duck, sf_dir):
     vals = sorted(v for (v,) in exact)
     true_median = vals[(len(vals) - 1) // 2]
     assert abs(est[0.5] - true_median) / true_median < 0.1
+
+
+def test_phrase_search_counts_adjacent_pairs_only(spark):
+    """Positional semantics: 'a b' matches only adjacency in order —
+    not reversed pairs, not gapped pairs — and counts multiplicity."""
+    from healthcare_aihw_etl_pipeline_spark.operators.search import (
+        phrase_search_topk,
+    )
+
+    rows = [
+        (1, "a b x a b"),   # two hits
+        (2, "b a"),          # reversed: no hit
+        (3, "a x b"),        # gapped: no hit
+        (4, "a b"),          # one hit
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_hits
+        for r in phrase_search_topk(docs, "text", "doc_id", ["a", "b"]).collect()
+    }
+    assert got == {1: 2, 4: 1}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        phrase_search_topk(docs, "text", "doc_id", ["a"])
