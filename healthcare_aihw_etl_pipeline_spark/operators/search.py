@@ -51,15 +51,19 @@ SCORE_QUANT = 10_000
 
 
 def tokens(text_col: Column | str) -> Column:
-    """Lowercased whitespace tokens of a text column (empty-safe).
+    """Lowercased whitespace tokens of a text column.
 
-    Mirrors the corpus tokenization used by the dedup/token-stats
-    family so retrieval and curation agree on what a "term" is.
+    split(lower(trim(x)), '\\s+') EXACTLY — the same expression as
+    :func:`sql_tokens`, with no post-filter: after trim, a \\s+ split
+    cannot produce empty tokens (a leading TAB would, identically in
+    both engines — kept as-is so Spark and the oracle agree bit-for-
+    bit). A filter(lambda) wrapper here measured ~15% of the sf1 index
+    build for zero semantic effect on this contract. Mirrors the
+    corpus tokenization used by the dedup/token-stats family so
+    retrieval and curation agree on what a "term" is.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(
-        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit("")
-    )
+    return F.split(F.lower(F.trim(c)), r"\s+")
 
 
 def sql_tokens(text_expr: str) -> str:
@@ -73,11 +77,19 @@ def doc_term_freqs(
     """(id, token, tf, dl): term frequency per document plus document
     length in tokens. One explode + one groupBy (map-side combined);
     dl rides along via a max() since it is functionally dependent on
-    the document id."""
-    exploded = df.where(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col),
-        F.size(tokens(text_col)).alias("dl"),
-        F.explode(tokens(text_col)).alias("token"),
+    the document id. The token array is materialized as a named column
+    in a CHILD projection so Generate and size() both reference the
+    attribute — the split runs once per row (CollapseProject only
+    merges Project into Project, never into Generate, so the binding
+    survives optimization)."""
+    exploded = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            id_col,
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("token"),
+        )
     )
     return exploded.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
@@ -117,13 +129,21 @@ def inverted_index_stats(
     )
 
 
-def _contrib(n_docs: Column, sum_dl: Column) -> Column:
+def _contrib(
+    n_docs: Column,
+    sum_dl: Column,
+    tf: Column | None = None,
+    dl: Column | None = None,
+    dfreq: Column | None = None,
+) -> Column:
     """Quantized BM25 contribution of one (doc, term) match. Every
     arithmetic step is written with the same shape as :func:`sql_contrib`
-    so Spark and DuckDB evaluate the identical IEEE expression tree."""
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    dfreq = F.col("doc_freq").cast("double")
+    so Spark and DuckDB evaluate the identical IEEE expression tree.
+    tf/dl/dfreq default to same-named columns; pass Columns to score
+    several terms row-locally (the bm25_topk fast path)."""
+    tf = (F.col("tf") if tf is None else tf).cast("double")
+    dl = (F.col("dl") if dl is None else dl).cast("double")
+    dfreq = (F.col("doc_freq") if dfreq is None else dfreq).cast("double")
     avgdl = sum_dl.cast("double") / n_docs.cast("double")
     idf = F.log(
         F.lit(1.0)
@@ -164,23 +184,31 @@ def bm25_topk(
     with an id tie-break; score_q is the exact integer-quantized score
     (the hash-stable column), score its dollar-style double display.
 
-    Plan — two scans total, tuned for a 100 TB corpus:
+    Plan — two scans, ZERO corpus-grain explode, tuned for 100 TB:
 
     1. Corpus stats (N, total token count) come from a PROJECTION-ONLY
-       pass (size(tokens), no explode, no shuffle beyond a scalar agg)
-       — not from the term-frequency aggregate, which would re-shuffle
-       the whole corpus for two numbers.
-    2. The term-frequency path filters to the query terms BEFORE its
-       groupBy, so the only fact-grain work shuffled is rows matching
-       the query's posting lists; per-term document frequency is a
-       count() window over those grouped rows (reuses the same hash
-       partitioning — no third scan, no join-back).
+       pass (size(tokens), no explode, no shuffle beyond a scalar agg).
+    2. Per-document term frequencies are computed ROW-LOCALLY —
+       size(filter(tokens, = term)) per query term over the let-bound
+       token array (functions.scalar.bind: tokenization runs ONCE per
+       row, not per term) — so no (doc, token) row stream ever exists.
+       Exploding the corpus and filtering afterwards measured 24.5 s at
+       sf1 for 9.4 M generated rows; the row-local form scans the same
+       data in ~0.6 s. Docs matching no term are dropped before the
+       frame is localCheckpoint'd (rows are a handful of ints per
+       matching doc — bounded), and the checkpoint feeds BOTH the
+       per-term document-frequency aggregate (one scalar row, broadcast
+       back) and the scoring projection — scoring is then entirely
+       row-local: no per-doc groupBy, no window, no join at doc grain.
 
-    The scalar stats row enters via a 1-row broadcast crossJoin and the
-    ranking is a bounded TakeOrderedAndProject.
+    The ranking is a bounded TakeOrderedAndProject.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+
     stats = (
         df.where(F.trim(F.col(text_col)) != "")
         .select(F.size(tokens(text_col)).alias("dl"))
@@ -189,33 +217,62 @@ def bm25_topk(
             F.sum("dl").alias("sum_dl"),
         )
     )
-    exploded = df.where(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col),
-        F.size(tokens(text_col)).alias("dl"),
-        F.explode(tokens(text_col)).alias("token"),
-    )
-    matches = (
-        exploded.where(F.col("token").isin(query_terms))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-    )
-    wf = Window.partitionBy("token")
-    scored = (
-        matches.withColumn("doc_freq", F.count(F.lit(1)).over(wf))
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "contrib_q", _contrib(F.col("n_docs"), F.col("sum_dl"))
+
+    def _eq(term: str):
+        # one-parameter lambda factory: capture via closure, never a
+        # second lambda parameter (F.transform/F.filter bind extra
+        # parameters to the element INDEX).
+        return lambda x: x == F.lit(term)
+
+    def _per_doc(t: Column) -> Column:
+        return F.struct(
+            F.size(t).alias("dl"),
+            *[
+                F.size(F.filter(t, _eq(term))).alias(f"tf{i}")
+                for i, term in enumerate(query_terms)
+            ],
         )
+
+    per_doc = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), bind(tokens(text_col), _per_doc).alias("s")
+    ).select(id_col, "s.*")
+    any_match = None
+    for i in range(len(query_terms)):
+        c = F.col(f"tf{i}") > 0
+        any_match = c if any_match is None else (any_match | c)
+    matched = per_doc.where(any_match).localCheckpoint(eager=True)
+    dfreq = matched.agg(
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ]
     )
+    scored = matched.crossJoin(F.broadcast(stats)).crossJoin(
+        F.broadcast(dfreq)
+    )
+    score_q = None
+    n_terms = None
+    for i in range(len(query_terms)):
+        # zero-tf terms contribute floor(0 + 0.5) = 0 exactly, so the
+        # row-local sum equals the match-grain sum of the oracle.
+        c = _contrib(
+            F.col("n_docs"),
+            F.col("sum_dl"),
+            tf=F.col(f"tf{i}"),
+            dl=F.col("dl"),
+            dfreq=F.col(f"df{i}"),
+        )
+        m = (F.col(f"tf{i}") > 0).cast("long")
+        score_q = c if score_q is None else (score_q + c)
+        n_terms = m if n_terms is None else (n_terms + m)
     return (
-        scored.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_terms_matched"),
-            F.sum("contrib_q").alias("score_q"),
-        )
-        .withColumn(
-            "score",
-            F.col("score_q").cast("double") / F.lit(float(SCORE_QUANT)),
+        scored.select(
+            F.col(id_col),
+            n_terms.alias("n_terms_matched"),
+            score_q.alias("score_q"),
+            (
+                score_q.cast("double") / F.lit(float(SCORE_QUANT))
+            ).alias("score"),
         )
         .orderBy(F.col("score_q").desc(), F.col(id_col).asc())
         .limit(k)
@@ -231,9 +288,12 @@ def term_positions(
     only the phrase terms' occurrences shuffle (posting-list-sized,
     not corpus-sized); positions are sort_array'd because collect_list
     order is partition-dependent."""
-    posed = df.where(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col),
-        F.posexplode(tokens(text_col)).alias("_pos0", "token"),
+    posed = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            id_col, F.posexplode("_toks").alias("_pos0", "token")
+        )
     )
     return (
         posed.where(F.col("token").isin(terms))

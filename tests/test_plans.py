@@ -818,8 +818,14 @@ def test_round8_retrieval_and_sampling_plans(spark, sf_dir):
     assert shuffle_count(p) == 0, f"weighted sample must not shuffle:\n{p}"
     assert scan_count(p) == 1, p
 
+    # bm25: ONE parquet scan (projection-only stats) + the checkpointed
+    # row-local match slice (ExistingRDD) — the corpus-grain explode
+    # (24.5 s at sf1) must never reappear (a Generate node would mean
+    # the explode is back).
     p2 = fresh_plan(spark, sf_dir, "bm25_search_top10")
-    assert scan_count(p2) == 2, f"bm25 regained a scan:\n{p2}"
+    assert scan_count(p2) == 1, f"bm25 regained a parquet scan:\n{p2}"
+    assert "ExistingRDD" in p2, p2
+    assert "Generate" not in p2, f"bm25 explode came back:\n{p2}"
     assert "TakeOrderedAndProject" in p2, p2
     assert "CartesianProduct" not in p2
 
