@@ -107,3 +107,59 @@ def test_round5_queries_layout_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+
+def test_round8_ops_partition_invariant(spark, sf_dir):
+    """BM25 scores, phrase hits, the A-ES sampled set and the rank-
+    selected quantiles must not depend on the input's physical layout.
+    The quantile sketch is the sharpest case: its global ranks come
+    from per-range-partition offsets, so this asserts the range
+    repartition fully erases the incoming partitioning/order."""
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        qsketch_keep,
+        sampled_rank_quantiles,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.search import (
+        bm25_topk,
+        phrase_search_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    layouts = [
+        docs.coalesce(1),
+        docs.repartition(13),
+        docs.orderBy(F.desc("doc_id")).repartition(5),
+    ]
+    for op in (
+        lambda d: bm25_topk(d, "text", "doc_id", ["dup", "spark", "merge"]),
+        lambda d: phrase_search_topk(d, "text", "doc_id", ["window", "join"]),
+    ):
+        got = [rows_set(op(d)) for d in layouts]
+        assert got[0] == got[1] == got[2]
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", cents("o_totalprice").alias("w")
+    )
+    got = [
+        rows_set(weighted_sample_topk(d, "o_orderkey", "w", 20))
+        for d in (o.coalesce(1), o.repartition(9))
+    ]
+    assert got[0] == got[1]
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        cents("l_extendedprice").alias("pc"),
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+    )
+    s = li.where(qsketch_keep(F.md5(F.col("rid"))))
+    got = [
+        rows_set(sampled_rank_quantiles(d, "pc", "rid", [0.25, 0.5, 0.9]))
+        for d in (s.coalesce(1), s.repartition(13), s.orderBy(F.desc("pc")))
+    ]
+    assert got[0] == got[1] == got[2]
