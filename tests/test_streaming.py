@@ -624,3 +624,141 @@ def test_out_of_order_event_bridges_sessions_within_watermark(spark, tmp_path):
     assert mine[0].n_events == 3
     assert mine[0].session_start == "2024-01-01 10:00:00"
     assert mine[0].session_end == "2024-01-01 11:20:00"
+
+
+def _tier():
+    return (
+        F.when(F.col("value") < 10.0, "low")
+        .when(F.col("value") < 100.0, "mid")
+        .otherwise("high")
+        .alias("tier")
+    )
+
+
+def test_stream_scd2_batches_equal_full_history(spark, sf_dir, tmp_path):
+    """Equivalence law: stitching any ts-ordered partition of the event
+    log batch-by-batch (streaming/scd2.scd2_apply_batch) yields EXACTLY
+    the batch operator's SCD2 history of the full log — intervals,
+    closures, and is_current flags all included — and a redelivered
+    batch_id is a no-op via the table's txn map (exactly-once)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.scd import scd2_history
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import TxLogTable
+    from healthcare_aihw_etl_pipeline_spark.streaming.scd2 import (
+        scd2_apply_batch,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", _tier())
+    )
+    lo, hi = events.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).first()
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    batches = [
+        events.where(F.col("ts") < cuts[0]),
+        events.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.where(F.col("ts") >= cuts[1]),
+    ]
+    dim = TxLogTable(str(tmp_path / "scd2dim"))
+    for i, b in enumerate(batches):
+        scd2_apply_batch(
+            dim, b, "user_id", "tier", "ts", "event_id",
+            writer_id="scd2:test", batch_id=i,
+        )
+    got = sorted(
+        tuple(r)
+        for r in dim.snapshot(spark)
+        .select("user_id", "tier", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in scd2_history(events, "user_id", "tier", "ts", "event_id")
+        .select("user_id", "tier", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    assert got == want
+    assert any(r[4] for r in got)  # open intervals exist
+    assert any(not r[4] for r in got)  # and closed history exists
+
+    # Replay: redelivering the LAST batch_id must not change the
+    # dimension — the txn map short-circuits it (a replayed batch is
+    # NOT re-stitchable in general: its own events can precede the
+    # open interval it advanced, which strict would rightly reject).
+    scd2_apply_batch(
+        dim, batches[2], "user_id", "tier", "ts", "event_id",
+        writer_id="scd2:test", batch_id=2,
+    )
+    again = sorted(
+        tuple(r)
+        for r in dim.snapshot(spark)
+        .select("user_id", "tier", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    assert again == got
+
+
+def test_stream_scd2_strict_rejects_late_history(spark, tmp_path):
+    """An event earlier than its key's open interval violates the
+    in-order contract and must raise, not silently corrupt history."""
+    import datetime as dt
+
+    import pytest
+
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import TxLogTable
+    from healthcare_aihw_etl_pipeline_spark.streaming.scd2 import (
+        scd2_apply_batch,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    dim = TxLogTable(str(tmp_path / "dim"))
+    b1 = spark.createDataFrame(
+        [(1, t(10), 1, "a")], "user_id int, ts timestamp_ntz, event_id int, tier string"
+    )
+    scd2_apply_batch(dim, b1, "user_id", "tier", "ts", "event_id")
+    late = spark.createDataFrame(
+        [(1, t(5), 2, "b")], "user_id int, ts timestamp_ntz, event_id int, tier string"
+    )
+    with pytest.raises(ValueError, match="earlier than its key"):
+        scd2_apply_batch(dim, late, "user_id", "tier", "ts", "event_id")
+
+
+def test_write_stream_scd2_end_to_end(spark, events_stream_dir, tmp_path):
+    """The foreachBatch driver (write_stream_scd2) over the real file
+    stream produces the batch history of everything it consumed."""
+    from healthcare_aihw_etl_pipeline_spark.operators.scd import scd2_history
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import TxLogTable
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+        read_event_stream,
+    )
+    from healthcare_aihw_etl_pipeline_spark.streaming.scd2 import (
+        write_stream_scd2,
+    )
+
+    stream = read_event_stream(spark, events_stream_dir).select(
+        "user_id", "ts", "event_id", _tier()
+    )
+    dim = TxLogTable(str(tmp_path / "dim"))
+    q = write_stream_scd2(
+        stream, dim, "user_id", "tier", "ts", "event_id",
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    batch = spark.read.parquet(f"{events_stream_dir}").select(
+        "user_id", "ts", "event_id", _tier()
+    )
+    got = sorted(
+        tuple(r)
+        for r in dim.snapshot(spark)
+        .select("user_id", "tier", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in scd2_history(batch, "user_id", "tier", "ts", "event_id")
+        .select("user_id", "tier", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    assert got == want
