@@ -486,3 +486,184 @@ def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phrase_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search_topk(docs, "text", "doc_id", ["window", "join"], k=10)
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bigram) with multiplicity, lowercase tokenization shared
+    with the search family; the token array is let-bound (one split per
+    row — functions.scalar.bind documents the O(len²) trap)."""
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = bind(
+        tokens("text"),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        docs.where(F.trim(F.col("text")) != "")
+        .select("doc_id", grams.alias("_g"))
+        .select("doc_id", F.explode("_g").alias("bigram"))
+    )
+
+
+_NLL_QUANT = 10**6
+# Identical ln-probability expression on both engines: add-1 smoothed
+# bigram model ln((c12 + 1) / (c1 + V)), quantized to integer millionths
+# BEFORE the per-document sum so partial-agg order cannot move totals.
+_SQL_LP_Q = (
+    "CAST(floor(ln((CAST(c12 AS DOUBLE) + 1.0) / "
+    "(CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0 + 0.5) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "doc_bigram_nll_top20",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens('text')} AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM toks, UNNEST(range(1, len(t))) AS x(i)
+      WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT bigram, COUNT(*) AS c12 FROM grams GROUP BY bigram),
+    c1 AS (
+      SELECT tok AS w1, COUNT(*) AS c1
+      FROM (SELECT UNNEST(t) AS tok FROM toks)
+      GROUP BY tok
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM c1),
+    scored AS (
+      SELECT g.doc_id,
+             {_SQL_LP_Q} AS lp_q
+      FROM grams g
+      JOIN c12 USING (bigram)
+      JOIN c1 ON c1.w1 = string_split(g.bigram, ' ')[1], vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(-SUM(lp_q) AS BIGINT) AS nll_q,
+           (CAST(-SUM(lp_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             / 1000000.0 AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY avg_nll DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Perplexity-style quality filtering: score every document by "
+    "its average negative log-likelihood under an add-1-smoothed "
+    "BIGRAM language model trained on the corpus itself, and surface "
+    "the 20 most out-of-distribution documents — the classic LM-based "
+    "filter of pretraining pipelines (surprising docs are boilerplate, "
+    "garbled text, or contamination). Exactness discipline: per-bigram "
+    "ln-probabilities are quantized to integer millionths BEFORE the "
+    "per-doc sum (identical expression both engines; no exp — avg NLL "
+    "orders the same as perplexity without the extra libm call). "
+    "Scale shape: two corpus-grain count aggregates (map-side "
+    "combined) + one shuffle join of doc bigrams against the model "
+    "keyed on the bigram, then a TakeOrderedAndProject; the model "
+    "tables are data-bounded (vocab², typically ≪ corpus) and the "
+    "unigram side broadcasts when small.",
+)
+def doc_bigram_nll_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _doc_bigrams(spark, sf_dir)
+    c12 = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    unis = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w1")
+        )
+    )
+    c1 = unis.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        grams.join(c12, "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lp_q", F.expr(_SQL_LP_Q))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("lp_q")).cast("long").alias("nll_q"),
+        )
+        .withColumn(
+            "avg_nll",
+            (
+                F.col("nll_q").cast("double")
+                / F.col("n_bigrams").cast("double")
+            )
+            / F.lit(1000000.0),
+        )
+        .orderBy(F.col("avg_nll").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "supplier_balance_distribution",
+    oracle=f"""
+    WITH s AS (
+      SELECT s_suppkey, s_nationkey,
+             {sql_cents('s_acctbal')} AS bal_cents
+      FROM supplier
+    )
+    SELECT s_nationkey, s_suppkey, bal_cents,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(4) OVER w AS quartile
+    FROM s
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY bal_cents, s_suppkey)
+    ORDER BY s_nationkey, bal_cents, s_suppkey
+    """,
+    doc="Distribution-position window functions — percent_rank, "
+    "cume_dist, ntile — over supplier balances within every nation: "
+    "the remaining SQL:2003 window-function surface "
+    "(rank/dense_rank/row_number/lag/lead/nth_value/first/last are "
+    "covered elsewhere). Both ratios are single integer-over-integer "
+    "IEEE divides ((rank-1)/(n-1), rows/n) so the doubles hash "
+    "identically; (bal_cents, s_suppkey) makes the order total, which "
+    "ntile requires for a deterministic bucket assignment.",
+)
+def supplier_balance_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = (
+        load_table(spark, sf_dir, "supplier").select(
+            "s_nationkey",
+            "s_suppkey",
+            cents("s_acctbal").alias("bal_cents"),
+        )
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("bal_cents").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            "bal_cents",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("s_nationkey", "bal_cents", "s_suppkey")
+    )

@@ -22,6 +22,8 @@ R8_QUERIES = [
     "scd2_temporal_join",
     "data_quality_audit",
     "quantile_sketch_prices",
+    "doc_bigram_nll_top20",
+    "supplier_balance_distribution",
 ]
 
 
