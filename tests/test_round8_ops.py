@@ -24,6 +24,7 @@ R8_QUERIES = [
     "quantile_sketch_prices",
     "doc_bigram_nll_top20",
     "supplier_balance_distribution",
+    "copurchase_triangle_count",
 ]
 
 
