@@ -855,3 +855,19 @@ def test_round8_scd2_and_audit_plans(spark, sf_dir):
     p3 = fresh_plan(spark, sf_dir, "data_quality_audit")
     assert "CartesianProduct" not in p3
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*LeftAnti", p3, re.DOTALL), p3
+
+
+def test_round8_lm_and_graph_plans(spark, sf_dir):
+    """doc_bigram_nll_top20: model aggregates must be map-side combined
+    (partial_count below the exchanges) and the ranking a
+    TakeOrderedAndProject; copurchase_triangle_count: every join is an
+    equi-join (degree orientation exists precisely so the wedge join
+    can hash-partition on the source vertex) — a CartesianProduct or
+    NestedLoop anywhere means the orientation broke."""
+    p = fresh_plan(spark, sf_dir, "doc_bigram_nll_top20")
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+    p2 = fresh_plan(spark, sf_dir, "copurchase_triangle_count")
+    assert "CartesianProduct" not in p2, p2
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*LeftSemi", p2, re.DOTALL), p2
