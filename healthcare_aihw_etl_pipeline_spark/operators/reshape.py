@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def unpivot(
@@ -54,3 +55,41 @@ def pivot_sum(
         .pivot(pivot_col, list(pivot_values))
         .sum(measure)
     )
+
+
+def pivot_sum_dynamic(
+    df: DataFrame,
+    row_key: str,
+    pivot_col: str,
+    measure: str,
+    *,
+    max_domain: int = 100,
+) -> DataFrame:
+    """Two-phase DYNAMIC pivot: discover the pivot domain from the data,
+    then run the explicit-values single-shuffle pivot (pivot_sum).
+
+    The discovery collect is inherent to dynamic pivot — a relation's
+    columns must be driver-known before its plan exists — so the only
+    scale question is whether it is BOUNDED: the distinct scan is a
+    map-side-combined aggregate and the collect is capped at
+    max_domain + 1 rows (limit pushed into the plan); exceeding the cap
+    raises instead of materializing an unbounded domain as columns (a
+    10^6-column relation is an error, not a result). Values are sorted
+    so the output schema is deterministic across partitionings/engines.
+    """
+    vals = [
+        r[0]
+        for r in df.select(pivot_col)
+        .where(F.col(pivot_col).isNotNull())
+        .distinct()
+        .limit(max_domain + 1)
+        .collect()
+    ]
+    if len(vals) > max_domain:
+        raise ValueError(
+            f"pivot domain of {pivot_col!r} exceeds max_domain="
+            f"{max_domain}; pivoting an unbounded domain into columns "
+            "is almost always a bug — pass explicit values (pivot_sum) "
+            "or raise the cap deliberately"
+        )
+    return pivot_sum(df, row_key, pivot_col, sorted(map(str, vals)), measure)

@@ -769,3 +769,47 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.crossJoin(F.broadcast(edges_n)).crossJoin(
         F.broadcast(nodes_n)
     )
+
+
+@register(
+    "pivot_dynamic_priority",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             o_orderpriority,
+             {sql_cents('o_totalprice')} AS cents
+      FROM orders
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END) AS BIGINT) AS "1-URGENT",
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN cents END) AS BIGINT) AS "2-HIGH",
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents END) AS BIGINT) AS "3-MEDIUM",
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN cents END) AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN cents END) AS BIGINT) AS "5-LOW"
+    FROM base
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+    doc="DYNAMIC pivot (operators/reshape.pivot_sum_dynamic): the pivot "
+    "domain (order priorities) is discovered from the data behind a "
+    "cardinality cap — the inherent driver-side collect of any dynamic "
+    "pivot, BOUNDED by limit(cap+1) pushed into the distinct scan and "
+    "raising past the cap rather than materializing unbounded columns. "
+    "Discovered values are sorted so the schema is deterministic; the "
+    "pivot itself is then the single-shuffle explicit-values form (R2). "
+    "The oracle pins the expected domain — the discovery must converge "
+    "to exactly these five columns at any SF.",
+)
+def pivot_dynamic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.reshape import (
+        pivot_sum_dynamic,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderpriority",
+        cents("o_totalprice").alias("cents"),
+    )
+    return pivot_sum_dynamic(
+        o, "order_year", "o_orderpriority", "cents"
+    ).orderBy("order_year")

@@ -25,7 +25,27 @@ R8_QUERIES = [
     "doc_bigram_nll_top20",
     "supplier_balance_distribution",
     "copurchase_triangle_count",
+    "pivot_dynamic_priority",
 ]
+
+
+def test_pivot_dynamic_caps_domain(spark, sf_dir):
+    """The discovery collect is bounded: a domain past max_domain raises
+    instead of materializing unbounded columns."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from healthcare_aihw_etl_pipeline_spark.operators.reshape import (
+        pivot_sum_dynamic,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("string").alias("wide"),
+        F.lit(1).alias("m"),
+    )
+    with pytest.raises(ValueError, match="max_domain"):
+        pivot_sum_dynamic(o, "k", "wide", "m", max_domain=5)
 
 
 def test_scd2_temporal_join_covers_every_event(spark, duck, sf_dir):
