@@ -103,3 +103,64 @@ def test_salted_agg_equals_plain_groupby(spark, rows):
     plain = {r.k: r.v for r in df.groupBy("k").agg(F.sum("v").alias("v")).collect()}
     salted = {r.k: r.v for r in salted_agg(df, ["k"], "v", salt_buckets=4).collect()}
     assert plain == salted
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),     # key
+            st.integers(min_value=0, max_value=40),    # minute offset
+            st.sampled_from(["a", "b", "c"]),          # attr
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scd2_history_interval_laws(spark, events):
+    """SCD2 interval laws over random event logs: per key the intervals
+    (1) start at the key's first event, (2) chain exactly — each
+    valid_to equals the next valid_from, (3) end with exactly one open
+    current row, (4) never hold two consecutive runs with equal
+    attributes, and (5) reconstruct the attribute at ANY event time —
+    the interval covering ts carries the attr of the latest event <= ts
+    under the (ts, tiebreak) order."""
+    import datetime as dt
+
+    from healthcare_aihw_etl_pipeline_spark.operators.scd import scd2_history
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(minutes=m), i, attr)
+        for i, (k, m, attr) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp_ntz, eid int, attr string"
+    )
+    hist = scd2_history(df, "k", "attr", "ts", "eid").collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    model: dict[int, list] = {}
+    for k, ts, eid, attr in rows:
+        model.setdefault(k, []).append((ts, eid, attr))
+    for k, runs in by_key.items():
+        runs.sort(key=lambda r: r.valid_from)
+        evs = sorted(model[k])
+        assert runs[0].valid_from == evs[0][0]                       # (1)
+        for a, b in zip(runs, runs[1:]):
+            assert a.valid_to == b.valid_from                         # (2)
+            assert not a.is_current
+            assert a.attr != b.attr                                   # (4)
+        assert runs[-1].is_current and runs[-1].valid_to is None      # (3)
+        for ts, eid, attr_expected in evs:
+            # latest event at or before ts under (ts, eid) total order
+            latest = max(e for e in evs if e[0] <= ts)
+            covering = [
+                r for r in runs
+                if r.valid_from <= ts
+                and (r.valid_to is None or ts < r.valid_to)
+            ]
+            # an event AT a boundary belongs to the newer interval
+            assert len(covering) == 1                                 # (5)
+            assert covering[0].attr == latest[2]
