@@ -340,3 +340,76 @@ def phrase_search_topk(
     return hits.orderBy(
         F.col("n_hits").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def bm25_batch_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """BATCHED BM25: score MANY query bags against the corpus in ONE
+    pass — the retrieval shape of contamination screening, where an
+    entire eval suite is checked against the training corpus at once
+    (per-query scans would cost |queries| corpus passes).
+
+    `queries` is a (qid, token) relation. The corpus-side term
+    frequencies are computed once for the UNION of all query terms
+    (semi-join prunes the explode output before its groupBy), matches
+    fan out to (qid, doc) by an equi-join on token, and per-(qid,
+    token) document frequencies come from the same grouped rows. The
+    per-query ranking is a row_number window partitioned by qid —
+    bounded buffering, no global sort.
+
+    Returns (qid, id, n_terms_matched, score_q, score, rank) with
+    rank <= k, totally ordered by (qid, rank).
+    """
+    stats = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.size(tokens(text_col)).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+    terms = queries.select("qid", "token")
+    vocab = terms.select("token").distinct()
+    tf = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            id_col,
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("token"),
+        )
+        .join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    wdf = Window.partitionBy("token")
+    matched = tf.withColumn("doc_freq", F.count(F.lit(1)).over(wdf)).join(
+        F.broadcast(terms), "token"
+    )
+    scored = matched.crossJoin(F.broadcast(stats)).withColumn(
+        "contrib_q", _contrib(F.col("n_docs"), F.col("sum_dl"))
+    )
+    per_doc = (
+        scored.groupBy("qid", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("contrib_q").alias("score_q"),
+        )
+        .withColumn(
+            "score",
+            F.col("score_q").cast("double") / F.lit(float(SCORE_QUANT)),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("score_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )

@@ -131,7 +131,7 @@ _MUST_VERIFY_R8: list[str] = [
     "scd2_user_tier_history", "scd2_temporal_join", "data_quality_audit",
     "quantile_sketch_prices", "doc_bigram_nll_top20",
     "supplier_balance_distribution", "copurchase_triangle_count",
-    "pivot_dynamic_priority",
+    "pivot_dynamic_priority", "bm25_eval_screen_top3",
     # rounds-1–3 tail the r7 window did not reach
     "cheapest_supplier_per_part", "idle_rich_customers",
     "important_parts_by_share", "shipping_priority_top10",

@@ -813,3 +813,77 @@ def pivot_dynamic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_sum_dynamic(
         o, "order_year", "o_orderpriority", "cents"
     ).orderBy("order_year")
+
+
+_SCREEN_QUERIES = [
+    ("q1", ["dup", "spark"]),
+    ("q2", ["merge", "window", "join"]),
+    ("q3", ["vector", "stream"]),
+]
+
+
+@register(
+    "bm25_eval_screen_top3",
+    oracle=f"""
+    WITH q(qid, token) AS (VALUES
+      ('q1', 'dup'), ('q1', 'spark'),
+      ('q2', 'merge'), ('q2', 'window'), ('q2', 'join'),
+      ('q3', 'vector'), ('q3', 'stream')
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl
+      FROM (SELECT len({sql_tokens('text')}) AS dl
+            FROM documents WHERE trim(text) <> '')
+    ),
+    tf AS (
+      SELECT doc_id, tok AS token, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM (
+        SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS tok
+        FROM (SELECT doc_id, {sql_tokens('text')} AS toks
+              FROM documents WHERE trim(text) <> '')
+      )
+      WHERE tok IN (SELECT token FROM q)
+      GROUP BY doc_id, tok
+    ),
+    dfm AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY token) AS doc_freq FROM tf
+    ),
+    scored AS (
+      SELECT q.qid, m.doc_id,
+             {sql_contrib('s.n_docs', 's.sum_dl')} AS contrib_q
+      FROM dfm m JOIN q USING (token), stats s
+    ),
+    per_doc AS (
+      SELECT qid, doc_id,
+             COUNT(*) AS n_terms_matched,
+             CAST(SUM(contrib_q) AS BIGINT) AS score_q,
+             CAST(SUM(contrib_q) AS DOUBLE) / 10000.0 AS score
+      FROM scored GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, n_terms_matched, score_q, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score_q DESC, doc_id) AS rank
+      FROM per_doc
+    )
+    WHERE rank <= 3
+    ORDER BY qid, rank
+    """,
+    doc="BATCHED BM25 retrieval (operators/search.bm25_batch_topk): "
+    "three query bags screened against the corpus in ONE pass — the "
+    "contamination-screening shape, where an eval suite's questions "
+    "are checked against training data at once instead of one corpus "
+    "scan per question. Corpus term frequencies are computed once for "
+    "the union of query vocabularies (semi-join prune before the "
+    "groupBy), fanned out to (qid, doc) by an equi-join on token, and "
+    "ranked per query by a row_number window (bounded buffering). "
+    "Quantized contributions keep the scores hash-exact.",
+)
+def bm25_eval_screen_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.search import (
+        bm25_batch_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qrows = [(qid, t) for qid, terms in _SCREEN_QUERIES for t in terms]
+    queries = spark.createDataFrame(qrows, "qid string, token string")
+    return bm25_batch_topk(docs, "text", "doc_id", queries, k=3)

@@ -26,6 +26,7 @@ R8_QUERIES = [
     "supplier_balance_distribution",
     "copurchase_triangle_count",
     "pivot_dynamic_priority",
+    "bm25_eval_screen_top3",
 ]
 
 
