@@ -4,10 +4,13 @@
     python -m healthcare_aihw_etl_pipeline_spark run <query> [--sf DIR] [-n N]
     python -m healthcare_aihw_etl_pipeline_spark explain <query> [--sf DIR]
     python -m healthcare_aihw_etl_pipeline_spark sql "<SELECT ...>" [--sf DIR]
+    python -m healthcare_aihw_etl_pipeline_spark search "dup spark" [--sf DIR] [-k K]
 
 `run` prints the result as JSON lines (first N rows, default 50);
 `explain` prints the formatted physical plan; `sql` registers the corpus
-tables as views and runs arbitrary Spark SQL against them.
+tables as views and runs arbitrary Spark SQL against them; `search`
+runs ad-hoc BM25 retrieval over the documents table for a bag of
+whitespace-separated terms (operators/search.bm25_topk).
 """
 from __future__ import annotations
 
@@ -48,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("statement")
     p_sql.add_argument("--sf", default="/root/testdata/sf0.01")
     p_sql.add_argument("-n", type=int, default=50)
+    p_search = sub.add_parser("search", help="ad-hoc BM25 over documents")
+    p_search.add_argument("terms", help="whitespace-separated query bag")
+    p_search.add_argument("--sf", default="/root/testdata/sf0.01")
+    p_search.add_argument("-k", type=int, default=10)
     args = ap.parse_args(argv)
 
     from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
@@ -62,6 +69,19 @@ def main(argv: list[str] | None = None) -> int:
     from healthcare_aihw_etl_pipeline_spark import get_spark
 
     spark = get_spark(app_name="cli")
+    if args.cmd == "search":
+        from healthcare_aihw_etl_pipeline_spark.operators.search import (
+            bm25_topk,
+        )
+        from healthcare_aihw_etl_pipeline_spark.sources.catalog import (
+            load_table,
+        )
+
+        terms = sorted(set(args.terms.split()))
+        docs = load_table(spark, args.sf, "documents")
+        for row in bm25_topk(docs, "text", "doc_id", terms, k=args.k).collect():
+            print(json.dumps({k: _json_cell(v) for k, v in row.asDict().items()}))
+        return 0
     if args.cmd == "sql":
         from healthcare_aihw_etl_pipeline_spark.sources.catalog import (
             register_views,

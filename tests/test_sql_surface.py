@@ -166,6 +166,15 @@ def test_cli_list_run_explain(spark, sf_dir, capsys):
 
     assert main(["run", "nope"]) == 2
 
+    assert main(["search", "dup spark", "--sf", sf_dir, "-k", "3"]) == 0
+    hits = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.strip()
+    ]
+    assert 1 <= len(hits) <= 3
+    assert {"doc_id", "score_q", "score"} <= set(hits[0])
+
 
 def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     """S6/S7 JDBC legs (write_jdbc / read_jdbc — the reference's
