@@ -125,3 +125,61 @@ def write_zordered(
         .partitionBy("_zcell")
         .parquet(path)
     )
+
+
+def shard_by_budget(
+    df: DataFrame, order_col: str, cost_col: str, budget: int
+) -> DataFrame:
+    """Deterministic export-shard assignment by running cost budget: in
+    the total order of `order_col`, each row lands in shard
+    floor(start_offset / budget) where start_offset is the exclusive
+    prefix sum of `cost_col` — the token-budget sharding step of a
+    training-data export (every shard holds ~budget tokens, order
+    preserved, assignment reproducible run-to-run and engine-to-engine).
+
+    DISTRIBUTED prefix sum — no single-partition global window: rows are
+    range-repartitioned on the total order, per-partition cost subtotals
+    form an exclusive prefix over the PARTITION-COUNT-sized frame (the
+    only unpartitioned window, bounded at the shuffle-partition count,
+    never the data), and each row's global offset is its partition's
+    offset plus an intra-partition running sum — per-partition windows
+    that parallelize across executors. The result is independent of
+    where the range boundaries land because the order key is total, so
+    the assignment is identical on 1 or 1000 executors. Adds columns
+    `cum` (inclusive prefix sum) and `shard` (0-based)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.repartitionByRange(
+        n_parts, F.col(order_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = (
+        base.groupBy("_pid")
+        .agg(F.sum(cost_col).alias("_c"))
+        .select(
+            "_pid", (F.sum("_c").over(woff) - F.col("_c")).alias("_off")
+        )
+    )
+    wlocal = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(off), "_pid")
+        .withColumn(
+            "cum", F.sum(cost_col).over(wlocal) + F.col("_off")
+        )
+        .withColumn(
+            # Exact integer floor-division (`div`, DuckDB `//`): a
+            # double divide mis-floors once offsets outgrow the ~2^53
+            # ulp radius — real at 100 TB token scales.
+            "shard",
+            F.expr(f"(cum - {cost_col}) div {int(budget)}").cast("long"),
+        )
+        .drop("_pid", "_off")
+    )

@@ -278,3 +278,95 @@ def sampled_rank_quantiles(
     return ranked.join(F.broadcast(qdf), F.col("_rn") == target).select(
         "q", value_col, "sample_n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch: mergeable frequency estimation.
+#
+# The CMS is the frequency-domain sibling of the HLL/theta stores above:
+# a depth x width grid of counters where each key adds its count to one
+# bucket per row (depth independent hashes), and the estimate for a key
+# is the MIN over its buckets — an overestimate bounded by
+# eps = e/width of the total mass with probability 1 - e^-depth. The
+# grid is (depth*width) BIGINTs regardless of cardinality, and two
+# sketches merge by cell-wise addition — the property that lets per-day
+# or per-shard sketches roll up without touching raw data.
+#
+# Portability discipline (same as the HLL above): the row-i hash is
+# md5(i || ':' || key) — no RNG, no seed table — so the sketch's exact
+# CELLS replay bit-for-bit in DuckDB and the driver can hash-verify
+# estimates, not just row counts.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_bucket(key: Column | str, row: int) -> Column:
+    """Bucket of `key` in sketch row `row`: first 32 bits of the salted
+    md5, mod width. Pure string/integer expressions (codegen, no UDF)."""
+    c = F.col(key) if isinstance(key, str) else key
+    salted = F.concat(F.lit(f"{row}:"), c.cast("string"))
+    h = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+    return (h % F.lit(CMS_WIDTH)).alias("b")
+
+
+def cms_bucket_sql(key_expr: str, row: int) -> str:
+    """DuckDB twin of :func:`cms_bucket`."""
+    return (
+        f"(CAST('0x' || substring(md5('{row}:' || CAST({key_expr} AS "
+        f"VARCHAR)), 1, 8) AS BIGINT) % {CMS_WIDTH})"
+    )
+
+
+def cms_build(counts: DataFrame, key_col: str, cnt_col: str) -> DataFrame:
+    """Sketch cells `(r, b, total)` from an exact `(key, count)`
+    relation. One explode to (depth) observations per key, then a hash
+    aggregation onto the <= depth*width cell grid — map-side combine
+    collapses almost everything before the (tiny) shuffle. Feeding
+    per-key counts rather than raw rows is the mergeable path: the same
+    function rolls per-partition or per-day count relations into one
+    grid."""
+    obs = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"), cms_bucket(key_col, i).alias("b")
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("o"),
+        F.col(cnt_col).alias("_c"),
+    )
+    return (
+        obs.select(F.col("o.r").alias("r"), F.col("o.b").alias("b"), "_c")
+        .groupBy("r", "b")
+        .agg(F.sum("_c").alias("total"))
+    )
+
+
+def cms_estimate(keys: DataFrame, cells: DataFrame, key_col: str) -> DataFrame:
+    """Point-query the sketch for every row of `keys`: adds `est_cnt` =
+    min over the depth rows of that key's cell totals. The cell grid is
+    broadcast (bounded at depth*width rows), so this is a map-side join
+    no matter how many keys are probed; absent cells read as zero."""
+    obs = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"), cms_bucket(key_col, i).alias("b")
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("o"),
+    ).select(key_col, F.col("o.r").alias("r"), F.col("o.b").alias("b"))
+    return (
+        obs.join(F.broadcast(cells), ["r", "b"], "left")
+        .withColumn("total", F.coalesce(F.col("total"), F.lit(0)))
+        .groupBy(key_col)
+        .agg(F.min("total").alias("est_cnt"))
+    )

@@ -18,6 +18,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import ingest_queries  # noqa: F40
 from healthcare_aihw_etl_pipeline_spark.plans import round5_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round6_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round8_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import round8b_queries  # noqa: F401,E402
 
 # Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the
@@ -126,6 +127,7 @@ _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R7
 # Entries past the driver's ~50-slot window roll forward to round 9.
 _MUST_VERIFY_R8: list[str] = [
     # new this round
+    "k_anonymity_audit", "cms_token_heavy_hitters", "token_shard_plan",
     "bm25_search_top10", "inverted_index_top20", "phrase_search_top10",
     "weighted_sample_orders",
     "scd2_user_tier_history", "scd2_temporal_join", "data_quality_audit",

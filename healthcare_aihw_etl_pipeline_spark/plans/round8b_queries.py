@@ -1,0 +1,207 @@
+"""Round-8 continuation surface: privacy release audit (k-anonymity /
+l-diversity), a portable count-min frequency sketch, distributed
+prefix-sum export sharding, per-key time-series interpolation, and
+bounded-hop graph reachability.
+
+Same exactness discipline as the rest of the registry
+(plans/registry.py): integer arithmetic across aggregation boundaries,
+identically-written single IEEE expressions where a divide is
+unavoidable, a TOTAL order under every LIMIT, and DuckDB HUGEINT sums
+cast back to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.operators import privacy
+from healthcare_aihw_etl_pipeline_spark.operators.layout import shard_by_budget
+from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+    CMS_DEPTH,
+    cms_bucket_sql,
+    cms_build,
+    cms_estimate,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.search import (
+    sql_tokens,
+    tokens,
+)
+from healthcare_aihw_etl_pipeline_spark.plans.registry import register
+from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH groups AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS k,
+             COUNT(DISTINCT c_mktsegment) AS l
+      FROM customer
+      GROUP BY c_nationkey, bal_band
+    ),
+    banded AS (
+      SELECT {privacy.sql_band_of('k')} AS band_lo, k, l FROM groups
+    )
+    SELECT band_lo,
+           CASE band_lo WHEN 1 THEN 'k=1 unique' WHEN 2 THEN '2<=k<5'
+                        WHEN 5 THEN '5<=k<20' ELSE 'k>=20' END AS band,
+           COUNT(*) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           MIN(l) AS min_l
+    FROM banded
+    GROUP BY band_lo
+    ORDER BY band_lo
+    """,
+    doc="k-anonymity / l-diversity release audit over the quasi-"
+    "identifier pair (nation, $1000 account-balance band) with "
+    "market segment as the sensitive attribute: per risk band "
+    "(k=1 unique rows, 2-4, 5-19, 20+), how many QI groups and rows "
+    "fall in it and the worst-case k and l. The only data-sized "
+    "shuffle is the QI groupBy (map-side combined); the banding pass "
+    "runs on the group relation, orders of magnitude smaller. The "
+    "audit every corpus extract should pass before release.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_band"),
+        "c_mktsegment",
+    )
+    groups = privacy.group_anonymity(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment"
+    )
+    return privacy.anonymity_bands(groups)
+
+
+@register(
+    "cms_token_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok AS token, COUNT(*) AS cnt
+      FROM (SELECT UNNEST({sql_tokens('text')}) AS tok
+            FROM documents WHERE trim(text) <> '')
+      GROUP BY tok
+    ),
+    obs AS (
+      {" UNION ALL ".join(
+          f"SELECT token, {i} AS r, {cms_bucket_sql('token', i)} AS b, cnt"
+          " FROM counts"
+          for i in range(CMS_DEPTH)
+      )}
+    ),
+    cells AS (
+      SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM obs GROUP BY r, b
+    ),
+    est AS (
+      SELECT o.token, MIN(cl.total) AS est_cnt
+      FROM obs o JOIN cells cl USING (r, b)
+      GROUP BY o.token
+    )
+    SELECT c.token, c.cnt AS exact_cnt, e.est_cnt,
+           e.est_cnt - c.cnt AS overcount
+    FROM counts c JOIN est e USING (token)
+    ORDER BY e.est_cnt DESC, c.token
+    LIMIT 20
+    """,
+    doc="Token heavy hitters through a portable count-min sketch "
+    "(depth 4 x width 512, md5 row hashes — the cells replay bit-for-"
+    "bit in DuckDB): exact corpus term counts feed the mergeable "
+    "cell grid, every term is point-queried back (min over its four "
+    "cells, broadcast join against the <=2048-cell grid), and the "
+    "top 20 by estimate carry their exact count and CMS overcount. "
+    "The grid is O(depth*width) regardless of vocabulary, and two "
+    "grids merge by cell-wise addition — per-shard or per-day "
+    "frequency stores roll up without touching raw tokens.",
+)
+def cms_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select(F.explode(tokens("text")).alias("token"))
+    )
+    counts = docs.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = cms_build(counts, "token", "cnt")
+    est = cms_estimate(counts.select("token"), cells, "token")
+    return (
+        counts.join(est, "token")
+        .select(
+            "token",
+            F.col("cnt").alias("exact_cnt"),
+            "est_cnt",
+            (F.col("est_cnt") - F.col("cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("est_cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+_SHARD_TOKENS = 50_000
+
+
+@register(
+    "token_shard_plan",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, len({sql_tokens('text')}) AS n_tokens
+      FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM docs
+    ),
+    s AS (
+      SELECT doc_id, n_tokens, cum,
+             CAST((cum - n_tokens) // {_SHARD_TOKENS} AS BIGINT) AS shard
+      FROM c
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           CAST(MAX(cum) AS BIGINT) AS cum_end
+    FROM s
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="Token-budget export sharding — the last step of a training-"
+    "data pipeline: documents in doc_id order are packed into shards "
+    "of ~50k tokens each (a row belongs to the shard of its exclusive "
+    "prefix-sum start offset), reported per shard with doc/token "
+    "counts and id bounds. The prefix sum is DISTRIBUTED "
+    "(operators/layout.shard_by_budget): range repartition + per-"
+    "partition running sums + a partition-count-bounded offset "
+    "window — no single-partition global window, identical output on "
+    "any executor count, exact integer floor-division for the shard "
+    "id (a double divide mis-floors past 2^53).",
+)
+def token_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+        )
+    )
+    sharded = shard_by_budget(docs, "doc_id", "n_tokens", _SHARD_TOKENS)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.max("cum").alias("cum_end"),
+        )
+        .orderBy("shard")
+    )

@@ -1,0 +1,175 @@
+"""Round-8 continuation tests: privacy audit, count-min sketch,
+distributed prefix-sum sharding.
+
+Each registered query replays against its DuckDB oracle at the test
+scale factor; the operator laws (CMS overestimate + mergeability,
+prefix-sum partition invariance, k/l math) are checked directly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+R8B_QUERIES = [
+    "k_anonymity_audit",
+    "cms_token_heavy_hitters",
+    "token_shard_plan",
+]
+
+
+@pytest.mark.parametrize("name", R8B_QUERIES)
+def test_round8b_query_matches_oracle(spark, duck, sf_dir, name):
+    q = REGISTRY[name]
+    sp = q.fn(spark, sf_dir)
+    cols = sorted(sp.columns)
+    got = sorted(tuple(str(r[c]) for c in cols) for r in sp.collect())
+    res = duck.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    want = sorted(tuple(str(r[i]) for i in idx) for r in res.fetchall())
+    assert sorted(cols) == sorted(ocols)
+    assert got == want
+
+
+def test_group_anonymity_math(spark):
+    """Planted frame: k is the QI group size, l the distinct sensitive
+    count, bands split at 2/5/20."""
+    from healthcare_aihw_etl_pipeline_spark.operators.privacy import (
+        anonymity_bands,
+        group_anonymity,
+    )
+
+    rows = (
+        [("a", 1, "x")]  # unique row -> k=1 band
+        + [("b", 1, s) for s in ("x", "y", "y")]  # k=3, l=2
+        + [("c", 2, "x")] * 6  # k=6, l=1
+    )
+    df = spark.createDataFrame(rows, "qi1 string, qi2 int, sens string")
+    g = group_anonymity(df, ["qi1", "qi2"], "sens")
+    got = {(r["qi1"], r["qi2"]): (r["k"], r["l"]) for r in g.collect()}
+    assert got == {("a", 1): (1, 1), ("b", 1): (3, 2), ("c", 2): (6, 1)}
+    bands = {r["band_lo"]: r for r in anonymity_bands(g).collect()}
+    assert bands[1]["n_groups"] == 1 and bands[1]["n_rows"] == 1
+    assert bands[2]["n_groups"] == 1 and bands[2]["min_l"] == 2
+    assert bands[5]["n_rows"] == 6 and bands[5]["min_k"] == 6
+    assert 20 not in bands
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """CMS law: est_cnt >= exact count for EVERY key (min of buckets
+    each holding at least the key's own mass)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    counts = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.trim("text") != "")
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = cms_build(counts, "token", "cnt")
+    est = cms_estimate(counts.select("token"), cells, "token")
+    under = (
+        counts.join(est, "token")
+        .where(F.col("est_cnt") < F.col("cnt"))
+        .count()
+    )
+    assert under == 0
+
+
+def test_cms_merges_by_cell_addition(spark, sf_dir):
+    """Mergeability: the sketch of a corpus equals the cell-wise sum of
+    the sketches of any disjoint split — build per-half grids, add,
+    compare to the whole-corpus grid."""
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        cms_build,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.trim("text") != "")
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+    )
+    whole = cms_build(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+        "token",
+        "cnt",
+    )
+    halves = [
+        cms_build(
+            toks.where(F.col("doc_id") % 2 == i)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt")),
+            "token",
+            "cnt",
+        )
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0]
+        .unionAll(halves[1])
+        .groupBy("r", "b")
+        .agg(F.sum("total").alias("total"))
+    )
+    diff = (
+        whole.alias("w")
+        .join(merged.alias("m"), ["r", "b"], "full")
+        .where(
+            F.coalesce(F.col("w.total"), F.lit(0))
+            != F.coalesce(F.col("m.total"), F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_shard_by_budget_partition_invariant(spark, sf_dir):
+    """The shard assignment depends only on the total order — identical
+    rows out whether the input arrives as 1 partition or 37."""
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+        shard_by_budget,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", (F.col("n_chars") % 97).alias("cost"))
+    )
+    out = {}
+    for tag, d in (("one", docs.coalesce(1)), ("many", docs.repartition(37))):
+        r = shard_by_budget(d, "doc_id", "cost", 1000)
+        out[tag] = sorted(
+            (x["doc_id"], x["cum"], x["shard"]) for x in r.collect()
+        )
+    assert out["one"] == out["many"]
+
+
+def test_shard_by_budget_is_exact_prefix_sum(spark):
+    """Small planted frame: cum is the inclusive running sum in order,
+    shard is the exclusive offset's budget bucket (boundary row starts
+    the next shard exactly when its start offset crosses)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+        shard_by_budget,
+    )
+
+    rows = [(i, c) for i, c in enumerate([3, 4, 5, 1, 9, 2])]
+    df = spark.createDataFrame(rows, "id long, cost long")
+    got = {
+        r["id"]: (r["cum"], r["shard"])
+        for r in shard_by_budget(df, "id", "cost", 10).collect()
+    }
+    # offsets: 0,3,7,12,13,22 -> shards 0,0,0,1,1,2; cums 3,7,12,13,22,24
+    assert got == {
+        0: (3, 0),
+        1: (7, 0),
+        2: (12, 0),
+        3: (13, 1),
+        4: (22, 1),
+        5: (24, 2),
+    }
