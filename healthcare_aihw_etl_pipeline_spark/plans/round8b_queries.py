@@ -27,7 +27,10 @@ from healthcare_aihw_etl_pipeline_spark.operators.search import (
     sql_tokens,
     tokens,
 )
-from healthcare_aihw_etl_pipeline_spark.plans.registry import register
+from healthcare_aihw_etl_pipeline_spark.plans.registry import (
+    register,
+    sql_cents,
+)
 from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
 
 
@@ -205,3 +208,218 @@ def token_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_INTERP_EXPR = (
+    "(CAST(prev_c AS DOUBLE) + CAST(next_c - prev_c AS DOUBLE)"
+    " * (CAST(datediff('day', prev_day, day) AS DOUBLE)"
+    " / CAST(datediff('day', prev_day, next_day) AS DOUBLE))) / 100.0"
+)
+
+
+@register(
+    "daily_value_interpolated",
+    oracle=f"""
+    WITH known AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM({sql_cents('value')}) AS BIGINT) AS v_c
+      FROM events WHERE value > 190.0
+      GROUP BY event_type, day
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      FROM known GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type,
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.day, k.v_c
+      FROM spine s LEFT JOIN known k USING (event_type, day)
+    ),
+    f AS (
+      SELECT *,
+        last_value(v_c IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+        last_value(CASE WHEN v_c IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+        first_value(v_c IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+        first_value(CASE WHEN v_c IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      FROM j
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN v_c IS NOT NULL THEN CAST(v_c AS DOUBLE) / 100.0
+                ELSE {_INTERP_EXPR} END AS vsum,
+           (v_c IS NULL) AS is_interp
+    FROM f
+    ORDER BY event_type, day
+    """,
+    doc="Per-key time-series gap fill by LINEAR INTERPOLATION: daily "
+    "high-value revenue per event type, missing interior days filled "
+    "between their bracketing known days (forward/backward "
+    "IGNORE-NULLS window pairs carry the neighbors; the interpolation "
+    "weight is an exact integer day ratio). Day sums are quantized to "
+    "integer cents BEFORE crossing the aggregation boundary, and the "
+    "interpolation expression is a single identically-written IEEE "
+    "formula in both engines — hash-exact despite the float output. "
+    "Windows are per-key (parallel across keys); the day spine comes "
+    "from per-key bounds + sequence(), never a driver-side loop.",
+)
+def daily_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import cents
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    known = (
+        ev.where(F.col("value") > 190.0)
+        .groupBy("event_type", "day")
+        .agg(F.sum(cents("value")).alias("v_c"))
+    )
+    bounds = known.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    j = spine.join(known, ["event_type", "day"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("v_c").isNotNull(), F.col("day"))
+    f = (
+        j.withColumn("prev_c", F.last("v_c", ignorenulls=True).over(wb))
+        .withColumn("prev_day", F.last(known_day, ignorenulls=True).over(wb))
+        .withColumn("next_c", F.first("v_c", ignorenulls=True).over(wf))
+        .withColumn("next_day", F.first(known_day, ignorenulls=True).over(wf))
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    interp = (
+        F.col("prev_c").cast("double")
+        + (F.col("next_c") - F.col("prev_c")).cast("double") * frac
+    ) / F.lit(100.0)
+    return f.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(
+            F.col("v_c").isNotNull(), F.col("v_c").cast("double") / F.lit(100.0)
+        )
+        .otherwise(interp)
+        .alias("vsum"),
+        F.col("v_c").isNull().alias("is_interp"),
+    ).orderBy("event_type", "day")
+
+
+_SEED_BRAND = "Brand#1"
+
+
+@register(
+    "copurchase_2hop_reach",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v, u FROM pairs
+    ),
+    seeds AS (
+      SELECT DISTINCT p_partkey AS node FROM part
+      WHERE p_brand = '{_SEED_BRAND}'
+    ),
+    h1 AS (
+      SELECT DISTINCT e.dst AS node
+      FROM edges e JOIN seeds s ON e.src = s.node
+      WHERE e.dst NOT IN (SELECT node FROM seeds)
+    ),
+    h2 AS (
+      SELECT DISTINCT e.dst AS node
+      FROM edges e JOIN h1 ON e.src = h1.node
+      WHERE e.dst NOT IN (SELECT node FROM seeds)
+        AND e.dst NOT IN (SELECT node FROM h1)
+    )
+    SELECT 0 AS hop, COUNT(*) AS n_parts FROM seeds
+    UNION ALL SELECT 1, COUNT(*) FROM h1
+    UNION ALL SELECT 2, COUNT(*) FROM h2
+    ORDER BY hop
+    """,
+    doc="Bounded-hop reachability over the part co-purchase graph: "
+    "frontier sizes at 0/1/2 hops from the Brand#1 seed set. The "
+    "frontier-expansion shape of every graph-adjacent pipeline "
+    "(impression spread, related-item candidates): per hop one "
+    "equi-join frontier->edges, a distinct, and an ANTI-join against "
+    "the visited set — distributed-safe because each round's state is "
+    "a node relation shuffled on the node key, never a driver-side "
+    "set; hop count fixed so the plan is static (the unbounded "
+    "variant is dedup_transitive_clusters' pointer-jumping loop).",
+)
+def copurchase_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _SEED_BRAND)
+        .select(F.col("p_partkey").alias("node"))
+        .distinct()
+    )
+    h1 = (
+        edges.join(seeds.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(seeds, "node", "left_anti")
+    )
+    h2 = (
+        edges.join(h1.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(seeds, "node", "left_anti")
+        .join(h1, "node", "left_anti")
+    )
+    def _count(df: DataFrame, hop: int) -> DataFrame:
+        return df.agg(
+            F.lit(hop).alias("hop"), F.count(F.lit(1)).alias("n_parts")
+        )
+
+    return (
+        _count(seeds, 0).unionAll(_count(h1, 1)).unionAll(_count(h2, 2))
+    ).orderBy("hop")

