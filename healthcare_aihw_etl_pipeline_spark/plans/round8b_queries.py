@@ -423,3 +423,282 @@ def copurchase_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _count(seeds, 0).unionAll(_count(h1, 1)).unionAll(_count(h2, 2))
     ).orderBy("hop")
+
+
+_PSI_SPLIT = "2024-01-16"
+_PSI_Q = 1_000_000
+
+
+@register(
+    "value_drift_psi",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) >= DATE '{_PSI_SPLIT}') AS late,
+             CAST(floor(value / 50.0) AS BIGINT) AS bucket
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, late, bucket, COUNT(*) AS c
+      FROM b GROUP BY event_type, late, bucket
+    ),
+    n AS (
+      SELECT event_type, late, COUNT(*) AS n FROM b GROUP BY event_type, late
+    ),
+    sides AS (
+      SELECT c.event_type, c.late, c.bucket, c.c, n.n
+      FROM c JOIN n USING (event_type, late)
+    ),
+    paired AS (
+      SELECT e.event_type, e.bucket,
+             CAST(e.c AS DOUBLE) / CAST(e.n AS DOUBLE) AS p1,
+             CAST(l.c AS DOUBLE) / CAST(l.n AS DOUBLE) AS p2
+      FROM (SELECT * FROM sides WHERE NOT late) e
+      JOIN (SELECT * FROM sides WHERE late) l
+        USING (event_type, bucket)
+    ),
+    contribs AS (
+      SELECT event_type,
+             CAST(floor((p2 - p1) * ln(p2 / p1) * {_PSI_Q} + 0.5) AS BIGINT)
+               AS contrib_q
+      FROM paired
+    )
+    SELECT event_type,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(contrib_q) AS BIGINT) AS psi_q,
+           CAST(CAST(SUM(contrib_q) AS BIGINT) AS DOUBLE) / {_PSI_Q}.0
+             AS psi,
+           (CAST(SUM(contrib_q) AS BIGINT) > {_PSI_Q} / 10) AS drifted
+    FROM contribs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Population-stability-index drift audit — the standard "
+    "monitoring gate between two corpus snapshots or time windows: "
+    "per event type, the value distribution of the first half of the "
+    "timeline vs the second, PSI = sum over shared buckets of "
+    "(p2-p1)*ln(p2/p1), flagged past the classic 0.1 threshold. "
+    "Hash-exact despite ln(): each bucket's contribution is quantized "
+    "to integer millionths BEFORE the cross-bucket sum (the "
+    "doc_bigram_nll_top20 discipline), so partial-aggregation order "
+    "cannot perturb the result. Two aggregations at (key, side, "
+    "bucket) grain plus joins on the tiny bucket relation — the only "
+    "data-sized pass is the first groupBy, map-side combined.",
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.to_date("ts") >= F.lit(_PSI_SPLIT)).alias("late"),
+        F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bucket"),
+    )
+    c = ev.groupBy("event_type", "late", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = ev.groupBy("event_type", "late").agg(F.count(F.lit(1)).alias("n"))
+    sides = c.join(n, ["event_type", "late"])
+    early = sides.where(~F.col("late")).select(
+        "event_type",
+        "bucket",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p1"),
+    )
+    late = sides.where(F.col("late")).select(
+        "event_type",
+        "bucket",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p2"),
+    )
+    paired = early.join(late, ["event_type", "bucket"])
+    contrib_q = F.floor(
+        (F.col("p2") - F.col("p1"))
+        * F.log(F.col("p2") / F.col("p1"))
+        * F.lit(_PSI_Q)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        paired.select("event_type", contrib_q.alias("contrib_q"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("contrib_q").alias("psi_q"),
+        )
+        .select(
+            "event_type",
+            "n_buckets",
+            "psi_q",
+            (F.col("psi_q").cast("double") / F.lit(float(_PSI_Q))).alias(
+                "psi"
+            ),
+            (F.col("psi_q") > F.lit(_PSI_Q // 10)).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MI_Q = 1_000_000_000
+
+
+@register(
+    "priority_status_mutual_info",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             o_orderpriority AS pri, o_orderstatus AS st
+      FROM orders
+    ),
+    cxy AS (SELECT yr, pri, st, COUNT(*) AS c FROM base GROUP BY yr, pri, st),
+    cx AS (SELECT yr, pri, COUNT(*) AS cx FROM base GROUP BY yr, pri),
+    cy AS (SELECT yr, st, COUNT(*) AS cy FROM base GROUP BY yr, st),
+    n AS (SELECT yr, COUNT(*) AS n FROM base GROUP BY yr),
+    cells AS (
+      SELECT cxy.yr,
+             CAST(floor(
+               (CAST(cxy.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+               * ln((CAST(cxy.c AS DOUBLE) * CAST(n.n AS DOUBLE))
+                    / (CAST(cx.cx AS DOUBLE) * CAST(cy.cy AS DOUBLE)))
+               * {_MI_Q} + 0.5) AS BIGINT) AS contrib_q
+      FROM cxy
+      JOIN cx USING (yr, pri)
+      JOIN cy USING (yr, st)
+      JOIN n USING (yr)
+    )
+    SELECT yr, COUNT(*) AS n_cells,
+           CAST(SUM(contrib_q) AS BIGINT) AS mi_q,
+           CAST(CAST(SUM(contrib_q) AS BIGINT) AS DOUBLE) / {_MI_Q}.0 AS mi
+    FROM cells
+    GROUP BY yr
+    ORDER BY yr
+    """,
+    doc="Mutual information between order priority and order status per "
+    "year — the feature-relevance / dependence audit of a profiling "
+    "pass: MI = sum over contingency cells of p_xy*ln(p_xy/(p_x*p_y)), "
+    "assembled from four grouped counts joined on tiny post-aggregate "
+    "relations (the single data-sized pass is the (yr,pri,st) "
+    "groupBy). Cell contributions — individually signed — are "
+    "quantized to integer billionths before the cross-cell sum, so "
+    "the ln()-bearing result is order-independent and hash-exact. "
+    "The argument of ln is written as (c*n)/(cx*cy): one multiply "
+    "per side, identical IEEE sequence in both engines.",
+)
+def priority_status_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    cxy = base.groupBy("yr", "pri", "st").agg(F.count(F.lit(1)).alias("c"))
+    cx = base.groupBy("yr", "pri").agg(F.count(F.lit(1)).alias("cx"))
+    cy = base.groupBy("yr", "st").agg(F.count(F.lit(1)).alias("cy"))
+    n = base.groupBy("yr").agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        cxy.join(cx, ["yr", "pri"])
+        .join(cy, ["yr", "st"])
+        .join(n, ["yr"])
+    )
+    contrib_q = F.floor(
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("c").cast("double") * F.col("n").cast("double"))
+            / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+        )
+        * F.lit(_MI_Q)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        cells.select("yr", contrib_q.alias("contrib_q"))
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("contrib_q").alias("mi_q"),
+        )
+        .select(
+            "yr",
+            "n_cells",
+            "mi_q",
+            (F.col("mi_q").cast("double") / F.lit(float(_MI_Q))).alias("mi"),
+        )
+        .orderBy("yr")
+    )
+
+
+# Benford first-digit expectations log10(1 + 1/d), shared literal-for-
+# literal between the Spark plan and the DuckDB oracle so no log10()
+# evaluation happens in either engine.
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST({sql_cents('o_totalprice')} AS VARCHAR),
+                            1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    obs AS (SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
+    scored AS (
+      SELECT o.digit, o.observed,
+             CAST(t.n AS DOUBLE) * ({_BENFORD_CASE.replace('digit', 'o.digit')})
+               AS expected
+      FROM obs o, tot t
+    )
+    SELECT digit, observed, expected,
+           CAST(floor((CAST(observed AS DOUBLE) - expected)
+                      * (CAST(observed AS DOUBLE) - expected) / expected
+                      * 1000000 + 0.5) AS BIGINT) AS chi2_contrib_q
+    FROM scored
+    ORDER BY digit
+    """,
+    doc="Benford's-law first-digit audit of order totals — the classic "
+    "fabricated-data / ingestion-fault screen: the leading digit of "
+    "each price (taken from the exact integer-cents STRING form, no "
+    "float log10 at digit-extraction time), observed counts vs the "
+    "log10(1+1/d) expectation, and the per-digit chi-square "
+    "contribution quantized to millionths. The expectation constants "
+    "are shared python-computed literals — neither engine evaluates "
+    "a logarithm. One groupBy on a 9-value key; the totals join is a "
+    "broadcast of one row.",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import cents
+
+    digits = load_table(spark, sf_dir, "orders").select(
+        F.substring(cents("o_totalprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    tot = obs.agg(F.sum("observed").alias("n"))
+    p = None
+    for d, lit in _BENFORD_P.items():
+        c = F.when(F.col("digit") == d, F.lit(float(lit)))
+        p = c if p is None else p.when(F.col("digit") == d, F.lit(float(lit)))
+    expected = F.col("n").cast("double") * p
+    dev = F.col("observed").cast("double") - F.col("expected")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .withColumn("expected", expected)
+        .select(
+            "digit",
+            "observed",
+            "expected",
+            F.floor(dev * dev / F.col("expected") * F.lit(1_000_000) + F.lit(0.5))
+            .cast("long")
+            .alias("chi2_contrib_q"),
+        )
+        .orderBy("digit")
+    )
