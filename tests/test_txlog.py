@@ -1506,3 +1506,100 @@ def test_incremental_inverted_index_maintenance(spark, tmp_path):
     check()
     toks = {r.token for r in idx.snapshot(spark).collect()}
     assert toks == {"scan", "filter"}
+
+
+def test_incremental_cms_maintenance(spark, tmp_path):
+    """Incremental COUNT-MIN maintenance via feed_transform: the
+    maintained (r, b -> sum_value) cell grid driven only by the
+    document table's change feed equals the batch-built grid of the
+    snapshot at every sync point — across appends, a content UPDATE
+    (preimage observations retract, postimage assert) and a DELETE.
+    The signed-delta algebra applies because the CMS is linear in its
+    input counts (the same property that makes grids mergeable);
+    per-sync cost is proportional to the CHANGED documents' tokens,
+    never the corpus."""
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        CMS_DEPTH,
+        cms_bucket,
+        cms_build,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_agg,
+    )
+
+    src = TxLogTable(str(tmp_path / "docs"), track_changes=True)
+    grid = TxLogTable(str(tmp_path / "grid"))
+    off = str(tmp_path / "grid-offset.json")
+    DOCS = "doc_id long, text string"
+
+    def observe(feed):
+        tok = feed.select(
+            "_change_type", "doc_id", F.explode(tokens("text")).alias("token")
+        )
+        obs = tok.select(
+            "_change_type",
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"),
+                            cms_bucket("token", i).alias("b"),
+                        )
+                        for i in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("o"),
+        )
+        return (
+            obs.select(
+                "_change_type", "doc_id",
+                F.col("o.r").alias("r"), F.col("o.b").alias("b"),
+            )
+            .groupBy("_change_type", "doc_id", "r", "b")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    def direct_grid():
+        snap = src.snapshot(spark)
+        if snap is None:
+            return []
+        counts = (
+            snap.select(F.explode(tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return sorted(
+            (r.r, r.b, float(r.total))
+            for r in cms_build(counts, "token", "cnt").collect()
+        )
+
+    def check():
+        apply_incremental_agg(
+            spark, grid, src, ["r", "b"], "w", off, feed_transform=observe
+        )
+        snap = grid.snapshot(spark)
+        got = (
+            sorted((r.r, r.b, r.sum_value) for r in snap.collect())
+            if snap is not None
+            else []
+        )
+        assert got == direct_grid(), (got[:5], direct_grid()[:5])
+
+    src.append(
+        spark.createDataFrame(
+            [(1, "spark merge window"), (2, "merge merge batch")], DOCS
+        )
+    )
+    check()
+    src.append(spark.createDataFrame([(3, "window dedup spark")], DOCS))
+    check()
+    src.merge(
+        spark.createDataFrame([(2, "batch only now")], DOCS),
+        key_cols=["doc_id"],
+    )
+    check()
+    src.delete_where(spark, F.col("doc_id") == 1)
+    check()
