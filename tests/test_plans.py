@@ -871,3 +871,45 @@ def test_round8_lm_and_graph_plans(spark, sf_dir):
     p2 = fresh_plan(spark, sf_dir, "copurchase_triangle_count")
     assert "CartesianProduct" not in p2, p2
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*LeftSemi", p2, re.DOTALL), p2
+
+
+def test_round8b_plan_shapes(spark, sf_dir):
+    """Round-8 continuation pins. k_anonymity_audit: two aggregations,
+    no join at all (band table derives from the group relation).
+    cms_token_heavy_hitters: the grid probe must be a BROADCAST join
+    (the cell grid is bounded at depth*width rows) — a shuffled join
+    against a 2048-row relation would be a planning failure.
+    copurchase_2hop_reach: frontier expansion must run through
+    LeftSemi incidence joins and never materialize the co-purchase
+    edge relation (no lineitem-lineitem self equi-join condition on
+    l_orderkey with a partkey inequality). value_drift_psi /
+    priority_status_mutual_info: contingency joins happen on
+    post-aggregate relations — no CartesianProduct anywhere."""
+    p = fresh_plan(spark, sf_dir, "k_anonymity_audit")
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 4, p  # two aggs x partial/final
+
+    p2 = fresh_plan(spark, sf_dir, "cms_token_heavy_hitters")
+    assert "BroadcastHashJoin" in p2, p2
+
+    p3 = fresh_plan(spark, sf_dir, "copurchase_2hop_reach")
+    assert p3.count("LeftSemi") >= 4, p3  # two semi-joins per hop
+    assert "CartesianProduct" not in p3
+
+    for name in ("value_drift_psi", "priority_status_mutual_info",
+                 "benford_first_digit_audit", "daily_value_interpolated"):
+        pn = fresh_plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in pn, name
+
+
+def test_token_shard_plan_reuses_range_exchange(spark, sf_dir):
+    """shard_by_budget's counts path and rank path must share ONE
+    materialized range exchange at runtime (tokenization runs once):
+    the AQE final plan contains a ReusedExchange node."""
+    from pyspark.sql import functions as F
+
+    q = REGISTRY["token_shard_plan"]
+    df = (q.build or q.fn)(spark, sf_dir).where(F.lit(True))
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final

@@ -164,3 +164,31 @@ def test_scd2_history_interval_laws(spark, events):
             # an event AT a boundary belongs to the newer interval
             assert len(covering) == 1                                 # (5)
             assert covering[0].attr == latest[2]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=80),
+    st.integers(min_value=1, max_value=600),
+)
+def test_shard_by_budget_matches_local_prefix_sum(spark, costs, budget):
+    """shard_by_budget == the sequential definition for ANY cost list
+    and budget: cum is the inclusive running sum in id order, shard is
+    (cum - cost) // budget."""
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+        shard_by_budget,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(costs)), "id long, cost long"
+    ).repartition(7)
+    got = {
+        r["id"]: (r["cum"], r["shard"])
+        for r in shard_by_budget(df, "id", "cost", budget).collect()
+    }
+    acc = 0
+    want = {}
+    for i, c in enumerate(costs):
+        acc += c
+        want[i] = (acc, (acc - c) // budget)
+    assert got == want
