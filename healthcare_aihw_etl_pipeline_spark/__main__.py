@@ -5,12 +5,16 @@
     python -m healthcare_aihw_etl_pipeline_spark explain <query> [--sf DIR]
     python -m healthcare_aihw_etl_pipeline_spark sql "<SELECT ...>" [--sf DIR]
     python -m healthcare_aihw_etl_pipeline_spark search "dup spark" [--sf DIR] [-k K]
+    python -m healthcare_aihw_etl_pipeline_spark audit [--sf DIR]
 
 `run` prints the result as JSON lines (first N rows, default 50);
 `explain` prints the formatted physical plan; `sql` registers the corpus
 tables as views and runs arbitrary Spark SQL against them; `search`
 runs ad-hoc BM25 retrieval over the documents table for a bag of
-whitespace-separated terms (operators/search.bm25_topk).
+whitespace-separated terms (operators/search.bm25_topk); `audit` runs
+the release-audit battery (declarative quality rules, k-anonymity
+bands, PSI drift, Benford digit law, priority/status dependence) and
+prints one combined JSON report.
 """
 from __future__ import annotations
 
@@ -55,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("terms", help="whitespace-separated query bag")
     p_search.add_argument("--sf", default="/root/testdata/sf0.01")
     p_search.add_argument("-k", type=int, default=10)
+    p_audit = sub.add_parser(
+        "audit",
+        help="run the release-audit battery (quality, k-anonymity, "
+        "drift, digit law, dependence) and print one JSON report",
+    )
+    p_audit.add_argument("--sf", default="/root/testdata/sf0.01")
     args = ap.parse_args(argv)
 
     from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
@@ -81,6 +91,23 @@ def main(argv: list[str] | None = None) -> int:
         docs = load_table(spark, args.sf, "documents")
         for row in bm25_topk(docs, "text", "doc_id", terms, k=args.k).collect():
             print(json.dumps({k: _json_cell(v) for k, v in row.asDict().items()}))
+        return 0
+    if args.cmd == "audit":
+        battery = (
+            "data_quality_audit",
+            "k_anonymity_audit",
+            "value_drift_psi",
+            "benford_first_digit_audit",
+            "priority_status_mutual_info",
+        )
+        report = {}
+        for name in battery:
+            rows = REGISTRY[name].fn(spark, args.sf).collect()
+            report[name] = [
+                {k: _json_cell(v) for k, v in r.asDict().items()}
+                for r in rows
+            ]
+        print(json.dumps(report, indent=2))
         return 0
     if args.cmd == "sql":
         from healthcare_aihw_etl_pipeline_spark.sources.catalog import (

@@ -236,3 +236,25 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     assert [tuple(r) for r in
             read_jdbc(spark, url, table="events_t", options=opts).collect()
             ] == [(9, "purchase", 9.0)]
+
+
+def test_cli_audit_battery(spark, sf_dir, capsys):
+    """`audit` prints one JSON report with every audit section
+    populated."""
+    import json as _json
+
+    from healthcare_aihw_etl_pipeline_spark.__main__ import main
+
+    assert main(["audit", "--sf", sf_dir]) == 0
+    report = _json.loads(capsys.readouterr().out)
+    assert set(report) == {
+        "data_quality_audit",
+        "k_anonymity_audit",
+        "value_drift_psi",
+        "benford_first_digit_audit",
+        "priority_status_mutual_info",
+    }
+    assert all(report[k] for k in report)
+    assert {"digit", "observed", "expected", "chi2_contrib_q"} <= set(
+        report["benford_first_digit_audit"][0]
+    )
