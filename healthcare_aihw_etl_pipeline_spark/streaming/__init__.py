@@ -11,6 +11,12 @@ from healthcare_aihw_etl_pipeline_spark.streaming.events import (
     user_running_totals,
     write_stream_upsert_partitions,
 )
+from healthcare_aihw_etl_pipeline_spark.streaming.drift import (
+    monitor_drift,
+    psi_of_counts,
+    reference_counts,
+    windowed_bucket_counts,
+)
 
 __all__ = [
     "EVENTS_RAW_SCHEMA",
@@ -24,4 +30,8 @@ __all__ = [
     "sliding_event_counts",
     "user_running_totals",
     "write_stream_upsert_partitions",
+    "monitor_drift",
+    "psi_of_counts",
+    "reference_counts",
+    "windowed_bucket_counts",
 ]

@@ -1,0 +1,153 @@
+"""Streaming distribution-drift monitoring: PSI per event-time window
+against a static reference distribution.
+
+The production-monitoring twin of the batch `value_drift_psi` query:
+a reference (training-time) value distribution is computed once from
+history, and the live stream's per-window bucket distributions are
+scored against it as windows close — the alerting loop that catches
+upstream schema faults, bot floods, or population shift before they
+poison a training snapshot.
+
+Shape, Spark-native end to end:
+
+1. ``reference_counts`` — one batch aggregation over the reference
+   slice: (key, bucket) counts plus the per-key total. Small (bucket
+   domain x key domain); broadcast to the stream side.
+2. ``windowed_bucket_counts`` — the streaming leg: watermarked
+   event-time windows, groupBy(window, key, bucket). Append mode:
+   a (window, key, bucket) group emits exactly once, when the
+   watermark closes its window — so downstream PSI sees each window's
+   complete bucket set in a single trigger flush.
+3. ``psi_of_counts`` — the SHARED scoring algebra (stream sink or
+   batch twin, same function): inner-join to the reference on shared
+   buckets, per-bucket contribution (p2-p1)*ln(p2/p1) quantized to
+   integer millionths BEFORE the cross-bucket sum (the
+   `value_drift_psi` exactness discipline), grouped to one row per
+   (window, key) with the classic 0.1 drift flag.
+4. ``monitor_drift`` — wires 2+3 into a foreachBatch parquet append:
+   every closed window lands as scored PSI rows; restart-safe via the
+   standard checkpoint contract.
+
+Scale notes: the only unbounded state is the open-window aggregation,
+bounded by watermark horizon x key x bucket cardinality; the reference
+join is a broadcast; nothing shuffles at event grain after the first
+windowed groupBy (map-side combined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PSI_Q = 1_000_000
+BUCKET_WIDTH = 50.0
+
+
+def value_bucket(col: str = "value") -> F.Column:
+    """Equi-width value bucket shared by reference and stream legs."""
+    return F.floor(F.col(col) / F.lit(BUCKET_WIDTH)).cast("long")
+
+
+def reference_counts(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Static reference: (key, bucket, c_ref) + per-key total n_ref."""
+    c = events.select(
+        F.col(key_col).alias("key"), value_bucket().alias("bucket")
+    ).groupBy("key", "bucket").agg(F.count(F.lit(1)).alias("c_ref"))
+    n = c.groupBy("key").agg(F.sum("c_ref").alias("n_ref"))
+    return c.join(n, "key")
+
+
+def windowed_bucket_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Streaming (window, key, bucket) counts; append-emitted once per
+    closed window. Also works on a batch frame (same expressions)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.select(
+            "ts", F.col(key_col).alias("key"), value_bucket().alias("bucket")
+        )
+        .groupBy(F.window("ts", window).alias("w"), "key", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "key",
+            "bucket",
+            "c",
+        )
+    )
+
+
+def psi_of_counts(counts: DataFrame, ref: DataFrame) -> DataFrame:
+    """Score (window_start, key, bucket, c) rows against the reference:
+    one row per (window_start, key) with n_buckets / psi_q / psi /
+    drifted. Shared by the streaming foreachBatch and the batch twin —
+    bit-identical by construction."""
+    n = counts.groupBy("window_start", "key").agg(F.sum("c").alias("n"))
+    j = (
+        counts.join(n, ["window_start", "key"])
+        .join(F.broadcast(ref), ["key", "bucket"])
+    )
+    p1 = F.col("c_ref").cast("double") / F.col("n_ref").cast("double")
+    p2 = F.col("c").cast("double") / F.col("n").cast("double")
+    contrib_q = F.floor(
+        (p2 - p1) * F.log(p2 / p1) * F.lit(PSI_Q) + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.select("window_start", "key", contrib_q.alias("contrib_q"))
+        .groupBy("window_start", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("contrib_q").alias("psi_q"),
+        )
+        .select(
+            "window_start",
+            "key",
+            "n_buckets",
+            "psi_q",
+            (F.col("psi_q").cast("double") / F.lit(float(PSI_Q))).alias("psi"),
+            (F.col("psi_q") > F.lit(PSI_Q // 10)).alias("drifted"),
+        )
+    )
+
+
+def monitor_drift(
+    events_stream: DataFrame,
+    ref: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    available_now: bool = False,
+):
+    """Start the monitoring query: closed windows are scored against
+    `ref` and appended to `out_dir` as parquet. Returns the
+    StreamingQuery. Each foreachBatch flush carries complete closed
+    windows (append-mode watermark contract), so scoring inside the
+    batch sees every bucket of the windows it scores.
+    `available_now=True` drains the backlog and stops (test/batch-
+    catchup shape); the default runs continuously."""
+    counts = windowed_bucket_counts(
+        events_stream, window=window, watermark=watermark
+    )
+
+    def _score(batch: DataFrame, _bid: int) -> None:
+        scored = psi_of_counts(batch, ref)
+        scored.write.mode("append").parquet(out_dir)
+
+    w = (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_score)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
