@@ -1571,3 +1571,185 @@ def apply_incremental_agg(
     )
     consumer._advance(head_v)
     return v
+
+
+def signed_window(feed: DataFrame, cols: list[str]) -> DataFrame | None:
+    """Collapse a change-feed window to the signed multiset dX = X1 − X0:
+    inserts/update-postimages count +1, deletes/update-preimages −1,
+    summed per FULL row so intermediate images cancel (a row updated
+    p0→p1→p2 inside one window nets to {−p0, +p2}). Rows with net 0
+    vanish. With unique row ids (this module's IVM contract) every
+    surviving row carries net ±1."""
+    import pyspark.sql.functions as F
+
+    if feed is None:
+        return None
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update"), F.lit(1))
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
+        )
+        .otherwise(F.lit(0))
+    )
+    return (
+        feed.select(*cols, sign.alias("_s"))
+        .groupBy(*cols)
+        .agg(F.sum("_s").cast("long").alias("_s"))
+        .where(F.col("_s") != 0)
+    )
+
+
+# Version-pair encoding for the maintained-join txn map: supports
+# source tables up to ~2M commits each, far past any test or daily-
+# batch horizon.
+_IVM_ENC = 1 << 21
+
+
+def _enc_pair(a: int, b: int) -> int:
+    return (a + 1) * _IVM_ENC + (b + 1)
+
+
+def _dec_pair(x: int) -> tuple[int, int]:
+    return x // _IVM_ENC - 1, x % _IVM_ENC - 1
+
+
+def apply_incremental_join(
+    spark: SparkSession,
+    out_table: TxLogTable,
+    left: TxLogTable,
+    right: TxLogTable,
+    *,
+    on: list[str],
+    left_id: str,
+    right_id: str,
+    offset_path: str,
+) -> int | None:
+    """Maintain a materialized inner equi-join `out = left ⋈_on right`
+    from the two sources' change feeds — the JOIN leg of incremental
+    view maintenance (apply_incremental_agg is the aggregate leg).
+
+    Delta algebra (signed multisets, ⋈ bilinear):
+        A1⋈B1 − A0⋈B0 = dA⋈B0 + A1⋈dB
+    i.e. ONE join of the left delta against the right's PRE-window
+    snapshot (time travel) plus one join of the left's POST-window
+    snapshot against the right delta — never a rescan of both bases,
+    and the third dA⋈dB term is absorbed by using B0 on one side and
+    A1 on the other. Per output pair (left_id, right_id) the summed
+    variant nets are ±1 by row-id uniqueness (caller contract: the id
+    columns are unique per side), so application is a single keyed
+    MERGE: pairs with a positive variant upsert that payload, pairs
+    with only a negative variant delete.
+
+    Crash contract matches apply_incremental_agg: the MERGE records the
+    (left, right) head-version pair in the target's txn map (encoded);
+    window starts are max(durable offset, last-applied-in-target) + 1
+    per source, so a crash between merge and offset-advance — even with
+    new upstream commits landing before the retry — can never re-apply
+    a window. At 100 TB the sync cost is (changed-left ⋈ right-prestate
+    pruned by the join key) + (left-poststate ⋈ changed-right): both
+    sides are delta-bounded equi-joins, and merge()'s copy-on-write
+    touches only the files holding affected pairs."""
+    import pyspark.sql.functions as F
+
+    ha, hb = left.head(), right.head()
+    a1 = ha[0] if ha else -1
+    b1 = hb[0] if hb else -1
+    if a1 < 0 and b1 < 0:
+        return None
+    ca = ChangeFeedConsumer(left, offset_path + ".left")
+    cb = ChangeFeedConsumer(right, offset_path + ".right")
+    writer_id = f"ivm-join:{offset_path}"
+    oh = out_table.head()
+    applied = oh[1].get("txn", {}).get(writer_id, None) if oh else None
+    ap_a, ap_b = _dec_pair(applied) if applied is not None else (-1, -1)
+    since_a = max(ca.last_consumed(), ap_a) + 1
+    since_b = max(cb.last_consumed(), ap_b) + 1
+    if since_a > a1 and since_b > b1:
+        if ca.last_consumed() < ap_a:
+            ca._advance(ap_a)
+        if cb.last_consumed() < ap_b:
+            cb._advance(ap_b)
+        return None
+
+    A1 = left.snapshot(spark, version=a1) if a1 >= 0 else None
+    B0 = right.snapshot(spark, version=since_b - 1) if since_b > 0 else None
+    dA = (
+        signed_window(
+            left.changes(spark, since=since_a, until=a1),
+            [c for c in A1.columns] if A1 is not None else [],
+        )
+        if a1 >= since_a
+        else None
+    )
+    B_any = B0 if B0 is not None else (
+        right.snapshot(spark, version=b1) if b1 >= 0 else None
+    )
+    dB = (
+        signed_window(
+            right.changes(spark, since=since_b, until=b1),
+            [c for c in B_any.columns] if B_any is not None else [],
+        )
+        if b1 >= since_b
+        else None
+    )
+    if dA is None and dB is None:
+        ca._advance(a1 if a1 >= 0 else ap_a)
+        cb._advance(b1 if b1 >= 0 else ap_b)
+        return None
+
+    left_cols = A1.columns if A1 is not None else []
+    right_cols = B_any.columns if B_any is not None else []
+    shared = set(left_cols) & set(right_cols)
+    if shared - set(on):
+        raise ValueError(
+            f"non-join columns shared between sides: {sorted(shared - set(on))}"
+        )
+    out_cols = left_cols + [c for c in right_cols if c not in on]
+
+    terms = []
+    if dA is not None and B0 is not None:
+        terms.append(
+            dA.join(B0, on).select(*out_cols, F.col("_s"))
+        )
+    if dB is not None and A1 is not None:
+        terms.append(
+            A1.join(dB, on).select(
+                *out_cols, F.col("_s")
+            )
+        )
+    if not terms:
+        ca._advance(a1)
+        cb._advance(b1)
+        return None
+    delta = terms[0]
+    for t in terms[1:]:
+        delta = delta.unionByName(t)
+
+    variants = (
+        delta.groupBy(*out_cols)
+        .agg(F.sum("_s").cast("long").alias("_net"))
+        .where(F.col("_net") != 0)
+    )
+    payload = [c for c in out_cols if c not in (left_id, right_id)]
+    pairs = variants.groupBy(left_id, right_id).agg(
+        F.max(
+            F.when(F.col("_net") > 0, F.struct(*payload))
+        ).alias("_pos")
+    )
+    batch = pairs.select(
+        left_id,
+        right_id,
+        *[F.col(f"_pos.{c}").alias(c) for c in payload],
+        F.col("_pos").isNull().alias("_dead"),
+    )
+    v = out_table.merge(
+        batch,
+        [left_id, right_id],
+        delete_predicate=F.col("_dead"),
+        drop_after=["_dead"],
+        writer_id=writer_id,
+        batch_id=_enc_pair(a1, b1),
+    )
+    ca._advance(a1)
+    cb._advance(b1)
+    return v

@@ -1603,3 +1603,122 @@ def test_incremental_cms_maintenance(spark, tmp_path):
     check()
     src.delete_where(spark, F.col("doc_id") == 1)
     check()
+
+
+def test_incremental_join_maintenance(spark, tmp_path):
+    """Incremental JOIN maintenance: a materialized orders⋈users table
+    driven only by the two sources' change feeds equals the direct
+    join of their snapshots at every sync point — across appends on
+    either side, a dimension UPDATE (all of a user's pairs rewrite),
+    a fact DELETE and a dimension DELETE (all its pairs vanish). The
+    delta algebra is dA⋈B0 + A1⋈dB (pre-window right snapshot via
+    time travel), so no sync rescans both bases."""
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    orders = TxLogTable(str(tmp_path / "orders"), track_changes=True)
+    users = TxLogTable(str(tmp_path / "users"), track_changes=True)
+    out = TxLogTable(str(tmp_path / "joined"))
+    off = str(tmp_path / "join-offset.json")
+    ORDERS = "order_id long, user_id long, amount long"
+    USERS = "user_id long, tier string"
+
+    def direct():
+        a = orders.snapshot(spark)
+        b = users.snapshot(spark)
+        if a is None or b is None:
+            return []
+        return sorted(
+            (r.order_id, r.user_id, r.amount, r.tier)
+            for r in a.join(b, "user_id").collect()
+        )
+
+    def check():
+        apply_incremental_join(
+            spark, out, orders, users,
+            on=["user_id"], left_id="order_id", right_id="user_id",
+            offset_path=off,
+        )
+        snap = out.snapshot(spark)
+        got = (
+            sorted(
+                (r.order_id, r.user_id, r.amount, r.tier)
+                for r in snap.collect()
+            )
+            if snap is not None
+            else []
+        )
+        assert got == direct(), (got, direct())
+
+    users.append(
+        spark.createDataFrame([(1, "gold"), (2, "basic")], USERS)
+    )
+    orders.append(
+        spark.createDataFrame([(10, 1, 100), (11, 2, 250)], ORDERS)
+    )
+    check()
+    # fact-side append, including an order for a not-yet-known user
+    orders.append(
+        spark.createDataFrame([(12, 1, 75), (13, 9, 10)], ORDERS)
+    )
+    check()
+    # late-arriving dimension row joins the dangling fact in
+    users.append(spark.createDataFrame([(9, "trial")], USERS))
+    check()
+    # dimension UPDATE: every pair of user 1 must carry the new tier
+    users.merge(
+        spark.createDataFrame([(1, "platinum")], USERS), key_cols=["user_id"]
+    )
+    check()
+    # fact delete
+    orders.delete_where(spark, F.col("order_id") == 11)
+    check()
+    # dimension delete: user 9's pairs vanish
+    users.delete_where(spark, F.col("user_id") == 9)
+    check()
+    # no-op sync is a clean no-op
+    check()
+
+
+def test_incremental_join_crash_replay_heals_offsets(spark, tmp_path):
+    """Crash contract: offsets lost after a merge (crash between commit
+    and advance) + NEW upstream commits landing before the retry must
+    not re-apply the old window — the window start heals from the
+    target's txn map (encoded version pair)."""
+    import os
+
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    orders = TxLogTable(str(tmp_path / "o"), track_changes=True)
+    users = TxLogTable(str(tmp_path / "u"), track_changes=True)
+    out = TxLogTable(str(tmp_path / "j"))
+    off = str(tmp_path / "off.json")
+    ORDERS = "order_id long, user_id long, amount long"
+    USERS = "user_id long, tier string"
+
+    def sync():
+        apply_incremental_join(
+            spark, out, orders, users,
+            on=["user_id"], left_id="order_id", right_id="user_id",
+            offset_path=off,
+        )
+
+    users.append(spark.createDataFrame([(1, "gold")], USERS))
+    orders.append(spark.createDataFrame([(10, 1, 100)], ORDERS))
+    sync()
+    # crash: durable offsets vanish, but the target's txn map remembers
+    os.remove(off + ".left")
+    os.remove(off + ".right")
+    # new commits land before the retry
+    orders.append(spark.createDataFrame([(11, 1, 50)], ORDERS))
+    sync()
+    got = sorted(
+        (r.order_id, r.user_id, r.amount, r.tier)
+        for r in out.snapshot(spark).collect()
+    )
+    assert got == [(10, 1, 100, "gold"), (11, 1, 50, "gold")]
