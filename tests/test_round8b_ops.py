@@ -21,6 +21,7 @@ R8B_QUERIES = [
     "value_drift_psi",
     "priority_status_mutual_info",
     "benford_first_digit_audit",
+    "ivm_join_snapshot",
 ]
 
 
