@@ -736,6 +736,62 @@ class TxLogTable:
             operation="update",
         )
 
+    def clone(
+        self,
+        dst_root: str,
+        *,
+        track_changes: bool = False,
+    ) -> "TxLogTable":
+        """Zero-copy snapshot CLONE (Delta `CREATE TABLE ... CLONE`):
+        materialize the head snapshot as an independent table whose
+        version-0 manifest lists the SAME data files, hard-linked into
+        the clone's data dir (copy fallback across filesystems). Data
+        bytes are never duplicated on the common same-volume path, yet
+        the clone is FULLY independent — stronger than Delta's shallow
+        clone: because links share inodes, vacuuming or deleting the
+        source cannot break the clone (the inode survives until its
+        last name goes), and copy-on-write on either side only ever
+        writes NEW files, never mutates a shared one. Schema, stats
+        and constraints carry over; the txn map and change feed do not
+        (a clone is a fresh writer-state domain, matching Delta).
+
+        The experimentation workflow this enables at 100 TB: branch a
+        production table in O(files) metadata+link operations, run
+        destructive DML/compaction experiments on the branch, drop it —
+        zero interference and zero storage amplification beyond the
+        experiment's own writes."""
+        import shutil as _shutil
+
+        dst = TxLogTable(
+            dst_root, list(self.partition_by), track_changes=track_changes
+        )
+        h = self.head()
+        if h is None:
+            return dst
+        _, manifest = h
+        os.makedirs(dst.data_dir, exist_ok=True)
+        for rel in manifest["files"]:
+            srcp = os.path.join(self.data_dir, rel)
+            dstp = os.path.join(dst.data_dir, rel)
+            os.makedirs(os.path.dirname(dstp), exist_ok=True)
+            try:
+                os.link(srcp, dstp)
+            except OSError:
+                _shutil.copy2(srcp, dstp)
+        new_manifest = {
+            "files": list(manifest["files"]),
+            "txn": {},
+            "operation": "clone",
+        }
+        for k in ("schema", "stats", "constraints"):
+            if manifest.get(k) is not None:
+                new_manifest[k] = manifest[k]
+        if not dst._try_commit(0, new_manifest):
+            raise ValueError(
+                f"clone destination {dst_root} already has a transaction log"
+            )
+        return dst
+
     # -- constraints / restore / time travel ---------------------------
 
     @staticmethod

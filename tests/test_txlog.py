@@ -1722,3 +1722,43 @@ def test_incremental_join_crash_replay_heals_offsets(spark, tmp_path):
         for r in out.snapshot(spark).collect()
     )
     assert got == [(10, 1, 100, "gold"), (11, 1, 50, "gold")]
+
+
+def test_clone_zero_copy_independent(spark, tmp_path):
+    """CLONE: the branch equals the source head snapshot, shares data
+    inodes (zero-copy hard links), and the two tables evolve fully
+    independently — including source VACUUM, which cannot break the
+    clone because the linked inodes survive."""
+    import os
+
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import TxLogTable
+
+    src = TxLogTable(str(tmp_path / "src"), ["p"])
+    src.append(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, p string, v long")
+    )
+    src.append(spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"))
+    before = sorted(tuple(r) for r in src.snapshot(spark).collect())
+
+    cl = src.clone(str(tmp_path / "branch"))
+    assert sorted(tuple(r) for r in cl.snapshot(spark).collect()) == before
+    # zero-copy: every clone file shares its inode with the source copy
+    _, man = cl.head()
+    for rel in man["files"]:
+        s_st = os.stat(os.path.join(src.data_dir, rel))
+        c_st = os.stat(os.path.join(cl.data_dir, rel))
+        assert (s_st.st_dev, s_st.st_ino) == (c_st.st_dev, c_st.st_ino)
+    # independent evolution both ways
+    cl.delete_where(spark, F.col("id") == 1)
+    src.append(spark.createDataFrame([(4, "b", 40)], "id long, p string, v long"))
+    assert sorted(r.id for r in src.snapshot(spark).collect()) == [1, 2, 3, 4]
+    assert sorted(r.id for r in cl.snapshot(spark).collect()) == [2, 3]
+    # source vacuum past all history; clone still reads its snapshot
+    src.delete_where(spark, F.col("id") <= 3)
+    src.vacuum(retain_versions=1, retention_seconds=0.0)
+    assert sorted(r.id for r in cl.snapshot(spark).collect()) == [2, 3]
+    # cloning onto an existing log refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already has"):
+        src.clone(str(tmp_path / "branch"))
