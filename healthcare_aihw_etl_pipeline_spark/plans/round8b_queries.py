@@ -852,3 +852,177 @@ def ivm_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             pass
     return spark.createDataFrame(rows, schema)
+
+
+# Pearson correlation from exact integer moments, as one identically-
+# written IEEE expression over the BIGINT sums (sqrt is correctly
+# rounded per IEEE-754, so both engines agree bit-for-bit).
+_CORR_EXPR = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+@register(
+    "daily_revenue_autocorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) // 1000 AS r
+      FROM orders GROUP BY day
+    ),
+    led AS (
+      SELECT r,
+             lead(r, 1) OVER (ORDER BY day) AS r1,
+             lead(r, 7) OVER (ORDER BY day) AS r7
+      FROM daily
+    ),
+    m AS (
+      SELECT 1 AS lag, COUNT(*) AS n,
+             CAST(SUM(r) AS BIGINT) AS sx, CAST(SUM(r1) AS BIGINT) AS sy,
+             CAST(SUM(r * r1) AS BIGINT) AS sxy,
+             CAST(SUM(r * r) AS BIGINT) AS sxx,
+             CAST(SUM(r1 * r1) AS BIGINT) AS syy
+      FROM led WHERE r1 IS NOT NULL
+      UNION ALL
+      SELECT 7, COUNT(*),
+             CAST(SUM(r) AS BIGINT), CAST(SUM(r7) AS BIGINT),
+             CAST(SUM(r * r7) AS BIGINT), CAST(SUM(r * r) AS BIGINT),
+             CAST(SUM(r7 * r7) AS BIGINT)
+      FROM led WHERE r7 IS NOT NULL
+    )
+    SELECT lag, n AS n_pairs, {_CORR_EXPR} AS autocorr
+    FROM m
+    ORDER BY lag
+    """,
+    doc="Lag-1 / lag-7 autocorrelation of daily revenue — the "
+    "seasonality/persistence screen of a time-series profile. The "
+    "series is the date-grain aggregate (bounded: one row per "
+    "calendar day), lags are row-leads over the observed-day order, "
+    "and Pearson r comes from EXACT BIGINT moments: day sums are "
+    "quantized to cents then coarsened to tens-of-dollar units "
+    "(integer div 1000) so the squared-sum moments keep ~40 bits of "
+    "headroom below 2^63 even at 100 TB day totals; the final "
+    "correlation is one identically-written IEEE expression (sqrt is "
+    "correctly rounded, so the engines agree bit-for-bit). The "
+    "unpartitioned lead window runs on the DATE-GRAIN relation, "
+    "never the fact table.",
+)
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import cents
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).alias("_c"))
+        .select("day", F.expr("_c div 1000").alias("r"))
+    )
+    w = Window.orderBy("day")
+    led = daily.select(
+        "r",
+        F.lead("r", 1).over(w).alias("r1"),
+        F.lead("r", 7).over(w).alias("r7"),
+    )
+
+    def _moments(lagged: str, lag: int) -> DataFrame:
+        return (
+            led.where(F.col(lagged).isNotNull())
+            .agg(
+                F.lit(lag).alias("lag"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("r").alias("sx"),
+                F.sum(lagged).alias("sy"),
+                F.sum(F.col("r") * F.col(lagged)).alias("sxy"),
+                F.sum(F.col("r") * F.col("r")).alias("sxx"),
+                F.sum(F.col(lagged) * F.col(lagged)).alias("syy"),
+            )
+        )
+
+    m = _moments("r1", 1).unionAll(_moments("r7", 7))
+    return m.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.expr(_CORR_EXPR).alias("autocorr"),
+    ).orderBy("lag")
+
+
+@register(
+    "dow_revenue_seasonality",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS rev_c
+      FROM orders GROUP BY day
+    ),
+    by_dow AS (
+      SELECT CAST(isodow(day) AS BIGINT) AS dow,
+             COUNT(*) AS n_days,
+             CAST(SUM(rev_c) AS BIGINT) AS sum_c
+      FROM daily GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_days) AS BIGINT) AS tot_days,
+             CAST(SUM(sum_c) AS BIGINT) AS tot_c
+      FROM by_dow
+    )
+    SELECT dow, n_days,
+           CAST(sum_c AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0
+             AS avg_rev,
+           (CAST(sum_c AS DOUBLE) * CAST(tot_days AS DOUBLE))
+             / (CAST(n_days AS DOUBLE) * CAST(tot_c AS DOUBLE))
+             AS seasonal_index
+    FROM by_dow, tot
+    ORDER BY dow
+    """,
+    doc="Day-of-week seasonal profile of daily revenue: per ISO "
+    "weekday, observed-day count, average revenue, and the seasonal "
+    "index (dow mean over grand mean — the multiplicative seasonal "
+    "factor of classical decomposition). Integer cents everywhere "
+    "until the two final identically-written IEEE divides; the dow "
+    "relation is 7 rows, the totals join a broadcast of one. ISO "
+    "weekday via Spark weekday()+1 == DuckDB isodow().",
+)
+def dow_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import cents
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    )
+    by_dow = (
+        daily.select(
+            (F.weekday("day") + F.lit(1)).cast("long").alias("dow"), "rev_c"
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("rev_c").alias("sum_c"),
+        )
+    )
+    tot = by_dow.agg(
+        F.sum("n_days").alias("tot_days"), F.sum("sum_c").alias("tot_c")
+    )
+    return (
+        by_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            (
+                F.col("sum_c").cast("double")
+                / F.col("n_days").cast("double")
+                / F.lit(100.0)
+            ).alias("avg_rev"),
+            (
+                (F.col("sum_c").cast("double") * F.col("tot_days").cast("double"))
+                / (F.col("n_days").cast("double") * F.col("tot_c").cast("double"))
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )

@@ -22,6 +22,8 @@ R8B_QUERIES = [
     "priority_status_mutual_info",
     "benford_first_digit_audit",
     "ivm_join_snapshot",
+    "daily_revenue_autocorr",
+    "dow_revenue_seasonality",
 ]
 
 
