@@ -1026,3 +1026,79 @@ def dow_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+_ATTR_HORIZON_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "last_touch_attribution",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, ts, {sql_cents('value')} AS v_c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts, MAX(event_type) AS touch_type
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT p.v_c,
+             CASE WHEN t.ts IS NULL
+                    OR epoch_us(p.ts) - epoch_us(t.ts) > {_ATTR_HORIZON_US}
+                  THEN 'direct' ELSE t.touch_type END AS channel
+      FROM purchases p
+      ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND t.ts <= p.ts
+    )
+    SELECT channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(v_c) AS BIGINT) AS attributed_cents
+    FROM j
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    doc="Last-touch revenue attribution: every purchase credits the "
+    "user's most recent non-purchase event within 24 hours, else "
+    "'direct' — the standard marketing-attribution shape, built on "
+    "the engine's one-shuffle as-of join (operators/asof.py: union + "
+    "window carry-forward, no per-row range join, no hot-key "
+    "blowup). Touches are pre-deduplicated per (user, ts) with a "
+    "deterministic tiebreak so the ASOF tie semantics match DuckDB "
+    "exactly; the horizon test runs in exact integer microseconds.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.asof import asof_join
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", cents("value").alias("v_c")
+    )
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch_type"))
+    )
+    j = asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        ts="ts",
+        value_cols=["ts", "touch_type"],
+    )
+    lag_us = F.expr("timestampdiff(MICROSECOND, ts_asof, ts)")
+    channel = F.when(
+        F.col("ts_asof").isNull() | (lag_us > F.lit(_ATTR_HORIZON_US)),
+        F.lit("direct"),
+    ).otherwise(F.col("touch_type_asof"))
+    return (
+        j.select("v_c", channel.alias("channel"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v_c").alias("attributed_cents"),
+        )
+        .orderBy("channel")
+    )

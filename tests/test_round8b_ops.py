@@ -24,6 +24,7 @@ R8B_QUERIES = [
     "ivm_join_snapshot",
     "daily_revenue_autocorr",
     "dow_revenue_seasonality",
+    "last_touch_attribution",
 ]
 
 
