@@ -1102,3 +1102,129 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+_SEMDEDUP_COS = 0.3
+
+
+@register(
+    "embedding_cluster_keep_best",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, band,
+             list_sum(list_transform(generate_series(1, 8),
+               j -> CASE WHEN ev[band * 8 + j] >= 0
+                         THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)) AS bucket
+      FROM v, unnest(generate_series(0, 7)) AS g(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(list_sum(list_transform(list_zip(va.ev, vb.ev), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(va.ev, x -> x * x)))
+                * sqrt(list_sum(list_transform(vb.ev, x -> x * x)))), 6) AS cos
+      FROM cand c
+      JOIN v va ON va.vec_id = c.id_a
+      JOIN v vb ON vb.vec_id = c.id_b
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM scored WHERE cos >= {_SEMDEDUP_COS}
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst, src FROM edges
+    ),
+    cc AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, reach.comp FROM sym s JOIN reach ON reach.node = s.b
+      )
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    ),
+    q AS (
+      SELECT vec_id,
+             CAST(floor(sqrt(list_sum(list_transform(ev, x -> x * x)))
+                        * 1000000 + 0.5) AS BIGINT) AS q
+      FROM v
+    ),
+    clusters AS (
+      SELECT cc.component,
+             COUNT(*) AS size,
+             arg_max(cc.node, q.q * 4294967296 + cc.node) AS keeper
+      FROM cc JOIN q ON q.vec_id = cc.node
+      GROUP BY cc.component
+    )
+    SELECT size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(size) - COUNT(*) AS BIGINT) AS n_removed,
+           MIN(keeper) AS min_keeper
+    FROM clusters
+    GROUP BY size
+    ORDER BY size
+    """,
+    doc="The composed semantic-curation action, end to end in one "
+    "query: sign-band LSH candidates over the embedding table, exact "
+    "cosine filter at 0.3, transitive closure into clusters "
+    "(operators/dedup.connected_components — pointer-jumping "
+    "min-label propagation on the EDGE set, lineage truncated per "
+    "round), and a keep-best representative per cluster (argmax on "
+    "micro-quantized L2 norm, id tiebreak). Reported as a cluster-"
+    "size histogram with removal counts — the dedup plan a curation "
+    "run would execute. Every stage is the scale shape already "
+    "proven on its standalone query: banding bounds the pair space, "
+    "the closure runs on edges never the corpus, keep-best is an "
+    "aggregate argmax (no per-cluster window; ranking key q*2^32+id stays under 2^63 for micro-quantized norms and sub-2^32 ids — widen the key at larger id spaces).",
+)
+def embedding_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        _as_double_array,
+        embedding_near_dup_pairs,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", n_bands=8, band_bits=8
+    ).where(F.col("cos") >= F.lit(_SEMDEDUP_COS))
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    q = emb.select(
+        F.col("vec_id").alias("node"),
+        F.floor(
+            l2_norm(_as_double_array("embedding")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    clusters = (
+        cc.join(q, "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.max_by(
+                "node", F.col("q") * F.lit(4294967296) + F.col("node")
+            ).alias("keeper"),
+        )
+    )
+    return (
+        clusters.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.sum("size") - F.count(F.lit(1))).alias("n_removed"),
+            F.min("keeper").alias("min_keeper"),
+        )
+        .orderBy("size")
+    )

@@ -25,6 +25,7 @@ R8B_QUERIES = [
     "daily_revenue_autocorr",
     "dow_revenue_seasonality",
     "last_touch_attribution",
+    "embedding_cluster_keep_best",
 ]
 
 
