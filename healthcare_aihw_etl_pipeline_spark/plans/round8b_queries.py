@@ -23,6 +23,9 @@ from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
     cms_build,
     cms_estimate,
 )
+from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
+    sql_md5_uniform,
+)
 from healthcare_aihw_etl_pipeline_spark.operators.search import (
     sql_tokens,
     tokens,
@@ -1227,4 +1230,117 @@ def embedding_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("keeper").alias("min_keeper"),
         )
         .orderBy("size")
+    )
+
+
+@register(
+    "cluster_aware_split",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS k FROM documents
+    ), mins AS (
+      SELECT k, MIN(doc_id) AS src FROM base GROUP BY k
+    ), e1 AS (
+      SELECT mins.src, base.doc_id AS dst FROM base JOIN mins USING (k)
+    ), pbase AS (
+      SELECT doc_id,
+             md5(array_to_string(regexp_split_to_array(TRIM(text), '\\s+')[1:10], ' ')) AS k
+      FROM documents
+    ), pmins AS (
+      SELECT k, MIN(doc_id) AS src FROM pbase GROUP BY k
+    ), e2 AS (
+      SELECT pmins.src, pbase.doc_id AS dst FROM pbase JOIN pmins USING (k)
+    ), edges AS (
+      SELECT src, dst FROM e1 WHERE src <> dst
+      UNION
+      SELECT src, dst FROM e2 WHERE src <> dst
+    ), sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst, src FROM edges
+    ), cc AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, reach.comp FROM sym s JOIN reach ON reach.node = s.b
+      )
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(cc.component, d.doc_id) AS component,
+             CASE WHEN {sql_md5_uniform('COALESCE(cc.component, d.doc_id)')} <= 0.8
+                    THEN 'train'
+                  WHEN {sql_md5_uniform('COALESCE(cc.component, d.doc_id)')} <= 0.9
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT component) AS n_clusters
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Cluster-aware train/val/test split — the contamination-safe "
+    "assignment a pretraining pipeline must use: duplicate clusters "
+    "(transitive closure of the deterministic text-hash + 10-token-"
+    "prefix edge set, the dedup_transitive_clusters graph) are "
+    "assigned as UNITS by hashing the cluster representative "
+    "(md5-uniform 80/10/10), so near-duplicate documents can never "
+    "straddle train and test; singletons hash their own id. The "
+    "no-straddle law is structural (one hash per component) and "
+    "asserted in tests. Costs: the closure runs on the edge set, the "
+    "assignment is a broadcast-scale left join per doc.",
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
+        md5_uniform,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", F.md5("text").alias("k"))
+    mins = base.groupBy("k").agg(F.min("doc_id").alias("src"))
+    e1 = base.join(mins, "k").select("src", F.col("doc_id").alias("dst"))
+    prefix = F.md5(
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " "
+        )
+    )
+    pbase = docs.select("doc_id", prefix.alias("k"))
+    pmins = pbase.groupBy("k").agg(F.min("doc_id").alias("src"))
+    e2 = pbase.join(pmins, "k").select("src", F.col("doc_id").alias("dst"))
+    edges = (
+        e1.where(F.col("src") != F.col("dst"))
+        .unionByName(e2.where(F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    cc = connected_components(edges, src="src", dst="dst")
+    assigned = (
+        docs.join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+        )
+        .withColumn("_u", md5_uniform("component"))
+        .withColumn(
+            "split",
+            F.when(F.col("_u") <= 0.8, F.lit("train"))
+            .when(F.col("_u") <= 0.9, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_clusters"),
+        )
+        .orderBy("split")
     )

@@ -26,6 +26,7 @@ R8B_QUERIES = [
     "dow_revenue_seasonality",
     "last_touch_attribution",
     "embedding_cluster_keep_best",
+    "cluster_aware_split",
 ]
 
 
@@ -271,3 +272,57 @@ def test_mutual_info_nonnegative_and_zero_when_independent(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert rows and all(r["mi_q"] >= 0 for r in rows)
+
+
+def test_cluster_aware_split_never_straddles(spark, sf_dir):
+    """The no-straddle law: every duplicate cluster lands entirely in
+    one split — recompute assignment at doc grain and assert each
+    component maps to exactly one split, and that exact-duplicate
+    texts share a split."""
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
+        md5_uniform,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.select("doc_id", F.md5("text").alias("k"))
+    mins = base.groupBy("k").agg(F.min("doc_id").alias("src"))
+    edges = (
+        base.join(mins, "k")
+        .select("src", F.col("doc_id").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    cc = connected_components(edges, src="src", dst="dst")
+    assigned = (
+        docs.join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", "text",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+        .withColumn("_u", md5_uniform("component"))
+        .withColumn(
+            "split",
+            F.when(F.col("_u") <= 0.8, F.lit("train"))
+            .when(F.col("_u") <= 0.9, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+    )
+    straddle = (
+        assigned.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # exact duplicates (same text hash) must share a split
+    dup_straddle = (
+        assigned.groupBy(F.md5("text"))
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert dup_straddle == 0
