@@ -3,10 +3,11 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 8 pins the six new
-round-8 queries, the rounds-1–3 tail the r7 window missed, then the
-round-4 cohort — now the oldest evidence); everything else sits behind
-the window with its cumulative driver-side record standing.
+verified cohort is due a regression sweep (round 8 pins the 13 new
+round-8 queries plus the 14 continuation-session queries, then the
+rounds-1–3 tail the r7 window missed, then the round-4 cohort — now
+the oldest evidence); everything else sits behind the window with its
+cumulative driver-side record standing.
 """
 
 from healthcare_aihw_etl_pipeline_spark.plans.registry import REGISTRY, Query, register
@@ -120,11 +121,11 @@ _DRIVER_GREEN_R7 = [
 _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R7
 
 # Queries the current round's correctness window MUST sample ahead of
-# everything else. Round 8 continues the rotation policy: the six new
-# round-8 queries lead (first driver-side verification), then the seven
-# rounds-1–3 greens the r7 window didn't reach, then the round-4 cohort
-# — now the OLDEST evidence (verified on a 4-rounds-older engine).
-# Entries past the driver's ~50-slot window roll forward to round 9.
+# everything else. Round 8 continues the rotation policy: the 14
+# continuation-session queries lead, then the 13 round-8 first-session
+# queries, then the seven rounds-1–3 greens the r7 window didn't reach,
+# then the round-4 cohort — the OLDEST evidence. Entries past the
+# driver's ~50-slot window roll forward to round 9.
 _MUST_VERIFY_R8: list[str] = [
     # new this round
     "k_anonymity_audit", "cms_token_heavy_hitters", "token_shard_plan",
