@@ -446,7 +446,8 @@ _PSI_Q = 1_000_000
       FROM b GROUP BY event_type, late, bucket
     ),
     n AS (
-      SELECT event_type, late, COUNT(*) AS n FROM b GROUP BY event_type, late
+      SELECT event_type, late, CAST(SUM(c) AS BIGINT) AS n
+      FROM c GROUP BY event_type, late
     ),
     sides AS (
       SELECT c.event_type, c.late, c.bucket, c.c, n.n
@@ -497,7 +498,8 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy("event_type", "late", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
-    n = ev.groupBy("event_type", "late").agg(F.count(F.lit(1)).alias("n"))
+    # totals derive from the bucket counts — ONE scan of events, not two
+    n = c.groupBy("event_type", "late").agg(F.sum("c").alias("n"))
     sides = c.join(n, ["event_type", "late"])
     early = sides.where(~F.col("late")).select(
         "event_type",
