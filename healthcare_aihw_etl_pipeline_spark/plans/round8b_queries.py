@@ -1346,3 +1346,197 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_SESSION_PATTERNS = [
+    ("signup_then_purchase", "s.*p"),
+    ("three_consecutive_views", "vvv"),
+    ("contains_error", "e"),
+]
+
+
+@register(
+    "session_pattern_match",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS c,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, c,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM e
+    ),
+    p AS (
+      SELECT user_id, sess,
+             string_agg(c, '' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, sess
+    ),
+    pats(name, pat) AS (VALUES {", ".join(f"('{n}', '{p}')" for n, p in _SESSION_PATTERNS)})
+    SELECT pats.name AS pattern,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(p.path, pats.pat)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM p, pats
+    GROUP BY pats.name
+    ORDER BY pattern
+    """,
+    doc="MATCH_RECOGNIZE-lite sequence matching over sessions: each "
+    "30-minute-gap session becomes a compact symbol string (first "
+    "letter of each event type in (ts, event_id) order — unique per "
+    "type in this corpus), and behavioral patterns run as ordinary "
+    "regexes over the session strings — signup-then-purchase, three "
+    "consecutive views, any error. The sessionization is the proven "
+    "one-shuffle lag+running-sum shape (top_session_paths); the "
+    "pattern probe is a broadcast of a 3-row literal relation; "
+    "patterns stay in the RE2-compatible subset so Java and RE2 "
+    "semantics agree.",
+)
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("long")
+    sess = ev.withColumn(
+        "sess", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = sess.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda r: r["c"],
+            ),
+            "",
+        ).alias("path")
+    )
+    pats = spark.createDataFrame(
+        _SESSION_PATTERNS, "name string, pat string"
+    )
+    return (
+        paths.crossJoin(F.broadcast(pats))
+        .groupBy(F.col("name").alias("pattern"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.when(F.expr("path rlike pat"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_matched"),
+        )
+        .orderBy("pattern")
+    )
+
+
+@register(
+    "revenue_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS r
+      FROM orders GROUP BY day
+    ),
+    tot AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS total, COUNT(*) AS n FROM daily
+    ),
+    c AS (
+      SELECT day,
+             CAST(SUM(r * (SELECT n FROM tot) - (SELECT total FROM tot))
+                  OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cusum
+      FROM daily
+    ),
+    cp AS (
+      SELECT day AS cp_day, abs(cusum) AS max_abs
+      FROM c ORDER BY abs(cusum) DESC, day ASC LIMIT 1
+    )
+    SELECT strftime(cp.cp_day, '%Y-%m-%d') AS cp_day,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_days,
+           cp.max_abs AS max_abs_cusum,
+           (SELECT CAST(SUM(r) AS DOUBLE) / COUNT(*) / 100.0
+            FROM daily WHERE day <= cp.cp_day) AS mean_before,
+           (SELECT CAST(SUM(r) AS DOUBLE) / COUNT(*) / 100.0
+            FROM daily WHERE day > cp.cp_day) AS mean_after
+    FROM cp
+    """,
+    doc="CUSUM change-point detection on daily revenue: cumulative sum "
+    "of deviations from the global mean, computed ENTIRELY in scaled "
+    "integers (deviation = r*n - total, so no mean division enters "
+    "the cumulative sum) with the argmax |CUSUM| day as the detected "
+    "shift point, plus level means either side. The window runs on "
+    "the bounded date-grain relation; headroom documented: day-cents "
+    "x day-count stays under 2^63 through sf1000-scale totals. The "
+    "standard upstream-shift detector next to PSI's distributional "
+    "drift.",
+)
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import cents
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).alias("r"))
+    )
+    tot = daily.agg(
+        F.sum("r").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cusum",
+            F.sum(F.col("r") * F.col("n") - F.col("total")).over(w),
+        )
+    )
+    cp = (
+        c.orderBy(F.abs("cusum").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("cp_day"),
+            F.abs("cusum").alias("max_abs_cusum"),
+            "n",
+        )
+    )
+    sides = (
+        daily.crossJoin(F.broadcast(cp))
+        .groupBy("cp_day", "max_abs_cusum", "n")
+        .agg(
+            (
+                F.sum(F.when(F.col("day") <= F.col("cp_day"), F.col("r")))
+                .cast("double")
+                / F.sum(
+                    F.when(F.col("day") <= F.col("cp_day"), F.lit(1))
+                )
+                / F.lit(100.0)
+            ).alias("mean_before"),
+            (
+                F.sum(F.when(F.col("day") > F.col("cp_day"), F.col("r")))
+                .cast("double")
+                / F.sum(F.when(F.col("day") > F.col("cp_day"), F.lit(1)))
+                / F.lit(100.0)
+            ).alias("mean_after"),
+        )
+    )
+    return sides.select(
+        F.date_format("cp_day", "yyyy-MM-dd").alias("cp_day"),
+        F.col("n").cast("long").alias("n_days"),
+        "max_abs_cusum",
+        "mean_before",
+        "mean_after",
+    )

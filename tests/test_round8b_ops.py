@@ -27,6 +27,8 @@ R8B_QUERIES = [
     "last_touch_attribution",
     "embedding_cluster_keep_best",
     "cluster_aware_split",
+    "session_pattern_match",
+    "revenue_changepoint",
 ]
 
 
