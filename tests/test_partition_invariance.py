@@ -163,3 +163,48 @@ def test_round8_ops_partition_invariant(spark, sf_dir):
         for d in (s.coalesce(1), s.repartition(13), s.orderBy(F.desc("pc")))
     ]
     assert got[0] == got[1] == got[2]
+
+
+def test_round8b_event_ops_partition_invariant(spark, sf_dir):
+    """Attribution channels, session pattern counts and the CUSUM
+    change-point must be layout-independent: their windows order by
+    the (ts, event_id) / day total orders, so any physical layout of
+    the event/fact input must produce identical rows."""
+    import healthcare_aihw_etl_pipeline_spark.plans.round8b_queries as r8b
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    for name in (
+        "last_touch_attribution",
+        "session_pattern_match",
+        "revenue_changepoint",
+        "daily_value_interpolated",
+    ):
+        q = REGISTRY[name]
+        base = rows_set((q.build or q.fn)(spark, sf_dir))
+        assert base  # non-degenerate
+    # direct layout check on the sharpest one: attribution over shuffled
+    # input equals attribution over single-partition input
+    from healthcare_aihw_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.select("user_id", "ts", "event_type", "value")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", cents("value").alias("v_c")
+    )
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch_type"))
+    )
+
+    def run(p, t):
+        return rows_set(
+            asof_join(
+                p, t, on=["user_id"], ts="ts",
+                value_cols=["ts", "touch_type"],
+            )
+        )
+
+    assert run(purchases.coalesce(1), touches.coalesce(1)) == run(
+        purchases.repartition(11), touches.repartition(7)
+    )
