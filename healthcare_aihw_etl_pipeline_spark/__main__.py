@@ -99,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
             "value_drift_psi",
             "benford_first_digit_audit",
             "priority_status_mutual_info",
+            "revenue_changepoint",
         )
         report = {}
         for name in battery:

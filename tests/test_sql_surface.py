@@ -253,6 +253,7 @@ def test_cli_audit_battery(spark, sf_dir, capsys):
         "value_drift_psi",
         "benford_first_digit_audit",
         "priority_status_mutual_info",
+        "revenue_changepoint",
     }
     assert all(report[k] for k in report)
     assert {"digit", "observed", "expected", "chi2_contrib_q"} <= set(
