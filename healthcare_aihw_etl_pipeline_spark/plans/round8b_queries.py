@@ -1,7 +1,13 @@
 """Round-8 continuation surface: privacy release audit (k-anonymity /
 l-diversity), a portable count-min frequency sketch, distributed
-prefix-sum export sharding, per-key time-series interpolation, and
-bounded-hop graph reachability.
+prefix-sum export sharding, per-key time-series interpolation,
+bounded-hop graph reachability, drift / dependence / digit-law /
+change-point monitoring (PSI, mutual information, Benford, CUSUM),
+lag autocorrelation and day-of-week seasonality, last-touch
+attribution, MATCH_RECOGNIZE-lite session pattern matching, the
+driver-verified incremental-join maintenance scenario, and the
+composed curation actions (semantic-dedup keep-best, cluster-aware
+contamination-safe splits).
 
 Same exactness discipline as the rest of the registry
 (plans/registry.py): integer arithmetic across aggregation boundaries,
