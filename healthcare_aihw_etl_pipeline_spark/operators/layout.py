@@ -149,6 +149,10 @@ def shard_by_budget(
     `cum` (inclusive prefix sum) and `shard` (0-based)."""
     from pyspark.sql import Window
 
+    if int(budget) <= 0:
+        # Spark's `div 0` yields NULL, which would assign every row a
+        # NULL shard silently — fail loudly instead.
+        raise ValueError(f"budget must be positive, got {budget}")
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = df.repartitionByRange(

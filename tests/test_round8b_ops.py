@@ -328,3 +328,15 @@ def test_cluster_aware_split_never_straddles(spark, sf_dir):
         .count()
     )
     assert dup_straddle == 0
+
+
+def test_shard_by_budget_rejects_nonpositive_budget(spark):
+    import pytest as _pytest
+
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+        shard_by_budget,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "id long, cost long")
+    with _pytest.raises(ValueError, match="budget"):
+        shard_by_budget(df, "id", "cost", 0)
