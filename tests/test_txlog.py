@@ -1762,3 +1762,96 @@ def test_clone_zero_copy_independent(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already has"):
         src.clone(str(tmp_path / "branch"))
+
+
+def test_incremental_join_randomized_model_check(spark, tmp_path):
+    """Randomized DML model check for the maintained join: a seeded
+    sequence of appends / keyed merges / deletes on BOTH sources with
+    syncs interleaved at random points must keep the maintained table
+    equal to the direct snapshot join at every sync. Catches delta-
+    algebra edge cases scripted tests miss (same-window churn on both
+    sides, update+delete of the same key, dangling then resolved
+    facts)."""
+    import random
+
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    rng = random.Random(80861)
+    orders = TxLogTable(str(tmp_path / "o"), track_changes=True)
+    users = TxLogTable(str(tmp_path / "u"), track_changes=True)
+    out = TxLogTable(str(tmp_path / "j"))
+    off = str(tmp_path / "off.json")
+    ORDERS = "order_id long, user_id long, amount long"
+    USERS = "user_id long, tier string"
+    next_order = [100]
+    live_orders: dict[int, tuple[int, int]] = {}
+    live_users: dict[int, str] = {}
+    TIERS = ["basic", "gold", "platinum"]
+
+    def direct():
+        return sorted(
+            (oid, uid, amt, live_users[uid])
+            for oid, (uid, amt) in live_orders.items()
+            if uid in live_users
+        )
+
+    def sync_and_check():
+        apply_incremental_join(
+            spark, out, orders, users,
+            on=["user_id"], left_id="order_id", right_id="user_id",
+            offset_path=off,
+        )
+        snap = out.snapshot(spark)
+        got = (
+            sorted(
+                (r.order_id, r.user_id, r.amount, r.tier)
+                for r in snap.collect()
+            )
+            if snap is not None
+            else []
+        )
+        assert got == direct(), (got, direct())
+
+    for step in range(14):
+        op = rng.choice(
+            ["add_orders", "add_user", "retier", "del_order", "del_user"]
+        )
+        if op == "add_orders":
+            rows = []
+            for _ in range(rng.randint(1, 3)):
+                oid = next_order[0]
+                next_order[0] += 1
+                uid = rng.randint(1, 6)
+                amt = rng.randint(10, 500)
+                rows.append((oid, uid, amt))
+                live_orders[oid] = (uid, amt)
+            orders.append(spark.createDataFrame(rows, ORDERS))
+        elif op == "add_user":
+            uid = rng.randint(1, 6)
+            tier = rng.choice(TIERS)
+            users.merge(
+                spark.createDataFrame([(uid, tier)], USERS),
+                key_cols=["user_id"],
+            )
+            live_users[uid] = tier
+        elif op == "retier" and live_users:
+            uid = rng.choice(list(live_users))
+            tier = rng.choice(TIERS)
+            users.merge(
+                spark.createDataFrame([(uid, tier)], USERS),
+                key_cols=["user_id"],
+            )
+            live_users[uid] = tier
+        elif op == "del_order" and live_orders:
+            oid = rng.choice(list(live_orders))
+            orders.delete_where(spark, F.col("order_id") == oid)
+            del live_orders[oid]
+        elif op == "del_user" and live_users:
+            uid = rng.choice(list(live_users))
+            users.delete_where(spark, F.col("user_id") == uid)
+            del live_users[uid]
+        if rng.random() < 0.5 or step == 13:
+            sync_and_check()
