@@ -150,3 +150,81 @@ def asof_join_cogrouped(
         .cogroup(right.groupBy(*on))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Hot-key-safe as-of join: the same result as backward
+    :func:`asof_join`, but no per-key ordered pass ever sees more than
+    one BUCKET of rows.
+
+    The plain composition's window partitions by the key alone, so a
+    hot key (a bot user with millions of events) pins one task to the
+    key's entire history. Here the time axis is cut into fixed buckets
+    and the carry state crosses buckets at BUCKET grain:
+
+    1. per (key, bucket): the right side's last row (`max_by` — an
+       aggregate with map-side partials, skew-tolerant);
+    2. per key: carry-forward of those bucket-last rows over a bucket
+       spine (union of both sides' active buckets) — a window whose
+       partition holds one row PER BUCKET, never per event;
+    3. per (key, bucket): the plain union+window pass, now partitioned
+       by (key, bucket) so a hot key parallelizes across its buckets;
+       rows with no in-bucket match coalesce to the bucket carry-in.
+
+    Ties follow :func:`asof_join`: right rows sort before left at equal
+    ts (inclusive <=); among right rows tied on (key, ts) the carried
+    row is arbitrary — pre-deduplicate for determinism. Backward
+    direction only."""
+    on = list(on)
+    value_cols = list(value_cols)
+    b_expr = F.window(F.col(ts), bucket)["start"]
+
+    rts = right.where(F.col(ts).isNotNull())
+    rv = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    r_b = rts.withColumn("_b", b_expr)
+    last_per_bucket = r_b.groupBy(*on, "_b").agg(
+        F.max_by(rv, F.col(ts)).alias("_lastrv")
+    )
+    lb = left.select(*on, b_expr.alias("_b")).distinct()
+    spine = lb.unionByName(last_per_bucket.select(*on, "_b")).distinct()
+    wprev = (
+        Window.partitionBy(*on)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.join(last_per_bucket, on + ["_b"], "left")
+        .withColumn("_carryin", F.last("_lastrv", ignorenulls=True).over(wprev))
+        .select(*on, "_b", "_carryin")
+    )
+
+    l_tagged = left.withColumn("_b", b_expr).withColumn("_tag", F.lit(1))
+    r_tagged = (
+        r_b.select(*on, "_b", F.col(ts), rv.alias("_rv"))
+        .withColumn("_tag", F.lit(0))
+    )
+    both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on, "_b")
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = both.withColumn("_inb", F.last("_rv", ignorenulls=True).over(w))
+    out = (
+        both.where(F.col("_tag") == 1)
+        .join(carry, on + ["_b"], "left")
+        .withColumn("_carried", F.coalesce(F.col("_inb"), F.col("_carryin")))
+    )
+    return out.select(
+        *left.columns,
+        *[F.col("_carried")[c].alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -340,3 +340,42 @@ def test_shard_by_budget_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(1, 1)], "id long, cost long")
     with _pytest.raises(ValueError, match="budget"):
         shard_by_budget(df, "id", "cost", 0)
+
+
+def test_bucketed_asof_equals_plain_asof(spark, sf_dir):
+    """asof_join_bucketed == asof_join on the events corpus for hour
+    and day buckets (right side pre-deduplicated per (key, ts) so tie
+    choice is deterministic in both implementations)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        ev.where(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("etype"))
+    )
+
+    def rows(df):
+        return sorted(
+            (r.user_id, str(r.ts), r.event_id, str(r.ts_asof), r.etype_asof)
+            for r in df.collect()
+        )
+
+    base = rows(
+        asof_join(left, right, on=["user_id"], ts="ts",
+                  value_cols=["ts", "etype"])
+    )
+    for bucket in ("1 hour", "1 day"):
+        got = rows(
+            asof_join_bucketed(
+                left, right, on=["user_id"], ts="ts",
+                value_cols=["ts", "etype"], bucket=bucket,
+            )
+        )
+        assert got == base, bucket
