@@ -183,7 +183,13 @@ def asof_join_bucketed(
     Ties follow :func:`asof_join`: right rows sort before left at equal
     ts (inclusive <=); among right rows tied on (key, ts) the carried
     row is arbitrary — pre-deduplicate for determinism. Backward
-    direction only."""
+    direction only.
+
+    Measured (local[32], one key with 4M right + 1M left rows over 30
+    days, hourly buckets): plain 3.3 s (single pinned task) vs bucketed
+    1.2 s, identical checksums — the gap scales with cores and with how
+    hot the key is, since the plain form's critical path is one task's
+    full-history sort."""
     on = list(on)
     value_cols = list(value_cols)
     b_expr = F.window(F.col(ts), bucket)["start"]
