@@ -1546,3 +1546,118 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_before",
         "mean_after",
     )
+
+
+@register(
+    "linear_decay_attribution",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts, {sql_cents('value')} AS v_c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts, event_type
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    fanout AS (
+      SELECT p.pid, p.v_c, t.event_type AS channel,
+             {_ATTR_HORIZON_US} - (epoch_us(p.ts) - epoch_us(t.ts)) AS w
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.ts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(t.ts) <= {_ATTR_HORIZON_US}
+    ),
+    sw AS (
+      SELECT pid, CAST(SUM(w) AS BIGINT) AS sw FROM fanout GROUP BY pid
+    ),
+    credits AS (
+      SELECT f.channel,
+             CAST(floor(CAST(f.v_c AS DOUBLE) * CAST(f.w AS DOUBLE)
+                        / CAST(s.sw AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+               AS credit_q
+      FROM fanout f JOIN sw s USING (pid)
+    ),
+    direct AS (
+      SELECT 'direct' AS channel,
+             CAST(SUM(v_c) AS BIGINT) * 10000 AS credit_q,
+             COUNT(*) AS n
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM fanout f WHERE f.pid = p.pid)
+    )
+    SELECT channel,
+           COUNT(*) AS n_credits,
+           CAST(SUM(credit_q) AS BIGINT) AS credited_q
+    FROM credits
+    GROUP BY channel
+    UNION ALL
+    SELECT channel, n, credit_q FROM direct WHERE n > 0
+    ORDER BY channel
+    """,
+    doc="Multi-touch attribution with LINEAR time decay: every "
+    "non-purchase event in the 24h window before a purchase earns a "
+    "share of its value proportional to (horizon − age) — weights in "
+    "exact integer microseconds, shares normalized per purchase, each "
+    "credit quantized to hundredth-cents BEFORE the channel sum (one "
+    "identical mul+div IEEE expression per row — no pow(), which is "
+    "not correctly rounded cross-engine). Untouched purchases credit "
+    "'direct' in full. The fan-out is an equi-join on user bounded by "
+    "the horizon (the purchase_click_window scale argument); the "
+    "per-purchase normalizer is one grouped sum joined back on the "
+    "purchase id.",
+)
+def linear_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        "ts",
+        cents("value").alias("v_c"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("t_ts"), "event_type"
+    )
+    age_us = F.expr("timestampdiff(MICROSECOND, t_ts, ts)")
+    fanout = (
+        purchases.join(touches, "user_id")
+        .where(
+            (F.col("t_ts") <= F.col("ts"))
+            & (age_us <= F.lit(_ATTR_HORIZON_US))
+        )
+        .select(
+            "pid",
+            "v_c",
+            F.col("event_type").alias("channel"),
+            (F.lit(_ATTR_HORIZON_US) - age_us).alias("w"),
+        )
+    )
+    sw = fanout.groupBy("pid").agg(F.sum("w").alias("sw"))
+    credit_q = F.floor(
+        F.col("v_c").cast("double")
+        * F.col("w").cast("double")
+        / F.col("sw").cast("double")
+        * F.lit(10_000)
+        + F.lit(0.5)
+    ).cast("long")
+    credits = (
+        fanout.join(sw, "pid")
+        .select("channel", credit_q.alias("credit_q"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit_q").alias("credited_q"),
+        )
+    )
+    direct = (
+        purchases.join(fanout.select("pid").distinct(), "pid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            (F.sum("v_c") * F.lit(10_000)).alias("credited_q"),
+        )
+        .where(F.col("n_credits") > 0)
+        .select(
+            F.lit("direct").alias("channel"), "n_credits", "credited_q"
+        )
+    )
+    return credits.unionByName(direct).orderBy("channel")

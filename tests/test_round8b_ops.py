@@ -29,6 +29,7 @@ R8B_QUERIES = [
     "cluster_aware_split",
     "session_pattern_match",
     "revenue_changepoint",
+    "linear_decay_attribution",
 ]
 
 
@@ -379,3 +380,19 @@ def test_bucketed_asof_equals_plain_asof(spark, sf_dir):
             )
         )
         assert got == base, bucket
+
+
+def test_decay_attribution_conserves_value(spark, duck, sf_dir):
+    """Conservation law: channel credits (including 'direct') sum to
+    the total purchase value, within the per-credit quantization
+    half-ulp (<= 1 per fan-out row in hundredth-cents)."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    rows = REGISTRY["linear_decay_attribution"].fn(spark, sf_dir).collect()
+    credited = sum(r.credited_q for r in rows)
+    n_credits = sum(r.n_credits for r in rows)
+    total_cents = duck.execute(
+        "SELECT CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
+        " FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert abs(credited - total_cents * 10_000) <= n_credits
