@@ -139,9 +139,15 @@ def monitor_drift(
         events_stream, window=window, watermark=watermark
     )
 
-    def _score(batch: DataFrame, _bid: int) -> None:
+    def _score(batch: DataFrame, bid: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: after a crash between sink
+        # write and offset commit, the same batch id replays. Writing
+        # each batch under its own batch= subdirectory with overwrite
+        # makes the replay idempotent (the classic idempotent-sink
+        # pattern; the engine's txn-map MERGE is the keyed-table
+        # alternative) — readers load the whole directory.
         scored = psi_of_counts(batch, ref)
-        scored.write.mode("append").parquet(out_dir)
+        scored.write.mode("overwrite").parquet(f"{out_dir}/batch={bid}")
 
     w = (
         counts.writeStream.outputMode("append")

@@ -814,3 +814,44 @@ def test_drift_monitor_matches_batch(spark, sf_dir, events_stream_dir, tmp_path)
     # stuck — both states appear across the emitted windows
     flags = {v[3] for v in want.values()}
     assert False in flags
+
+
+def test_drift_monitor_restart_is_idempotent(spark, sf_dir, events_stream_dir, tmp_path):
+    """Restart contract: re-starting the monitor on the same checkpoint
+    with no new input is a fixed point (no duplicate scored rows), and
+    the per-batch overwrite layout keeps (window, key) unique even
+    across replays."""
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+    from healthcare_aihw_etl_pipeline_spark.streaming.drift import (
+        monitor_drift,
+        reference_counts,
+    )
+
+    ref = reference_counts(
+        load_table(spark, sf_dir, "events").where(
+            F.to_date("ts") < F.lit("2024-01-16")
+        )
+    )
+    out = str(tmp_path / "psi-out")
+    ckpt = str(tmp_path / "psi-ckpt")
+
+    def run():
+        q = monitor_drift(
+            read_event_stream(spark, events_stream_dir), ref, out, ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(
+        (r.window_start, r.key, r.psi_q)
+        for r in spark.read.parquet(out).collect()
+    )
+    run()  # restart, no new input
+    second = sorted(
+        (r.window_start, r.key, r.psi_q)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == second
+    keys = [(w, k) for (w, k, _) in second]
+    assert len(keys) == len(set(keys))
