@@ -24,9 +24,10 @@ Shape, Spark-native end to end:
    integer millionths BEFORE the cross-bucket sum (the
    `value_drift_psi` exactness discipline), grouped to one row per
    (window, key) with the classic 0.1 drift flag.
-4. ``monitor_drift`` — wires 2+3 into a foreachBatch parquet append:
-   every closed window lands as scored PSI rows; restart-safe via the
-   standard checkpoint contract.
+4. ``monitor_drift`` — wires 2+3 into a foreachBatch parquet sink
+   writing each batch to its own overwritten subdirectory, so the
+   at-least-once replay contract cannot duplicate scored rows;
+   restart-safe via the standard checkpoint contract.
 
 Scale notes: the only unbounded state is the open-window aggregation,
 bounded by watermark horizon x key x bucket cardinality; the reference
@@ -129,7 +130,8 @@ def monitor_drift(
     available_now: bool = False,
 ):
     """Start the monitoring query: closed windows are scored against
-    `ref` and appended to `out_dir` as parquet. Returns the
+    `ref` and written under `out_dir` as per-batch parquet
+    subdirectories (idempotent under replay). Returns the
     StreamingQuery. Each foreachBatch flush carries complete closed
     windows (append-mode watermark contract), so scoring inside the
     batch sees every bucket of the windows it scores.
