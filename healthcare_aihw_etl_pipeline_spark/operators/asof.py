@@ -161,10 +161,11 @@ def asof_join_bucketed(
     value_cols: Sequence[str],
     suffix: str = "_asof",
     bucket: str = "1 day",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Hot-key-safe as-of join: the same result as backward
-    :func:`asof_join`, but no per-key ordered pass ever sees more than
-    one BUCKET of rows.
+    """Hot-key-safe as-of join: the same result as :func:`asof_join`
+    (either direction), but no per-key ordered pass ever sees more
+    than one BUCKET of rows.
 
     The plain composition's window partitions by the key alone, so a
     hot key (a bot user with millions of events) pins one task to the
@@ -182,14 +183,18 @@ def asof_join_bucketed(
 
     Ties follow :func:`asof_join`: right rows sort before left at equal
     ts (inclusive <=); among right rows tied on (key, ts) the carried
-    row is arbitrary — pre-deduplicate for determinism. Backward
-    direction only.
+    row is arbitrary — pre-deduplicate for determinism. Forward mode
+    mirrors everything on the reversed time axis (first row per
+    bucket, carry from FOLLOWING buckets).
 
     Measured (local[32], one key with 4M right + 1M left rows over 30
     days, hourly buckets): plain 3.3 s (single pinned task) vs bucketed
     1.2 s, identical checksums — the gap scales with cores and with how
     hot the key is, since the plain form's critical path is one task's
     full-history sort."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    back = direction == "backward"
     on = list(on)
     value_cols = list(value_cols)
     b_expr = F.window(F.col(ts), bucket)["start"]
@@ -197,14 +202,13 @@ def asof_join_bucketed(
     rts = right.where(F.col(ts).isNotNull())
     rv = F.struct(*[F.col(c).alias(c) for c in value_cols])
     r_b = rts.withColumn("_b", b_expr)
-    last_per_bucket = r_b.groupBy(*on, "_b").agg(
-        F.max_by(rv, F.col(ts)).alias("_lastrv")
-    )
+    boundary = F.max_by(rv, F.col(ts)) if back else F.min_by(rv, F.col(ts))
+    last_per_bucket = r_b.groupBy(*on, "_b").agg(boundary.alias("_lastrv"))
     lb = left.select(*on, b_expr.alias("_b")).distinct()
     spine = lb.unionByName(last_per_bucket.select(*on, "_b")).distinct()
     wprev = (
         Window.partitionBy(*on)
-        .orderBy("_b")
+        .orderBy(F.col("_b").asc() if back else F.col("_b").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
@@ -221,7 +225,10 @@ def asof_join_bucketed(
     both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on, "_b")
-        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .orderBy(
+            F.col(ts).asc() if back else F.col(ts).desc(),
+            F.col("_tag").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     both = both.withColumn("_inb", F.last("_rv", ignorenulls=True).over(w))

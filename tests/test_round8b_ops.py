@@ -396,3 +396,38 @@ def test_decay_attribution_conserves_value(spark, duck, sf_dir):
         " FROM events WHERE event_type = 'purchase'"
     ).fetchone()[0]
     assert abs(credited - total_cents * 10_000) <= n_credits
+
+
+def test_bucketed_asof_forward_equals_plain(spark, sf_dir):
+    from healthcare_aihw_etl_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("rid"))
+    )
+
+    def rows(df):
+        return sorted(
+            (r.user_id, str(r.ts), r.event_id, str(r.ts_asof), r.rid_asof)
+            for r in df.collect()
+        )
+
+    base = rows(
+        asof_join(left, right, on=["user_id"], ts="ts",
+                  value_cols=["ts", "rid"], direction="forward")
+    )
+    got = rows(
+        asof_join_bucketed(
+            left, right, on=["user_id"], ts="ts",
+            value_cols=["ts", "rid"], bucket="1 day", direction="forward",
+        )
+    )
+    assert got == base
