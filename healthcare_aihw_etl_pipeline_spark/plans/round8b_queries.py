@@ -1661,3 +1661,100 @@ def linear_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return credits.unionByName(direct).orderBy("channel")
+
+
+# Welch statistics assembled from exact BIGINT moments (n, S=sum cents,
+# Q=sum cents^2) as one shared IEEE chain per output. S*S is computed in
+# DOUBLE (the integer square would overflow BIGINT at ~5e4-cent values
+# x 1e6 rows); every divide/sqrt is identically written on both sides.
+_VAR = (
+    "((CAST(q{i} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)"
+    " / CAST(n{i} AS DOUBLE)) / CAST(n{i} - 1 AS DOUBLE))"
+)
+_V1 = _VAR.format(i=1)
+_V2 = _VAR.format(i=2)
+_SE2 = f"({_V1} / CAST(n1 AS DOUBLE) + {_V2} / CAST(n2 AS DOUBLE))"
+_MEAN_DIFF = (
+    "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0"
+)
+_T_STAT = f"(({_MEAN_DIFF}) * 100.0) / sqrt({_SE2})"
+_WELCH_DF = (
+    f"({_SE2} * {_SE2}) / "
+    f"(({_V1} / CAST(n1 AS DOUBLE)) * ({_V1} / CAST(n1 AS DOUBLE))"
+    f" / CAST(n1 - 1 AS DOUBLE)"
+    f" + ({_V2} / CAST(n2 AS DOUBLE)) * ({_V2} / CAST(n2 AS DOUBLE))"
+    f" / CAST(n2 - 1 AS DOUBLE))"
+)
+
+
+@register(
+    "ab_value_t_statistic",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) >= DATE '{_PSI_SPLIT}') AS late,
+             COUNT(*) AS n,
+             CAST(SUM({sql_cents('value')}) AS BIGINT) AS s,
+             CAST(SUM({sql_cents('value')} * {sql_cents('value')}) AS BIGINT)
+               AS q
+      FROM events
+      GROUP BY event_type, late
+    ),
+    sides AS (
+      SELECT a.event_type,
+             a.n AS n1, a.s AS s1, a.q AS q1,
+             b.n AS n2, b.s AS s2, b.q AS q2
+      FROM (SELECT * FROM m WHERE NOT late) a
+      JOIN (SELECT * FROM m WHERE late) b USING (event_type)
+    )
+    SELECT event_type, n1, n2,
+           {_MEAN_DIFF} AS mean_diff,
+           {_T_STAT} AS t_stat,
+           {_WELCH_DF} AS welch_df
+    FROM sides
+    ORDER BY event_type
+    """,
+    doc="Welch two-sample t statistic per event type between the two "
+    "timeline halves — the A/B significance screen next to PSI's "
+    "distributional drift: means, pooled-free variances and the "
+    "Welch-Satterthwaite df all assemble from EXACT BIGINT moments "
+    "(n, sum-cents, sum-cents-squared; one map-side-combined "
+    "aggregation at (type, side) grain), then one identically-written "
+    "IEEE chain per output — S*S deliberately in double (the integer "
+    "square overflows BIGINT at large corpora), sqrt correctly "
+    "rounded, so the engines agree bit-for-bit.",
+)
+def ab_value_t_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import cents
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.to_date("ts") >= F.lit(_PSI_SPLIT)).alias("late"),
+        cents("value").alias("v_c"),
+    )
+    m = ev.groupBy("event_type", "late").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_c").alias("s"),
+        F.sum(F.col("v_c") * F.col("v_c")).alias("q"),
+    )
+    a = m.where(~F.col("late")).select(
+        "event_type",
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1"),
+    )
+    b = m.where(F.col("late")).select(
+        "event_type",
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("q").alias("q2"),
+    )
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.expr(_MEAN_DIFF).alias("mean_diff"),
+            F.expr(_T_STAT).alias("t_stat"),
+            F.expr(_WELCH_DF).alias("welch_df"),
+        )
+        .orderBy("event_type")
+    )

@@ -30,6 +30,7 @@ R8B_QUERIES = [
     "session_pattern_match",
     "revenue_changepoint",
     "linear_decay_attribution",
+    "ab_value_t_statistic",
 ]
 
 
