@@ -1758,3 +1758,107 @@ def ab_value_t_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "quality_decile_lift",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS score,
+             md5(text) AS h
+      FROM (SELECT doc_id, text, {sql_tokens('text')} AS toks
+            FROM documents WHERE trim(text) <> '')
+    ),
+    labeled AS (
+      SELECT s.doc_id, s.score,
+             (COUNT(*) OVER (PARTITION BY s.h) > 1) AS is_dup
+      FROM scored s
+    ),
+    deciled AS (
+      SELECT ntile(10) OVER (ORDER BY score ASC, doc_id ASC) AS decile,
+             is_dup
+      FROM labeled
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM deciled GROUP BY decile
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+             CAST(SUM(n_dup) AS BIGINT) AS td
+      FROM per
+    )
+    SELECT decile, n_docs, n_dup,
+           CASE WHEN td = 0 THEN NULL
+                ELSE (CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     / (CAST(td AS DOUBLE) / CAST(tn AS DOUBLE)) END AS lift
+    FROM per, tot
+    ORDER BY decile
+    """,
+    doc="Decile lift analysis of a curation signal: documents ranked "
+    "by lexical-diversity score (distinct tokens over tokens — a "
+    "repetition proxy), cut into score deciles (ntile over the TOTAL "
+    "(score, doc_id) order, deterministic), and each decile's exact-"
+    "duplicate rate compared to the corpus base rate — the standard "
+    "gain-curve check that a quality score actually concentrates the "
+    "junk before it gates a pipeline. The dup label is a window count "
+    "on the text hash; every ratio is a shared IEEE divide from "
+    "integer counts; the totals join broadcasts one row.",
+)
+def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select("doc_id", "text", tokens("text").alias("toks"))
+    )
+    scored = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double")
+        ).alias("score"),
+        F.md5("text").alias("h"),
+    )
+    labeled = scored.select(
+        "doc_id",
+        "score",
+        (F.count(F.lit(1)).over(Window.partitionBy("h")) > 1).alias(
+            "is_dup"
+        ),
+    )
+    deciled = labeled.select(
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").asc(), F.col("doc_id").asc()))
+        .alias("decile"),
+        "is_dup",
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("tn"), F.sum("n_dup").alias("td")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "n_dup",
+            F.when(
+                F.col("td") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                (F.col("n_dup").cast("double") / F.col("n_docs").cast("double"))
+                / (F.col("td").cast("double") / F.col("tn").cast("double"))
+            )
+            .alias("lift"),
+        )
+        .orderBy("decile")
+    )

@@ -31,6 +31,7 @@ R8B_QUERIES = [
     "revenue_changepoint",
     "linear_decay_attribution",
     "ab_value_t_statistic",
+    "quality_decile_lift",
 ]
 
 
