@@ -136,7 +136,7 @@ _MUST_VERIFY_R8: list[str] = [
     "last_touch_attribution", "embedding_cluster_keep_best",
     "cluster_aware_split", "session_pattern_match", "revenue_changepoint",
     "linear_decay_attribution", "ab_value_t_statistic",
-    "quality_decile_lift",
+    "quality_decile_lift", "priority_status_chi2",
     "bm25_search_top10", "inverted_index_top20", "phrase_search_top10",
     "weighted_sample_orders",
     "scd2_user_tier_history", "scd2_temporal_join", "data_quality_audit",

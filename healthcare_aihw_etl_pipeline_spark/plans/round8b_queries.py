@@ -1862,3 +1862,94 @@ def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "priority_status_chi2",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders
+    ),
+    cxy AS (SELECT pri, st, COUNT(*) AS c FROM base GROUP BY pri, st),
+    cx AS (SELECT pri, COUNT(*) AS cx FROM base GROUP BY pri),
+    cy AS (SELECT st, COUNT(*) AS cy FROM base GROUP BY st),
+    n AS (SELECT COUNT(*) AS n FROM base),
+    cells AS (
+      SELECT cxy.pri, cxy.st,
+             CAST(cx.cx AS DOUBLE) * CAST(cy.cy AS DOUBLE)
+               / CAST(n.n AS DOUBLE) AS expected,
+             CAST(cxy.c AS DOUBLE) AS observed
+      FROM cxy JOIN cx USING (pri) JOIN cy USING (st), n
+    ),
+    contribs AS (
+      SELECT CAST(floor((observed - expected) * (observed - expected)
+                        / expected * 1000000 + 0.5) AS BIGINT) AS q
+      FROM cells
+    ),
+    dof AS (
+      SELECT ((SELECT COUNT(*) FROM cx) - 1)
+             * ((SELECT COUNT(*) FROM cy) - 1) AS dof
+    )
+    SELECT COUNT(*) AS n_cells,
+           CAST((SELECT dof FROM dof) AS BIGINT) AS dof,
+           CAST(SUM(q) AS BIGINT) AS chi2_q,
+           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
+    FROM contribs
+    """,
+    doc="Pearson chi-square independence test on the priority x status "
+    "contingency table — the significance counterpart of the mutual-"
+    "information dependence measure: expected cell counts from the "
+    "margin products, per-cell (O-E)^2/E quantized to millionths "
+    "before the cross-cell sum, degrees of freedom from the margin "
+    "cardinalities. Same four-grouped-counts shape as the MI query "
+    "(one data-sized pass, map-side combined); every float step is a "
+    "shared IEEE expression.",
+)
+def priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    cxy = base.groupBy("pri", "st").agg(F.count(F.lit(1)).alias("c"))
+    cx = base.groupBy("pri").agg(F.count(F.lit(1)).alias("cx"))
+    cy = base.groupBy("st").agg(F.count(F.lit(1)).alias("cy"))
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        cxy.join(cx, "pri")
+        .join(cy, "st")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (
+                F.col("cx").cast("double")
+                * F.col("cy").cast("double")
+                / F.col("n").cast("double")
+            ).alias("expected"),
+            F.col("c").cast("double").alias("observed"),
+        )
+    )
+    q = F.floor(
+        (F.col("observed") - F.col("expected"))
+        * (F.col("observed") - F.col("expected"))
+        / F.col("expected")
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("long")
+    dof = cx.agg(F.count(F.lit(1)).alias("kx")).crossJoin(
+        cy.agg(F.count(F.lit(1)).alias("ky"))
+    ).select(((F.col("kx") - 1) * (F.col("ky") - 1)).alias("dof"))
+    return (
+        cells.select(q.alias("q"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("q").alias("chi2_q"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select(
+            "n_cells",
+            F.col("dof").cast("long").alias("dof"),
+            "chi2_q",
+            (F.col("chi2_q").cast("double") / F.lit(1_000_000.0)).alias(
+                "chi2"
+            ),
+        )
+    )

@@ -32,6 +32,7 @@ R8B_QUERIES = [
     "linear_decay_attribution",
     "ab_value_t_statistic",
     "quality_decile_lift",
+    "priority_status_chi2",
 ]
 
 
