@@ -19,6 +19,7 @@ hash-checks it against DuckDB).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -128,7 +129,12 @@ def write_zordered(
 
 
 def shard_by_budget(
-    df: DataFrame, order_col: str, cost_col: str, budget: int
+    df: DataFrame,
+    order_col: str,
+    cost_col: str,
+    budget: int,
+    *,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Deterministic export-shard assignment by running cost budget: in
     the total order of `order_col`, each row lands in shard
@@ -146,13 +152,25 @@ def shard_by_budget(
     that parallelize across executors. The result is independent of
     where the range boundaries land because the order key is total, so
     the assignment is identical on 1 or 1000 executors. Adds columns
-    `cum` (inclusive prefix sum) and `shard` (0-based)."""
+    `cum` (inclusive prefix sum) and `shard` (0-based).
+
+    Determinism contract: (order_col, *tiebreak_cols) MUST be a total
+    order — with duplicate order keys the intra-partition running sum
+    (and thus cum/shard) would be partition-layout-dependent, breaking
+    the reproducibility this operator exists for. Pass `tiebreak_cols`
+    (e.g. a unique id) whenever `order_col` alone can repeat; the range
+    repartition still keys on `order_col` only (equal keys land in one
+    range partition, so the partition-local window sees and breaks all
+    ties)."""
     from pyspark.sql import Window
 
     if int(budget) <= 0:
         # Spark's `div 0` yields NULL, which would assign every row a
         # NULL shard silently — fail loudly instead.
         raise ValueError(f"budget must be positive, got {budget}")
+    order_cols = [F.col(order_col).asc()] + [
+        F.col(c).asc() for c in tiebreak_cols
+    ]
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = df.repartitionByRange(
@@ -170,7 +188,7 @@ def shard_by_budget(
     )
     wlocal = (
         Window.partitionBy("_pid")
-        .orderBy(F.col(order_col).asc())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -42,7 +42,7 @@ def pivot_sum(
     df: DataFrame,
     row_key: str,
     pivot_col: str,
-    pivot_values: Sequence[str],
+    pivot_values: Sequence,
     measure: str,
 ) -> DataFrame:
     """R2 — long→wide sum-pivot (/root/reference/streamlit_app.py:138-139).
@@ -76,6 +76,14 @@ def pivot_sum_dynamic(
     raises instead of materializing an unbounded domain as columns (a
     10^6-column relation is an error, not a result). Values are sorted
     so the output schema is deterministic across partitionings/engines.
+
+    The discovered values are passed to pivot() NATIVELY (not
+    stringified): Python's str() rendering of Decimal/date/float can
+    differ from Spark's literal matching, which would yield silently
+    all-NULL columns, and numeric domains would sort lexicographically
+    ('10' < '2'). Native values match exactly and sort in value order;
+    only the resulting COLUMN NAMES are Spark's deterministic
+    rendering of each value.
     """
     vals = [
         r[0]
@@ -92,4 +100,4 @@ def pivot_sum_dynamic(
             "is almost always a bug — pass explicit values (pivot_sum) "
             "or raise the cap deliberately"
         )
-    return pivot_sum(df, row_key, pivot_col, sorted(map(str, vals)), measure)
+    return pivot_sum(df, row_key, pivot_col, sorted(vals), measure)

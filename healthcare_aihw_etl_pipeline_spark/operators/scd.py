@@ -49,11 +49,20 @@ def scd2_history(
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
-    marked = df.select(
-        key_col, attr_col, ts_col, tiebreak_col
-    ).withColumn("_prev", F.lag(attr_col).over(w))
+    marked = (
+        df.select(key_col, attr_col, ts_col, tiebreak_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    # Null-safe run-start detection: `_prev != attr` is NULL (not true)
+    # when either side is NULL, which would silently absorb value->NULL
+    # transitions into the prior run. A first row is a start regardless
+    # (`_rn` distinguishes "no predecessor" from "predecessor was NULL");
+    # otherwise a start is any not-null-safe-equal transition, so
+    # NULL->value, value->NULL, and NULL runs all get their own periods.
     starts = marked.where(
-        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+        (F.col("_rn") == 1)
+        | ~F.col("_prev").eqNullSafe(F.col(attr_col))
     )
     # Re-window over run starts only: lead() of the NEXT run's start.
     # (ts, tiebreak) ordering restricted to starts is still total.

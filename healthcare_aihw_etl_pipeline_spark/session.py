@@ -59,6 +59,9 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep saveAsTable droppings (spark-warehouse/) out of whatever
+        # CWD the process launched from — the repo root is snapshotted.
+        .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -19,11 +19,15 @@ Shape, Spark-native end to end:
    watermark closes its window — so downstream PSI sees each window's
    complete bucket set in a single trigger flush.
 3. ``psi_of_counts`` — the SHARED scoring algebra (stream sink or
-   batch twin, same function): inner-join to the reference on shared
-   buckets, per-bucket contribution (p2-p1)*ln(p2/p1) quantized to
-   integer millionths BEFORE the cross-bucket sum (the
-   `value_drift_psi` exactness discipline), grouped to one row per
-   (window, key) with the classic 0.1 drift flag.
+   batch twin, same function): LEFT-join from the stream's buckets to
+   the reference (standard PSI practice: a bucket the reference never
+   saw takes the epsilon-smoothed probability 1/PSI_Q, so a window
+   landing entirely in novel buckets scores a huge PSI and trips the
+   alert instead of silently emitting nothing), per-bucket
+   contribution (p2-p1)*ln(p2/p1) quantized to integer millionths
+   BEFORE the cross-bucket sum (the `value_drift_psi` exactness
+   discipline), grouped to one row per (window, key) with the classic
+   0.1 drift flag plus unmatched_buckets / unmatched_mass diagnostics.
 4. ``monitor_drift`` — wires 2+3 into a foreachBatch parquet sink
    writing each batch to its own overwritten subdirectory, so the
    at-least-once replay contract cannot duplicate scored rows;
@@ -89,24 +93,46 @@ def windowed_bucket_counts(
 def psi_of_counts(counts: DataFrame, ref: DataFrame) -> DataFrame:
     """Score (window_start, key, bucket, c) rows against the reference:
     one row per (window_start, key) with n_buckets / psi_q / psi /
-    drifted. Shared by the streaming foreachBatch and the batch twin —
-    bit-identical by construction."""
+    drifted / unmatched_buckets / unmatched_mass. Shared by the
+    streaming foreachBatch and the batch twin — bit-identical by
+    construction.
+
+    Stream buckets absent from the reference take the epsilon-smoothed
+    reference probability 1/PSI_Q (standard PSI smoothing): the most
+    extreme shift — a window landing entirely in novel buckets — then
+    scores ~p2*ln(p2*PSI_Q) per bucket and trips `drifted` loudly,
+    where the previous inner-join silently emitted no row at all.
+    """
     n = counts.groupBy("window_start", "key").agg(F.sum("c").alias("n"))
     j = (
         counts.join(n, ["window_start", "key"])
-        .join(F.broadcast(ref), ["key", "bucket"])
+        .join(F.broadcast(ref), ["key", "bucket"], "left")
     )
-    p1 = F.col("c_ref").cast("double") / F.col("n_ref").cast("double")
+    matched = F.col("c_ref").isNotNull()
+    p1 = F.when(
+        matched, F.col("c_ref").cast("double") / F.col("n_ref").cast("double")
+    ).otherwise(F.lit(1.0 / PSI_Q))
     p2 = F.col("c").cast("double") / F.col("n").cast("double")
     contrib_q = F.floor(
         (p2 - p1) * F.log(p2 / p1) * F.lit(PSI_Q) + F.lit(0.5)
     ).cast("long")
     return (
-        j.select("window_start", "key", contrib_q.alias("contrib_q"))
+        j.select(
+            "window_start",
+            "key",
+            contrib_q.alias("contrib_q"),
+            F.when(matched, F.lit(0)).otherwise(F.lit(1)).alias("_um"),
+            F.when(matched, F.lit(0)).otherwise(F.col("c")).alias("_umc"),
+            "n",
+        )
         .groupBy("window_start", "key")
         .agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.sum("contrib_q").alias("psi_q"),
+            F.sum("_um").alias("unmatched_buckets"),
+            (
+                F.sum("_umc").cast("double") / F.first("n").cast("double")
+            ).alias("unmatched_mass"),
         )
         .select(
             "window_start",
@@ -115,6 +141,8 @@ def psi_of_counts(counts: DataFrame, ref: DataFrame) -> DataFrame:
             "psi_q",
             (F.col("psi_q").cast("double") / F.lit(float(PSI_Q))).alias("psi"),
             (F.col("psi_q") > F.lit(PSI_Q // 10)).alias("drifted"),
+            "unmatched_buckets",
+            "unmatched_mass",
         )
     )
 

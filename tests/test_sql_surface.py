@@ -190,6 +190,12 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
         write_jdbc,
     )
 
+    # Keep Derby's droppings (derby.log) out of the repo root the
+    # driver snapshots: derby.system.home must be set before the engine
+    # boots (first Class.forName), and it is sticky for the JVM's life.
+    spark._jvm.java.lang.System.setProperty(
+        "derby.system.home", str(tmp_path)
+    )
     try:
         spark._jvm.java.lang.Class.forName(
             "org.apache.derby.jdbc.EmbeddedDriver"
