@@ -3,11 +3,12 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 8 pins the 13 new
-round-8 queries plus the 14 continuation-session queries, then the
-rounds-1–3 tail the r7 window missed, then the round-4 cohort — now
-the oldest evidence); everything else sits behind the window with its
-cumulative driver-side record standing.
+verified cohort is due a regression sweep (round 9 pins the round-4
+cohort tail from events_typed_agg onward plus the round-5 cohort — the
+oldest driver evidence, last verified 4–5 rounds ago); everything else
+sits behind the window with its cumulative driver-side record standing.
+The full registry is additionally swept in-round by scripts/driver_sim.py
+and committed as CORRECTNESS_FULL_r{N}.json.
 """
 
 from healthcare_aihw_etl_pipeline_spark.plans.registry import REGISTRY, Query, register
@@ -120,14 +121,10 @@ _DRIVER_GREEN_R7 = [
 ]
 _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R7
 
-# Queries the current round's correctness window MUST sample ahead of
-# everything else. Round 8 continues the rotation policy: the 14
-# continuation-session queries lead, then the 13 round-8 first-session
-# queries, then the seven rounds-1–3 greens the r7 window didn't reach,
-# then the round-4 cohort — the OLDEST evidence. Entries past the
-# driver's ~50-slot window roll forward to round 9.
-_MUST_VERIFY_R8: list[str] = [
-    # new this round
+# CORRECTNESS_r08.json: the round-8 window, 50/50 green on all three
+# checks (rows + schema + hash) — the 33 round-8 queries, the seven
+# rounds-1–3 tail names, and the first ten of the round-4 cohort.
+_DRIVER_GREEN_R8 = [
     "k_anonymity_audit", "cms_token_heavy_hitters", "token_shard_plan",
     "daily_value_interpolated", "copurchase_2hop_reach",
     "value_drift_psi", "priority_status_mutual_info",
@@ -143,17 +140,20 @@ _MUST_VERIFY_R8: list[str] = [
     "quantile_sketch_prices", "doc_bigram_nll_top20",
     "supplier_balance_distribution", "copurchase_triangle_count",
     "pivot_dynamic_priority", "bm25_eval_screen_top3",
-    # rounds-1–3 tail the r7 window did not reach
-    "cheapest_supplier_per_part", "idle_rich_customers",
-    "important_parts_by_share", "shipping_priority_top10",
-    "cross_nation_shipping", "returned_item_top_customers",
-    "disjunctive_brand_revenue",
-    # round-4 cohort — oldest evidence, regression sweep
-    "forecast_discount_revenue", "order_priority_check",
-    "local_supplier_volume", "nation_market_share", "product_type_profit",
-    "late_shipment_priority_mix", "top_revenue_suppliers",
-    "supplier_variety_by_part_class", "concentrated_recent_suppliers",
-    "zorder_layout_stats", "events_typed_agg",
+]
+_DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R8
+
+# Queries the current round's correctness window MUST sample ahead of
+# everything else. Round 9 rotates to the OLDEST driver evidence, per
+# the r8 verdict: new round-9 queries lead, then the round-4 cohort
+# tail the r8 window did not reach (events_typed_agg onward — last
+# driver-verified in round 4), then the round-5 cohort (EWMA, z-scores,
+# histogram, PageRank, path mining, regression aggregates, setops).
+# Entries past the driver's ~50-slot window roll forward to round 10.
+_MUST_VERIFY_R9: list[str] = [
+    # new this round (extended as round 9 adds queries)
+    # round-4 cohort tail — oldest evidence, regression sweep
+    "events_typed_agg",
     "dedup_exact_stats", "dedup_prefix_keepers", "text_token_stats",
     "embedding_norms", "ann_cosine_top10", "embedding_near_dup_top20",
     "bpe_token_totals", "text_quality_profile", "fingerprint_dup_groups",
@@ -165,6 +165,20 @@ _MUST_VERIFY_R8: list[str] = [
     "token_position_profile", "source_token_entropy", "gopher_quality_flags",
     "repetition_profile", "corpus_curation_funnel", "dedup_keep_best",
     "oov_rate_by_source", "sequence_packing", "domain_quota_sample",
+    "multimodal_byte_profile", "chunk_dedup_reassembly", "incremental_dedup",
+    "mixture_weights", "embedding_centroid_per_label",
+    "ingest_clean_admissions",
+    # round-5 cohort — the other half of the stale evidence
+    "ewma_daily_revenue", "mode_ship_priority", "char_diversity_profile",
+    "levenshtein_blocked_pairs", "bipartite_pagerank_top20",
+    "duplicate_ngram_top20", "jaccard_pair_similarity",
+    "part_pair_cooccurrence", "top_session_paths", "value_histogram",
+    "event_volume_zscore", "customer_segment_setops",
+    "price_quantity_regression", "lsh_bucket_histogram",
+    "supplier_balance_position", "regression_by_returnflag",
+    "time_rollup_revenue", "event_type_transitions", "customer_revenue_gini",
+    "salted_event_type_totals", "doc_length_quartiles_by_source",
+    "events_in_prior_hour", "event_type_reconciliation",
 ]
 
 
@@ -177,8 +191,8 @@ def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R8 if n in registry]
-    placed = set(_MUST_VERIFY_R8)
+    pinned = [registry[n] for n in _MUST_VERIFY_R9 if n in registry]
+    placed = set(_MUST_VERIFY_R9)
     promoted_oracle = [
         q
         for n, q in registry.items()
