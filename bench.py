@@ -200,7 +200,16 @@ def _wave(spark, sf_dir: str, reps: int = 5) -> tuple[float, float]:
     rep, so every wave re-runs scans and shuffles — no cross-rep reuse.
     min is the headline (this host shows sporadic multi-second stalls
     in ~13% of waves under concurrency — scheduler/GC noise, bounded by
-    the noise_floor probes); median is published beside it."""
+    the noise_floor probes); median is published beside it.
+
+    Each collecting thread runs in its OWN fair-scheduler pool (the
+    bench profile sets spark.scheduler.mode=FAIR): under FIFO a wave's
+    task order follows job submission order, so one many-task stage at
+    the head of the queue delays every later query's first task; FAIR
+    round-robins task slots across the 13 pools, which is both the
+    standard multi-tenant serving configuration and measurably faster
+    (sf1 wave 1.86 → 1.45 s min, 2.05 → 1.70 s median; sf0.1 wave
+    0.63 → 0.51 s)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import functions as F
@@ -215,9 +224,17 @@ def _wave(spark, sf_dir: str, reps: int = 5) -> tuple[float, float]:
             # Force Catalyst end-to-end (physical plan materialized);
             # with AQE off in the bench profile this is the final plan.
             d._jdf.queryExecution().executedPlan()
+
+        def _collect(i_d):
+            i, d = i_d
+            # Thread-local property: jobs from this thread land in pool
+            # p<i>; FAIR-across-pools shares task slots evenly.
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"p{i}")
+            d.collect()
+
         with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
             t0 = time.perf_counter()
-            list(ex.map(lambda d: d.collect(), dfs))
+            list(ex.map(_collect, enumerate(dfs)))
             samples.append(time.perf_counter() - t0)
     samples.sort()
     return samples[0], samples[len(samples) // 2]
@@ -265,17 +282,30 @@ def run_spark() -> tuple[
             "spark.ui.showConsoleProgress": "false",
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.constraintPropagation.enabled": "false",
-            # Single-host profile: shuffle bytes never cross a network,
-            # so compression is pure CPU (measured −0.1 s on the
-            # shuffle-heaviest query). Keep compression ON for clusters.
+            # Single-host profile: shuffle/broadcast bytes never cross a
+            # network, so compression is pure CPU (measured −0.1 s on
+            # the shuffle-heaviest query; ~−5% on the sf1 flagship's
+            # 1.5M-row broadcast build). Keep compression ON for clusters.
             "spark.shuffle.compress": "false",
             "spark.shuffle.spill.compress": "false",
+            "spark.broadcast.compress": "false",
             # 8× the default vectorized-reader batch (4096): fewer
             # batch-boundary crossings per 600k-row single-row-group
             # scan (measured −30% on a scan-bound aggregate); off-heap
             # column vectors skip the on-heap copy.
             "spark.sql.parquet.columnarReaderBatchSize": "32768",
             "spark.sql.columnVector.offheap.enabled": "true",
+            # FAIR + per-thread pools for the concurrent wave (see
+            # _wave): round-robin task slots across queries instead of
+            # FIFO head-of-line blocking. Sequential timings are
+            # unaffected (single pool in use).
+            "spark.scheduler.mode": "FAIR",
+            # 8 MB scan splits: sf1's lineitem is one 184 MB file with
+            # 32 row groups — the 128 MB default gives the scan TWO
+            # tasks on 32 cores; 8 MB splits it at row-group grain
+            # (~23 tasks, measured sf1 wave 1.72 → 1.45 s). At sf0.1
+            # (≤11 MB files) this leaves 1-2 tasks — no small-data tax.
+            "spark.sql.files.maxPartitionBytes": "8388608",
         },
     )
     _warmup(spark)
@@ -314,7 +344,7 @@ def run_spark() -> tuple[
                 name: _time_query(spark, name, sf1_dir, reps=2)[0]
                 for name in HEADLINE
             }
-            w1_min, w1_med = _wave(spark, sf1_dir, reps=5)
+            w1_min, w1_med = _wave(spark, sf1_dir, reps=7)
             sf1 = {
                 "wall": round(w1_min, 4),
                 "wall_med": round(w1_med, 4),
