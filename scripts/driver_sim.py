@@ -6,12 +6,15 @@ first SIM_N registry queries against its oracle_sql() on SIM_SF's
 parquet (column-sorted, order-insensitive, None-safe multiset compare).
 
 Usage:
-  SIM_N=148 python scripts/driver_sim.py          # full registry
+  SIM_N=200 python scripts/driver_sim.py          # full registry
   SIM_N=20 SIM_SF=/root/testdata/sf0.01 python scripts/driver_sim.py
   TZ=America/New_York SIM_N=20 python scripts/driver_sim.py  # TZ probe
+  SIM_OUT=CORRECTNESS_FULL_r09.json SIM_N=200 python scripts/driver_sim.py
+      # additionally write a per-query JSON artifact (the committed
+      # full-registry evidence the driver's ~50-query window can't show)
 Exit code 0 = PASS.
 """
-import sys, os, math, datetime as dt
+import sys, os, math, json, datetime as dt
 from decimal import Decimal
 sys.path.insert(0, "/root/repo")
 import duckdb
@@ -19,6 +22,7 @@ from pyspark.sql import SparkSession
 
 N = int(os.environ.get("SIM_N", "18"))
 SF = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
+OUT = os.environ.get("SIM_OUT")
 
 import __spark_entry__ as e
 spark = SparkSession.builder.master("local[8]").getOrCreate()
@@ -50,6 +54,7 @@ def norm(v):
 qs = e.queries(); osql = e.oracle_sql()
 names = list(qs)[:N]
 bad = []
+report = {}
 for name in names:
     try:
         sdf = qs[name](spark, SF)
@@ -57,6 +62,8 @@ for name in names:
         srows = sorted((tuple(norm(r[c]) for c in cols) for r in sdf.collect()), key=skey)
         if name not in osql:
             print(f"{name}: rows={len(srows)} (no oracle)")
+            report[name] = {"rows": len(srows), "oracle": False,
+                            "status": "rows_only"}
             continue
         rel = con.execute(osql[name])
         dcols = sorted(d[0] for d in rel.description)
@@ -68,6 +75,10 @@ for name in names:
         ok_val = srows == drows
         status = "OK" if (ok_cols and ok_cnt and ok_val) else f"FAIL cols={ok_cols} cnt={ok_cnt}({len(srows)}/{len(drows)}) val={ok_val}"
         print(f"{name}: {status}")
+        report[name] = {"rows": len(srows), "oracle": True,
+                        "schema_ok": ok_cols, "count_ok": ok_cnt,
+                        "values_ok": ok_val,
+                        "status": "ok" if status == "OK" else "fail"}
         if not (ok_cols and ok_cnt and ok_val):
             bad.append(name)
             if not ok_val and ok_cnt:
@@ -76,6 +87,19 @@ for name in names:
                         print("  spark:", a); print("  duck :", b); break
     except Exception as ex:
         print(f"{name}: ERROR {type(ex).__name__}: {ex}")
+        report[name] = {"oracle": name in osql, "status": "error",
+                        "error": f"{type(ex).__name__}: {ex}"[:200]}
         bad.append(name)
+if OUT:
+    summary = {
+        "sf_dir": SF,
+        "n_queries": len(names),
+        "n_ok": sum(1 for r in report.values() if r["status"] == "ok"),
+        "n_rows_only": sum(1 for r in report.values() if r["status"] == "rows_only"),
+        "n_fail": sum(1 for r in report.values() if r["status"] in ("fail", "error")),
+    }
+    with open(OUT, "w") as f:
+        json.dump({"summary": summary, "queries": report}, f, indent=1)
+    print(f"wrote {OUT}: {summary}")
 print("RESULT:", "PASS" if not bad else f"FAIL {bad}")
 sys.exit(1 if bad else 0)
