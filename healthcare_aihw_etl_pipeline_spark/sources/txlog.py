@@ -1679,10 +1679,32 @@ def apply_incremental_join(
     left_id: str,
     right_id: str,
     offset_path: str,
+    how: str = "inner",
 ) -> int | None:
-    """Maintain a materialized inner equi-join `out = left ⋈_on right`
-    from the two sources' change feeds — the JOIN leg of incremental
-    view maintenance (apply_incremental_agg is the aggregate leg).
+    """Maintain a materialized equi-join `out = left ⋈_on right`
+    (`how="inner"`) or `left ⟕_on right` (`how="left"`) from the two
+    sources' change feeds — the JOIN leg of incremental view
+    maintenance (apply_incremental_agg is the aggregate leg).
+
+    LEFT-OUTER form (`how="left"`): the inner component is maintained
+    with the same bilinear delta as below; the NULL-extended component
+    (left rows with no match) is RECONCILED rather than differenced —
+    the affected set is delta-bounded (left ids touched by dA, plus
+    left rows whose join key's matched-ness flipped, detectable only at
+    keys present in dB), and for each affected left row the post-state
+    presence test is one lookup against the right side's post-window
+    key counts. This handles the hard case directly: a dim-delete that
+    removes a key's LAST match flips every left row of that key from
+    joined form to NULL-extended form in the same commit that deletes
+    the joined pairs. Physical key: NULL can't be a MERGE key, so the
+    stored table carries `_rkey` = right_id for joined rows and the
+    sentinel -1 for NULL-extended rows (contract: right ids are
+    non-negative), and the merge key is (left_id, _rkey); right-side
+    payload columns (including right_id itself) are NULL on
+    NULL-extended rows, so `snapshot().drop("_rkey")` IS the left-outer
+    join. A left-outer sync before the right table's first commit is a
+    no-op that does NOT advance offsets (the right schema is unknown
+    until then); any other `how` raises ValueError.
 
     Delta algebra (signed multisets, ⋈ bilinear):
         A1⋈B1 − A0⋈B0 = dA⋈B0 + A1⋈dB
@@ -1707,14 +1729,28 @@ def apply_incremental_join(
     touches only the files holding affected pairs."""
     import pyspark.sql.functions as F
 
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"apply_incremental_join maintains inner or left-outer "
+            f"equi-joins only, got how={how!r} (right/full-outer "
+            "NULL-extension would need symmetric match-count "
+            "maintenance — not implemented)"
+        )
     ha, hb = left.head(), right.head()
     a1 = ha[0] if ha else -1
     b1 = hb[0] if hb else -1
     if a1 < 0 and b1 < 0:
         return None
+    if how == "left" and b1 < 0:
+        # Right schema unknown until its first commit; do NOT advance
+        # offsets — the left window replays once the right side exists.
+        return None
     ca = ChangeFeedConsumer(left, offset_path + ".left")
     cb = ChangeFeedConsumer(right, offset_path + ".right")
-    writer_id = f"ivm-join:{offset_path}"
+    writer_id = (
+        f"ivm-join:{offset_path}" if how == "inner"
+        else f"ivm-join:{offset_path}:left"
+    )
     oh = out_table.head()
     applied = oh[1].get("txn", {}).get(writer_id, None) if oh else None
     ap_a, ap_b = _dec_pair(applied) if applied is not None else (-1, -1)
@@ -1798,9 +1834,123 @@ def apply_incremental_join(
         *[F.col(f"_pos.{c}").alias(c) for c in payload],
         F.col("_pos").isNull().alias("_dead"),
     )
+    if how == "inner":
+        v = out_table.merge(
+            batch,
+            [left_id, right_id],
+            delete_predicate=F.col("_dead"),
+            drop_after=["_dead"],
+            writer_id=writer_id,
+            batch_id=_enc_pair(a1, b1),
+        )
+        ca._advance(a1)
+        cb._advance(b1)
+        return v
+
+    # -- left-outer: reconcile the NULL-extended component ------------
+    # Everything here is delta-bounded: only keys present in dB can
+    # flip matched-ness, so the right-side count scans are semi-joined
+    # down to the (small) delta key sets before grouping — at scale
+    # they are stats-pruned probes, not full-snapshot aggregates.
+    B1 = right.snapshot(spark, version=b1)  # None when emptied — valid
+    right_only = [c for c in right_cols if c not in on]
+    # Right column types from the MANIFEST schema, not a snapshot: a
+    # table whose last match was just deleted has an empty snapshot but
+    # its NULL-extended rows still need correctly-typed NULL columns.
+    from pyspark.sql.types import StructType as _ST
+
+    rtypes = {
+        f.name: f.dataType.simpleString()
+        for f in _ST.fromJson(hb[1]["schema"]).fields
+    }
+
+    def _key_counts(snap, keys, alias):
+        if snap is None:
+            return None
+        return (
+            snap.join(F.broadcast(keys), on, "left_semi")
+            .groupBy(*on)
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    flip_keys = None
+    if dB is not None:
+        db_keys = dB.select(*on).distinct()
+        c0 = _key_counts(B0, db_keys, "_c0")
+        c1 = _key_counts(B1, db_keys, "_c1")
+        j = db_keys
+        j = j.join(c0, on, "left") if c0 is not None else j.withColumn(
+            "_c0", F.lit(None).cast("long")
+        )
+        j = j.join(c1, on, "left") if c1 is not None else j.withColumn(
+            "_c1", F.lit(None).cast("long")
+        )
+        flip_keys = j.where(
+            (F.coalesce(F.col("_c0"), F.lit(0)) > 0)
+            != (F.coalesce(F.col("_c1"), F.lit(0)) > 0)
+        ).select(*on)
+    # Affected left rows: ids touched by dA + rows on flipped keys.
+    aff_parts = []
+    da_ids = dA.select(left_id).distinct() if dA is not None else None
+    if da_ids is not None and A1 is not None:
+        aff_parts.append(A1.join(F.broadcast(da_ids), left_id, "left_semi"))
+    if flip_keys is not None and A1 is not None:
+        aff_parts.append(A1.join(F.broadcast(flip_keys), on, "left_semi"))
+    recon_rows = []
+    if aff_parts:
+        affected = aff_parts[0]
+        for p in aff_parts[1:]:
+            affected = affected.unionByName(p)
+        affected = affected.dropDuplicates([left_id]).localCheckpoint(
+            eager=True
+        )
+        cnt1a = _key_counts(B1, affected.select(*on).distinct(), "_c1")
+        probe = (
+            affected.join(cnt1a, on, "left")
+            if cnt1a is not None
+            else affected.withColumn("_c1", F.lit(None).cast("long"))
+        )
+        # unmatched now -> upsert the NULL-extended row; matched now ->
+        # delete any stale NULL-extended row (no-op when absent).
+        recon_rows.append(
+            probe.select(
+                *left_cols,
+                *[
+                    F.lit(None).cast(rtypes[c]).alias(c)
+                    for c in right_only
+                ],
+                F.lit(-1).cast("long").alias("_rkey"),
+                (F.coalesce(F.col("_c1"), F.lit(0)) > 0).alias("_dead"),
+            )
+        )
+    if da_ids is not None:
+        # left rows deleted outright: their NULL-extended row (if any)
+        # must go too. Ids in dA but absent from A1.
+        gone = da_ids.join(
+            A1.select(left_id), left_id, "left_anti"
+        ) if A1 is not None else da_ids
+        recon_rows.append(
+            gone.select(
+                F.col(left_id),
+                *[
+                    F.lit(None).cast(t).alias(c)
+                    for c, t in (A1.dtypes if A1 is not None else [])
+                    if c != left_id
+                ],
+                *[
+                    F.lit(None).cast(rtypes[c]).alias(c)
+                    for c in right_only
+                ],
+                F.lit(-1).cast("long").alias("_rkey"),
+                F.lit(True).alias("_dead"),
+            )
+        )
+    lbatch = batch.withColumn("_rkey", F.col(right_id).cast("long"))
+    for r in recon_rows:
+        lbatch = lbatch.unionByName(r)
     v = out_table.merge(
-        batch,
-        [left_id, right_id],
+        lbatch,
+        [left_id, "_rkey"],
         delete_predicate=F.col("_dead"),
         drop_after=["_dead"],
         writer_id=writer_id,

