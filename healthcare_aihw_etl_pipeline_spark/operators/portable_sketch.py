@@ -370,3 +370,72 @@ def cms_estimate(keys: DataFrame, cells: DataFrame, key_col: str) -> DataFrame:
         .groupBy(key_col)
         .agg(F.min("total").alias("est_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (semi-join pruning)
+#
+# THE join optimization at 100 TB: build a bit set from the small side's
+# keys, push it into the fact scan, and pay the exact semi-join only for
+# rows that pass. Spark has a native runtime bloom-pushdown; this one is
+# PORTABLE — positions are pure md5 arithmetic, so the oracle replays
+# the identical filter (false positives included) in any engine, and the
+# filter relation itself (distinct set positions, <= BLOOM_M rows)
+# broadcasts like any dimension. FP rate for n keys:
+# (1 - exp(-K*n/M))^K — sized here for the corpus dims; at scale M
+# grows with the build side (it is just a grouped aggregate).
+
+BLOOM_M = 16384
+BLOOM_K = 4
+
+
+def bloom_position(key: Column | str, i: int) -> Column:
+    """i-th bloom bit position of a key: first 8 md5 hex chars of
+    'key:i' mod BLOOM_M — 32-bit value, exact in long arithmetic."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(c.cast("string"), F.lit(f":{i}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(BLOOM_M)
+
+
+def bloom_position_sql(key_expr: str, i: int) -> str:
+    """DuckDB twin of :func:`bloom_position`."""
+    return (
+        f"(CAST('0x' || substring(md5(CAST({key_expr} AS VARCHAR) "
+        f"|| ':{i}'), 1, 8) AS BIGINT) % {BLOOM_M})"
+    )
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Build the filter: DataFrame of DISTINCT set bit positions
+    (column `pos`), <= BLOOM_M rows — broadcastable at any build-side
+    cardinality."""
+    pos = F.explode(
+        F.array(*[bloom_position(key_col, i) for i in range(BLOOM_K)])
+    )
+    return keys.select(pos.alias("pos")).distinct()
+
+
+def bloom_probe(df: DataFrame, key_col: str, bits: DataFrame) -> DataFrame:
+    """Rows of `df` whose key passes the filter (all BLOOM_K positions
+    set). One explode + broadcast join + count-match aggregate keyed by
+    the probe row — map-side combined, no row-at-a-time Python."""
+    probed = df.withColumn(
+        "_bpos",
+        F.explode(
+            F.array(*[bloom_position(key_col, i) for i in range(BLOOM_K)])
+        ),
+    )
+    hits = (
+        probed.join(F.broadcast(bits), probed["_bpos"] == bits["pos"])
+        .groupBy(*df.columns)
+        .agg(F.count(F.lit(1)).alias("_nhit"))
+        .where(F.col("_nhit") == BLOOM_K)
+        .drop("_nhit")
+    )
+    return hits

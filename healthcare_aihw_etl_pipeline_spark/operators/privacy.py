@@ -106,3 +106,53 @@ def anonymity_bands(groups: DataFrame) -> DataFrame:
         )
         .orderBy("band_lo")
     )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy release: seeded Laplace noise
+#
+# Laplace(sensitivity/epsilon) noise via the inverse CDF of a
+# DETERMINISTIC md5-uniform draw per release cell. Seeded noise is the
+# reproducible-pipeline form (same release twice = same noise, so a
+# re-run cannot be averaged against itself to denoise); a production
+# one-shot release would swap the md5 draw for true randomness — the
+# accounting and the inverse-CDF algebra are unchanged. Every step is
+# an exact or correctly-rounded IEEE op on identical expressions, so
+# the noise replays bit-for-bit in any engine.
+
+DP_Q = 1_000_000  # noise quantum: micro-counts
+
+
+def laplace_noise_q(seed_col, epsilon: float, sensitivity: float = 1.0):
+    """Quantized Laplace draw (units of 1/DP_Q): inverse CDF
+    -b*sign(u-1/2)*ln(1-2|u-1/2|) with b = sensitivity/epsilon and u
+    the md5-uniform of the seed column. The ln argument is floored at
+    1e-15 to keep the 2^-52 edge draw finite."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
+        md5_uniform,
+    )
+
+    b = float(sensitivity) / float(epsilon)
+    c = md5_uniform(seed_col) - F.lit(0.5)
+    mag = F.greatest(F.lit(1e-15), F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    noise = F.lit(-b) * F.signum(c) * F.log(mag)
+    return F.floor(noise * F.lit(DP_Q) + F.lit(0.5)).cast("long")
+
+
+def sql_laplace_noise_q(seed_expr: str, epsilon: float,
+                        sensitivity: float = 1.0) -> str:
+    """DuckDB twin of :func:`laplace_noise_q`."""
+    from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
+        sql_md5_uniform,
+    )
+
+    b = float(sensitivity) / float(epsilon)
+    u = sql_md5_uniform(seed_expr)
+    c = f"({u} - 0.5)"
+    mag = f"greatest(1e-15, 1.0 - 2.0 * abs({c}))"
+    return (
+        f"CAST(floor({-b} * sign({c}) * ln({mag}) * {DP_Q} + 0.5) "
+        "AS BIGINT)"
+    )

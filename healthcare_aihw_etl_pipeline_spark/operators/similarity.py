@@ -417,3 +417,61 @@ def qlsh_signature(q_col: Column | str, signs: list[list[int]]) -> Column:
             F.lit(0)
         ).cast("long")
     return sig
+
+
+# ---------------------------------------------------------------------------
+# 4-bit scalar-quantized vectors + asymmetric distance (vector-store
+# compression). Grid codebook: each dimension quantized independently
+# to 16 levels over [-0.5, 0.5] (the corpus embeddings are unit-norm,
+# components within ±0.49) — 4 bits/dim = 8x compression vs float32.
+# This is the data-INDEPENDENT limit of product quantization (a grid
+# codebook factorizes per-dimension); true k-means PQ codebooks are
+# data-dependent and not engine-replayable bit-for-bit, while this
+# grid + the ADC (asymmetric distance computation: full-precision query
+# vs quantized base) replays exactly, so the whole compressed-search
+# pipeline is oracle-checkable.
+
+SQ4_LEVELS = 16
+SQ4_LO = -0.5
+SQ4_SPAN = 1.0
+
+
+def sq4_center(x: Column) -> Column:
+    """Reconstruction (cell center) of x's 4-bit code: every constant
+    here is a dyadic rational, so the arithmetic is exact in binary."""
+    code = F.least(
+        F.greatest(
+            F.floor((x - F.lit(SQ4_LO)) * F.lit(SQ4_LEVELS / SQ4_SPAN)),
+            F.lit(0),
+        ),
+        F.lit(SQ4_LEVELS - 1),
+    )
+    return F.lit(SQ4_LO) + (code + F.lit(0.5)) * F.lit(SQ4_SPAN / SQ4_LEVELS)
+
+
+def sq4_adc_dist2(vec_col: Column | str, query_vec: Sequence[float]) -> Column:
+    """Asymmetric squared distance: quantized base vector (via cell
+    centers) against the full-precision query. zip_with keeps the math
+    JVM-side; the fold order is the array order on both engines."""
+    v = _as_double_array(vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    diffs = F.zip_with(
+        v, q, lambda x, qq: (sq4_center(x) - qq) * (sq4_center(x) - qq)
+    )
+    return F.aggregate(
+        diffs, F.lit(0.0), lambda acc, d: acc + d
+    )
+
+
+def sql_sq4_adc_dist2(vec_expr: str, query_sql_list: str) -> str:
+    """DuckDB twin of :func:`sq4_adc_dist2` (same fold order)."""
+    lo, lv, span = SQ4_LO, SQ4_LEVELS, SQ4_SPAN
+    center = (
+        f"({lo} + (least(greatest(floor((p[1] - {lo}) * {lv / span}), 0),"
+        f" {lv - 1}) + 0.5) * {span / lv})"
+    )
+    return (
+        "list_sum(list_transform("
+        f"list_zip(list_transform({vec_expr}, x -> CAST(x AS DOUBLE)),"
+        f" {query_sql_list}), p -> ({center} - p[2]) * ({center} - p[2])))"
+    )

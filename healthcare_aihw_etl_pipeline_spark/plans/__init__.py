@@ -21,6 +21,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import round5_queries  # noqa: F40
 from healthcare_aihw_etl_pipeline_spark.plans import round6_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round8_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round8b_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import round9_queries  # noqa: F401,E402
 
 # Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the
@@ -151,7 +152,10 @@ _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R8
 # histogram, PageRank, path mining, regression aggregates, setops).
 # Entries past the driver's ~50-slot window roll forward to round 10.
 _MUST_VERIFY_R9: list[str] = [
-    # new this round (extended as round 9 adds queries)
+    # new this round
+    "kaplan_meier_conversion", "bloom_prune_orders",
+    "dp_noised_priority_counts", "ann_sq4_adc_top10",
+    "u_shaped_attribution", "dow_adjusted_anomalies",
     # round-4 cohort tail — oldest evidence, regression sweep
     "events_typed_agg",
     "dedup_exact_stats", "dedup_prefix_keepers", "text_token_stats",

@@ -47,7 +47,10 @@ DIRS = [
     ("sf0.01", "/root/testdata/sf0.01", 3),
     ("sf0.1", "/root/testdata/sf0.1", 3),
     ("sf1", "/tmp/sfbench/sf1", 2),
-    ("sf10", "/tmp/sfbench/sf10", 2),
+    # single rep at sf10: the measured ops run minutes there, so the
+    # warm pass + one timed rep bounds the sweep; relative noise is
+    # small at that duration.
+    ("sf10", "/tmp/sfbench/sf10", 1),
 ]
 
 OPS = [

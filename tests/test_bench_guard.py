@@ -93,3 +93,45 @@ def test_collect_wave_matches_sequential(spark, sf_dir):
     assert collect_wave(spark, [], sf_dir) == {}
     one = collect_wave(spark, ["top_nation"], sf_dir, max_workers=0)
     assert list(one) == ["top_nation"]
+
+
+# Cold-cost ceiling per registry query at the test SF. The full-registry
+# sweep (driver_sim / CORRECTNESS_FULL artifacts) runs every query; a
+# single quadratic-cost addition would silently make that sweep
+# minutes-expensive. Ceiling chosen ~10x above today's worst honest
+# query so host noise can't flake it, while still catching a runaway.
+_COLD_CEILING_SEC = 8.0
+# Documented allowlist (higher ceiling): the transactional-DML
+# snapshots run a multi-commit write workload (append/merge/delete/
+# update/compact round trips) on FIRST touch by design — their cost is
+# the storage engine's, not a query plan regression.
+_SWEEP_ALLOWLIST = {
+    "txlog_delete_update_snapshot": 60.0,
+    "ivm_join_snapshot": 60.0,
+    "zorder_layout_stats": 30.0,  # writes + re-reads a clustered layout
+    "scd2_user_tier_history": 30.0,  # maintains a txlog dimension table
+    "scd2_temporal_join": 30.0,
+}
+
+
+def test_registry_sweep_cost_guard(spark, sf_dir):
+    """No registry query may exceed its cold-cost ceiling at the test
+    SF: builds every query FROM SCRATCH (cache bypassed), times
+    build+collect, and fails with the offender list. Keeps the
+    full-registry correctness sweep affordable forever."""
+    import time
+
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    slow = {}
+    for name, q in REGISTRY.items():
+        t0 = time.perf_counter()
+        (q.build or q.fn)(spark, sf_dir).collect()
+        took = time.perf_counter() - t0
+        if took > _SWEEP_ALLOWLIST.get(name, _COLD_CEILING_SEC):
+            slow[name] = round(took, 2)
+    assert not slow, (
+        f"queries above the sweep-cost ceiling at {sf_dir}: {slow} "
+        "(raise the documented allowlist only for deliberate storage-"
+        "engine workloads, never for plan regressions)"
+    )

@@ -855,3 +855,123 @@ def test_drift_monitor_restart_is_idempotent(spark, sf_dir, events_stream_dir, t
     assert first == second
     keys = [(w, k) for (w, k, _) in second]
     assert len(keys) == len(set(keys))
+
+
+def test_drift_monitor_late_data_accounting_matches_batch(spark, tmp_path):
+    """Out-of-order replay for the PSI monitor: micro-batches arrive
+    SHUFFLED in time, one late row lands below the watermark after its
+    daily window closed. The monitor must (a) drop exactly that row,
+    (b) emit each closed window once, and (c) produce scores bit-equal
+    to the batch twin computed over the ON-TIME subset restricted to
+    the closed windows — the watermark-drop accounting law.
+
+    Margins are kept > 1 day on both sides of every boundary so the
+    assertion is not sensitive to the exact >=/> watermark convention.
+    """
+    from healthcare_aihw_etl_pipeline_spark.streaming.drift import (
+        monitor_drift,
+        psi_of_counts,
+        reference_counts,
+        windowed_bucket_counts,
+    )
+
+    # Reference distribution for key 'click': buckets 0 and 1, 50/50.
+    ref = reference_counts(
+        spark.createDataFrame(
+            [("click", float(v)) for v in [10] * 50 + [60] * 50],
+            "event_type string, value double",
+        )
+    )
+
+    src = str(tmp_path / "drift_src")
+    ckpt = str(tmp_path / "drift_ckpt")
+    out = str(tmp_path / "drift_out")
+
+    # (event_id, ts, user, value): day-1 on-time rows (buckets 0,0,1),
+    # then a batch whose max ts (Jan 3 06:00) pushes the watermark to
+    # Jan 3 04:00 — far past the day-1 window end — THEN a late day-1
+    # row arrives (dropped) alongside an out-of-order day-2 row (kept:
+    # its window end Jan 3 00:00 is within... below the watermark?
+    # No: day-2's window END (Jan 3 00:00) is BELOW the watermark only
+    # after batch 2; Spark drops input rows whose window cannot accept
+    # them — so place the kept out-of-order row in day 3 instead, far
+    # above the watermark.)
+    batches = [
+        [(1, "2024-01-01 08:00:00", 1, 10.0),
+         (2, "2024-01-01 12:00:00", 1, 10.0),
+         (3, "2024-01-01 18:00:00", 1, 60.0)],
+        # advances watermark to Jan 3 04:00 (2h delay): day-1 closes
+        [(4, "2024-01-03 06:00:00", 1, 10.0)],
+        # late day-1 row: window end Jan 2 00:00 << watermark -> DROPPED
+        # out-of-order day-3 row (03:00 < the batch-2 row's hour): kept
+        [(5, "2024-01-01 09:00:00", 1, 60.0),
+         (6, "2024-01-03 03:00:00", 1, 60.0)],
+        # sentinel closes day 3
+        [(7, "2024-01-05 12:00:00", 1, 10.0)],
+    ]
+    for seq, rows in enumerate(batches, start=1):
+        _write_microbatch(spark, src, rows, seq)
+        q = monitor_drift(
+            read_event_stream(spark, src), ref, out, ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.key): (
+            r.n_buckets, r.psi_q, r.drifted,
+            r.unmatched_buckets, r.unmatched_mass,
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    # closed windows: day 1 and day 3 (day 5 still open at final
+    # watermark Jan 5 10:00)
+    assert set(got) == {
+        ("2024-01-01 00:00:00", "click"),
+        ("2024-01-03 00:00:00", "click"),
+    }, got
+
+    # batch twin over the ON-TIME subset (late row 5 excluded), same
+    # closed-window restriction — bit-equal scores
+    on_time = spark.createDataFrame(
+        [r for b in batches for r in b if r[0] != 5],
+        ["event_id", "ts_s", "user_id", "value"],
+    ).select(
+        F.to_timestamp("ts_s").cast("timestamp_ntz").alias("ts"),
+        F.lit("click").alias("event_type"),
+        "value",
+    )
+    closed = windowed_bucket_counts(on_time).where(
+        F.col("window_start").isin(
+            "2024-01-01 00:00:00", "2024-01-03 00:00:00"
+        )
+    )
+    want = {
+        (r.window_start, r.key): (
+            r.n_buckets, r.psi_q, r.drifted,
+            r.unmatched_buckets, r.unmatched_mass,
+        )
+        for r in psi_of_counts(closed, ref).collect()
+    }
+    assert got == want, (got, want)
+    # sensitivity: had the late row counted, day-1 would score
+    # differently — proves the dropped-row accounting is load-bearing
+    with_late = spark.createDataFrame(
+        [r for b in batches for r in b],
+        ["event_id", "ts_s", "user_id", "value"],
+    ).select(
+        F.to_timestamp("ts_s").cast("timestamp_ntz").alias("ts"),
+        F.lit("click").alias("event_type"),
+        "value",
+    )
+    closed_late = windowed_bucket_counts(with_late).where(
+        F.col("window_start") == "2024-01-01 00:00:00"
+    )
+    late_psi = {
+        r.window_start: r.psi_q
+        for r in psi_of_counts(closed_late, ref).collect()
+    }
+    assert (
+        late_psi["2024-01-01 00:00:00"]
+        != want[("2024-01-01 00:00:00", "click")][1]
+    )
