@@ -421,21 +421,58 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     return keys.select(pos.alias("pos")).distinct()
 
 
+def bloom_bitmap(bits: DataFrame) -> DataFrame:
+    """Collapse the distinct-positions relation into ONE row holding a
+    word-indexed bitset (map int -> 64-bit word, <= BLOOM_M/64 entries).
+    This is the broadcastable form of the filter: the whole 16384-bit
+    set is a single ~2 KB row, so probing it costs zero shuffles on the
+    fact side."""
+    return (
+        bits.select(
+            F.shiftright(F.col("pos").cast("int"), 6).alias("_w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT) % 64)"
+            ).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_m)").alias("_word"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_w", "_word"))
+            ).alias("_bloom_words")
+        )
+    )
+
+
 def bloom_probe(df: DataFrame, key_col: str, bits: DataFrame) -> DataFrame:
     """Rows of `df` whose key passes the filter (all BLOOM_K positions
-    set). One explode + broadcast join + count-match aggregate keyed by
-    the probe row — map-side combined, no row-at-a-time Python."""
-    probed = df.withColumn(
-        "_bpos",
-        F.explode(
-            F.array(*[bloom_position(key_col, i) for i in range(BLOOM_K)])
-        ),
+    set). The filter is collapsed to a one-row broadcast bitmap and each
+    probe row runs a per-row O(1) bit test — NO shuffle, NO explode, NO
+    aggregation on the fact side (the prior form paid a fact-grain
+    groupBy, and collapsed duplicate probe rows into false negatives;
+    this form is purely per-row, so duplicates pass independently)."""
+    words = bloom_bitmap(bits)
+    probed = df.crossJoin(F.broadcast(words))
+    tests = [
+        F.expr(
+            "(coalesce(element_at(_bloom_words,"
+            f" shiftright(CAST({_pos_sql_expr(key_col, i)} AS INT), 6)),"
+            " CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f" CAST({_pos_sql_expr(key_col, i)} AS INT) % 64)) != 0"
+        )
+        for i in range(BLOOM_K)
+    ]
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    return probed.where(cond).select(*df.columns)
+
+
+def _pos_sql_expr(key_col: str, i: int) -> str:
+    """Spark-SQL text of :func:`bloom_position` (same arithmetic), for
+    embedding inside a single-expression bit test."""
+    return (
+        f"CAST(conv(substring(md5(concat(CAST(`{key_col}` AS STRING),"
+        f" ':{i}')), 1, 8), 16, 10) AS BIGINT) % {BLOOM_M}"
     )
-    hits = (
-        probed.join(F.broadcast(bits), probed["_bpos"] == bits["pos"])
-        .groupBy(*df.columns)
-        .agg(F.count(F.lit(1)).alias("_nhit"))
-        .where(F.col("_nhit") == BLOOM_K)
-        .drop("_nhit")
-    )
-    return hits

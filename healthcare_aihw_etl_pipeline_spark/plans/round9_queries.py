@@ -222,10 +222,12 @@ def _bloom_positions_sql(key: str) -> str:
            (SELECT COUNT(*) FROM passed) AS n_bloom,
            CAST((SELECT COUNT(*) FROM passed) - (SELECT n FROM exact)
                 AS BIGINT) AS false_pos,
-           CAST(((SELECT COUNT(*) FROM passed) - (SELECT n FROM exact))
-                * 1000000
-                // ((SELECT COUNT(*) FROM orders) - (SELECT n FROM exact))
-                AS BIGINT) AS fpr_ppm
+           CAST(CASE WHEN (SELECT COUNT(*) FROM orders)
+                          = (SELECT n FROM exact) THEN NULL
+                ELSE ((SELECT COUNT(*) FROM passed) - (SELECT n FROM exact))
+                     * 1000000
+                     // ((SELECT COUNT(*) FROM orders) - (SELECT n FROM exact))
+                END AS BIGINT) AS fpr_ppm
     FROM exact LIMIT 1
     """,
     doc="Portable bloom-filter semi-join pruning with false-positive "
@@ -265,7 +267,9 @@ def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bloom",
             (F.col("n_bloom") - F.col("n_exact")).alias("false_pos"),
             F.expr(
-                "(n_bloom - n_exact) * 1000000 div (n_orders - n_exact)"
+                "CAST(CASE WHEN n_orders = n_exact THEN NULL"
+                " ELSE (n_bloom - n_exact) * 1000000"
+                " div (n_orders - n_exact) END AS BIGINT)"
             ).alias("fpr_ppm"),
         )
     )

@@ -23,6 +23,7 @@ from pyspark.sql import SparkSession
 N = int(os.environ.get("SIM_N", "18"))
 SF = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
 OUT = os.environ.get("SIM_OUT")
+ONLY = [s for s in os.environ.get("SIM_ONLY", "").split(",") if s]
 
 import __spark_entry__ as e
 spark = SparkSession.builder.master("local[8]").getOrCreate()
@@ -52,7 +53,7 @@ def norm(v):
     return v
 
 qs = e.queries(); osql = e.oracle_sql()
-names = list(qs)[:N]
+names = ONLY if ONLY else list(qs)[:N]
 bad = []
 report = {}
 for name in names:

@@ -92,6 +92,49 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
     assert row.false_pos == len(passed) - len(exact)
 
 
+def test_bloom_probe_keeps_duplicate_rows(spark):
+    """Duplicate probe rows that match must ALL survive (the pre-r10
+    probe aggregated by the full row and collapsed duplicates into a
+    false negative: probing [1,1,2] against {1,2} returned only [2])."""
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([(1,), (2,)], "k BIGINT")
+    bits = bloom_build(keys, "k")
+    probe = spark.createDataFrame([(1,), (1,), (2,), (99,)], "k BIGINT")
+    got = sorted(r.k for r in bloom_probe(probe, "k", bits).collect())
+    # 99 may or may not pass (false positives allowed); 1,1,2 must.
+    assert got[:3] == [1, 1, 2]
+
+
+def test_bloom_probe_is_shuffle_free(spark, sf_dir):
+    """Plan pin: the probe is a broadcast-bitmap per-row test — no
+    Exchange (shuffle) anywhere on the fact side of the probe plan."""
+    from healthcare_aihw_etl_pipeline_spark.operators.portable_sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey"
+    )
+    out = bloom_probe(
+        orders.select("o_orderkey", "o_custkey"), "o_custkey",
+        bloom_build(keys, "c_custkey"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The only exchanges allowed are on the <=256-row bitmap build side
+    # (under the BroadcastExchange); the fact side must reach the filter
+    # straight from the scan.
+    fact_side = plan.split("Broadcast", 1)[0]
+    assert "Exchange" not in fact_side, fact_side
+    assert "Generate" not in fact_side, fact_side  # no explode on the fact
+
+
 def test_dp_release_reproducible_and_bounded(spark, sf_dir):
     """Seeded-DP contract: the release replays identically (that IS the
     seeded form's point), every cell is actually noised in micro-count
