@@ -106,7 +106,7 @@ def codec_support() -> dict[str, bool]:
         "fakev1": True,  # the always-on test contract
         "png": _PILImage is not None,
         "jpeg": _PILImage is not None,
-        "wav": False,  # soundfile seam, deliberately unimplemented
+        "wav": True,  # stdlib `wave` PCM decode — always on
         "mp4": False,  # pyav/libav seam, deliberately unimplemented
     }
 
@@ -143,14 +143,67 @@ def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
+def encode_wav_pcm16(
+    samples: list[int], sample_rate: int, n_channels: int = 1
+) -> bytes:
+    """Minimal valid RIFF/WAVE container around 16-bit little-endian PCM
+    — hand-rolled with struct so the encoder is independent of the
+    stdlib `wave` module that decodes it (the encode_png_gray
+    non-circularity discipline). `samples` are interleaved int16."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate,
+            n_channels * 2, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm16(
+    content: bytes,
+) -> tuple[int, int, int, int, int]:
+    """Decode a RIFF/WAVE PCM16 blob via the stdlib `wave` module →
+    (sample_rate, n_channels, n_samples, peak, sumsq) with EXACT integer
+    peak=max(|s|) and sumsq=sum(s^2) over all interleaved samples —
+    integer moments so downstream aggregates replay bit-for-bit in any
+    engine (the quantize-before-sum discipline)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content)) as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"only PCM16 WAV is decoded (sampwidth=2), "
+                f"got sampwidth={w.getsampwidth()}"
+            )
+        frames = w.readframes(w.getnframes())
+        sr, ch = w.getframerate(), w.getnchannels()
+    s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    n = int(s.size)
+    peak = int(np.abs(s).max()) if n else 0
+    sumsq = int((s * s).sum()) if n else 0
+    return sr, ch, n, peak, sumsq
+
+
 def _decode_one(content: bytes) -> tuple[int, int, int, float]:
     """Decode a media blob → (width, height, n_frames, mean_intensity).
 
     FAKEv1 is always supported (the test contract). PNG/JPEG decode via
     Pillow when the library is importable — same output contract as
     FAKEv1 (single frame, mean intensity over the grayscale conversion).
-    Audio/video (soundfile/libav/pyav) remain at the NotImplementedError
-    seam.
+    WAV/PCM16 decodes via the stdlib `wave` module, mapped into the
+    image-shaped tuple as (n_channels, sample_rate, n_samples, RMS
+    amplitude) — so decode_media is total over image+audio. Video
+    (libav/pyav) is the one remaining NotImplementedError seam.
     """
     if content is None or len(content) < 11:
         raise ValueError("truncated media blob")
@@ -165,15 +218,71 @@ def _decode_one(content: bytes) -> tuple[int, int, int, float]:
             data = list(img.getdata())
             mean = sum(data) / max(len(data), 1)
             return img.width, img.height, 1, float(mean)
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            import math
+
+            sr, ch, n, _peak, sumsq = decode_wav_pcm16(content)
+            rms = math.sqrt(sumsq / n) if n else 0.0
+            return ch, sr, n, rms
         raise NotImplementedError(
             "real codec decode not available: Pillow handles PNG/JPEG when "
-            "installed; audio/video (WAV/MP4) still need soundfile/pyav. "
-            "Only the FAKEv1 test format is guaranteed in every container."
+            "installed; WAV/PCM16 decodes via the stdlib wave module; video "
+            "(MP4) still needs pyav/libav. FAKEv1 is guaranteed everywhere."
         )
     kind, width, height, n_frames = struct.unpack(">BHHH", rest[:7])
     payload = rest[7 : 7 + width * height * n_frames]
     mean = sum(payload) / max(len(payload), 1)
     return width, height, n_frames, mean
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("sumsq", T.LongType(), True),
+        T.StructField("rms_q", T.LongType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame, *, batch_partitions: int | None = None) -> DataFrame:
+    """Arrow-batched WAV feature extraction via mapInPandas — the audio
+    leg of the decode path, same batch shape and memory-envelope
+    contract as decode_media. Exact integer features (duration in whole
+    ms, peak, sum-of-squares) plus RMS quantized to integer thousandths
+    BEFORE any cross-row aggregation, so downstream groupBys replay
+    bit-for-bit in other engines."""
+    import math
+
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                sr, ch, n, peak, sumsq = decode_wav_pcm16(content)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(ch)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // (sr * ch) if sr else 0)
+                out["peak"].append(peak)
+                out["sumsq"].append(sumsq)
+                out["rms_q"].append(
+                    int(math.floor(math.sqrt(sumsq / n) * 1000 + 0.5))
+                    if n
+                    else 0
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        feats, schema=AUDIO_FEATURE_SCHEMA
+    )
 
 
 def decode_media(df: DataFrame, *, batch_partitions: int | None = None) -> DataFrame:

@@ -1729,27 +1729,28 @@ def apply_incremental_join(
     touches only the files holding affected pairs."""
     import pyspark.sql.functions as F
 
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right", "full"):
         raise ValueError(
-            f"apply_incremental_join maintains inner or left-outer "
-            f"equi-joins only, got how={how!r} (right/full-outer "
-            "NULL-extension would need symmetric match-count "
-            "maintenance — not implemented)"
+            f"apply_incremental_join maintains inner or left-outer or "
+            f"right/full-outer equi-joins only, got how={how!r}"
         )
     ha, hb = left.head(), right.head()
     a1 = ha[0] if ha else -1
     b1 = hb[0] if hb else -1
     if a1 < 0 and b1 < 0:
         return None
-    if how == "left" and b1 < 0:
+    if how in ("left", "full") and b1 < 0:
         # Right schema unknown until its first commit; do NOT advance
         # offsets — the left window replays once the right side exists.
+        return None
+    if how in ("right", "full") and a1 < 0:
+        # Symmetric: left schema unknown until its first commit.
         return None
     ca = ChangeFeedConsumer(left, offset_path + ".left")
     cb = ChangeFeedConsumer(right, offset_path + ".right")
     writer_id = (
         f"ivm-join:{offset_path}" if how == "inner"
-        else f"ivm-join:{offset_path}:left"
+        else f"ivm-join:{offset_path}:{how}"
     )
     oh = out_table.head()
     applied = oh[1].get("txn", {}).get(writer_id, None) if oh else None
@@ -1763,23 +1764,31 @@ def apply_incremental_join(
             cb._advance(ap_b)
         return None
 
+    # Column names/types come from the MANIFEST schemas, never from a
+    # snapshot: a side fully emptied inside the sync window has a None
+    # snapshot but its delta still needs full-width columns (and its
+    # NULL-extended rows correctly-typed NULL columns).
+    from pyspark.sql.types import StructType as _ST
+
+    la_f = _ST.fromJson(ha[1]["schema"]).fields if ha else []
+    rb_f = _ST.fromJson(hb[1]["schema"]).fields if hb else []
+    left_cols = [f.name for f in la_f]
+    right_cols = [f.name for f in rb_f]
+    ltypes = {f.name: f.dataType.simpleString() for f in la_f}
+    rtypes = {f.name: f.dataType.simpleString() for f in rb_f}
+
     A1 = left.snapshot(spark, version=a1) if a1 >= 0 else None
     B0 = right.snapshot(spark, version=since_b - 1) if since_b > 0 else None
     dA = (
         signed_window(
-            left.changes(spark, since=since_a, until=a1),
-            [c for c in A1.columns] if A1 is not None else [],
+            left.changes(spark, since=since_a, until=a1), left_cols
         )
         if a1 >= since_a
         else None
     )
-    B_any = B0 if B0 is not None else (
-        right.snapshot(spark, version=b1) if b1 >= 0 else None
-    )
     dB = (
         signed_window(
-            right.changes(spark, since=since_b, until=b1),
-            [c for c in B_any.columns] if B_any is not None else [],
+            right.changes(spark, since=since_b, until=b1), right_cols
         )
         if b1 >= since_b
         else None
@@ -1789,8 +1798,6 @@ def apply_incremental_join(
         cb._advance(b1 if b1 >= 0 else ap_b)
         return None
 
-    left_cols = A1.columns if A1 is not None else []
-    right_cols = B_any.columns if B_any is not None else []
     shared = set(left_cols) & set(right_cols)
     if shared - set(on):
         raise ValueError(
@@ -1809,31 +1816,36 @@ def apply_incremental_join(
                 *out_cols, F.col("_s")
             )
         )
-    if not terms:
+    if not terms and how == "inner":
         ca._advance(a1)
         cb._advance(b1)
         return None
-    delta = terms[0]
-    for t in terms[1:]:
-        delta = delta.unionByName(t)
-
-    variants = (
-        delta.groupBy(*out_cols)
-        .agg(F.sum("_s").cast("long").alias("_net"))
-        .where(F.col("_net") != 0)
-    )
-    payload = [c for c in out_cols if c not in (left_id, right_id)]
-    pairs = variants.groupBy(left_id, right_id).agg(
-        F.max(
-            F.when(F.col("_net") > 0, F.struct(*payload))
-        ).alias("_pos")
-    )
-    batch = pairs.select(
-        left_id,
-        right_id,
-        *[F.col(f"_pos.{c}").alias(c) for c in payload],
-        F.col("_pos").isNull().alias("_dead"),
-    )
+    if terms:
+        delta = terms[0]
+        for t in terms[1:]:
+            delta = delta.unionByName(t)
+        variants = (
+            delta.groupBy(*out_cols)
+            .agg(F.sum("_s").cast("long").alias("_net"))
+            .where(F.col("_net") != 0)
+        )
+        payload = [c for c in out_cols if c not in (left_id, right_id)]
+        pairs = variants.groupBy(left_id, right_id).agg(
+            F.max(
+                F.when(F.col("_net") > 0, F.struct(*payload))
+            ).alias("_pos")
+        )
+        batch = pairs.select(
+            left_id,
+            right_id,
+            *[F.col(f"_pos.{c}").alias(c) for c in payload],
+            F.col("_pos").isNull().alias("_dead"),
+        )
+    else:
+        # No joined-pair delta, but an outer form may still need its
+        # NULL-extension reconciled (e.g. right-only churn against an
+        # empty left side).
+        batch = None
     if how == "inner":
         v = out_table.merge(
             batch,
@@ -1847,22 +1859,19 @@ def apply_incremental_join(
         cb._advance(b1)
         return v
 
-    # -- left-outer: reconcile the NULL-extended component ------------
-    # Everything here is delta-bounded: only keys present in dB can
-    # flip matched-ness, so the right-side count scans are semi-joined
-    # down to the (small) delta key sets before grouping — at scale
-    # they are stats-pruned probes, not full-snapshot aggregates.
-    B1 = right.snapshot(spark, version=b1)  # None when emptied — valid
+    # -- outer forms: reconcile the NULL-extended component(s) --------
+    # Everything here is delta-bounded: only keys present in the OTHER
+    # side's delta can flip a row's matched-ness, so the count scans are
+    # semi-joined down to the (small) delta key sets before grouping —
+    # at scale they are stats-pruned probes, not full-snapshot
+    # aggregates. `how="full"` runs the SAME reconciliation on both
+    # sides (the symmetric match-count maintenance); the physical key
+    # generalizes to (_lkey, _rkey) with sentinel -1 on the NULL side,
+    # so `snapshot().drop("_lkey","_rkey")` IS the outer join.
+    ext_left = how in ("left", "full")
+    ext_right = how in ("right", "full")
+    B1 = right.snapshot(spark, version=b1) if b1 >= 0 else None
     right_only = [c for c in right_cols if c not in on]
-    # Right column types from the MANIFEST schema, not a snapshot: a
-    # table whose last match was just deleted has an empty snapshot but
-    # its NULL-extended rows still need correctly-typed NULL columns.
-    from pyspark.sql.types import StructType as _ST
-
-    rtypes = {
-        f.name: f.dataType.simpleString()
-        for f in _ST.fromJson(hb[1]["schema"]).fields
-    }
 
     def _key_counts(snap, keys, alias):
         if snap is None:
@@ -1873,84 +1882,182 @@ def apply_incremental_join(
             .agg(F.count(F.lit(1)).alias(alias))
         )
 
-    flip_keys = None
-    if dB is not None:
-        db_keys = dB.select(*on).distinct()
-        c0 = _key_counts(B0, db_keys, "_c0")
-        c1 = _key_counts(B1, db_keys, "_c1")
-        j = db_keys
+    def _flip_keys(d_other, o_pre, o_post):
+        """Join keys whose matched-ness (other-side match count > 0)
+        flipped inside the window — only keys in the other side's delta
+        can flip."""
+        if d_other is None:
+            return None
+        dk = d_other.select(*on).distinct()
+        c0 = _key_counts(o_pre, dk, "_c0")
+        c1 = _key_counts(o_post, dk, "_c1")
+        j = dk
         j = j.join(c0, on, "left") if c0 is not None else j.withColumn(
             "_c0", F.lit(None).cast("long")
         )
         j = j.join(c1, on, "left") if c1 is not None else j.withColumn(
             "_c1", F.lit(None).cast("long")
         )
-        flip_keys = j.where(
+        return j.where(
             (F.coalesce(F.col("_c0"), F.lit(0)) > 0)
             != (F.coalesce(F.col("_c1"), F.lit(0)) > 0)
         ).select(*on)
-    # Affected left rows: ids touched by dA + rows on flipped keys.
-    aff_parts = []
-    da_ids = dA.select(left_id).distinct() if dA is not None else None
-    if da_ids is not None and A1 is not None:
-        aff_parts.append(A1.join(F.broadcast(da_ids), left_id, "left_semi"))
-    if flip_keys is not None and A1 is not None:
-        aff_parts.append(A1.join(F.broadcast(flip_keys), on, "left_semi"))
+
+    # Extra physical-key columns each row variant must carry so every
+    # union member is same-width: _rkey when the left side extends,
+    # _lkey when the right side does.
+    def _keys_for(lcol, rcol):
+        out = []
+        if ext_right:
+            out.append(lcol.cast("long").alias("_lkey"))
+        if ext_left:
+            out.append(rcol.cast("long").alias("_rkey"))
+        return out
+
     recon_rows = []
-    if aff_parts:
-        affected = aff_parts[0]
-        for p in aff_parts[1:]:
-            affected = affected.unionByName(p)
-        affected = affected.dropDuplicates([left_id]).localCheckpoint(
-            eager=True
+    if ext_left:
+        # Affected left rows: ids touched by dA + rows on flipped keys.
+        flips = _flip_keys(dB, B0, B1)
+        aff_parts = []
+        da_ids = dA.select(left_id).distinct() if dA is not None else None
+        if da_ids is not None and A1 is not None:
+            aff_parts.append(
+                A1.join(F.broadcast(da_ids), left_id, "left_semi")
+            )
+        if flips is not None and A1 is not None:
+            aff_parts.append(A1.join(F.broadcast(flips), on, "left_semi"))
+        if aff_parts:
+            affected = aff_parts[0]
+            for p in aff_parts[1:]:
+                affected = affected.unionByName(p)
+            affected = affected.dropDuplicates([left_id]).localCheckpoint(
+                eager=True
+            )
+            cnt1a = _key_counts(B1, affected.select(*on).distinct(), "_c1")
+            probe = (
+                affected.join(cnt1a, on, "left")
+                if cnt1a is not None
+                else affected.withColumn("_c1", F.lit(None).cast("long"))
+            )
+            # unmatched now -> upsert the NULL-extended row; matched now
+            # -> delete any stale NULL-extended row (no-op when absent).
+            recon_rows.append(
+                probe.select(
+                    *left_cols,
+                    *[
+                        F.lit(None).cast(rtypes[c]).alias(c)
+                        for c in right_only
+                    ],
+                    *_keys_for(F.col(left_id), F.lit(-1)),
+                    (F.coalesce(F.col("_c1"), F.lit(0)) > 0).alias("_dead"),
+                )
+            )
+        if da_ids is not None:
+            # left rows deleted outright: their NULL-extended row (if
+            # any) must go too. Ids in dA but absent from A1.
+            gone = da_ids.join(
+                A1.select(left_id), left_id, "left_anti"
+            ) if A1 is not None else da_ids
+            recon_rows.append(
+                gone.select(
+                    F.col(left_id),
+                    *[
+                        F.lit(None).cast(ltypes[c]).alias(c)
+                        for c in left_cols
+                        if c != left_id
+                    ],
+                    *[
+                        F.lit(None).cast(rtypes[c]).alias(c)
+                        for c in right_only
+                    ],
+                    *_keys_for(F.col(left_id), F.lit(-1)),
+                    F.lit(True).alias("_dead"),
+                )
+            )
+    if ext_right:
+        # Mirror image: affected right rows are ids touched by dB +
+        # rows on keys whose LEFT match count flipped (keys in dA).
+        A0 = (
+            left.snapshot(spark, version=since_a - 1)
+            if since_a > 0 else None
         )
-        cnt1a = _key_counts(B1, affected.select(*on).distinct(), "_c1")
-        probe = (
-            affected.join(cnt1a, on, "left")
-            if cnt1a is not None
-            else affected.withColumn("_c1", F.lit(None).cast("long"))
-        )
-        # unmatched now -> upsert the NULL-extended row; matched now ->
-        # delete any stale NULL-extended row (no-op when absent).
-        recon_rows.append(
-            probe.select(
-                *left_cols,
-                *[
-                    F.lit(None).cast(rtypes[c]).alias(c)
-                    for c in right_only
-                ],
-                F.lit(-1).cast("long").alias("_rkey"),
-                (F.coalesce(F.col("_c1"), F.lit(0)) > 0).alias("_dead"),
+        flips = _flip_keys(dA, A0, A1)
+        aff_parts = []
+        db_ids = dB.select(right_id).distinct() if dB is not None else None
+        if db_ids is not None and B1 is not None:
+            aff_parts.append(
+                B1.join(F.broadcast(db_ids), right_id, "left_semi")
+            )
+        if flips is not None and B1 is not None:
+            aff_parts.append(B1.join(F.broadcast(flips), on, "left_semi"))
+        if aff_parts:
+            affected = aff_parts[0]
+            for p in aff_parts[1:]:
+                affected = affected.unionByName(p)
+            affected = affected.dropDuplicates([right_id]).localCheckpoint(
+                eager=True
+            )
+            cnt1b = _key_counts(A1, affected.select(*on).distinct(), "_c1")
+            probe = (
+                affected.join(cnt1b, on, "left")
+                if cnt1b is not None
+                else affected.withColumn("_c1", F.lit(None).cast("long"))
+            )
+            recon_rows.append(
+                probe.select(
+                    *[
+                        F.col(c) if c in on
+                        else F.lit(None).cast(ltypes[c]).alias(c)
+                        for c in left_cols
+                    ],
+                    *[F.col(c) for c in right_only],
+                    *_keys_for(F.lit(-1), F.col(right_id)),
+                    (F.coalesce(F.col("_c1"), F.lit(0)) > 0).alias("_dead"),
+                )
+            )
+        if db_ids is not None:
+            goner = db_ids.join(
+                B1.select(right_id), right_id, "left_anti"
+            ) if B1 is not None else db_ids
+            recon_rows.append(
+                goner.select(
+                    *[
+                        F.col(c) if c == right_id
+                        else F.lit(None).cast(ltypes[c]).alias(c)
+                        for c in left_cols
+                    ],
+                    *[
+                        F.col(c) if c == right_id
+                        else F.lit(None).cast(rtypes[c]).alias(c)
+                        for c in right_only
+                    ],
+                    *_keys_for(F.lit(-1), F.col(right_id)),
+                    F.lit(True).alias("_dead"),
+                )
+            )
+    parts = []
+    if batch is not None:
+        parts.append(
+            batch.select(
+                "*", *_keys_for(F.col(left_id), F.col(right_id))
             )
         )
-    if da_ids is not None:
-        # left rows deleted outright: their NULL-extended row (if any)
-        # must go too. Ids in dA but absent from A1.
-        gone = da_ids.join(
-            A1.select(left_id), left_id, "left_anti"
-        ) if A1 is not None else da_ids
-        recon_rows.append(
-            gone.select(
-                F.col(left_id),
-                *[
-                    F.lit(None).cast(t).alias(c)
-                    for c, t in (A1.dtypes if A1 is not None else [])
-                    if c != left_id
-                ],
-                *[
-                    F.lit(None).cast(rtypes[c]).alias(c)
-                    for c in right_only
-                ],
-                F.lit(-1).cast("long").alias("_rkey"),
-                F.lit(True).alias("_dead"),
-            )
-        )
-    lbatch = batch.withColumn("_rkey", F.col(right_id).cast("long"))
-    for r in recon_rows:
+    parts.extend(recon_rows)
+    if not parts:
+        ca._advance(a1)
+        cb._advance(b1)
+        return None
+    lbatch = parts[0]
+    for r in parts[1:]:
         lbatch = lbatch.unionByName(r)
+    merge_keys = {
+        "left": [left_id, "_rkey"],
+        "right": ["_lkey", right_id],
+        "full": ["_lkey", "_rkey"],
+    }[how]
     v = out_table.merge(
         lbatch,
-        [left_id, "_rkey"],
+        merge_keys,
         delete_predicate=F.col("_dead"),
         drop_after=["_dead"],
         writer_id=writer_id,

@@ -97,22 +97,37 @@ def psi_of_counts(counts: DataFrame, ref: DataFrame) -> DataFrame:
     streaming foreachBatch and the batch twin — bit-identical by
     construction.
 
-    Stream buckets absent from the reference take the epsilon-smoothed
-    reference probability 1/PSI_Q (standard PSI smoothing): the most
-    extreme shift — a window landing entirely in novel buckets — then
-    scores ~p2*ln(p2*PSI_Q) per bucket and trips `drifted` loudly,
-    where the previous inner-join silently emitted no row at all.
+    Smoothing is TWO-SIDED (the standard form): stream buckets absent
+    from the reference take the epsilon-smoothed reference probability
+    1/PSI_Q — a window landing entirely in novel buckets scores
+    ~p2*ln(p2*PSI_Q) per bucket and trips `drifted` loudly — and,
+    symmetrically, reference buckets with ZERO stream count in a window
+    still score, with epsilon-smoothed stream probability 1/PSI_Q, so
+    mass vanishing from a dominant bucket into shifted ones can no
+    longer underscore. A (window, key) with no stream rows at all emits
+    nothing (there is no window to score). `n_buckets` counts all
+    scored buckets (observed ∪ reference).
     """
     n = counts.groupBy("window_start", "key").agg(F.sum("c").alias("n"))
+    expected = n.select("window_start", "key").join(F.broadcast(ref), ["key"])
     j = (
-        counts.join(n, ["window_start", "key"])
-        .join(F.broadcast(ref), ["key", "bucket"], "left")
+        counts.join(
+            expected.select(
+                "window_start", "key", "bucket", "c_ref", "n_ref"
+            ),
+            ["window_start", "key", "bucket"],
+            "full",
+        )
+        .join(n, ["window_start", "key"])
     )
     matched = F.col("c_ref").isNotNull()
+    present = F.col("c").isNotNull()
     p1 = F.when(
         matched, F.col("c_ref").cast("double") / F.col("n_ref").cast("double")
     ).otherwise(F.lit(1.0 / PSI_Q))
-    p2 = F.col("c").cast("double") / F.col("n").cast("double")
+    p2 = F.when(
+        present, F.col("c").cast("double") / F.col("n").cast("double")
+    ).otherwise(F.lit(1.0 / PSI_Q))
     contrib_q = F.floor(
         (p2 - p1) * F.log(p2 / p1) * F.lit(PSI_Q) + F.lit(0.5)
     ).cast("long")

@@ -55,7 +55,8 @@ def test_real_codec_seam_on_wellformed_png():
     png = encode_png_gray(4, 3, bytes(range(12)))
     support = codec_support()
     assert support["fakev1"] is True
-    assert support["wav"] is False and support["mp4"] is False
+    assert support["wav"] is True  # stdlib wave decode, always on
+    assert support["mp4"] is False
     if not support["png"]:
         with pytest.raises(NotImplementedError):
             _decode_one(png)
@@ -63,9 +64,12 @@ def test_real_codec_seam_on_wellformed_png():
         w, h, fr, mean = _decode_one(png)
         assert (w, h, fr) == (4, 3, 1)
         assert abs(mean - sum(range(12)) / 12.0) < 1e-9
-    # audio/video containers stay at the seam regardless of Pillow
+    # an unrecognized container (RIFF but not WAVE) stays at the seam
     with pytest.raises(NotImplementedError):
         _decode_one(b"RIFF" + b"\x00" * 32)
+    # a RIFF/WAVE header with garbage innards fails loudly, not silently
+    with pytest.raises(Exception):
+        _decode_one(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 24)
     # junk after a PNG magic fails in SOME way on both paths
     with pytest.raises(Exception):
         _decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
@@ -150,3 +154,75 @@ def test_resize_media_roundtrip(spark):
         src[((y * 8) // 2) * 8 + ((x * 8) // 2)] for y in range(2) for x in range(2)
     )
     assert got == expect
+
+
+def test_wav_pcm16_roundtrip_exact_features():
+    """The hand-rolled RIFF encoder and the stdlib-wave decoder agree on
+    every feature, exactly — including a full-scale -32768 sample (the
+    int16 edge whose abs() overflows int16 arithmetic done naively)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    blob = encode_wav_pcm16(samples, 8000)
+    sr, ch, n, peak, sumsq = decode_wav_pcm16(blob)
+    assert (sr, ch, n) == (8000, 1, len(samples))
+    assert peak == 32768
+    assert sumsq == sum(s * s for s in samples)
+    # stereo: frames interleave, n counts every sample
+    blob2 = encode_wav_pcm16([1, 2, 3, 4], 44100, n_channels=2)
+    sr2, ch2, n2, _, _ = decode_wav_pcm16(blob2)
+    assert (sr2, ch2, n2) == (44100, 2, 4)
+
+
+def test_decode_one_handles_wav():
+    """decode_media's per-blob decoder is now total over image+audio:
+    WAV maps to (n_channels, sample_rate, n_samples, RMS); only video
+    remains at the NotImplementedError seam."""
+    import math
+
+    from healthcare_aihw_etl_pipeline_spark.operators.multimodal import (
+        codec_support,
+        encode_wav_pcm16,
+    )
+
+    samples = [100, -200, 300]
+    w, h, fr, mean = _decode_one(encode_wav_pcm16(samples, 16000))
+    assert (w, h, fr) == (1, 16000, 3)
+    assert mean == pytest.approx(
+        math.sqrt(sum(s * s for s in samples) / len(samples))
+    )
+    assert codec_support()["wav"] is True
+
+
+def test_audio_features_spark_path(spark):
+    """The Arrow mapInPandas audio stage: exact integer features per
+    clip, matching a driver-side recomputation."""
+    import math
+
+    from healthcare_aihw_etl_pipeline_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    clips = {
+        mid: [((mid * 31 + i * 17) % 65536) - 32768 for i in range(50 + mid)]
+        for mid in range(6)
+    }
+    df = spark.createDataFrame(
+        [(mid, encode_wav_pcm16(s, 8000)) for mid, s in clips.items()],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: r for r in audio_features(df, batch_partitions=3).collect()}
+    assert set(got) == set(clips)
+    for mid, s in clips.items():
+        r = got[mid]
+        assert r.n_samples == len(s)
+        assert r.duration_ms == len(s) * 1000 // 8000
+        assert r.peak == max(abs(x) for x in s)
+        assert r.sumsq == sum(x * x for x in s)
+        assert r.rms_q == int(
+            math.floor(math.sqrt(r.sumsq / r.n_samples) * 1000 + 0.5)
+        )

@@ -103,6 +103,26 @@ def test_psi_matched_buckets_unchanged_and_partial_novel(spark):
     assert r.drifted is True  # 10% of mass in a never-seen bucket
 
 
+def test_psi_ref_bucket_vanishing_scores(spark):
+    """Two-sided smoothing: a reference bucket with ZERO stream count in
+    a window must still score (epsilon-smoothed p2). Mass fully
+    vanishing from one of two equal reference buckets is a huge shift —
+    the one-sided form scored only the surviving bucket (~0.35)."""
+    import math
+
+    ref = [("click", 0, 50, 100), ("click", 1, 50, 100)]
+    stream = [("w1", "click", 1, 100)]
+    r = _psi_score(spark, ref, stream)[("w1", "click")]
+    eps = 1e-6
+    want = math.floor((1.0 - 0.5) * math.log(1.0 / 0.5) * 1e6 + 0.5) + (
+        math.floor((eps - 0.5) * math.log(eps / 0.5) * 1e6 + 0.5)
+    )
+    assert r.psi_q == want, (r.psi_q, want)
+    assert r.n_buckets == 2
+    assert r.drifted is True
+    assert r.unmatched_buckets == 0 and r.unmatched_mass == 0.0
+
+
 def test_pivot_dynamic_native_numeric_domain(spark):
     """Integer pivot values must produce populated columns (native
     matching, not str()-rendered) ordered by VALUE: 2 before 10."""

@@ -975,3 +975,21 @@ def test_drift_monitor_late_data_accounting_matches_batch(spark, tmp_path):
         late_psi["2024-01-01 00:00:00"]
         != want[("2024-01-01 00:00:00", "click")][1]
     )
+
+
+def test_tws_gate_matches_protobuf_importability():
+    """TWS surface contract: transformWithStateInPandas is CONDITIONAL
+    on google.protobuf (the state-server wire protocol). The gate must
+    report exactly whether the dependency imports — no silent False in
+    an equipped container, no True where the server would crash."""
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+        tws_available,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    assert tws_available() is have

@@ -1867,7 +1867,7 @@ def test_incremental_join_rejects_unknown_how(spark, tmp_path):
     with pytest.raises(ValueError, match="inner or left-outer"):
         apply_incremental_join(
             spark, t, t, t, on=["k"], left_id="a", right_id="b",
-            offset_path=str(tmp_path / "o.json"), how="full",
+            offset_path=str(tmp_path / "o.json"), how="cross",
         )
 
 
@@ -2007,6 +2007,243 @@ def test_incremental_join_left_outer_randomized_model(spark, tmp_path):
         assert got == direct(), (got, direct())
 
     users.append(spark.createDataFrame([(1, "basic")], USERS))
+    for step in range(12):
+        op = rng.choice(
+            ["add_orders", "add_user", "retier", "del_order", "del_user"]
+        )
+        if op == "add_orders":
+            rows = []
+            for _ in range(rng.randint(1, 3)):
+                oid = next_order[0]
+                next_order[0] += 1
+                uid = rng.randint(1, 5)
+                amt = rng.randint(10, 500)
+                rows.append((oid, uid, amt))
+                live_orders[oid] = (uid, amt)
+            orders.append(spark.createDataFrame(rows, ORDERS))
+        elif op == "add_user":
+            uid = rng.randint(1, 5)
+            tier = rng.choice(TIERS)
+            users.merge(
+                spark.createDataFrame([(uid, tier)], USERS),
+                key_cols=["user_id"],
+            )
+            live_users[uid] = tier
+        elif op == "retier" and live_users:
+            uid = rng.choice(list(live_users))
+            tier = rng.choice(TIERS)
+            users.merge(
+                spark.createDataFrame([(uid, tier)], USERS),
+                key_cols=["user_id"],
+            )
+            live_users[uid] = tier
+        elif op == "del_order" and live_orders:
+            oid = rng.choice(list(live_orders))
+            orders.delete_where(spark, F.col("order_id") == oid)
+            del live_orders[oid]
+        elif op == "del_user" and live_users:
+            uid = rng.choice(list(live_users))
+            users.delete_where(spark, F.col("user_id") == uid)
+            del live_users[uid]
+        if rng.random() < 0.5 or step == 11:
+            sync_and_check()
+
+
+def test_incremental_join_survives_left_side_emptied_in_window(
+    spark, tmp_path
+):
+    """Regression: a sync window that fully empties the LEFT table used
+    to crash (delta columns were derived from the None post-snapshot
+    instead of the manifest schema). Both inner and left-outer must
+    process the emptying window and land on the correct (empty /
+    all-gone) state."""
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    for how in ("inner", "left"):
+        orders = TxLogTable(str(tmp_path / f"o_{how}"), track_changes=True)
+        users = TxLogTable(str(tmp_path / f"u_{how}"), track_changes=True)
+        out = TxLogTable(str(tmp_path / f"j_{how}"))
+        off = str(tmp_path / f"off_{how}.json")
+        orders.append(
+            spark.createDataFrame(
+                [(10, 1, 100), (11, 2, 250)],
+                "order_id long, user_id long, amount long",
+            )
+        )
+        users.append(
+            spark.createDataFrame([(1, "gold")], "user_id long, tier string")
+        )
+        kw = dict(
+            on=["user_id"], left_id="order_id", right_id="user_id",
+            offset_path=off, how=how,
+        )
+        apply_incremental_join(spark, out, orders, users, **kw)
+        assert out.snapshot(spark).count() == (1 if how == "inner" else 2)
+        # empty the left table completely in one window
+        orders.delete_where(spark, F.lit(True))
+        apply_incremental_join(spark, out, orders, users, **kw)
+        snap = out.snapshot(spark)
+        assert snap is None or snap.count() == 0, how
+
+
+def test_incremental_join_full_outer_null_extension_churn(spark, tmp_path):
+    """Full-outer IVM: NULL-extension must flip correctly on BOTH sides
+    — a dim row with no facts shows as a right-extended row, a fact with
+    no dim as a left-extended row, and arrivals/deletes on either side
+    flip rows between joined and extended forms. Every step compares
+    against the directly recomputed full join."""
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    orders = TxLogTable(str(tmp_path / "o"), track_changes=True)
+    users = TxLogTable(str(tmp_path / "u"), track_changes=True)
+    out = TxLogTable(str(tmp_path / "j"))
+    off = str(tmp_path / "off.json")
+    ORDERS = "order_id long, user_id long, amount long"
+    USERS = "user_id long, tier string"
+
+    def check():
+        apply_incremental_join(
+            spark, out, orders, users,
+            on=["user_id"], left_id="order_id", right_id="user_id",
+            offset_path=off, how="full",
+        )
+        a, b = orders.snapshot(spark), users.snapshot(spark)
+        la = [(r.order_id, r.user_id, r.amount) for r in a.collect()] if a is not None else []
+        lb = [(r.user_id, r.tier) for r in b.collect()] if b is not None else []
+        want = []
+        matched_users = set()
+        for oid, uid, amt in la:
+            tiers = [t for u, t in lb if u == uid]
+            if tiers:
+                matched_users.add(uid)
+                want.extend((oid, uid, amt, t) for t in tiers)
+            else:
+                want.append((oid, uid, amt, None))
+        want.extend(
+            (None, uid, None, t) for uid, t in lb if uid not in matched_users
+        )
+        want.sort(key=repr)
+        snap = out.snapshot(spark)
+        got = (
+            sorted(
+                (
+                    (r.order_id, r.user_id, r.amount, r.tier)
+                    for r in snap.drop("_lkey", "_rkey").collect()
+                ),
+                key=repr,
+            )
+            if snap is not None
+            else []
+        )
+        assert got == want, (got, want)
+
+    # right-only world first: sync before the LEFT table exists is a
+    # no-op that does NOT advance offsets (left schema unknown), same
+    # contract as the left-outer form with the sides swapped
+    users.append(spark.createDataFrame([(1, "gold"), (5, "basic")], USERS))
+    assert (
+        apply_incremental_join(
+            spark, out, orders, users,
+            on=["user_id"], left_id="order_id", right_id="user_id",
+            offset_path=off, how="full",
+        )
+        is None
+    )
+    assert out.head() is None
+    # facts arrive: the deferred window replays — user 1 joins, user 5
+    # right-extends, order 11 dangles left-extended
+    orders.append(spark.createDataFrame([(10, 1, 100), (11, 2, 250)], ORDERS))
+    check()
+    # delete user 1: order 10 flips joined -> left-extended AND no
+    # right-extended resurrection for user 1
+    users.delete_where(spark, F.col("user_id") == 1)
+    check()
+    # user 2 arrives: order 11 flips left-extended -> joined
+    users.append(spark.createDataFrame([(2, "basic")], USERS))
+    check()
+    # delete order 11: user 2 must flip joined -> right-extended
+    orders.delete_where(spark, F.col("order_id") == 11)
+    check()
+    # same-window churn on both sides
+    orders.append(spark.createDataFrame([(12, 5, 7)], ORDERS))
+    users.merge(
+        spark.createDataFrame([(5, "platinum")], USERS), key_cols=["user_id"]
+    )
+    users.delete_where(spark, F.col("user_id") == 2)
+    check()
+    # no-op sync
+    check()
+
+
+def test_incremental_join_full_outer_randomized_model(spark, tmp_path):
+    """Randomized delete/merge/append on both sides with interleaved
+    syncs: the full-outer maintained table must equal the direct full
+    join at every sync (mirrors the left-outer model check on both
+    sides)."""
+    import random
+
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    rng = random.Random(171717)
+    orders = TxLogTable(str(tmp_path / "o"), track_changes=True)
+    users = TxLogTable(str(tmp_path / "u"), track_changes=True)
+    out = TxLogTable(str(tmp_path / "j"))
+    off = str(tmp_path / "off.json")
+    ORDERS = "order_id long, user_id long, amount long"
+    USERS = "user_id long, tier string"
+    next_order = [100]
+    live_orders: dict[int, tuple[int, int]] = {}
+    live_users: dict[int, str] = {}
+    TIERS = ["basic", "gold", "platinum"]
+
+    def direct():
+        want = [
+            (oid, uid, amt, live_users.get(uid))
+            for oid, (uid, amt) in live_orders.items()
+        ]
+        matched = {uid for _, (uid, _) in live_orders.items()}
+        want.extend(
+            (None, uid, None, t)
+            for uid, t in live_users.items()
+            if uid not in matched
+        )
+        return sorted(want, key=repr)
+
+    def sync_and_check():
+        apply_incremental_join(
+            spark, out, orders, users,
+            on=["user_id"], left_id="order_id", right_id="user_id",
+            offset_path=off, how="full",
+        )
+        snap = out.snapshot(spark)
+        got = (
+            sorted(
+                (
+                    (r.order_id, r.user_id, r.amount, r.tier)
+                    for r in snap.drop("_lkey", "_rkey").collect()
+                ),
+                key=repr,
+            )
+            if snap is not None
+            else []
+        )
+        assert got == direct(), (got, direct())
+
+    users.append(spark.createDataFrame([(1, "basic")], USERS))
+    live_users[1] = "basic"
+    # seed one fact so both schemas exist (sync before the left table's
+    # first commit is a documented no-op the model doesn't track)
+    orders.append(spark.createDataFrame([(99, 4, 11)], ORDERS))
+    live_orders[99] = (4, 11)
     for step in range(12):
         op = rng.choice(
             ["add_orders", "add_user", "retier", "del_order", "del_user"]
