@@ -134,11 +134,17 @@ def bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Inverted-index statistics: top-20 terms by document frequency "
     "with total term frequency and a capped posting preview (5 smallest "
     "doc ids, comma-joined — a bounded deterministic column; the full "
-    "posting list is a query, not a column). The preview comes from a "
-    "streaming row_number window partitioned by token, NOT a per-term "
-    "collect_set — at 100 TB a stopword's posting list must never "
-    "materialize on one node. Total order under the LIMIT: "
-    "(doc_freq, total_tf, token).",
+    "posting list is a query, not a column). Built PARTITION-LOCALLY: "
+    "docs round-robin so each doc's tokens stay in one partition, the "
+    "level-1 (partition, token) aggregate completes map-side (local "
+    "distinct-doc set, bounded by docs-per-partition — a sizing "
+    "constant, not a data quantity), and the plan's only exchange "
+    "carries (partition, token)-grain rows with <=5-id candidate "
+    "arrays. No stopword posting list is ever sorted or materialized "
+    "on one node (the row_number-window form this replaced sorted "
+    "every posting per token: 9.2 s vs 2.3 s at sf10, where DuckDB "
+    "takes 2.0 s). Total order under the LIMIT: (doc_freq, total_tf, "
+    "token).",
 )
 def inverted_index_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -810,9 +810,11 @@ def test_round8_retrieval_and_sampling_plans(spark, sf_dir):
     global sort. bm25_search_top10: exactly TWO document scans
     (projection-only stats pass + pre-filtered term-frequency pass) —
     the doc_freq join-back was rewritten as a count() window, so a
-    third scan must not reappear. inverted_index_top20: the posting
-    preview must come from a streaming Window (row_number), never an
-    unbounded per-term collect of the posting list before the cap."""
+    third scan must not reappear. inverted_index_top20: the
+    partition-local two-level build — NO Window (the per-token
+    row_number sort of every posting cost 4x at sf10), docs
+    repartitioned round-robin, and the (partition, token)-grain
+    exchange is the only post-explode shuffle."""
     p = fresh_plan(spark, sf_dir, "weighted_sample_orders")
     assert "TakeOrderedAndProject" in p, p
     assert shuffle_count(p) == 0, f"weighted sample must not shuffle:\n{p}"
@@ -830,7 +832,8 @@ def test_round8_retrieval_and_sampling_plans(spark, sf_dir):
     assert "CartesianProduct" not in p2
 
     p3 = fresh_plan(spark, sf_dir, "inverted_index_top20")
-    assert "Window" in p3, p3
+    assert "Window" not in p3, f"posting-sort window came back:\n{p3}"
+    assert "RoundRobinPartitioning" in p3, p3
     assert "TakeOrderedAndProject" in p3, p3
     assert scan_count(p3) == 1, p3
 

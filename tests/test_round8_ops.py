@@ -282,3 +282,40 @@ def test_phrase_search_counts_adjacent_pairs_only(spark):
 
     with pytest.raises(ValueError):
         phrase_search_topk(docs, "text", "doc_id", ["a"])
+
+
+def test_inverted_index_fallback_matches_default_on_unique_ids(spark):
+    """The partition-local default and the window fallback agree on a
+    unique-id corpus; on DUPLICATE id rows only the fallback is correct
+    (the default's per-partition distinct sum is documented to require
+    one row per id)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.search import (
+        inverted_index_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b b c"), (2, "b c"), (3, "c c c")], "doc_id long, text string"
+    )
+    fast = {
+        r.token: (r.doc_freq, r.total_tf, r.posting_preview)
+        for r in inverted_index_stats(docs, "text", "doc_id").collect()
+    }
+    slow = {
+        r.token: (r.doc_freq, r.total_tf, r.posting_preview)
+        for r in inverted_index_stats(
+            docs, "text", "doc_id", assume_unique_ids=False
+        ).collect()
+    }
+    assert fast == slow
+    assert fast["c"] == (3, 5, "1,2,3")
+    # duplicate-id rows: the fallback counts each (doc, token) pair once
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "a b")], "doc_id long, text string"
+    )
+    got = {
+        r.token: r.doc_freq
+        for r in inverted_index_stats(
+            dup, "text", "doc_id", assume_unique_ids=False
+        ).collect()
+    }
+    assert got == {"a": 1, "b": 1}
