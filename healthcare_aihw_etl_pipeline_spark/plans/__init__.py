@@ -3,9 +3,10 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 9 pins the round-4
-cohort tail from events_typed_agg onward plus the round-5 cohort — the
-oldest driver evidence, last verified 4–5 rounds ago); everything else
+verified cohort is due a regression sweep (round 10 pins the round-5
+cohort tail the r9 window rolled forward, then the round-6 cohort — the
+oldest driver evidence — then the HLL/theta/quantile sketch stores);
+everything else
 sits behind the window with its cumulative driver-side record standing.
 The full registry is additionally swept in-round by scripts/driver_sim.py
 and committed as CORRECTNESS_FULL_r{N}.json.
@@ -145,37 +146,29 @@ _DRIVER_GREEN_R8 = [
 ]
 _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R8
 
-# Queries the current round's correctness window MUST sample ahead of
-# everything else. Round 9 rotates to the OLDEST driver evidence, per
-# the r8 verdict: new round-9 queries lead, then the round-4 cohort
-# tail the r8 window did not reach (events_typed_agg onward — last
-# driver-verified in round 4), then the round-5 cohort (EWMA, z-scores,
-# histogram, PageRank, path mining, regression aggregates, setops).
-# Entries past the driver's ~50-slot window roll forward to round 10.
-_MUST_VERIFY_R9: list[str] = [
-    # new this round
+# CORRECTNESS_r09.json: the round-9 window, 50/50 green on all three
+# checks — the six round-9 queries plus the round-4 cohort tail from
+# events_typed_agg through ingest_clean_admissions and the first five
+# round-5 names (the rest of the round-5 cohort rolled forward to r10).
+_DRIVER_GREEN_R9 = [
     "kaplan_meier_conversion", "bloom_prune_orders",
     "dp_noised_priority_counts", "ann_sq4_adc_top10",
     "u_shaped_attribution", "dow_adjusted_anomalies",
-    # round-4 cohort tail — oldest evidence, regression sweep
-    "events_typed_agg",
-    "dedup_exact_stats", "dedup_prefix_keepers", "text_token_stats",
-    "embedding_norms", "ann_cosine_top10", "embedding_near_dup_top20",
-    "bpe_token_totals", "text_quality_profile", "fingerprint_dup_groups",
-    "events_session_window", "dedup_transitive_clusters", "asof_purchase_lag",
-    "purchase_click_window", "split_contamination", "doc_chunks",
-    "hash_split_assign", "top_tokens", "returning_users",
-    "stratified_sample_stats", "bigram_top20", "tfidf_top20",
-    "long_token_profile", "churned_users", "pii_redaction_stats",
-    "token_position_profile", "source_token_entropy", "gopher_quality_flags",
-    "repetition_profile", "corpus_curation_funnel", "dedup_keep_best",
-    "oov_rate_by_source", "sequence_packing", "domain_quota_sample",
-    "multimodal_byte_profile", "chunk_dedup_reassembly", "incremental_dedup",
-    "mixture_weights", "embedding_centroid_per_label",
-    "ingest_clean_admissions",
-    # round-5 cohort — the other half of the stale evidence
-    "ewma_daily_revenue", "mode_ship_priority", "char_diversity_profile",
-    "levenshtein_blocked_pairs", "bipartite_pagerank_top20",
+]
+_DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R9
+
+# Queries the current round's correctness window MUST sample ahead of
+# everything else. Round 10 rotates per the r9 verdict: new round-10
+# queries lead, then the round-5 cohort tail the r9 window did not
+# reach (rolled forward), then the round-6 cohort — the oldest driver
+# evidence after the r9 sweep (DML/time-travel snapshot, sliding
+# distinct, language-ID, the round-6 TPC-H completions) — then the
+# sketch stores (HLL/theta/quantile), last driver-verified r7/r8.
+_MUST_VERIFY_R10: list[str] = [
+    # new this round
+    "audio_pcm_features", "ivm_full_outer_snapshot",
+    # round-5 cohort tail — rolled forward from the r9 window
+    "bipartite_pagerank_top20",
     "duplicate_ngram_top20", "jaccard_pair_similarity",
     "part_pair_cooccurrence", "top_session_paths", "value_histogram",
     "event_volume_zscore", "customer_segment_setops",
@@ -184,6 +177,23 @@ _MUST_VERIFY_R9: list[str] = [
     "time_rollup_revenue", "event_type_transitions", "customer_revenue_gini",
     "salted_event_type_totals", "doc_length_quartiles_by_source",
     "events_in_prior_hour", "event_type_reconciliation",
+    # round-6 cohort — oldest evidence, regression sweep
+    "numeric_profile_lineitem", "frequent_values_orders",
+    "lineitem_correlation_matrix", "orders_date_islands",
+    "customer_acquisition_curve", "nation_revenue_share",
+    "order_value_percentiles_by_status", "order_value_deciles",
+    "customers_above_own_avg", "first_last_order_shift",
+    "event_session_stats", "lapsed_part_suppliers",
+    "revenue_drawdown_by_year", "embedding_quantization_error",
+    "vocab_growth_curve", "txlog_delete_update_snapshot",
+    "lang_id_distribution", "rolling_7day_distinct_users",
+    "top_orders_with_ties", "order_vs_peers_leave_one_out",
+    "brand_price_tiers", "user_event_type_map_json",
+    "quantity_price_covariance", "weighted_median_price",
+    "mad_outlier_orders", "event_type_run_lengths",
+    # sketch stores
+    "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
+    "theta_retention_day7", "quantile_sketch_prices",
 ]
 
 
@@ -196,8 +206,8 @@ def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R9 if n in registry]
-    placed = set(_MUST_VERIFY_R9)
+    pinned = [registry[n] for n in _MUST_VERIFY_R10 if n in registry]
+    placed = set(_MUST_VERIFY_R10)
     promoted_oracle = [
         q
         for n, q in registry.items()

@@ -1,6 +1,7 @@
 """Round-10 query families: audio PCM decode features (the WAV leg of
 the multimodal decode path, closing the audio codec seam with the stdlib
-`wave` module).
+`wave` module) and full-outer incremental join maintenance
+(NULL-extension reconciled on BOTH sides).
 
 Same contract as every plans module: queries pair idiomatic PySpark with
 a DuckDB oracle whose arithmetic is bit-identical — exact integer
@@ -129,3 +130,205 @@ def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-outer incremental join maintenance
+
+
+@register(
+    "ivm_full_outer_snapshot",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey,
+             CASE WHEN c_nationkey = 5 THEN 'REBUILT'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+      WHERE c_nationkey < 13 AND c_nationkey <> 7
+    ),
+    o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+      WHERE NOT (o_totalprice > 400000.0)
+    )
+    SELECT cust.seg AS seg,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL
+                          AND cust.c_custkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN cust.c_custkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_left_ext,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_right_ext,
+           CAST(SUM(COALESCE(price_cents, 0)) AS BIGINT) AS total_cents
+    FROM o FULL OUTER JOIN cust ON o.o_custkey = cust.c_custkey
+    GROUP BY cust.seg ORDER BY seg
+    """,
+    doc="Incrementally-maintained FULL-OUTER join, driver-verified end "
+    "to end: a customer dimension restricted to a nation subset (so "
+    "orders outside it NULL-extend on the left) and an orders fact "
+    "(customers without surviving orders NULL-extend on the right) "
+    "live in transactional tables with change feeds; the materialized "
+    "full-outer view is maintained by txlog.apply_incremental_join("
+    "how='full') across three syncs interleaved with a fact append, a "
+    "dimension re-label MERGE, a dimension DELETE (nation-7 customers "
+    "— flips their orders joined -> left-extended in the same sync "
+    "that deletes the joined pairs) and a fact DELETE (totalprice > "
+    "400k — can flip customers joined -> right-extended). The oracle "
+    "replays the FINAL state as a closed-form FULL OUTER JOIN — "
+    "equality holds regardless of interleaving because every sync "
+    "restores out = left ⟗ right: the inner component via the "
+    "bilinear delta, both NULL-extended components via delta-bounded "
+    "match-count reconciliation under the (_lkey,_rkey) physical key. "
+    "Result rows are cached per (sf_dir mtime token, code salt) like "
+    "ivm_join_snapshot; SPARK_GRAFT_FORCE_DML=1 bypasses.",
+)
+def ivm_full_outer_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import inspect
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import (
+        _state_token,
+        cents,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources import txlog as _txlog_mod
+    from healthcare_aihw_etl_pipeline_spark.sources.txlog import (
+        TxLogTable,
+        apply_incremental_join,
+    )
+
+    schema = (
+        "seg string, n_rows bigint, n_matched bigint, n_left_ext bigint, "
+        "n_right_ext bigint, total_cents bigint"
+    )
+    code_salt = hashlib.sha256(
+        (
+            inspect.getsource(ivm_full_outer_snapshot)
+            + inspect.getsource(_txlog_mod)
+        ).encode()
+    ).hexdigest()[:16]
+    token = repr((os.path.abspath(sf_dir), _state_token(sf_dir), code_salt))
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"spark-graft-cache-{os.getuid()}"
+    )
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        if os.stat(cache_dir).st_uid != os.getuid():
+            raise OSError("cache dir owned by another user")
+        cache_file = os.path.join(
+            cache_dir,
+            "ivm-full-"
+            + hashlib.sha256(token.encode()).hexdigest()[:16]
+            + ".json",
+        )
+    except OSError:
+        cache_file = None
+    force = os.environ.get("SPARK_GRAFT_FORCE_DML") == "1"
+    if not force and cache_file is not None:
+        try:
+            with open(cache_file) as fh:
+                rows = [tuple(r) for r in _json.load(fh)]
+            return spark.createDataFrame(rows, schema)
+        except (OSError, ValueError):
+            pass
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        "c_nationkey",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="ivm-full-")
+    try:
+        dim = TxLogTable(os.path.join(tmp, "dim"), track_changes=True)
+        fact = TxLogTable(os.path.join(tmp, "fact"), track_changes=True)
+        out = TxLogTable(os.path.join(tmp, "out"))
+        off = os.path.join(tmp, "off.json")
+
+        def sync():
+            apply_incremental_join(
+                spark, out, fact, dim,
+                on=["o_custkey"], left_id="order_id", right_id="o_custkey",
+                offset_path=off, how="full",
+            )
+
+        dim.append(
+            cust.where(F.col("c_nationkey") < 13).select(
+                F.col("c_custkey").alias("o_custkey"), "seg"
+            )
+        )
+        fact.append(orders.where(F.col("order_id") % 3 != 0))
+        sync()
+        fact.append(orders.where(F.col("order_id") % 3 == 0))
+        sync()
+        dim.merge(
+            cust.where(F.col("c_nationkey") == 5).select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.lit("REBUILT").alias("seg"),
+            ),
+            key_cols=["o_custkey"],
+        )
+        dim.delete_where(
+            spark,
+            F.col("o_custkey").isin(
+                [
+                    r.c_custkey
+                    for r in cust.where(F.col("c_nationkey") == 7)
+                    .select("c_custkey")
+                    .collect()
+                ]
+            ),
+        )
+        fact.delete_where(spark, F.col("price_cents") > 40_000_000)
+        sync()
+        snap = out.snapshot(spark).drop("_lkey", "_rkey")
+        res = (
+            snap.groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    (
+                        F.col("order_id").isNotNull()
+                        & F.col("seg").isNotNull()
+                    ).cast("long")
+                ).alias("n_matched"),
+                F.sum(F.col("seg").isNull().cast("long")).alias(
+                    "n_left_ext"
+                ),
+                F.sum(F.col("order_id").isNull().cast("long")).alias(
+                    "n_right_ext"
+                ),
+                F.sum(F.coalesce(F.col("price_cents"), F.lit(0))).alias(
+                    "total_cents"
+                ),
+            )
+            .orderBy("seg")
+        )
+        rows = [
+            (
+                r.seg, r.n_rows, r.n_matched, r.n_left_ext,
+                r.n_right_ext, r.total_cents,
+            )
+            for r in res.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if cache_file is not None:
+        try:
+            with open(cache_file + ".tmp", "w") as fh:
+                _json.dump(rows, fh)
+            os.replace(cache_file + ".tmp", cache_file)
+        except OSError:
+            pass
+    return spark.createDataFrame(rows, schema)
