@@ -391,16 +391,22 @@ def _ensure_sf1() -> str | None:
 
 def run_duckdb(
     sf_dirs: list[str],
-) -> dict[str, tuple[dict[str, float], float]]:
-    """Per sf_dir: ({query: sequential min-of-2}, wave_min) — the same
-    13-query suite, sequential AND as a 13-thread wave over cursors of
-    one connection (DuckDB releases the GIL during execution), so both
-    comparison shapes come from the same run."""
+) -> dict[str, tuple[dict[str, float], float, float]]:
+    """Per sf_dir: ({query: sequential min-of-2}, wave_min, wave_med) —
+    the same 13-query suite, sequential AND as a 13-thread wave over
+    cursors of one connection (DuckDB releases the GIL during
+    execution), so both comparison shapes come from the same run.
+
+    The wave is min-of-7 with the median published beside it — the SAME
+    noise policy as the Spark wave (this host's 2-3x DuckDB
+    run-to-run swing means a min-of-3 could catch an unrepresentative
+    fast wave and overstate the engine ratio; pairing min AND median on
+    both engines makes the spread auditable in every BENCH artifact)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import duckdb
 
-    out: dict[str, tuple[dict[str, float], float]] = {}
+    out: dict[str, tuple[dict[str, float], float, float]] = {}
     for sf_dir in sf_dirs:
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
@@ -423,8 +429,8 @@ def run_duckdb(
                 con.execute(o).fetchall()
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 4)
-        wave_best = float("inf")
-        for _ in range(3):
+        wave_samples: list[float] = []
+        for _ in range(7):
             cursors = [con.cursor() for _ in oracles]
             with ThreadPoolExecutor(max_workers=len(oracles)) as ex:
                 t0 = time.perf_counter()
@@ -434,8 +440,13 @@ def run_duckdb(
                         zip(cursors, oracles),
                     )
                 )
-                wave_best = min(wave_best, time.perf_counter() - t0)
-        out[sf_dir] = (times, round(wave_best, 4))
+                wave_samples.append(time.perf_counter() - t0)
+        wave_samples.sort()
+        out[sf_dir] = (
+            times,
+            round(wave_samples[0], 4),
+            round(wave_samples[len(wave_samples) // 2], 4),
+        )
     return out
 
 
@@ -485,7 +496,7 @@ def main() -> None:
     except Exception as e:  # the baseline must never sink the headline
         print(f"bench: duckdb baseline failed ({e})", file=sys.stderr)
         duck_all = {}
-    duck, duck_wave = duck_all.get(SF_DIR, ({}, None))
+    duck, duck_wave, duck_wave_med = duck_all.get(SF_DIR, ({}, None, None))
     # Compact stdout summary: scalar totals + the one headline dict.
     out = {
         # SUITE WALL: 13 pre-resolved plans collected concurrently
@@ -514,14 +525,17 @@ def main() -> None:
         "noise_floor": noise_floor,
     }
     if duck:
-        # same-run DuckDB, both shapes: sequential sum and 13-thread wave.
+        # same-run DuckDB, both shapes: sequential sum and 13-thread
+        # wave (min-of-7 with the median beside it — the paired spread).
         out["duckdb_total"] = round(sum(duck.values()), 4)
         out["duckdb_wave"] = duck_wave
+        out["duckdb_wave_med"] = duck_wave_med
     if sf1 and sf1_dir:
-        d1, d1_wave = duck_all.get(sf1_dir, ({}, None))
+        d1, d1_wave, d1_wave_med = duck_all.get(sf1_dir, ({}, None, None))
         if d1:
             sf1["duckdb"] = round(sum(d1.values()), 4)
             sf1["duckdb_wave"] = d1_wave
+            sf1["duckdb_wave_med"] = d1_wave_med
         out["sf1"] = sf1
     # Full per-query decomposition: stderr + BENCH_DETAIL.json, never stdout.
     detail = {"exec_sec": execs, "cold_sec": colds, "med_sec": medians}
@@ -534,7 +548,7 @@ def main() -> None:
     if duck:
         detail["duckdb_baseline"] = duck
         detail["duckdb_total"] = round(sum(duck.values()), 4)
-        duck_small, _ = duck_all.get(small, ({}, None)) if small else ({}, None)
+        duck_small = (duck_all.get(small) or ({}, None, None))[0] if small else {}
         if duck_small and "marginal_sec" in detail:
             dfloor, dmarg = _split(duck, duck_small)
             detail["duckdb_marginal"] = dmarg

@@ -18,7 +18,7 @@ reps); DuckDB runs the SAME oracle SQL over views of the same parquet,
 guarded by a hard interrupt at DUCK_TIMEOUT seconds (recorded as
 "timeout<N>s" — a timeout is a data point here, not a failure).
 
-Writes SCALE_CURVE_HEAVY_r09.json at the repo root (cited from
+Writes SCALE_CURVE_HEAVY_r10.json at the repo root (cited from
 BASELINE.md) and prints the same JSON to stdout.
 """
 from __future__ import annotations
@@ -205,10 +205,17 @@ def main() -> None:
         print(f"{label} asof: plain={point['asof_plain']} "
               f"bucketed={point['asof_bucketed']}", file=sys.stderr)
         out[label] = point
+        # incremental write: a timeout mid-sweep (the sf10 heavy ops run
+        # many minutes) must still leave the completed points on disk
+        _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(_root, "SCALE_CURVE_HEAVY_r10.json"), "w") as f:
+            json.dump({"metric": "scale_curve_heavy_ops",
+                       "duck_timeout_s": DUCK_TIMEOUT,
+                       "partial_through": label, "points": out}, f, indent=1)
     result = {"metric": "scale_curve_heavy_ops", "duck_timeout_s": DUCK_TIMEOUT,
-              "points": out}
+              "partial_through": None, "points": out}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALE_CURVE_HEAVY_r09.json"), "w") as f:
+    with open(os.path.join(root, "SCALE_CURVE_HEAVY_r10.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 

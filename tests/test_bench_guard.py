@@ -108,6 +108,8 @@ _COLD_CEILING_SEC = 8.0
 _SWEEP_ALLOWLIST = {
     "txlog_delete_update_snapshot": 60.0,
     "ivm_join_snapshot": 60.0,
+    "ivm_full_outer_snapshot": 90.0,  # full-outer: both-sides recon DML
+    "audio_pcm_features": 20.0,  # encodes+decodes a WAV per document
     "zorder_layout_stats": 30.0,  # writes + re-reads a clustered layout
     "scd2_user_tier_history": 30.0,  # maintains a txlog dimension table
     "scd2_temporal_join": 30.0,
