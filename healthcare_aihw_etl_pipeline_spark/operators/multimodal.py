@@ -7,10 +7,15 @@ explicit output schemas, and partition-count control so one decoded batch
 fits executor memory (decoded frames are ~100× the compressed bytes —
 *the* sizing constraint at 100 TB).
 
-The codec layer is stubbed per the driver contract (no image/audio libs
+The codec layer follows the driver contract (no image/audio/video libs
 in this container): `decode_media` understands a deterministic fake
-container format (FAKEv1) end-to-end, and raises NotImplementedError for
-real codecs at the exact seam where Pillow/libav would plug in.
+container format (FAKEv1) end-to-end, plus three REAL container formats
+with stdlib-only codecs — PNG (zlib+struct encode, Pillow-seam decode),
+RIFF/WAVE PCM16 (struct encode, stdlib `wave` decode), and RIFF/AVI
+uncompressed 24-bit DIB (struct encode, generic RIFF-walker decode).
+NotImplementedError now marks only the compressed-codec seam
+(JPEG-in-Pillow-absent, non-PCM WAV, MP4/H.264) where Pillow/libav
+would plug in.
 
 FAKEv1 layout (big-endian):  b"FAKE" | u8 kind (0=img,1=aud,2=vid) |
 u16 width | u16 height | u16 n_frames | payload bytes (w*h per frame,
@@ -107,6 +112,7 @@ def codec_support() -> dict[str, bool]:
         "png": _PILImage is not None,
         "jpeg": _PILImage is not None,
         "wav": True,  # stdlib `wave` PCM decode — always on
+        "avi": True,  # struct RIFF walker, uncompressed DIB — always on
         "mp4": False,  # pyav/libav seam, deliberately unimplemented
     }
 
@@ -194,6 +200,138 @@ def decode_wav_pcm16(
     return sr, ch, n, peak, sumsq
 
 
+def encode_avi_rgb24(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal valid RIFF/AVI container around uncompressed 24-bit DIB
+    video — the video leg of the encode_png_gray / encode_wav_pcm16
+    discipline: hand-rolled with struct (MSDN 'AVI RIFF File Reference'
+    layout), fully independent of the RIFF walker that decodes it.
+
+    `frames` are top-down row-major RGB24 (3 bytes/pixel); the encoder
+    converts to the on-disk DIB convention — BGR channel order,
+    bottom-up rows, stride padded to a 4-byte boundary — so a decoder
+    that forgets either inversion produces different bytes, which the
+    flip/channel-weighted features downstream are built to catch.
+    Frames land in '00db' chunks inside the 'movi' LIST, with a
+    standard 'idx1' index (AVIIF_KEYFRAME on every frame: raw DIB has
+    no inter-frame deps)."""
+    stride = (width * 3 + 3) & ~3
+    dib_size = stride * height
+
+    def dib(frame: bytes) -> bytes:
+        rows = []
+        pad = b"\x00" * (stride - width * 3)
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray(frame[y * width * 3 : (y + 1) * width * 3])
+            row[0::3], row[2::3] = row[2::3], row[0::3]  # RGB -> BGR
+            rows.append(bytes(row) + pad)
+        return b"".join(rows)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        dib_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, dib_size,  # frames, initial, streams, bufsize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsDIB "
+        + struct.pack(
+            "<IHH8I4H",
+            0, 0, 0,  # dwFlags, wPriority, wLanguage
+            0, 1, fps,  # dwInitialFrames, dwScale, dwRate
+            0, n, dib_size, 0, 0,  # start, length, bufsize, quality, samplesize
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, dib_size, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00db", dib(f)) for f in frames)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the 'movi' fourcc (the common
+    # convention decoders expect); first chunk sits 4 bytes after it.
+    idx_entries, off = [], 4
+    for _ in range(n):
+        idx_entries.append(b"00db" + struct.pack("<III", 0x10, off, dib_size))
+        off += 8 + dib_size + (dib_size % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_rgb24(
+    content: bytes,
+) -> tuple[int, int, int, int, list[bytes]]:
+    """Decode an uncompressed 24-bit RIFF/AVI blob via a generic RIFF
+    chunk walker (independent of the encoder above) →
+    (width, height, fps, n_frames, frames) with frames normalized back
+    to top-down RGB24. Raises NotImplementedError at the compressed-
+    codec seam (biCompression != 0 — where libav would plug in)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI blob")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            data_start = pos + 8
+            if tag == b"LIST":
+                yield buf[data_start : data_start + 4], data_start + 4, data_start + size
+                yield from walk(buf, data_start + 4, data_start + size)
+            else:
+                yield tag, data_start, data_start + size
+            pos = data_start + size + (size % 2)
+
+    width = height = n_frames = 0
+    scale, rate, bitcount, compression = 1, 10, 24, 0
+    raw_frames: list[bytes] = []
+    for tag, s, e in walk(content, 12, len(content)):
+        if tag == b"avih":
+            hdr = struct.unpack("<14I", content[s : s + 56])
+            n_frames, width, height = hdr[4], hdr[8], hdr[9]
+        elif tag == b"strh" and content[s : s + 4] == b"vids":
+            flds = struct.unpack("<IHH8I4H", content[s + 8 : s + 56])
+            scale, rate = max(flds[4], 1), flds[5]
+        elif tag == b"strf":
+            bitcount = struct.unpack("<H", content[s + 14 : s + 16])[0]
+            compression = struct.unpack("<I", content[s + 16 : s + 20])[0]
+        elif tag in (b"00db", b"00dc"):
+            raw_frames.append(content[s:e])
+    if compression != 0 or bitcount != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB AVI is decoded (BI_RGB); got "
+            f"biCompression={compression} biBitCount={bitcount} — the "
+            f"libav seam for real codecs"
+        )
+    stride = (width * 3 + 3) & ~3
+    frames = []
+    for raw in raw_frames:
+        rows = []
+        for y in range(height - 1, -1, -1):  # un-flip bottom-up
+            row = bytearray(raw[y * stride : y * stride + width * 3])
+            row[0::3], row[2::3] = row[2::3], row[0::3]  # BGR -> RGB
+            rows.append(bytes(row))
+        frames.append(b"".join(rows))
+    return width, height, rate // scale, len(frames), frames
+
+
 def _decode_one(content: bytes) -> tuple[int, int, int, float]:
     """Decode a media blob → (width, height, n_frames, mean_intensity).
 
@@ -224,10 +362,17 @@ def _decode_one(content: bytes) -> tuple[int, int, int, float]:
             sr, ch, n, _peak, sumsq = decode_wav_pcm16(content)
             rms = math.sqrt(sumsq / n) if n else 0.0
             return ch, sr, n, rms
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            w, h, _fps, nf, frames = decode_avi_rgb24(content)
+            tot = sum(sum(f) for f in frames)
+            npx = w * h * 3 * nf
+            return w, h, nf, tot / max(npx, 1)
         raise NotImplementedError(
             "real codec decode not available: Pillow handles PNG/JPEG when "
-            "installed; WAV/PCM16 decodes via the stdlib wave module; video "
-            "(MP4) still needs pyav/libav. FAKEv1 is guaranteed everywhere."
+            "installed; WAV/PCM16 decodes via the stdlib wave module; "
+            "uncompressed 24-bit AVI decodes via the struct RIFF walker; "
+            "compressed video (MP4/H.264) still needs pyav/libav. FAKEv1 "
+            "is guaranteed everywhere."
         )
     kind, width, height, n_frames = struct.unpack(">BHHH", rest[:7])
     payload = rest[7 : 7 + width * height * n_frames]
@@ -282,6 +427,82 @@ def audio_features(df: DataFrame, *, batch_partitions: int | None = None) -> Dat
 
     return df.select("media_id", "content").mapInPandas(
         feats, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("lum_sum", T.LongType(), True),
+        T.StructField("wrow_sum", T.LongType(), True),
+        T.StructField("wchan_sum", T.LongType(), True),
+        T.StructField("motion_sum", T.LongType(), True),
+    ]
+)
+
+
+def video_features(df: DataFrame, *, batch_partitions: int | None = None) -> DataFrame:
+    """Arrow-batched AVI feature extraction via mapInPandas — the video
+    leg of the decode path. All features are EXACT integer moments over
+    the decoded top-down RGB24 frames, chosen so every on-disk DIB
+    convention is load-bearing:
+
+    - lum_sum: sum of all channel bytes (decode sanity);
+    - wrow_sum: sum of (top-down row index + 1) x row byte-sum — a
+      decoder that forgets the bottom-up un-flip changes this;
+    - wchan_sum: sum of (channel index + 1) x channel byte-sum in RGB
+      order — a decoder that forgets the BGR swap changes this;
+    - motion_sum: sum over consecutive frames of |lum(f) - lum(f-1)| —
+      a decoder that reorders or drops frames changes this.
+
+    Quantization-before-aggregation discipline as audio_features: the
+    per-media values are exact BIGINTs, so cross-row sums replay
+    bit-for-bit in any engine. At 100 TB the envelope math matches
+    decode_media — decoded-frames-per-task is the partition sizing
+    constraint (`batch_partitions`), and the features are one bounded
+    pass over each blob with no cross-row state."""
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_FEATURE_SCHEMA.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, fps, nf, frames = decode_avi_rgb24(content)
+                lum = wrow = wchan = motion = 0
+                prev = None
+                row_w = np.repeat(np.arange(1, h + 1, dtype=np.int64), w * 3)
+                chan_w = np.tile(
+                    np.array([1, 2, 3], dtype=np.int64), w * h
+                )
+                for fb in frames:
+                    a = np.frombuffer(fb, dtype=np.uint8).astype(np.int64)
+                    fsum = int(a.sum())
+                    lum += fsum
+                    wrow += int((a * row_w).sum())
+                    wchan += int((a * chan_w).sum())
+                    if prev is not None:
+                        motion += abs(fsum - prev)
+                    prev = fsum
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps"].append(fps)
+                out["n_frames"].append(nf)
+                out["lum_sum"].append(lum)
+                out["wrow_sum"].append(wrow)
+                out["wchan_sum"].append(wchan)
+                out["motion_sum"].append(motion)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        feats, schema=VIDEO_FEATURE_SCHEMA
     )
 
 

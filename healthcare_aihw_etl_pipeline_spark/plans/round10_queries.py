@@ -332,3 +332,145 @@ def ivm_full_outer_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             pass
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Video AVI decode features
+
+# Deterministic RGB synthesis shared by the Spark encoder and the DuckDB
+# oracle (the _pcm_sample discipline): every channel byte is a pure
+# integer function of (doc_id, frame, row, col, channel), so the oracle
+# replays the features without ever seeing the AVI bytes — the bytes
+# round-trip through a REAL RIFF/AVI container whose on-disk conventions
+# (BGR order, bottom-up rows, 4-byte stride padding at width 6) are each
+# covered by a weighted feature that changes if the decoder gets one
+# wrong.
+_VID_W = 6
+_VID_H = 5
+_VID_FPS = 10
+_VID_BASE_FRAMES = 2
+_VID_FRAME_MOD = 4
+_VID_CD, _VID_CF, _VID_CY, _VID_CX, _VID_CC = 17, 251, 31, 7, 97
+
+
+@register(
+    "video_avi_features",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id, source,
+             {_VID_BASE_FRAMES} + (doc_id % {_VID_FRAME_MOD}) AS nf
+      FROM documents
+    ),
+    px AS (
+      SELECT v.doc_id, v.source, f.f, y.y, c.c,
+             (v.doc_id * {_VID_CD} + f.f * {_VID_CF} + y.y * {_VID_CY}
+              + x.x * {_VID_CX} + c.c * {_VID_CC}) % 256 AS val
+      FROM vids v,
+           unnest(generate_series(0, v.nf - 1)) AS f(f),
+           unnest(generate_series(0, {_VID_H - 1})) AS y(y),
+           unnest(generate_series(0, {_VID_W - 1})) AS x(x),
+           unnest(generate_series(0, 2)) AS c(c)
+    ),
+    frame AS (
+      SELECT doc_id, source, f,
+             SUM(val) AS fsum,
+             SUM((y + 1) * val) AS wrow,
+             SUM((c + 1) * val) AS wchan
+      FROM px GROUP BY doc_id, source, f
+    ),
+    media AS (
+      SELECT doc_id, source, COUNT(*) AS nf, SUM(fsum) AS lum,
+             SUM(wrow) AS wrow, SUM(wchan) AS wchan,
+             SUM(CASE WHEN pf IS NULL THEN 0
+                      ELSE abs(fsum - pf) END) AS motion
+      FROM (SELECT *, LAG(fsum) OVER
+              (PARTITION BY doc_id ORDER BY f) AS pf
+            FROM frame)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_videos,
+           CAST(SUM(nf) AS BIGINT) AS total_frames,
+           CAST(SUM(lum) AS BIGINT) AS lum_sum,
+           CAST(SUM(wrow) AS BIGINT) AS wrow_sum,
+           CAST(SUM(wchan) AS BIGINT) AS wchan_sum,
+           CAST(SUM(motion) AS BIGINT) AS motion_sum
+    FROM media GROUP BY source ORDER BY source
+    """,
+    doc="Video AVI decode features — the video leg of the multimodal "
+    "decode path, end-to-end through a REAL container format: each "
+    "document synthesizes deterministic RGB24 frames, is packed into a "
+    "hand-rolled RIFF/AVI blob (struct encoder: BGR channel order, "
+    "bottom-up rows, 4-byte stride padding, idx1 index — MSDN AVI RIFF "
+    "layout) and flows through operators/multimodal.video_features, an "
+    "Arrow-batched mapInPandas stage decoding with an independent "
+    "generic RIFF chunk walker into exact integer moments. The three "
+    "weighted features are adversarial by construction: wrow_sum "
+    "breaks if the bottom-up un-flip is skipped, wchan_sum breaks if "
+    "BGR->RGB is skipped, motion_sum breaks if frames are reordered or "
+    "dropped — and the DuckDB oracle replays all of them from the "
+    "integer synthesis without touching AVI bytes, so any decode bug "
+    "in the container round-trip breaks the hash. At 100 TB the "
+    "envelope math matches decode_media: decoded-frames-per-task is "
+    "the partition sizing constraint, every cross-row aggregate an "
+    "exact BIGINT sum (map-side combinable, order-free). Extends the "
+    "reference's binary-ingest path (/root/reference/main.py downloads "
+    "xlsx bytes over HTTP) to opaque video columns.",
+)
+def video_avi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.multimodal import (
+        encode_avi_rgb24,
+        video_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def encode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        yidx, xidx, cidx = np.indices((_VID_H, _VID_W, 3), dtype=np.int64)
+        base = yidx * _VID_CY + xidx * _VID_CX + cidx * _VID_CC
+        for pdf in batches:
+            ids, srcs, blobs = [], [], []
+            for did, src in zip(pdf["doc_id"], pdf["source"]):
+                did = int(did)
+                nf = _VID_BASE_FRAMES + did % _VID_FRAME_MOD
+                frames = [
+                    ((base + did * _VID_CD + f * _VID_CF) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for f in range(nf)
+                ]
+                ids.append(did)
+                srcs.append(src)
+                blobs.append(
+                    encode_avi_rgb24(frames, _VID_W, _VID_H, _VID_FPS)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "source": srcs, "content": blobs}
+            )
+
+    media = docs.mapInPandas(encode, schema=enc_schema)
+    feats = video_features(media)
+    return (
+        feats.join(docs.withColumnRenamed("doc_id", "media_id"), "media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("lum_sum").alias("lum_sum"),
+            F.sum("wrow_sum").alias("wrow_sum"),
+            F.sum("wchan_sum").alias("wchan_sum"),
+            F.sum("motion_sum").alias("motion_sum"),
+        )
+        .orderBy("source")
+    )
