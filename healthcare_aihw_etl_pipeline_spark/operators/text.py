@@ -120,6 +120,46 @@ def chunk_tokens(
     )
 
 
+def hashed_count_vector(
+    text_col: Column | str, dim: int = 64, *, portable: bool = True
+) -> Column:
+    """Feature-hashing ('hashing trick') featurizer: a fixed-`dim`
+    integer count vector per document, bucket = hash(token) % dim — the
+    zero-vocabulary featurization of a training pipeline (Weinberger et
+    al. 2009): no global dictionary build, no broadcast state, no
+    shuffle. Pure higher-order expressions (split → per-token hash →
+    per-bucket size(filter(...))), so the whole featurizer runs
+    map-side inside whole-stage codegen at O(dim x tokens) integer
+    comparisons per row — embarrassingly parallel over 100 TB, with the
+    only shuffle owned by whatever aggregation consumes the vectors.
+
+    Hash choice mirrors rolling_fingerprint: ``portable=True`` (the
+    default, used by the registered oracle query) buckets via the first
+    8 hex chars of md5 so DuckDB replays bit-for-bit; portable=False
+    uses xxhash64 (one JVM long per token, no hex decode) as the
+    production fast path — bucket uniformity is equivalent."""
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != ""
+    )
+    if portable:
+        bucket = lambda t: (  # noqa: E731 - expression factory
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % F.lit(dim)
+        )
+    else:
+        bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(dim))  # noqa: E731
+    return bind(
+        F.transform(toks, bucket),
+        lambda bs: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda b: F.size(F.filter(bs, lambda x: x == b)),
+        ),
+    )
+
+
 def hash_split(id_col: Column | str) -> Column:
     """Deterministic train/val/test assignment from md5 of the id — the
     standard leakage-proof split of a training pipeline: stable across

@@ -474,3 +474,79 @@ def video_avi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing featurizer
+
+_FH_DIM = 64
+
+
+@register(
+    "hashed_feature_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT source,
+             CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+               % {_FH_DIM} AS idx
+      FROM toks WHERE tok <> ''
+    ),
+    per_bucket AS (
+      SELECT source, idx, COUNT(*) AS total
+      FROM b GROUP BY source, idx
+    )
+    SELECT source,
+           COUNT(*) AS nnz_buckets,
+           CAST(SUM(total) AS BIGINT) AS total_tokens,
+           CAST(SUM((idx + 1) * total) AS BIGINT) AS widx_sum,
+           CAST(SUM(total * total) AS BIGINT) AS bucket_sumsq
+    FROM per_bucket GROUP BY source ORDER BY source
+    """,
+    doc="Feature-hashing ('hashing trick') featurizer profile: every "
+    "document is mapped to a fixed 64-dim integer count vector by "
+    "operators/text.hashed_count_vector — hash(token) % dim with a "
+    "portable md5 bucket — entirely in higher-order JVM expressions "
+    "(split -> per-token hash -> per-bucket size(filter(...))), the "
+    "zero-vocabulary featurization of Weinberger et al. 2009. The "
+    "query posexplodes the sparse entries (<= dim rows per doc) and "
+    "reduces to per-source bucket-occupancy statistics: nnz_buckets "
+    "(collision structure), total_tokens (mass conservation — must "
+    "equal the raw token count, so a lost or double-counted bucket "
+    "breaks the hash), widx_sum (position-weighted — breaks if bucket "
+    "indices shift), bucket_sumsq (the collision-energy term that "
+    "governs hashing-trick variance). The DuckDB oracle replays the "
+    "bucket math directly from tokens, bypassing the vector operator — "
+    "so the operator's transform/filter/sequence pipeline is what is "
+    "under test. Scale shape: the featurizer is map-side-only inside "
+    "whole-stage codegen (no vocab broadcast, no shuffle); the single "
+    "exchange is the (source, idx)-grain partial-aggregated rollup, "
+    "<= sources x 64 rows. 100 TB verdict: embarrassingly parallel.",
+)
+def hashed_feature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import (
+        hashed_count_vector,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    vec = hashed_count_vector("text", _FH_DIM, portable=True)
+    exploded = docs.select(
+        "source", F.posexplode(vec).alias("idx", "cnt")
+    ).where(F.col("cnt") > 0)
+    per_bucket = exploded.groupBy("source", "idx").agg(
+        F.sum("cnt").alias("total")
+    )
+    return (
+        per_bucket.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nnz_buckets"),
+            F.sum("total").alias("total_tokens"),
+            F.sum((F.col("idx") + 1) * F.col("total")).alias("widx_sum"),
+            F.sum(F.col("total") * F.col("total")).alias("bucket_sumsq"),
+        )
+        .orderBy("source")
+    )

@@ -703,3 +703,56 @@ def test_qlsh_portable_ann_properties_and_replay(spark, sf_dir, duck):
     assert [tuple(r) for r in rows] == [
         tuple(r) for r in duck.execute(q.oracle).fetchall()
     ]
+
+
+def test_hashed_count_vector_matches_python_and_conserves_mass(spark):
+    """The feature-hashing featurizer (higher-order JVM expressions)
+    agrees with a driver-side Python recomputation bucket-for-bucket in
+    portable mode, conserves token mass in both hash modes, and the
+    whole vector stays map-side (no exchange before an action)."""
+    import hashlib
+
+    from healthcare_aihw_etl_pipeline_spark.operators.text import (
+        hashed_count_vector,
+    )
+
+    texts = [
+        "the quick brown fox  jumps over the lazy dog",
+        "  spark  spark spark catalyst tungsten ",
+        "",
+        "one",
+        "a b c d e f g h a b a",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    dim = 16
+
+    def py_vec(text):
+        out = [0] * dim
+        for tok in text.strip().lower().split():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+            out[b] += 1
+        return out
+
+    got = {
+        r.i: r.v
+        for r in df.select(
+            "i", hashed_count_vector("t", dim).alias("v")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_vec(t), (i, t)
+    # fast path: same mass per row, same fixed dim
+    fast = {
+        r.i: r.v
+        for r in df.select(
+            "i", hashed_count_vector("t", dim, portable=False).alias("v")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert len(fast[i]) == dim
+        assert sum(fast[i]) == len(t.split())
+    # the featurizer itself introduces no exchange
+    plan = df.select(
+        hashed_count_vector("t", dim).alias("v")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
