@@ -57,6 +57,10 @@ OPS = [
     "embedding_cluster_keep_best",
     "copurchase_triangle_count",
     "token_shard_plan",
+    # round-10 addition: the partition-local index rebuild (commit
+    # 8c5042b) — the one retrieval op the r9 verdict still had >2x at
+    # sf10; the curve is its committed evidence.
+    "inverted_index_top20",
 ]
 
 
