@@ -167,7 +167,7 @@ _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R9
 _MUST_VERIFY_R10: list[str] = [
     # new this round
     "audio_pcm_features", "ivm_full_outer_snapshot", "video_avi_features",
-    "hashed_feature_profile",
+    "hashed_feature_profile", "json_props_variant_agg",
     # round-5 cohort tail — rolled forward from the r9 window
     "bipartite_pagerank_top20",
     "duplicate_ngram_top20", "jaccard_pair_similarity",
