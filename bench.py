@@ -349,6 +349,10 @@ def run_spark() -> tuple[
                 "wall": round(w1_min, 4),
                 "wall_med": round(w1_med, 4),
                 "seq": round(sum(seq1.values()), 4),
+                # per-query sf1 decomposition rides into BENCH_DETAIL
+                # (stripped from stdout): the data needed to attack the
+                # wave's critical path instead of guessing it.
+                "per_query": {n: round(v, 4) for n, v in seq1.items()},
             }
         except Exception as e:  # sf1 leg is additive evidence, never fatal
             print(f"bench: sf1 spark leg failed ({e})", file=sys.stderr)
@@ -536,9 +540,15 @@ def main() -> None:
             sf1["duckdb"] = round(sum(d1.values()), 4)
             sf1["duckdb_wave"] = d1_wave
             sf1["duckdb_wave_med"] = d1_wave_med
+        sf1_per_query = sf1.pop("per_query", None)  # detail-only
         out["sf1"] = sf1
     # Full per-query decomposition: stderr + BENCH_DETAIL.json, never stdout.
     detail = {"exec_sec": execs, "cold_sec": colds, "med_sec": medians}
+    if sf1 and sf1_dir and sf1_per_query:
+        detail["sf1_seq_sec"] = sf1_per_query
+        d1 = (duck_all.get(sf1_dir) or ({},))[0]
+        if d1:
+            detail["sf1_duckdb_sec"] = d1
     if times_small:
         floor, marginal = _split(times, times_small)
         detail["floor_sec"] = floor
