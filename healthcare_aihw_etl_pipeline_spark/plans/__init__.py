@@ -178,6 +178,11 @@ _MUST_VERIFY_R10: list[str] = [
     "time_rollup_revenue", "event_type_transitions", "customer_revenue_gini",
     "salted_event_type_totals", "doc_length_quartiles_by_source",
     "events_in_prior_hour", "event_type_reconciliation",
+    # sketch stores — placed INSIDE the ~50-entry driver window (the
+    # r9 verdict names them explicitly; with 54 pinned entries they
+    # must not sit at the tail)
+    "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
+    "theta_retention_day7", "quantile_sketch_prices",
     # round-6 cohort — oldest evidence, regression sweep
     "numeric_profile_lineitem", "frequent_values_orders",
     "lineitem_correlation_matrix", "orders_date_islands",
@@ -190,11 +195,10 @@ _MUST_VERIFY_R10: list[str] = [
     "lang_id_distribution", "rolling_7day_distinct_users",
     "top_orders_with_ties", "order_vs_peers_leave_one_out",
     "brand_price_tiers", "user_event_type_map_json",
+    # tail (may fall outside an exactly-50 window; re-verified by the
+    # committed full-registry sweep either way)
     "quantity_price_covariance", "weighted_median_price",
     "mad_outlier_orders", "event_type_run_lengths",
-    # sketch stores
-    "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
-    "theta_retention_day7", "quantile_sketch_prices",
 ]
 
 
