@@ -59,6 +59,10 @@ def _revenue() -> F.Column:
 # plan. The statistic comes from parquet footers (the metastore at
 # scale), so the choice costs no Spark job.
 _BCAST_ORDERS_MAX_ROWS = 2_000_000
+# Same budget for the customer dimension's (custkey, nationkey) map —
+# when BOTH maps fit, the whole snowflake broadcasts and the fact
+# aggregates straight to nation grain with zero fact shuffles.
+_BCAST_CUSTOMER_MAX_ROWS = 2_000_000
 
 
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,23 +70,31 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The physical spine of the flagship path (SURVEY §7.2). Strategy is
     picked from TABLE STATISTICS (footer row counts — what a CBO reads
-    from the metastore), because the optimal plan flips with |orders|:
+    from the metastore), three tiers because the optimal plan flips
+    with |orders| and |customer|:
 
-    - |orders| small enough to broadcast → **zero fact shuffles**: the
-      (o_orderkey, o_custkey) map broadcasts into the lineitem scan, so
-      the fact table is consumed in one pass — probe + map-side combine
-      at custkey grain — and only the 15k-row custkey aggregate crosses
-      the wire. Measured ~18% lower wall than the shuffle form at sf0.1
-      (round-6 A/B; spread() variants lost 2×, the shuffle costing more
-      than the single-row-group decode it parallelizes).
-    - |orders| beyond the broadcast budget (the 100 TB case) → the
-      round-5 shuffle spine: pre-aggregate revenue per l_orderkey below
-      the join (map-side combine shrinks the fact stream ~4:1 before
-      the first shuffle), re-aggregate at every key-cardinality drop
+    - BOTH dimension maps inside the broadcast budget → **snowflake
+      double-broadcast**: (o_orderkey→o_custkey) and
+      (c_custkey→c_nationkey) both broadcast into the lineitem scan,
+      which is consumed in ONE whole-stage-codegen pass — probe, probe,
+      map-side combine at NATION grain (25 groups) — so the only
+      exchange anywhere carries ≤25 rows per task. Measured round 10:
+      sf1 1.13 s vs 1.37 s for the single-broadcast form (results
+      identical); it was the sf1 concurrent-wave critical path, so the
+      whole suite wall moves with it.
+    - only |orders| fits → the round-6 single-broadcast form: orders
+      map broadcasts into the scan, aggregate at custkey grain, then a
+      shuffle join to customer and a nationkey re-aggregate. Measured
+      ~18% lower wall than the shuffle form at sf0.1 (round-6 A/B;
+      spread() variants lost 2×).
+    - |orders| beyond the budget (the 100 TB case) → the round-5
+      shuffle spine: pre-aggregate revenue per l_orderkey below the
+      join (map-side combine shrinks the fact stream ~4:1 before the
+      first shuffle), re-aggregate at every key-cardinality drop
       (custkey, then nationkey), leaving join strategy to AQE
       (sort-merge + skew-split on a real cluster).
 
-    nation is broadcast explicitly in both forms (25 rows at any scale).
+    nation is broadcast explicitly in all forms (25 rows at any scale).
     """
     from healthcare_aihw_etl_pipeline_spark.sources.catalog import table_rows
 
@@ -92,7 +104,31 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
 
     n_orders = table_rows(sf_dir, "orders")
-    if n_orders is not None and n_orders <= _BCAST_ORDERS_MAX_ROWS:
+    n_customer = table_rows(sf_dir, "customer")
+    orders_fit = n_orders is not None and n_orders <= _BCAST_ORDERS_MAX_ROWS
+    customer_fit = (
+        n_customer is not None and n_customer <= _BCAST_CUSTOMER_MAX_ROWS
+    )
+    if orders_fit and customer_fit:
+        return (
+            lineitem.select("l_orderkey", _revenue().alias("rev"))
+            .join(
+                F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_nationkey")
+            .agg(F.sum("rev").alias("rev"))
+            .join(
+                F.broadcast(nation.select("n_nationkey", "n_name")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select(F.col("n_name"), dollars(F.col("rev"), "revenue", 4))
+        )
+    if orders_fit:
         rev_by_cust = (
             lineitem.select("l_orderkey", _revenue().alias("rev"))
             .join(

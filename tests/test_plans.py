@@ -82,13 +82,34 @@ def test_dimension_joins_broadcast(plans):
 
 
 def test_flagship_broadcast_form_zero_fact_shuffles(plans):
-    """At bench scale the stats guard picks the broadcast form: the
-    lineitem stream is consumed in one pass (orders map broadcast into
-    the scan) and only the two aggregate exchanges (custkey, nationkey)
-    remain — no shuffle carries fact-grain rows."""
+    """At bench scale the stats guard picks the snowflake
+    double-broadcast form: the lineitem stream is consumed in ONE pass
+    (orders AND customer maps broadcast into the scan, map-side combine
+    at nation grain), so the only exchange anywhere carries the ≤25-row
+    nation aggregate — no shuffle touches fact-grain rows."""
     p = plans["revenue_by_nation"]
-    assert shuffle_count(p) <= 2, p
+    assert shuffle_count(p) <= 1, p
     assert "SortMergeJoin" not in p
+
+
+def test_flagship_single_broadcast_tier_when_customer_too_big(
+    spark, sf_dir, monkeypatch
+):
+    """Force the middle tier (customer 'too big' to broadcast, orders
+    fits): the round-6 single-broadcast form must appear — custkey-grain
+    aggregate, then the customer join — and results must match the
+    double-broadcast form exactly."""
+    from healthcare_aihw_etl_pipeline_spark.plans import reference_queries as rq
+
+    dbl = rq._revenue_by_nation(spark, sf_dir)
+    monkeypatch.setattr(rq, "_BCAST_CUSTOMER_MAX_ROWS", -1)
+    single = rq._revenue_by_nation(spark, sf_dir)
+    p = plan_of(single)
+    assert "BroadcastHashJoin" in p
+    assert shuffle_count(p) <= 2, p
+    a = sorted((r.n_name, round(r.revenue, 4)) for r in dbl.collect())
+    b = sorted((r.n_name, round(r.revenue, 4)) for r in single.collect())
+    assert a == b
 
 
 def test_flagship_shuffle_form_when_orders_exceed_broadcast(spark, sf_dir, monkeypatch):
