@@ -92,35 +92,45 @@ def test_flagship_broadcast_form_zero_fact_shuffles(plans):
     assert "SortMergeJoin" not in p
 
 
-def test_flagship_single_broadcast_tier_when_customer_too_big(
+def test_flagship_shj_tier_when_dims_exceed_snowflake_budget(
     spark, sf_dir, monkeypatch
 ):
-    """Force the middle tier (customer 'too big' to broadcast, orders
-    fits): the round-6 single-broadcast form must appear — custkey-grain
-    aggregate, then the customer join — and results must match the
-    double-broadcast form exactly."""
+    """Force the middle tier (dims past the broadcast-build budget,
+    orders within the shuffled-hash bound): the fact and orders must
+    exchange and join via ShuffledHashJoin (per-partition parallel
+    builds — the round-10 A/B that took the sf1 wave wall down), with
+    customer still a broadcast probe; results must match the
+    double-broadcast form exactly. With customer past its budget too,
+    the custkey-grain aggregate subtier appears instead."""
     from healthcare_aihw_etl_pipeline_spark.plans import reference_queries as rq
 
     dbl = rq._revenue_by_nation(spark, sf_dir)
-    monkeypatch.setattr(rq, "_BCAST_CUSTOMER_MAX_ROWS", -1)
-    single = rq._revenue_by_nation(spark, sf_dir)
-    p = plan_of(single)
-    assert "BroadcastHashJoin" in p
-    assert shuffle_count(p) <= 2, p
+    monkeypatch.setattr(rq, "_BCAST_SNOWFLAKE_MAX_ROWS", -1)
+    shj = rq._revenue_by_nation(spark, sf_dir)
+    p = plan_of(shj)
+    assert "ShuffledHashJoin" in p, p
+    assert "BroadcastHashJoin" in p  # customer + nation probes
     a = sorted((r.n_name, round(r.revenue, 4)) for r in dbl.collect())
-    b = sorted((r.n_name, round(r.revenue, 4)) for r in single.collect())
+    b = sorted((r.n_name, round(r.revenue, 4)) for r in shj.collect())
     assert a == b
+    monkeypatch.setattr(rq, "_BCAST_CUSTOMER_MAX_ROWS", -1)
+    shj_cust = rq._revenue_by_nation(spark, sf_dir)
+    p2 = plan_of(shj_cust)
+    assert "ShuffledHashJoin" in p2, p2
+    c = sorted((r.n_name, round(r.revenue, 4)) for r in shj_cust.collect())
+    assert a == c
 
 
 def test_flagship_shuffle_form_when_orders_exceed_broadcast(spark, sf_dir, monkeypatch):
-    """Force the stats guard down the scale path (orders 'too big' to
-    broadcast): the pre-aggregation spine must appear — revenue rolled
-    up per l_orderkey BEFORE the orders join — and results must match
-    the broadcast form exactly."""
+    """Force the stats guard down the scale path (orders 'too big' for
+    every hash-build tier): the pre-aggregation spine must appear —
+    revenue rolled up per l_orderkey BEFORE the orders join — and
+    results must match the broadcast form exactly."""
     from healthcare_aihw_etl_pipeline_spark.plans import reference_queries as rq
 
     bcast = rq._revenue_by_nation(spark, sf_dir)
-    monkeypatch.setattr(rq, "_BCAST_ORDERS_MAX_ROWS", -1)
+    monkeypatch.setattr(rq, "_BCAST_SNOWFLAKE_MAX_ROWS", -1)
+    monkeypatch.setattr(rq, "_SHJ_ORDERS_MAX_ROWS", -1)
     shuf = rq._revenue_by_nation(spark, sf_dir)
     p = plan_of(shuf)
     # three exchanges: orderkey pre-agg, custkey re-agg, nationkey agg
