@@ -192,3 +192,55 @@ def test_shard_by_budget_matches_local_prefix_sum(spark, costs, budget):
         acc += c
         want[i] = (acc, (acc - c) // budget)
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),   # width (exercises all pad widths)
+    st.integers(min_value=1, max_value=7),   # height
+    st.integers(min_value=1, max_value=5),   # frames
+    st.integers(min_value=1, max_value=60),  # fps
+    st.randoms(use_true_random=False),
+)
+def test_avi_codec_roundtrip_property(w, h, nf, fps, rnd):
+    """Every (width, height, frames, fps) combination round-trips
+    bit-for-bit through the RIFF/AVI encoder and the independent RIFF
+    walker — including all four stride-padding classes (w*3 mod 4) and
+    single-pixel/single-frame degenerates. Pure-Python property: no
+    Spark session, so hypothesis can afford real coverage."""
+    from healthcare_aihw_etl_pipeline_spark.operators.multimodal import (
+        decode_avi_rgb24,
+        encode_avi_rgb24,
+    )
+
+    frames = [
+        bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        for _ in range(nf)
+    ]
+    gw, gh, gfps, gn, got = decode_avi_rgb24(
+        encode_avi_rgb24(frames, w, h, fps)
+    )
+    assert (gw, gh, gfps, gn) == (w, h, fps, nf)
+    assert got == frames
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767),
+             min_size=1, max_size=200),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_codec_roundtrip_property(samples, rate):
+    """Arbitrary int16 PCM round-trips through the struct RIFF/WAVE
+    encoder and the stdlib `wave` decoder with exact integer moments."""
+    from healthcare_aihw_etl_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    sr, ch, n, peak, sumsq = decode_wav_pcm16(
+        encode_wav_pcm16(samples, rate)
+    )
+    assert (sr, ch, n) == (rate, 1, len(samples))
+    assert peak == max(abs(s) for s in samples)
+    assert sumsq == sum(s * s for s in samples)
