@@ -75,13 +75,14 @@ def main() -> None:
                 REGISTRY[n].fn(spark, d).where(F.lit(True)).collect()
             seq_best = min(seq_best, time.perf_counter() - t0)
         wave_min, wave_med = bench._wave(spark, d, reps=max(reps, 3))
-        duck, duck_wave = bench.run_duckdb([d])[d]
+        duck, duck_wave, duck_wave_med = bench.run_duckdb([d])[d]
         out[label] = {
             "spark_seq": round(seq_best, 3),
             "spark_wave": round(wave_min, 3),
             "spark_wave_med": round(wave_med, 3),
             "duckdb_seq": round(sum(duck.values()), 3),
             "duckdb_wave": duck_wave,
+            "duckdb_wave_med": duck_wave_med,
         }
         print(f"{label}: {out[label]}", file=sys.stderr)
     # growth factors per decade and ratio trend
@@ -103,8 +104,12 @@ def main() -> None:
         for lb, v in out.items()
         if v["duckdb_seq"]
     }
-    print(json.dumps({"metric": "scale_curve_headline13",
-                      "points": out, "growth": growth, "ratios": ratios}))
+    result = {"metric": "scale_curve_headline13",
+              "points": out, "growth": growth, "ratios": ratios}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE_CURVE_r10.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
