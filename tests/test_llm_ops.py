@@ -240,15 +240,43 @@ def test_connected_components_chain_and_islands(spark):
 
 def test_connected_components_long_chain_converges(spark):
     """A 12-node path graph needs multiple propagation rounds — the loop
-    must reach the fixed point, not stop early."""
+    must reach the fixed point, not stop early. small_edge_cap=0 forces
+    the DISTRIBUTED pointer-jumping path (the default would take the
+    bounded driver union-find fast path on a graph this small), so this
+    test keeps the at-scale loop itself covered."""
     from healthcare_aihw_etl_pipeline_spark.operators.dedup import connected_components
 
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(11, 0, -1)], ["src", "dst"]
     )
-    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    comp = {
+        r.node: r.component
+        for r in connected_components(edges, small_edge_cap=0).collect()
+    }
     assert set(comp.values()) == {1}
     assert len(comp) == 12
+
+
+def test_connected_components_paths_agree_at_cap_boundary(spark):
+    """Driver union-find and the distributed loop must return identical
+    labelings on the same graph — including exactly at the cap boundary
+    (symmetric edge count == cap takes the fast path, cap-1 forces the
+    loop). Mixed topology: chain + triangle + isolated edge."""
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import connected_components
+
+    raw = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    n_sym = 2 * len(raw)  # no duplicate/self edges → symmetric count
+    fast = {
+        r.node: r.component
+        for r in connected_components(edges, small_edge_cap=n_sym).collect()
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(edges, small_edge_cap=n_sym - 1).collect()
+    }
+    assert fast == dist
+    assert fast[4] == 1 and fast[12] == 10 and fast[21] == 20
 
 
 def test_dup_edges_deterministic_links_prefix_and_exact(spark):
