@@ -24,6 +24,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import round8_queries  # noqa: F40
 from healthcare_aihw_etl_pipeline_spark.plans import round8b_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round9_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round10_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import round11_queries  # noqa: F401,E402
 
 # Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the
@@ -201,6 +202,48 @@ _MUST_VERIFY_R10: list[str] = [
     "mad_outlier_orders", "event_type_run_lengths",
 ]
 
+# CORRECTNESS_FULL_r10.json: the committed round-10 full-registry sweep
+# (205 queries, 200 hash-green, 0 failures) covered every name in the
+# r10 window above; treat them as green for the r11 rotation.
+_DRIVER_GREEN_R10 = list(_MUST_VERIFY_R10)
+_DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R10
+
+# Round 11 rotates per the standing policy (new queries lead, then the
+# oldest driver evidence): the five round-11 queries, then the round-8
+# cohort — last driver-verified in CORRECTNESS_r08 and now the oldest
+# window evidence (it also contains embedding_cluster_keep_best and
+# cluster_aware_split, whose shared connected_components operator
+# gained a bounded driver fast path this round — plus
+# dedup_transitive_clusters for the same reason), then the round-7
+# portable-sketch family, then r1-3 stalwarts to fill ~50.
+_MUST_VERIFY_R11: list[str] = [
+    # new this round
+    "skyline_orders", "max_concurrent_sessions",
+    "largest_remainder_allocation", "poisson_bootstrap_order_value",
+    "kmeans_refine_clusters",
+    # connected_components changed this round — re-verify all callers
+    "embedding_cluster_keep_best", "cluster_aware_split",
+    "dedup_transitive_clusters",
+    # round-8 cohort (oldest window evidence)
+    "k_anonymity_audit", "cms_token_heavy_hitters", "token_shard_plan",
+    "daily_value_interpolated", "copurchase_2hop_reach", "value_drift_psi",
+    "priority_status_mutual_info", "benford_first_digit_audit",
+    "ivm_join_snapshot", "daily_revenue_autocorr", "dow_revenue_seasonality",
+    "last_touch_attribution", "session_pattern_match", "revenue_changepoint",
+    "linear_decay_attribution", "ab_value_t_statistic", "quality_decile_lift",
+    "priority_status_chi2", "bm25_search_top10", "inverted_index_top20",
+    "phrase_search_top10", "weighted_sample_orders", "scd2_user_tier_history",
+    "scd2_temporal_join", "data_quality_audit", "doc_bigram_nll_top20",
+    "supplier_balance_distribution", "copurchase_triangle_count",
+    "pivot_dynamic_priority", "bm25_eval_screen_top3", "zorder_layout_stats",
+    # round-7 portable-sketch family
+    "json_props_regexp_agg", "minhash_dup_clusters_portable",
+    "simhash_dup_clusters_portable", "ann_qlsh_top10_portable",
+    # r1-3 stalwarts (benched headline shapes)
+    "revenue_by_nation", "pricing_summary", "top_nation", "filter_in_agg",
+    "json_props_agg", "events_hourly_window", "top10_brands_by_revenue",
+]
+
 
 def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     """Rebuild the registry dict with unverified queries first.
@@ -211,8 +254,8 @@ def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R10 if n in registry]
-    placed = set(_MUST_VERIFY_R10)
+    pinned = [registry[n] for n in _MUST_VERIFY_R11 if n in registry]
+    placed = set(_MUST_VERIFY_R11)
     promoted_oracle = [
         q
         for n, q in registry.items()

@@ -1,0 +1,599 @@
+"""Round-11 query families: order-statistics and resampling shapes a
+large analytics engine needs beyond plain aggregation — Pareto-skyline
+extraction (two-phase, partition-local pruning before a bounded global
+pass), sweep-line interval concurrency, largest-remainder integer
+apportionment, deterministic Poisson-bootstrap inference, and a
+two-iteration Lloyd k-means refinement over the embedding table with
+bit-exact cross-engine parity.
+
+Same contract as every plans module: idiomatic PySpark paired with a
+DuckDB oracle whose arithmetic is bit-identical — exact integer cents,
+quantization before any cross-row float sum, single IEEE ops on
+identical literal expressions. Reference lineage: the reference
+(/root/reference/main.py) computes ranked/percentage views of grouped
+admissions; these queries extend the same grouped-analytics surface to
+the order-statistics/resampling family at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.plans.registry import (
+    cents,
+    register,
+    sql_cents,
+)
+from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
+    sql_md5_uniform,
+)
+from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (two-phase)
+
+# Bucket width for the partition-local skyline phase, in epoch days.
+# Any grouping works (dominance is transitive, so a locally-dominated
+# point is also globally dominated); ~quarterly buckets keep each local
+# window far under executor memory at any SF.
+_SKY_BUCKET_DAYS = 96
+
+
+@register(
+    "skyline_orders",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS order_day,
+             {sql_cents('o_totalprice')} AS price_c
+      FROM orders
+    ),
+    loc AS (
+      SELECT *,
+             MAX(price_c) OVER (
+               PARTITION BY order_day // {_SKY_BUCKET_DAYS}
+               ORDER BY order_day
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS before_max,
+             MAX(price_c) OVER (
+               PARTITION BY order_day // {_SKY_BUCKET_DAYS}, order_day
+             ) AS day_max
+      FROM pts
+    ),
+    surv AS (
+      SELECT o_orderkey, order_day, price_c FROM loc
+      WHERE (before_max IS NULL OR before_max < price_c)
+        AND price_c = day_max
+    ),
+    gpass AS (
+      SELECT *,
+             MAX(price_c) OVER (
+               ORDER BY order_day
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS before_max,
+             MAX(price_c) OVER (PARTITION BY order_day) AS day_max
+      FROM surv
+    )
+    SELECT o_orderkey, order_day, price_c
+    FROM gpass
+    WHERE (before_max IS NULL OR before_max < price_c)
+      AND price_c = day_max
+    ORDER BY order_day
+    """,
+    doc="Pareto skyline of orders (earliest date, highest price): every "
+    "order not dominated by another that is no later AND no cheaper "
+    "(strictly better on at least one axis). Two-phase plan — the only "
+    "shape that survives 100 TB: phase 1 computes bucket-local skylines "
+    "with a per-bucket running-max window (dominance is transitive, so "
+    "anything locally dominated is globally dominated and partitions "
+    "never need to see each other's raw rows); phase 2 re-runs the same "
+    "running-max over the survivors only — expected O(log n) per bucket "
+    "for unordered data, so the global window's input is tiny. Exact "
+    "integer cents make every comparison engine-identical; equal "
+    "(day, price) duplicates are mutually non-dominating and both kept "
+    "(the day_max equality keeps ties, the strict before_max keeps "
+    "cross-day semantics).",
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("order_day"),
+        cents("o_totalprice").alias("price_c"),
+    )
+
+    def skyline_pass(df: DataFrame, *bucket_cols) -> DataFrame:
+        w_before = (
+            Window.partitionBy(*bucket_cols)
+            .orderBy("order_day")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_day = Window.partitionBy(*bucket_cols, "order_day")
+        return (
+            df.withColumn("before_max", F.max("price_c").over(w_before))
+            .withColumn("day_max", F.max("price_c").over(w_day))
+            .where(
+                (F.col("before_max").isNull()
+                 | (F.col("before_max") < F.col("price_c")))
+                & (F.col("price_c") == F.col("day_max"))
+            )
+            .select("o_orderkey", "order_day", "price_c")
+        )
+
+    local = skyline_pass(
+        pts.withColumn(
+            "bucket", F.floor(F.col("order_day") / _SKY_BUCKET_DAYS)
+        ),
+        "bucket",
+    )
+    return skyline_pass(local).orderBy("order_day")
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency
+
+
+@register(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    deltas AS (
+      SELECT day, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+      UNION ALL
+      SELECT day, e AS t, CAST(-1 AS BIGINT) AS d FROM iv
+    ),
+    run AS (
+      SELECT day,
+             SUM(d) OVER (
+               PARTITION BY day ORDER BY t, d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS running
+      FROM deltas
+    )
+    SELECT r.day, n.n_sessions, r.max_concurrent
+    FROM (SELECT day, MAX(running) AS max_concurrent FROM run GROUP BY day) r
+    JOIN (SELECT day, COUNT(*) AS n_sessions FROM iv GROUP BY day) n
+      USING (day)
+    ORDER BY day
+    """,
+    doc="Sweep-line interval concurrency: per-user daily activity "
+    "spans [first event, last event] become +1/-1 boundary deltas; a "
+    "running prefix sum ordered by (time, +1 before -1 — closed "
+    "intervals: a span ending at t and one starting at t ARE "
+    "concurrent) gives the active-session count at every boundary, and "
+    "its per-day max is the day's peak concurrency. Scale shape: "
+    "intervals never span days by construction, so the sweep partitions "
+    "exactly by day — no global sort, no single-partition window, and "
+    "the per-day prefix sum is the textbook parallel sweep-line. Tie "
+    "blocks of identical (t, d) rows produce consecutive running "
+    "values whose MAX is permutation-invariant, so the window is "
+    "deterministic cross-engine even where row order within ties is "
+    "not.",
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    deltas = iv.select(
+        "day", F.col("s").alias("t"), F.lit(1).cast("long").alias("d")
+    ).unionByName(
+        iv.select(
+            "day", F.col("e").alias("t"), F.lit(-1).cast("long").alias("d")
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaks = (
+        deltas.withColumn("running", F.sum("d").over(w))
+        .groupBy("day")
+        .agg(F.max("running").alias("max_concurrent"))
+    )
+    counts = iv.groupBy("day").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        peaks.join(counts, "day")
+        .select("day", "n_sessions", "max_concurrent")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder integer apportionment
+
+_ALLOC_SEATS = 10_000
+
+
+@register(
+    "largest_remainder_allocation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name, SUM({sql_cents('o.o_totalprice')}) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (SELECT SUM(rev_c) AS t FROM rev),
+    q AS (
+      SELECT n_name, rev_c,
+             ({_ALLOC_SEATS} * rev_c) // t AS floor_alloc,
+             ({_ALLOC_SEATS} * rev_c) % t AS remainder
+      FROM rev, tot
+    ),
+    lo AS (SELECT {_ALLOC_SEATS} - SUM(floor_alloc) AS leftover FROM q),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY remainder DESC, n_name ASC) AS rk
+      FROM q
+    )
+    SELECT n_name, floor_alloc,
+           CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS final_alloc
+    FROM ranked, lo
+    ORDER BY n_name
+    """,
+    doc="Largest-remainder (Hamilton) apportionment of a fixed "
+    f"{_ALLOC_SEATS}-seat budget across nations proportional to exact "
+    "order revenue: integer floor quotas, then one seat each to the "
+    "largest remainders (name tiebreak) until the budget is exact — "
+    "sum(final_alloc) == budget by construction, no floating point "
+    "anywhere. Scale shape: one groupBy to the 25-row nation grain "
+    "(broadcast dim joins), a 1-row total crossJoin, and a window over "
+    "the dimension-bounded aggregate — the fact table is touched once. "
+    "Overflow bound: seats x total cents stays under 2^63 through "
+    "~sf10 (2e18); widen to decimal(38,0) on BOTH engines beyond that.",
+)
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    )
+    tot = rev.agg(F.sum("rev_c").alias("t"))
+    q = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "rev_c",
+        F.expr(f"({_ALLOC_SEATS} * rev_c) div t").alias("floor_alloc"),
+        F.expr(f"({_ALLOC_SEATS} * rev_c) % t").alias("remainder"),
+    )
+    lo = q.agg((F.lit(_ALLOC_SEATS) - F.sum("floor_alloc")).alias("leftover"))
+    ranked = q.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), F.col("n_name").asc())
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lo))
+        .select(
+            "n_name",
+            "floor_alloc",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("final_alloc"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap
+
+_BOOT_B = 32
+# Cumulative Poisson(1) CDF, P(X <= k) for k = 0..6; u above the last
+# threshold draws weight 7 (P ~ 8e-5 — the tail truncation changes a
+# replica's weight sum by <0.01%, identically in both engines). The
+# literals are repr() of the exact doubles, spliced into BOTH engines'
+# expressions so the parsed constants are bit-identical.
+_POISSON_CDF = [
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712",
+]
+_POISSON_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u <= {c} THEN {k}" for k, c in enumerate(_POISSON_CDF)
+    )
+    + " ELSE 7 END"
+)
+
+
+@register(
+    "poisson_bootstrap_order_value",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, {sql_cents('o_totalprice')} AS price_c FROM orders
+    ),
+    rep AS (
+      SELECT o.price_c, g.b,
+             {sql_md5_uniform(
+                 "CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)"
+             )} AS u
+      FROM o, unnest(generate_series(0, {_BOOT_B - 1})) AS g(b)
+    ),
+    per AS (
+      SELECT b,
+             SUM(CAST({_POISSON_CASE} AS BIGINT) * price_c) AS s1,
+             SUM(CAST({_POISSON_CASE} AS BIGINT)) AS s0
+      FROM rep GROUP BY b
+    ),
+    means AS (SELECT CAST(s1 // s0 AS BIGINT) AS q FROM per),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(q) AS sq, SUM(q * q) AS sqq FROM means
+    ),
+    base AS (
+      SELECT COUNT(*) AS n_orders, SUM(price_c) AS total_c FROM o
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n AS BIGINT) AS n_replicas,
+           CAST((total_c * 1000) // n_orders AS BIGINT) AS mean_millicents,
+           CAST(floor(sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                           / ({_BOOT_B} * {_BOOT_B - 1}))
+                      * 100 + 0.5) AS BIGINT) AS boot_se_centicents
+    FROM base, stats
+    """,
+    doc=f"Deterministic Poisson bootstrap ({_BOOT_B} replicas) of the "
+    "mean order value: each (order, replica) draws a Poisson(1) "
+    "resampling weight by inverting the CDF at a md5-uniform — the "
+    "distributed-bootstrap standard (resampling n-out-of-n needs "
+    "global coordination; independent Poisson counts need none and "
+    "converge to the same distribution), here made bit-reproducible "
+    "so the DuckDB oracle replays every draw. Replica means are "
+    "quantized to integer cents BEFORE the cross-replica variance "
+    "(the only cross-row float risk), and the variance itself is "
+    "exact-integer (n*sumsq - sum^2). Scale shape: the explode is "
+    f"map-side ({_BOOT_B}x amplification folded by partial "
+    "aggregation into 32 groups per partition before the shuffle), "
+    "per-replica sums are associative longs, and the final stats run "
+    "on a 32-row relation. Overflow: q is a replica MEAN in cents — "
+    "scale-invariant — so n*sumsq stays ~1e17 at any SF.",
+)
+def poisson_bootstrap_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
+        md5_uniform,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("price_c")
+    )
+    rep = (
+        o.select(
+            "o_orderkey",
+            "price_c",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .withColumn(
+            "u", md5_uniform(F.concat_ws(":", F.col("o_orderkey"), F.col("b")))
+        )
+        .withColumn("w", F.expr(_POISSON_CASE).cast("long"))
+    )
+    per = rep.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("price_c")).alias("s1"),
+        F.sum("w").alias("s0"),
+    )
+    means = per.select(F.expr("s1 div s0").cast("long").alias("q"))
+    stats = means.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("price_c").alias("total_c")
+    )
+    return base.crossJoin(F.broadcast(stats)).select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n").cast("long").alias("n_replicas"),
+        F.expr("(total_c * 1000) div n_orders")
+        .cast("long")
+        .alias("mean_millicents"),
+        F.floor(
+            F.sqrt(
+                (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"))
+                .cast("double")
+                / F.lit(float(_BOOT_B * (_BOOT_B - 1)))
+            )
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("boot_se_centicents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-iteration Lloyd k-means refinement (exact cross-engine parity)
+
+_KM_K = 8
+_KM_DIMS = 64
+_KM_Q = 1_048_576  # 2^20 coordinate quantizer for centroid means
+_KM_DQ = "1000000000.0"  # per-term distance quantizer (1e9), literal text
+
+
+def _sql_dist_q(a: str, b: str) -> str:
+    """Quantized squared L2 distance between two double lists — every
+    per-dimension term is floored to an integer BEFORE the sum, so the
+    fold order of list_sum cannot matter."""
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), p -> "
+        f"CAST(floor((p[1] - p[2]) * (p[1] - p[2]) * {_KM_DQ} + 0.5) "
+        f"AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _km_dist_q(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, c: F.floor((x - c) * (x - c) * F.expr(_KM_DQ) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "kmeans_refine_clusters",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cluster, ev AS cv FROM v WHERE vec_id < {_KM_K}
+    ),
+    d1 AS (
+      SELECT v.vec_id, v.ev, c0.cluster,
+             {_sql_dist_q('v.ev', 'c0.cv')} AS dq
+      FROM v, c0
+    ),
+    a1 AS (
+      SELECT vec_id, ev, cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dq, cluster) AS rn FROM d1
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cluster, g.dim,
+             (CAST(SUM(CAST(floor(ev[g.dim] * {_KM_Q} + 0.5) AS BIGINT))
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / {_KM_Q}.0 AS cm
+      FROM a1, unnest(generate_series(1, {_KM_DIMS})) AS g(dim)
+      GROUP BY cluster, g.dim
+    ),
+    c1 AS (
+      SELECT cluster, list(cm ORDER BY dim) AS cv FROM m1 GROUP BY cluster
+    ),
+    d2 AS (
+      SELECT v.vec_id, c1.cluster,
+             {_sql_dist_q('v.ev', 'c1.cv')} AS dq
+      FROM v, c1
+    ),
+    a2 AS (
+      SELECT vec_id, cluster, dq FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dq, cluster) AS rn FROM d2
+      ) WHERE rn = 1
+    ),
+    norms AS (
+      SELECT cluster,
+             CAST(SUM(CAST(floor(cm * cm * {_KM_DQ} + 0.5) AS BIGINT))
+                  AS BIGINT) AS centroid_norm2_q
+      FROM m1 GROUP BY cluster
+    )
+    SELECT a2.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(a2.dq) AS BIGINT) AS inertia_q,
+           MIN(norms.centroid_norm2_q) AS centroid_norm2_q
+    FROM a2 JOIN norms ON norms.cluster = a2.cluster
+    GROUP BY a2.cluster
+    ORDER BY a2.cluster
+    """,
+    doc=f"Two Lloyd iterations of k-means (k={_KM_K}) over the "
+    "embedding table with bit-exact cross-engine parity — the "
+    "iterative-ML shape (assign, re-center, re-assign) expressed as "
+    "pure relational algebra: seeds are the first k vectors, every "
+    "squared-distance term is floor-quantized to an integer BEFORE "
+    "its sum (fold order cannot matter, and the argmin compares "
+    "integers — no float tie risk), and re-centered coordinates are "
+    "exact-integer dimension sums divided in a fixed two-step IEEE "
+    "sequence. Scale shape: centroids are a k-row broadcast on both "
+    "assignment passes (no shuffle on the vector table), the "
+    "re-centering is a posexplode to (cluster, dim) grain folded by "
+    "map-side partial aggregation into k*d rows, and the argmin is an "
+    "associative min-of-struct aggregate, not a window sort. Inertia "
+    "is an exact integer sum (quantizer bound: ~1e12/vector — coarsen "
+    "the quantizer or report per-cluster means beyond ~1e6 vectors "
+    "per cluster).",
+)
+def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        _as_double_array,
+    )
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double_array("embedding").alias("ev")
+    )
+
+    def assign(vdf: DataFrame, cdf: DataFrame) -> DataFrame:
+        """argmin cluster per vector: associative min(struct(dist, id))."""
+        d = vdf.crossJoin(F.broadcast(cdf)).select(
+            "vec_id",
+            "ev",
+            "cluster",
+            _km_dist_q(F.col("ev"), F.col("cv")).alias("dq"),
+        )
+        return (
+            d.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dq", "cluster")).alias("m"),
+                F.first("ev").alias("ev"),
+            )
+            .select("vec_id", "ev", F.col("m.cluster").alias("cluster"),
+                    F.col("m.dq").alias("dq"))
+        )
+
+    c0 = v.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("ev").alias("cv")
+    )
+    a1 = assign(v, c0)
+    m1 = (
+        a1.select("cluster", F.posexplode("ev").alias("pos", "x"))
+        .groupBy("cluster", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x") * _KM_Q + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(_KM_Q))
+            ).alias("cm")
+        )
+    )
+    c1 = m1.groupBy("cluster").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "cm"))),
+            lambda s: s["cm"],
+        ).alias("cv")
+    )
+    a2 = assign(v, c1)
+    norms = m1.groupBy("cluster").agg(
+        F.sum(
+            F.floor(
+                F.col("cm") * F.col("cm") * F.expr(_KM_DQ) + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("centroid_norm2_q")
+    )
+    return (
+        a2.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("dq").cast("long").alias("inertia_q"),
+        )
+        .join(norms, "cluster")
+        .select("cluster", "n_members", "inertia_q", "centroid_norm2_q")
+        .orderBy("cluster")
+    )
