@@ -179,30 +179,40 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "not.",
 )
 def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-scan pipeline: the union-of-two-selects form recomputed the
+    # interval aggregate per branch (three events scans, three fact-grain
+    # shuffles — Spark does not CSE across union branches); exploding
+    # each interval into its two boundary deltas map-side keeps one
+    # scan, one (user, day) shuffle, one (day) window shuffle. The
+    # per-day session count rides the same pass as sum of +1 deltas.
     ev = load_table(spark, sf_dir, "events")
     iv = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    one = F.lit(1).cast("long")
     deltas = iv.select(
-        "day", F.col("s").alias("t"), F.lit(1).cast("long").alias("d")
-    ).unionByName(
-        iv.select(
-            "day", F.col("e").alias("t"), F.lit(-1).cast("long").alias("d")
-        )
-    )
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), one.alias("d")),
+                F.struct(F.col("e").alias("t"), (-one).alias("d")),
+            )
+        ).alias("x"),
+    ).select("day", F.col("x.t").alias("t"), F.col("x.d").alias("d"))
     w = (
         Window.partitionBy("day")
         .orderBy(F.col("t").asc(), F.col("d").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    peaks = (
+    return (
         deltas.withColumn("running", F.sum("d").over(w))
         .groupBy("day")
-        .agg(F.max("running").alias("max_concurrent"))
-    )
-    counts = iv.groupBy("day").agg(F.count(F.lit(1)).alias("n_sessions"))
-    return (
-        peaks.join(counts, "day")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, one).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_sessions"),
+            F.max("running").alias("max_concurrent"),
+        )
         .select("day", "n_sessions", "max_concurrent")
         .orderBy("day")
     )
