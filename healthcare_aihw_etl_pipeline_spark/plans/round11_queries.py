@@ -607,3 +607,183 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "n_members", "inertia_q", "centroid_norm2_q")
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: golden-record survivorship
+
+_GR_TOPK = 20
+
+
+@register(
+    "golden_record_customers",
+    oracle="""
+    WITH e AS (
+      SELECT a.c_custkey AS src, b.c_custkey AS dst
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND levenshtein(a.c_name, b.c_name) <= 1
+       AND a.c_custkey < b.c_custkey
+    ),
+    sym AS (
+      SELECT src AS a, b FROM (SELECT src, dst AS b FROM e)
+      UNION
+      SELECT dst, src FROM e
+    ),
+    cc AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, reach.comp FROM sym s JOIN reach ON reach.node = s.b
+      )
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    ),
+    assigned AS (
+      SELECT c.*, COALESCE(cc.component, c.c_custkey) AS component
+      FROM customer c LEFT JOIN cc ON cc.node = c.c_custkey
+    ),
+    golden AS (
+      SELECT component,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(c_custkey) AS golden_id,
+             MIN(c_name) AS golden_name,
+             CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS best_acctbal_c,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+      FROM assigned GROUP BY component
+    )
+    SELECT golden_id, golden_name, n_members, best_acctbal_c, n_segments
+    FROM golden
+    ORDER BY n_members DESC, golden_id ASC
+    LIMIT 20
+    """,
+    doc="Entity resolution end to end — the master-data golden-record "
+    "pipeline: blocked fuzzy matching (nation block, name edit "
+    "distance <= 1 — the candidate-verify discipline of "
+    "levenshtein_blocked_pairs; at 100 TB refine or cap hot blocks "
+    "exactly as there), transitive closure into entities "
+    "(operators/dedup.connected_components — bounded driver "
+    "union-find under the small-edge cap, pointer-jumping loop above "
+    "it), then field-level survivorship per entity: min id and name, "
+    "max exact-cents balance, segment spread. Singletons (no match "
+    "edge) survive as their own entity via the left join + coalesce. "
+    "Top-20 by entity size under a total (size, id) order keeps the "
+    "output deterministic. The DuckDB oracle replays the closure with "
+    "a recursive CTE — same min-reachable-id fixpoint.",
+)
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    a, b = cust.alias("a"), cust.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst")
+    )
+    cc = connected_components(edges, src="src", dst="dst")
+    assigned = cust.join(
+        cc, cust["c_custkey"] == cc["node"], "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+        F.coalesce(F.col("component"), F.col("c_custkey")).alias("component"),
+    )
+    golden = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("c_custkey").alias("golden_id"),
+        F.min("c_name").alias("golden_name"),
+        F.max(cents("c_acctbal")).cast("long").alias("best_acctbal_c"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )
+    return (
+        golden.select(
+            "golden_id", "golden_name", "n_members", "best_acctbal_c",
+            "n_segments",
+        )
+        .orderBy(F.col("n_members").desc(), F.col("golden_id").asc())
+        .limit(_GR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP)
+
+
+@register(
+    "twap_event_value",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(ts AS DATE) AS day,
+             epoch_us(ts) AS us,
+             event_id,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    seg AS (
+      SELECT day, v_c,
+             COALESCE(LEAD(us) OVER (
+               PARTITION BY day ORDER BY us, event_id) - us, 0) AS w_us
+      FROM pts
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w_us) AS BIGINT) AS span_us,
+           CAST(CASE WHEN SUM(w_us) = 0 THEN NULL
+                ELSE SUM(v_c * w_us) // SUM(w_us) END AS BIGINT)
+             AS twap_c,
+           CAST(SUM(v_c) // COUNT(*) AS BIGINT) AS mean_c
+    FROM seg GROUP BY day ORDER BY day
+    """,
+    doc="Time-weighted average event value per day (the TWAP shape — "
+    "each observation holds until the next one): LEAD over a "
+    "(day)-partitioned window gives each event its holding duration in "
+    "exact integer microseconds (the difference cancels any epoch "
+    "offset, so the NTZ cast is timezone-free), the last event of the "
+    "day holds zero. Overflow-proof BY CONSTRUCTION at any row count: "
+    "per-day weights sum to the day's span (<= 8.64e10 us), so the "
+    "integer numerator is bounded by max_value_c * 8.64e10 ~ 1e15 "
+    "regardless of event volume. Integer-division outputs; the "
+    "arithmetic mean rides along for contrast with the "
+    "time-weighted one. Scale shape: one scan, one day-partitioned "
+    "window, aggregation on the already-partitioned key.",
+)
+def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        cents("value").alias("v_c"),
+    )
+    w = Window.partitionBy("day").orderBy(F.col("us").asc(), F.col("event_id").asc())
+    seg = pts.select(
+        "day",
+        "v_c",
+        F.coalesce(F.lead("us").over(w) - F.col("us"), F.lit(0).cast("long"))
+        .alias("w_us"),
+    )
+    return (
+        seg.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("w_us").cast("long").alias("span_us"),
+            F.when(
+                F.sum("w_us") == 0, F.lit(None).cast("long")
+            )
+            .otherwise(
+                F.expr("SUM(v_c * w_us) div SUM(w_us)").cast("long")
+            )
+            .alias("twap_c"),
+            F.expr("SUM(v_c) div COUNT(*)").cast("long").alias("mean_c"),
+        )
+        .select("day", "n_events", "span_us", "twap_c", "mean_c")
+        .orderBy("day")
+    )

@@ -212,3 +212,70 @@ def test_kmeans_argmin_tie_goes_to_lowest_cluster(spark):
     # vec 0 and 1 are identical → both tie between clusters 0 and 1 at
     # distance 0 → both must land in cluster 0.
     assert picked[0] == 0 and picked[1] == 0 and picked[2] == 2
+
+
+def test_golden_record_members_partition_and_nation_pure(spark):
+    """Entity clusters must (a) partition the customer set and (b) be
+    nation-pure (every match edge respects the nation block, so closure
+    cannot cross nations). Checked via the operator's full output, not
+    the top-20 query view."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    cust = load_table(spark, SF, "customer")
+    a, b = cust.alias("a"), cust.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst"))
+    cc = connected_components(edges, src="src", dst="dst")
+    assigned = cust.join(cc, cust["c_custkey"] == cc["node"], "left").select(
+        "c_custkey", "c_nationkey",
+        F.coalesce("component", "c_custkey").alias("component"),
+    )
+    n_cust = cust.count()
+    assert assigned.count() == n_cust  # partition: every customer once
+    impure = (
+        assigned.groupBy("component")
+        .agg(F.countDistinct("c_nationkey").alias("nn"))
+        .where(F.col("nn") > 1)
+        .count()
+    )
+    assert impure == 0
+    # and the registry view agrees with the biggest clusters
+    top = _rows(spark, "golden_record_customers")
+    sizes = [r.n_members for r in top]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(r.golden_name.startswith("Customer#") for r in top)
+
+
+def test_twap_bounded_by_minmax_and_exact_span(spark):
+    """TWAP is a convex combination of the day's values, so it must sit
+    within [min, max] value-cents; span_us must equal last-first epoch
+    micros exactly (independent DuckDB computation)."""
+    rows = _rows(spark, "twap_event_value")
+    bounds = {
+        d: (lo, hi, span)
+        for d, lo, hi, span in duckdb.sql(
+            f"""
+            SELECT CAST(ts AS DATE),
+                   MIN(CAST(round(value*100) AS BIGINT)),
+                   MAX(CAST(round(value*100) AS BIGINT)),
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts))
+            FROM '{SF}/events.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert len(rows) == len(bounds)
+    for r in rows:
+        lo, hi, span = bounds[r.day]
+        assert r.span_us == span
+        if r.twap_c is not None:
+            assert lo <= r.twap_c <= hi
+        assert lo <= r.mean_c <= hi
