@@ -787,3 +787,96 @@ def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_events", "span_us", "twap_c", "mean_c")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union coverage (sweep-line integral measures)
+
+
+@register(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             epoch_us(MIN(ts)) AS s, epoch_us(MAX(ts)) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    deltas AS (
+      SELECT day, s AS t, CAST(1 AS BIGINT) AS d, e - s AS dur FROM iv
+      UNION ALL
+      SELECT day, e AS t, CAST(-1 AS BIGINT) AS d, 0 FROM iv
+    ),
+    seg AS (
+      SELECT day, dur,
+             SUM(d) OVER (
+               PARTITION BY day ORDER BY t, d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS running,
+             COALESCE(LEAD(t) OVER (
+               PARTITION BY day ORDER BY t, d DESC) - t, 0) AS gap_us
+      FROM deltas
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN running > 0 THEN gap_us ELSE 0 END)
+                AS BIGINT) AS covered_us,
+           CAST(SUM(dur) AS BIGINT) AS total_session_us,
+           CAST(SUM(CASE WHEN running > 0 THEN gap_us ELSE 0 END
+                    * CASE WHEN running > 0 THEN running ELSE 0 END)
+                AS BIGINT) AS user_us_integral
+    FROM seg GROUP BY day ORDER BY day
+    """,
+    doc="Interval-union measures per day from ONE sweep pass: covered "
+    "time (length of the union of the day's user-activity spans — "
+    "segments between consecutive boundaries count when at least one "
+    "span is open), total span time (the non-deduplicated sum), and "
+    "the concurrency integral (sum of running x segment length = total "
+    "user-seconds, the area under the concurrency curve). The identity "
+    "integral == total_session_us is a built-in cross-check (each "
+    "span contributes its own length to the integral), and "
+    "covered <= total with equality iff no overlap. Same scale shape "
+    "as max_concurrent_sessions: day-partitioned boundary sweep, no "
+    "global sort. Segment attribution between equal boundary "
+    "timestamps is zero-length (gap_us = 0), so within-tie row order "
+    "cannot change any output.",
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min(us).alias("s"), F.max(us).alias("e"))
+    one = F.lit(1).cast("long")
+    deltas = iv.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("t"),
+                    one.alias("d"),
+                    (F.col("e") - F.col("s")).alias("dur"),
+                ),
+                F.struct(
+                    F.col("e").alias("t"),
+                    (-one).alias("d"),
+                    F.lit(0).cast("long").alias("dur"),
+                ),
+            )
+        ).alias("x"),
+    ).select("day", "x.t", "x.d", "x.dur")
+    w = Window.partitionBy("day").orderBy(F.col("t").asc(), F.col("d").desc())
+    seg = deltas.select(
+        "day",
+        "dur",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("running"),
+        F.coalesce(F.lead("t").over(w) - F.col("t"), F.lit(0).cast("long")).alias("gap_us"),
+    )
+    active_gap = F.when(F.col("running") > 0, F.col("gap_us")).otherwise(F.lit(0))
+    return (
+        seg.groupBy("day")
+        .agg(
+            F.sum(active_gap).cast("long").alias("covered_us"),
+            F.sum("dur").cast("long").alias("total_session_us"),
+            F.sum(active_gap * F.col("running")).cast("long").alias("user_us_integral"),
+        )
+        .orderBy("day")
+    )

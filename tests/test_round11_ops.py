@@ -279,3 +279,14 @@ def test_twap_bounded_by_minmax_and_exact_span(spark):
         if r.twap_c is not None:
             assert lo <= r.twap_c <= hi
         assert lo <= r.mean_c <= hi
+
+
+def test_interval_coverage_identities(spark):
+    """Fubini identity: the concurrency integral equals the plain sum
+    of span lengths; the union length never exceeds it and equals it
+    only when no spans overlap."""
+    rows = _rows(spark, "interval_union_coverage")
+    assert rows
+    for r in rows:
+        assert r.user_us_integral == r.total_session_us
+        assert 0 <= r.covered_us <= r.total_session_us
