@@ -3,10 +3,11 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 10 pins the round-5
-cohort tail the r9 window rolled forward, then the round-6 cohort — the
-oldest driver evidence — then the HLL/theta/quantile sketch stores);
-everything else
+verified cohort is due a regression sweep (round 11 pins the eight
+round-11 queries, then every connected_components caller — the operator
+gained a bounded fast path this round — then the round-8 cohort, the
+oldest window evidence, then the round-7 portables and a handful of
+r1-3 stalwarts); everything else
 sits behind the window with its cumulative driver-side record standing.
 The full registry is additionally swept in-round by scripts/driver_sim.py
 and committed as CORRECTNESS_FULL_r{N}.json.
@@ -221,6 +222,7 @@ _MUST_VERIFY_R11: list[str] = [
     "skyline_orders", "max_concurrent_sessions",
     "largest_remainder_allocation", "poisson_bootstrap_order_value",
     "kmeans_refine_clusters", "golden_record_customers", "twap_event_value",
+    "interval_union_coverage",
     # connected_components changed this round — re-verify all callers
     "embedding_cluster_keep_best", "cluster_aware_split",
     "dedup_transitive_clusters",

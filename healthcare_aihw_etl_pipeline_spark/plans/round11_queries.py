@@ -1,10 +1,12 @@
 """Round-11 query families: order-statistics and resampling shapes a
 large analytics engine needs beyond plain aggregation — Pareto-skyline
 extraction (two-phase, partition-local pruning before a bounded global
-pass), sweep-line interval concurrency, largest-remainder integer
-apportionment, deterministic Poisson-bootstrap inference, and a
+pass), sweep-line interval analytics (concurrency peaks, union
+coverage, concurrency integral), largest-remainder integer
+apportionment, deterministic Poisson-bootstrap inference, a
 two-iteration Lloyd k-means refinement over the embedding table with
-bit-exact cross-engine parity.
+bit-exact cross-engine parity, golden-record entity-resolution
+survivorship, and per-day time-weighted averages (TWAP).
 
 Same contract as every plans module: idiomatic PySpark paired with a
 DuckDB oracle whose arithmetic is bit-identical — exact integer cents,
@@ -158,7 +160,8 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS running
       FROM deltas
     )
-    SELECT r.day, n.n_sessions, r.max_concurrent
+    SELECT strftime(r.day, '%Y-%m-%d') AS day,
+           n.n_sessions, r.max_concurrent
     FROM (SELECT day, MAX(running) AS max_concurrent FROM run GROUP BY day) r
     JOIN (SELECT day, COUNT(*) AS n_sessions FROM iv GROUP BY day) n
       USING (day)
@@ -213,7 +216,11 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sessions"),
             F.max("running").alias("max_concurrent"),
         )
-        .select("day", "n_sessions", "max_concurrent")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_sessions",
+            "max_concurrent",
+        )
         .orderBy("day")
     )
 
@@ -247,7 +254,7 @@ _ALLOC_SEATS = 10_000
         ORDER BY remainder DESC, n_name ASC) AS rk
       FROM q
     )
-    SELECT n_name, floor_alloc,
+    SELECT n_name, CAST(floor_alloc AS BIGINT) AS floor_alloc,
            CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
                 AS BIGINT) AS final_alloc
     FROM ranked, lo
@@ -733,7 +740,7 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY day ORDER BY us, event_id) - us, 0) AS w_us
       FROM pts
     )
-    SELECT day,
+    SELECT strftime(day, '%Y-%m-%d') AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(w_us) AS BIGINT) AS span_us,
            CAST(CASE WHEN SUM(w_us) = 0 THEN NULL
@@ -784,7 +791,10 @@ def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("twap_c"),
             F.expr("SUM(v_c) div COUNT(*)").cast("long").alias("mean_c"),
         )
-        .select("day", "n_events", "span_us", "twap_c", "mean_c")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events", "span_us", "twap_c", "mean_c",
+        )
         .orderBy("day")
     )
 
@@ -816,7 +826,7 @@ def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY day ORDER BY t, d DESC) - t, 0) AS gap_us
       FROM deltas
     )
-    SELECT day,
+    SELECT strftime(day, '%Y-%m-%d') AS day,
            CAST(SUM(CASE WHEN running > 0 THEN gap_us ELSE 0 END)
                 AS BIGINT) AS covered_us,
            CAST(SUM(dur) AS BIGINT) AS total_session_us,
@@ -877,6 +887,10 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(active_gap).cast("long").alias("covered_us"),
             F.sum("dur").cast("long").alias("total_session_us"),
             F.sum(active_gap * F.col("running")).cast("long").alias("user_us_integral"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "covered_us", "total_session_us", "user_us_integral",
         )
         .orderBy("day")
     )

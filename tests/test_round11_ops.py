@@ -93,7 +93,7 @@ def test_max_concurrent_matches_point_counting(spark):
         GROUP BY c.day, n.n_sessions
         """
     ).fetchall():
-        want[day] = (ns, mc)
+        want[str(day)] = (ns, mc)
     assert got == want
 
 
@@ -261,7 +261,7 @@ def test_twap_bounded_by_minmax_and_exact_span(spark):
     micros exactly (independent DuckDB computation)."""
     rows = _rows(spark, "twap_event_value")
     bounds = {
-        d: (lo, hi, span)
+        str(d): (lo, hi, span)
         for d, lo, hi, span in duckdb.sql(
             f"""
             SELECT CAST(ts AS DATE),
