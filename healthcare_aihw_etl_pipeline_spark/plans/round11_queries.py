@@ -622,6 +622,50 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GR_TOPK = 20
 
 
+def _symmetric_delete_edges(cust: DataFrame) -> DataFrame:
+    """Exact lev<=1 match edges via symmetric-delete blocking.
+
+    Each name emits itself plus every single-character deletion as
+    block variants; two names at edit distance <= 1 necessarily share
+    a variant (substitution: both delete the differing position;
+    insertion/deletion: the longer's deletion equals the shorter
+    intact), so the (nation, variant) equi-join candidate set is
+    complete and the levenshtein check only VERIFIES. Returns distinct
+    (src, dst) with src < dst."""
+    variants = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("c_name")),
+                    F.expr(
+                        "transform(sequence(1, length(c_name)), i -> "
+                        "concat(substr(c_name, 1, i - 1), "
+                        "substr(c_name, i + 1)))"
+                    ),
+                )
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(
+            F.col("a.c_custkey").alias("src"),
+            F.col("b.c_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "golden_record_customers",
     oracle="""
@@ -665,18 +709,26 @@ _GR_TOPK = 20
     LIMIT 20
     """,
     doc="Entity resolution end to end — the master-data golden-record "
-    "pipeline: blocked fuzzy matching (nation block, name edit "
-    "distance <= 1 — the candidate-verify discipline of "
-    "levenshtein_blocked_pairs; at 100 TB refine or cap hot blocks "
-    "exactly as there), transitive closure into entities "
+    "pipeline: EXACT edit-distance-1 candidate generation by "
+    "symmetric-delete blocking (SymSpell/FastSS: each name emits "
+    "itself plus its length single-character deletions as block "
+    "variants; any lev<=1 pair — substitution, insertion or deletion "
+    "— shares at least one (nation, variant) block, so the equi-join "
+    "candidate set is COMPLETE, unlike heuristic prefix blocks), "
+    "levenshtein-verified, then transitive closure into entities "
     "(operators/dedup.connected_components — bounded driver "
     "union-find under the small-edge cap, pointer-jumping loop above "
     "it), then field-level survivorship per entity: min id and name, "
     "max exact-cents balance, segment spread. Singletons (no match "
     "edge) survive as their own entity via the left join + coalesce. "
     "Top-20 by entity size under a total (size, id) order keeps the "
-    "output deterministic. The DuckDB oracle replays the closure with "
-    "a recursive CTE — same min-reachable-id fixpoint.",
+    "output deterministic. Scale shape: the variant fan-out is ~|name| "
+    "rows per record, the self-join is an equi-shuffle on the variant "
+    "key with near-unit bucket sizes — linear where the nation-block "
+    "theta-join the oracle uses for clarity is quadratic per block. "
+    "The DuckDB oracle replays the closure with a recursive CTE — "
+    "same min-reachable-id fixpoint; edge-set equality between the "
+    "two candidate strategies is pinned by test.",
 )
 def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
@@ -684,15 +736,7 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = load_table(spark, sf_dir, "customer")
-    a, b = cust.alias("a"), cust.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(
-        F.col("a.c_custkey").alias("src"), F.col("b.c_custkey").alias("dst")
-    )
+    edges = _symmetric_delete_edges(cust)
     cc = connected_components(edges, src="src", dst="dst")
     assigned = cust.join(
         cc, cust["c_custkey"] == cc["node"], "left"

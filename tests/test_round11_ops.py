@@ -290,3 +290,56 @@ def test_interval_coverage_identities(spark):
     for r in rows:
         assert r.user_us_integral == r.total_session_us
         assert 0 <= r.covered_us <= r.total_session_us
+
+
+def test_symmetric_delete_blocking_is_complete(spark):
+    """The SymSpell candidate generator must produce EXACTLY the
+    brute-force lev<=1 edge set — including insertion/deletion pairs of
+    differing lengths, which naive fixed-position blocking misses."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aihw_etl_pipeline_spark.plans.round11_queries import (
+        _symmetric_delete_edges,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    def brute(df):
+        a, b = df.alias("a"), df.alias("b")
+        return {
+            (r.src, r.dst)
+            for r in a.join(
+                b,
+                (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+                & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            )
+            .select(
+                F.col("a.c_custkey").alias("src"),
+                F.col("b.c_custkey").alias("dst"),
+            )
+            .collect()
+        }
+
+    cust = load_table(spark, SF, "customer")
+    got = {(r.src, r.dst) for r in _symmetric_delete_edges(cust).collect()}
+    assert got == brute(cust) and got, "real-corpus edge sets must agree"
+
+    # Adversarial lengths: insertion/deletion neighbors, duplicates,
+    # a lev-2 decoy, and a cross-nation pair that must NOT match.
+    synth = spark.createDataFrame(
+        [
+            (1, "abcd", 0), (2, "abc", 0),     # deletion pair
+            (3, "abxcd", 0),                    # insertion vs 1
+            (4, "abcd", 0),                     # exact duplicate of 1
+            (5, "azcd", 0),                     # substitution vs 1
+            (6, "zzzz", 0),                     # far away
+            (7, "abcd", 1),                     # same name, other nation
+            (8, "ab", 0),                       # lev 2 from "abcd"
+        ],
+        "c_custkey bigint, c_name string, c_nationkey int",
+    )
+    got_s = {(r.src, r.dst) for r in _symmetric_delete_edges(synth).collect()}
+    assert got_s == brute(synth)
+    assert (1, 2) in got_s and (1, 3) in got_s and (1, 4) in got_s
+    assert (1, 5) in got_s and (2, 8) in got_s
+    assert not any(7 in e for e in got_s) and not any(6 in e for e in got_s)
