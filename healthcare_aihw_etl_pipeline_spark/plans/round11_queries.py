@@ -27,9 +27,6 @@ from healthcare_aihw_etl_pipeline_spark.plans.registry import (
     register,
     sql_cents,
 )
-from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
-    sql_md5_uniform,
-)
 from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
 
 
@@ -333,18 +330,50 @@ _POISSON_CASE = (
     + " ELSE 7 END"
 )
 
+# Batched entropy: 4 md5 digests per ORDER yield 32 x 16-bit uniforms
+# (8 hex-chunk draws per digest) — 8x fewer hash invocations than one
+# md5 per (order, replica), which dominates the map-side cost at scale
+# (measured 21.5 s -> see BASELINE round-11 at sf10). A 16-bit
+# inverse-CDF draw quantizes the Poisson probabilities by < 2e-5,
+# identically in both engines (u = (chunk+1)/65536 in (0, 1]).
+_BOOT_DIGESTS = _BOOT_B // 8
+_U16_DIV = "65536.0"
+
+
+def _digest_pick(div_op: str) -> str:
+    whens = " ".join(
+        f"WHEN {j} THEN h{j}" for j in range(_BOOT_DIGESTS - 1)
+    )
+    return (
+        f"CASE b {div_op} 8 {whens} ELSE h{_BOOT_DIGESTS - 1} END"
+    )
+
+
+# Spark: conv(hex, 16, 10); DuckDB: '0x' || hex cast. Same chunk, same
+# +1 / 65536.0 — identical doubles.
+_SPARK_U16 = (
+    f"(CAST(conv(substring({_digest_pick('DIV')}, (b % 8) * 4 + 1, 4),"
+    f" 16, 10) AS BIGINT) + 1) / {_U16_DIV}"
+)
+_DUCK_U16 = (
+    f"(CAST(CAST('0x' || substring({_digest_pick('//')},"
+    f" (b % 8) * 4 + 1, 4) AS BIGINT) + 1 AS DOUBLE)) / {_U16_DIV}"
+)
+
 
 @register(
     "poisson_bootstrap_order_value",
     oracle=f"""
     WITH o AS (
-      SELECT o_orderkey, {sql_cents('o_totalprice')} AS price_c FROM orders
+      SELECT o_orderkey, {sql_cents('o_totalprice')} AS price_c,
+             {", ".join(
+                 f"md5(CAST(o_orderkey AS VARCHAR) || ':{j}') AS h{j}"
+                 for j in range(_BOOT_DIGESTS)
+             )}
+      FROM orders
     ),
     rep AS (
-      SELECT o.price_c, g.b,
-             {sql_md5_uniform(
-                 "CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)"
-             )} AS u
+      SELECT o.price_c, g.b, {_DUCK_U16} AS u
       FROM o, unnest(generate_series(0, {_BOOT_B - 1})) AS g(b)
     ),
     per AS (
@@ -370,11 +399,16 @@ _POISSON_CASE = (
     """,
     doc=f"Deterministic Poisson bootstrap ({_BOOT_B} replicas) of the "
     "mean order value: each (order, replica) draws a Poisson(1) "
-    "resampling weight by inverting the CDF at a md5-uniform — the "
-    "distributed-bootstrap standard (resampling n-out-of-n needs "
-    "global coordination; independent Poisson counts need none and "
-    "converge to the same distribution), here made bit-reproducible "
-    "so the DuckDB oracle replays every draw. Replica means are "
+    "resampling weight by inverting the CDF at a deterministic "
+    "uniform — the distributed-bootstrap standard (resampling "
+    "n-out-of-n needs global coordination; independent Poisson counts "
+    "need none and converge to the same distribution), here made "
+    "bit-reproducible so the DuckDB oracle replays every draw. "
+    f"Entropy is batched: {_BOOT_DIGESTS} md5 digests per ORDER yield "
+    f"{_BOOT_B} 16-bit chunk uniforms (8x fewer hash calls than one "
+    "digest per draw — the map-side cost at scale; 16-bit CDF "
+    "inversion shifts Poisson probabilities < 2e-5, identically in "
+    "both engines). Replica means are "
     "quantized to integer cents BEFORE the cross-replica variance "
     "(the only cross-row float risk), and the variance itself is "
     "exact-integer (n*sumsq - sum^2). Scale shape: the explode is "
@@ -385,22 +419,25 @@ _POISSON_CASE = (
     "scale-invariant — so n*sumsq stays ~1e17 at any SF.",
 )
 def poisson_bootstrap_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_aihw_etl_pipeline_spark.operators.sampling import (
-        md5_uniform,
-    )
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", cents("o_totalprice").alias("price_c")
     )
+    digests = o.select(
+        "price_c",
+        *[
+            F.md5(
+                F.concat_ws(":", F.col("o_orderkey"), F.lit(j))
+            ).alias(f"h{j}")
+            for j in range(_BOOT_DIGESTS)
+        ],
+    )
     rep = (
-        o.select(
-            "o_orderkey",
+        digests.select(
             "price_c",
             F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+            *[f"h{j}" for j in range(_BOOT_DIGESTS)],
         )
-        .withColumn(
-            "u", md5_uniform(F.concat_ws(":", F.col("o_orderkey"), F.col("b")))
-        )
+        .withColumn("u", F.expr(_SPARK_U16))
         .withColumn("w", F.expr(_POISSON_CASE).cast("long"))
     )
     per = rep.groupBy("b").agg(

@@ -52,6 +52,16 @@ OPS = [
     "twap_event_value",
 ]
 
+# Per-op scale ceiling. golden_record stops at sf1: the synthetic
+# digit-names make lev<=1 a DENSE relation on the replicated corpora
+# (~30M edges from 150k records at sf1 — every id is a digit-flip away
+# from dozens of others, so nations collapse into giant components;
+# measured 188 s of honest distributed-closure work). Real-world
+# linkage graphs are sparse; the degenerate-density behavior is the
+# data's, not the plan's, and sf10 (~3B edges) adds no information.
+MAX_SF = {"golden_record_customers": "sf1"}
+_SF_ORDER = [d[0] for d in DIRS]
+
 
 def _ensure_corpora() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
@@ -114,6 +124,9 @@ def main() -> None:
         out["ops"][name] = {}
         for label, d, reps in DIRS:
             if not os.path.isfile(f"{d}/lineitem.parquet"):
+                continue
+            cap = MAX_SF.get(name)
+            if cap and _SF_ORDER.index(label) > _SF_ORDER.index(cap):
                 continue
             row: dict = {}
             row["spark"] = _time_spark(lambda: q.build(spark, d), reps)
