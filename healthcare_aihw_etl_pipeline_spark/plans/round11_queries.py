@@ -349,16 +349,36 @@ def _digest_pick(div_op: str) -> str:
     )
 
 
-# Spark: conv(hex, 16, 10); DuckDB: '0x' || hex cast. Same chunk, same
-# +1 / 65536.0 — identical doubles.
-_SPARK_U16 = (
-    f"(CAST(conv(substring({_digest_pick('DIV')}, (b % 8) * 4 + 1, 4),"
-    f" 16, 10) AS BIGINT) + 1) / {_U16_DIV}"
-)
+# DuckDB oracle keeps the legible row-per-draw form: '0x' || hex cast,
+# u = (chunk+1)/65536 in (0, 1], CDF CASE on the double.
 _DUCK_U16 = (
     f"(CAST(CAST('0x' || substring({_digest_pick('//')},"
     f" (b % 8) * 4 + 1, 4) AS BIGINT) + 1 AS DOUBLE)) / {_U16_DIV}"
 )
+
+# Spark evaluates the SAME draws without materializing a row per draw:
+# u <= t  ⟺  chunk + 1 <= floor(t * 65536) (the scaled thresholds are
+# never integers), so the weight is an integer CASE on a shifted/masked
+# 32-bit parse of the digest — and each replica becomes one aggregate
+# expression pair instead of an exploded row. 15M orders x 32 draws is
+# 480M rows the old explode shape copied through the pipeline; the
+# wide-aggregate shape touches each order once and keeps 64 sum slots
+# (measured 8.4 s -> 3.0 s at sf1).
+_U16_THRESH = [
+    int(__import__("math").floor(float(t) * 65536)) for t in _POISSON_CDF
+]
+
+
+def _w_int_expr(b: int) -> str:
+    """Integer-CASE Poisson weight for replica b over parsed digest
+    words p{j}_{p} (32-bit big-endian hex parses, 2 chunks each)."""
+    j, k = b // 8, b % 8
+    p, half = k // 2, k % 2
+    c = f"(shiftright(p{j}_{p}, {16 * (1 - half)}) & 65535)"
+    cases = " ".join(
+        f"WHEN {c} + 1 <= {t} THEN {i}" for i, t in enumerate(_U16_THRESH)
+    )
+    return f"CASE {cases} ELSE 7 END"
 
 
 @register(
@@ -411,11 +431,15 @@ _DUCK_U16 = (
     "both engines). Replica means are "
     "quantized to integer cents BEFORE the cross-replica variance "
     "(the only cross-row float risk), and the variance itself is "
-    "exact-integer (n*sumsq - sum^2). Scale shape: the explode is "
-    f"map-side ({_BOOT_B}x amplification folded by partial "
-    "aggregation into 32 groups per partition before the shuffle), "
-    "per-replica sums are associative longs, and the final stats run "
-    "on a 32-row relation. Overflow: q is a replica MEAN in cents — "
+    "exact-integer (n*sumsq - sum^2). Scale shape: NO row-per-draw "
+    "explode — each replica is one aggregate-expression pair over an "
+    "integer CASE (u <= t rewritten as chunk+1 <= floor(t*65536), "
+    "exactly equivalent), so the fact table is touched once and the "
+    "shuffle carries 64 sum slots per partition; the per-replica "
+    "relation is reconstituted with stack() from one wide row "
+    "(8.4 s -> 3.0 s at sf1 vs the exploded form). Per-replica sums "
+    "are associative longs and the final stats run on a 32-row "
+    "relation. Overflow: q is a replica MEAN in cents — "
     "scale-invariant — so n*sumsq stays ~1e17 at any SF.",
 )
 def poisson_bootstrap_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,18 +455,36 @@ def poisson_bootstrap_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
             for j in range(_BOOT_DIGESTS)
         ],
     )
-    rep = (
-        digests.select(
-            "price_c",
-            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-            *[f"h{j}" for j in range(_BOOT_DIGESTS)],
-        )
-        .withColumn("u", F.expr(_SPARK_U16))
-        .withColumn("w", F.expr(_POISSON_CASE).cast("long"))
+    parsed = digests.select(
+        "price_c",
+        *[
+            F.expr(
+                f"CAST(conv(substring(h{j}, {p * 8 + 1}, 8), 16, 10)"
+                " AS BIGINT)"
+            ).alias(f"p{j}_{p}")
+            for j in range(_BOOT_DIGESTS)
+            for p in range(4)
+        ],
     )
-    per = rep.groupBy("b").agg(
-        F.sum(F.col("w") * F.col("price_c")).alias("s1"),
-        F.sum("w").alias("s0"),
+    wide = parsed.agg(
+        *[
+            expr
+            for b in range(_BOOT_B)
+            for expr in (
+                F.expr(
+                    f"SUM(CAST(({_w_int_expr(b)}) AS BIGINT) * price_c)"
+                ).alias(f"s1_{b}"),
+                F.expr(
+                    f"SUM(CAST(({_w_int_expr(b)}) AS BIGINT))"
+                ).alias(f"s0_{b}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(
+        f"{b}, s1_{b}, s0_{b}" for b in range(_BOOT_B)
+    )
+    per = wide.selectExpr(
+        f"stack({_BOOT_B}, {stack_args}) AS (b, s1, s0)"
     )
     means = per.select(F.expr("s1 div s0").cast("long").alias("q"))
     stats = means.agg(
@@ -773,17 +815,33 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = load_table(spark, sf_dir, "customer")
-    edges = _symmetric_delete_edges(cust)
+    # Exact-duplicate pre-clustering: records sharing (nation, name)
+    # collapse to one representative BEFORE pairwise matching — a
+    # k-duplicated name otherwise contributes k^2 row-edges to every
+    # match it participates in (the replicated bench corpora make this
+    # the dominant term: 30M row-edges vs ~300k rep-edges at sf1,
+    # 191 s -> seconds). The closure runs on the representative graph;
+    # members inherit their representative's component through the
+    # (nation, name) join, so the final clustering is IDENTICAL — the
+    # component label is internal and only min/max/count survivorship
+    # aggregates surface.
+    names = cust.groupBy("c_nationkey", "c_name").agg(
+        F.min("c_custkey").alias("c_custkey")
+    )
+    edges = _symmetric_delete_edges(names)
     cc = connected_components(edges, src="src", dst="dst")
-    assigned = cust.join(
-        cc, cust["c_custkey"] == cc["node"], "left"
+    reps = names.join(
+        cc, names["c_custkey"] == cc["node"], "left"
     ).select(
-        "c_custkey",
-        "c_name",
-        "c_acctbal",
-        "c_mktsegment",
+        F.col("c_nationkey").alias("r_nationkey"),
+        F.col("c_name").alias("r_name"),
         F.coalesce(F.col("component"), F.col("c_custkey")).alias("component"),
     )
+    assigned = cust.join(
+        reps,
+        (cust["c_nationkey"] == reps["r_nationkey"])
+        & (cust["c_name"] == reps["r_name"]),
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "component")
     golden = assigned.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("c_custkey").alias("golden_id"),

@@ -52,14 +52,13 @@ OPS = [
     "twap_event_value",
 ]
 
-# Per-op scale ceiling. golden_record stops at sf1: the synthetic
-# digit-names make lev<=1 a DENSE relation on the replicated corpora
-# (~30M edges from 150k records at sf1 — every id is a digit-flip away
-# from dozens of others, so nations collapse into giant components;
-# measured 188 s of honest distributed-closure work). Real-world
-# linkage graphs are sparse; the degenerate-density behavior is the
-# data's, not the plan's, and sf10 (~3B edges) adds no information.
-MAX_SF = {"golden_record_customers": "sf1"}
+# Per-op scale ceiling (currently none). golden_record briefly needed
+# one: before exact-duplicate pre-clustering, the replicated corpora's
+# k-duplicated names turned every match into k^2 row-edges (~30M at
+# sf1, 191 s of closure). Collapsing (nation, name) groups to one
+# representative before pairing makes the match graph
+# replication-invariant, so the full curve runs.
+MAX_SF: dict[str, str] = {}
 _SF_ORDER = [d[0] for d in DIRS]
 
 
