@@ -222,7 +222,7 @@ _MUST_VERIFY_R11: list[str] = [
     "skyline_orders", "max_concurrent_sessions",
     "largest_remainder_allocation", "poisson_bootstrap_order_value",
     "kmeans_refine_clusters", "golden_record_customers", "twap_event_value",
-    "interval_union_coverage",
+    "interval_union_coverage", "cuped_ab_adjustment",
     # connected_components changed this round — re-verify all callers
     "embedding_cluster_keep_best", "cluster_aware_split",
     "dedup_transitive_clusters",

@@ -1033,3 +1033,132 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B adjustment
+
+# Metric unit: value cents DIV 1000 per event (deka-cent units). Keeps
+# every pooled moment product under 2^63 through ~sf30 (n * Sxy with
+# ~4e3-unit user sums and ~1e5 users is ~4e17); beyond that, center
+# the covariates in a first pass or widen to decimal.
+_CUPED_UNIT = 1000
+_CUPED_SPLIT_DAY = 15  # day-of-month boundary: pre <= 15 < post
+
+
+@register(
+    "cuped_ab_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS variant,
+             SUM(CASE WHEN day(ts) <= {_CUPED_SPLIT_DAY}
+                 THEN CAST(round(value * 100) AS BIGINT) // {_CUPED_UNIT}
+                 ELSE 0 END) AS x,
+             SUM(CASE WHEN day(ts) > {_CUPED_SPLIT_DAY}
+                 THEN CAST(round(value * 100) AS BIGINT) // {_CUPED_UNIT}
+                 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS th
+      FROM pooled
+    ),
+    v AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS nv,
+             CAST(SUM(x) AS BIGINT) AS sxv,
+             CAST(SUM(y) AS BIGINT) AS syv
+      FROM per_user GROUP BY variant
+    )
+    SELECT v.variant,
+           v.nv AS n_users,
+           CAST(floor(CAST(v.syv AS DOUBLE) / v.nv * 1000 + 0.5)
+                AS BIGINT) AS mean_y_q,
+           CAST(floor((CAST(v.syv AS DOUBLE) / v.nv
+                       - t.th * (CAST(v.sxv AS DOUBLE) / v.nv
+                                 - CAST(t.sx AS DOUBLE) / t.n))
+                      * 1000 + 0.5) AS BIGINT) AS adj_mean_q,
+           CAST(floor(t.th * 1000000 + 0.5) AS BIGINT) AS theta_q
+    FROM v, theta t
+    ORDER BY v.variant
+    """,
+    doc="CUPED variance-reduced A/B read-out (Deng et al.'s "
+    "pre-experiment covariate adjustment, the industry-standard "
+    "experimentation op): per-user pre-period metric X (days 1-15) "
+    "and post-period metric Y (days 16+) in deka-cent units, pooled "
+    "theta = cov(X,Y)/var(X) from EXACT integer moments "
+    "(n*Sxy - Sx*Sy over n*Sxx - Sx^2 — one IEEE divide on "
+    "identically-rounded casts), and per-variant adjusted means "
+    "Y_v - theta*(X_v - X) in one fixed expression order, "
+    "milli-quantized. Variant is deterministic (user_id % 2). Scale "
+    "shape: one groupBy(user) over the fact table, then a 1-row and a "
+    "2-row aggregate crossJoined back — the adjustment itself is "
+    "O(variants). Unit quantization keeps every moment product under "
+    "2^63 through ~sf30 (documented at the constant).",
+)
+def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    unit = F.expr(
+        f"CAST(round(value * 100) AS BIGINT) div {_CUPED_UNIT}"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") <= _CUPED_SPLIT_DAY, unit).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.dayofmonth("ts") > _CUPED_SPLIT_DAY, unit).otherwise(0)
+        ).alias("y"),
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "x", "y"
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    theta = pooled.select(
+        "n",
+        "sx",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("th"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.sum("x").cast("long").alias("sxv"),
+        F.sum("y").cast("long").alias("syv"),
+    )
+    mean_y = F.col("syv").cast("double") / F.col("nv")
+    adj = mean_y - F.col("th") * (
+        F.col("sxv").cast("double") / F.col("nv")
+        - F.col("sx").cast("double") / F.col("n")
+    )
+    return (
+        v.crossJoin(F.broadcast(theta))
+        .select(
+            "variant",
+            F.col("nv").alias("n_users"),
+            F.floor(mean_y * 1000 + F.lit(0.5)).cast("long").alias("mean_y_q"),
+            F.floor(adj * 1000 + F.lit(0.5)).cast("long").alias("adj_mean_q"),
+            F.floor(F.col("th") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("theta_q"),
+        )
+        .orderBy("variant")
+    )

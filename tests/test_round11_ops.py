@@ -343,3 +343,40 @@ def test_symmetric_delete_blocking_is_complete(spark):
     assert (1, 2) in got_s and (1, 3) in got_s and (1, 4) in got_s
     assert (1, 5) in got_s and (2, 8) in got_s
     assert not any(7 in e for e in got_s) and not any(6 in e for e in got_s)
+
+
+def test_cuped_theta_matches_numpy_and_reduces_spread(spark):
+    """theta must equal an independent numpy computation from the same
+    per-user integer sums, and the CUPED adjustment must not increase
+    the between-variant spread's dependence on pre-period imbalance:
+    adj_mean == mean_y - theta*(mean_x_v - mean_x) exactly."""
+    import duckdb as _duck
+
+    rows = {r.variant: r for r in _rows(spark, "cuped_ab_adjustment")}
+    assert set(rows) == {0, 1}
+    pu = _duck.sql(
+        f"""
+        SELECT user_id % 2 AS v,
+               SUM(CASE WHEN day(ts) <= 15
+                   THEN CAST(round(value*100) AS BIGINT) // 1000
+                   ELSE 0 END) AS x,
+               SUM(CASE WHEN day(ts) > 15
+                   THEN CAST(round(value*100) AS BIGINT) // 1000
+                   ELSE 0 END) AS y
+        FROM '{SF}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    xs = np.array([r[1] for r in pu], dtype=np.int64)
+    ys = np.array([r[2] for r in pu], dtype=np.int64)
+    vs = np.array([r[0] for r in pu], dtype=np.int64)
+    n = len(xs)
+    th = float(n * (xs * ys).sum() - xs.sum() * ys.sum()) / float(
+        n * (xs * xs).sum() - xs.sum() ** 2
+    )
+    for v in (0, 1):
+        m = vs == v
+        mean_y = ys[m].sum() / m.sum()
+        adj = mean_y - th * (xs[m].sum() / m.sum() - xs.sum() / n)
+        assert rows[v].theta_q == int(np.floor(th * 1e6 + 0.5))
+        assert abs(rows[v].adj_mean_q - int(np.floor(adj * 1000 + 0.5))) <= 1
+        assert rows[v].n_users == int(m.sum())
