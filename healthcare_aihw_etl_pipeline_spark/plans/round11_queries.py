@@ -150,19 +150,18 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT day, e AS t, CAST(-1 AS BIGINT) AS d FROM iv
     ),
     run AS (
-      SELECT day,
+      SELECT day, d,
              SUM(d) OVER (
                PARTITION BY day ORDER BY t, d DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS running
       FROM deltas
     )
-    SELECT strftime(r.day, '%Y-%m-%d') AS day,
-           n.n_sessions, r.max_concurrent
-    FROM (SELECT day, MAX(running) AS max_concurrent FROM run GROUP BY day) r
-    JOIN (SELECT day, COUNT(*) AS n_sessions FROM iv GROUP BY day) n
-      USING (day)
-    ORDER BY day
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           CAST(MAX(running) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY day ORDER BY day
     """,
     doc="Sweep-line interval concurrency: per-user daily activity "
     "spans [first event, last event] become +1/-1 boundary deltas; a "
