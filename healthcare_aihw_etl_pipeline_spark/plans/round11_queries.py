@@ -1121,43 +1121,49 @@ def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("user_id") % 2).alias("variant"), "x", "y"
     )
-    pooled = per_user.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    theta = pooled.select(
-        "n",
-        "sx",
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            .cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            .cast("double")
-        ).alias("th"),
-    )
+    # Per-variant moments in ONE aggregation; pooled sums come from an
+    # unpartitioned window over the |variants|-row relation (free, and
+    # it keeps the fact table scanned ONCE — a separate pooled
+    # aggregate branch would rebuild per_user and re-scan; plan-pinned).
     v = per_user.groupBy("variant").agg(
         F.count(F.lit(1)).cast("long").alias("nv"),
         F.sum("x").cast("long").alias("sxv"),
         F.sum("y").cast("long").alias("syv"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxxv"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxyv"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pooled = v.select(
+        "variant",
+        "nv",
+        "sxv",
+        "syv",
+        F.sum("nv").over(w).alias("n"),
+        F.sum("sxv").over(w).alias("sx"),
+        F.sum("syv").over(w).alias("sy"),
+        F.sum("sxxv").over(w).alias("sxx"),
+        F.sum("sxyv").over(w).alias("sxy"),
+    )
+    th = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
     )
     mean_y = F.col("syv").cast("double") / F.col("nv")
-    adj = mean_y - F.col("th") * (
+    adj = mean_y - th * (
         F.col("sxv").cast("double") / F.col("nv")
         - F.col("sx").cast("double") / F.col("n")
     )
     return (
-        v.crossJoin(F.broadcast(theta))
-        .select(
+        pooled.select(
             "variant",
             F.col("nv").alias("n_users"),
             F.floor(mean_y * 1000 + F.lit(0.5)).cast("long").alias("mean_y_q"),
             F.floor(adj * 1000 + F.lit(0.5)).cast("long").alias("adj_mean_q"),
-            F.floor(F.col("th") * 1000000 + F.lit(0.5))
-            .cast("long")
-            .alias("theta_q"),
+            F.floor(th * 1000000 + F.lit(0.5)).cast("long").alias("theta_q"),
         )
         .orderBy("variant")
     )

@@ -947,3 +947,47 @@ def test_token_shard_plan_reuses_range_exchange(spark, sf_dir):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, final
+
+
+def test_round11_query_plan_shapes(spark, sf_dir):
+    """Round-11 scale-critical shapes. skyline: exactly two sort
+    exchanges (bucket-local pass + bounded global pass) over ONE scan.
+    sweep-line pair: single events scan (the explode form — a union
+    re-scan would show two), two shuffles. bootstrap: NO Generate node
+    (the row-per-draw explode is gone — draws are wide aggregates) and
+    a single orders-scan aggregation per leg. kmeans: both assignment
+    passes broadcast the centroids (no vector-table shuffle for
+    assignment). golden record: no CartesianProduct anywhere (blocked
+    equi-join candidates only)."""
+    def scan_count(plan: str) -> int:
+        return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+
+    p = fresh_plan(spark, sf_dir, "skyline_orders")
+    assert scan_count(p) == 1 and shuffle_count(p) == 2, p
+
+    for name in ("max_concurrent_sessions", "interval_union_coverage"):
+        p = fresh_plan(spark, sf_dir, name)
+        assert scan_count(p) == 1, name
+        # two data shuffles (interval groupBy, day window) + the
+        # ordered-output range exchange
+        assert shuffle_count(p) <= 3, name
+        assert "Generate" in p, name  # the boundary-delta explode
+
+    p = fresh_plan(spark, sf_dir, "poisson_bootstrap_order_value")
+    # the only generator is the 1-row stack() reshape of the wide
+    # aggregate — a row-per-draw explode over the fact table must not
+    # come back
+    gens = re.findall(r"^\(\d+\) Generate\n(?:.*\n)*?Arguments: ([^\n]*)",
+                      p, re.MULTILINE)
+    assert len(gens) == 1 and "stack" in gens[0], p
+    assert "CartesianProduct" not in p
+
+    p = fresh_plan(spark, sf_dir, "kmeans_refine_clusters")
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", p, re.MULTILINE)) >= 2
+    assert "CartesianProduct" not in p
+
+    p = fresh_plan(spark, sf_dir, "golden_record_customers")
+    assert "CartesianProduct" not in p
+
+    p = fresh_plan(spark, sf_dir, "cuped_ab_adjustment")
+    assert scan_count(p) == 1 and "CartesianProduct" not in p
