@@ -6,7 +6,6 @@ replication of the quantized algorithm)."""
 
 import duckdb
 import numpy as np
-import pytest
 
 from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
 
