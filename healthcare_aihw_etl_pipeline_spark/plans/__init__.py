@@ -26,6 +26,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import round8b_queries  # noqa: F4
 from healthcare_aihw_etl_pipeline_spark.plans import round9_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round10_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round11_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import round11b_queries  # noqa: F401,E402
 
 # Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the
@@ -223,6 +224,8 @@ _MUST_VERIFY_R11: list[str] = [
     "largest_remainder_allocation", "poisson_bootstrap_order_value",
     "kmeans_refine_clusters", "golden_record_customers", "twap_event_value",
     "interval_union_coverage", "cuped_ab_adjustment",
+    "hybrid_rrf_fusion_top10", "grid_density_clusters",
+    "winnow_shared_fingerprints", "theil_sen_daily_trend",
     # connected_components changed this round — re-verify all callers
     "embedding_cluster_keep_best", "cluster_aware_split",
     "dedup_transitive_clusters",

@@ -991,3 +991,35 @@ def test_round11_query_plan_shapes(spark, sf_dir):
 
     p = fresh_plan(spark, sf_dir, "cuped_ab_adjustment")
     assert scan_count(p) == 1 and "CartesianProduct" not in p
+
+
+def test_round11b_query_plan_shapes(spark, sf_dir):
+    """Round-11b scale-critical shapes. RRF: each retrieval leg ends in
+    a bounded TakeOrderedAndProject (per-partition heaps), never a
+    global sort of the corpus. winnowing: ONE documents scan, exactly
+    ONE Generate (the per-window-minimum fingerprint explode — the
+    ~w-fold-collapsed stream; a raw token/k-gram explode would show a
+    second), no Window. grid clustering / Theil-Sen: all fact-grain
+    work happens ONCE into the bounded localCheckpoint (zero parquet
+    scans in the final plan); the pair pass is the intended
+    BroadcastNestedLoopJoin over the calendar-bounded day grain."""
+    def scan_count(plan: str) -> int:
+        return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+
+    p = fresh_plan(spark, sf_dir, "hybrid_rrf_fusion_top10")
+    assert p.count("TakeOrderedAndProject") >= 2, p
+    assert "CartesianProduct" not in p
+
+    p = fresh_plan(spark, sf_dir, "winnow_shared_fingerprints")
+    assert scan_count(p) == 1, p
+    assert len(re.findall(r"^\(\d+\) Generate", p, re.MULTILINE)) == 1, p
+    assert shuffle_count(p) <= 2 and "Window" not in p, p
+
+    p = fresh_plan(spark, sf_dir, "grid_density_clusters")
+    assert scan_count(p) == 0, p  # cell grain only, post-checkpoint
+    assert "CartesianProduct" not in p
+
+    p = fresh_plan(spark, sf_dir, "theil_sen_daily_trend")
+    assert scan_count(p) == 0, p  # day grain only, post-checkpoint
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p
