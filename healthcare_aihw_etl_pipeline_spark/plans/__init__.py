@@ -226,6 +226,8 @@ _MUST_VERIFY_R11: list[str] = [
     "interval_union_coverage", "cuped_ab_adjustment",
     "hybrid_rrf_fusion_top10", "grid_density_clusters",
     "winnow_shared_fingerprints", "theil_sen_daily_trend",
+    "decision_stump_quantity_split", "event_trigram_patterns",
+    "fifo_return_matching", "nelson_aalen_hazard",
     # connected_components changed this round — re-verify all callers
     "embedding_cluster_keep_best", "cluster_aware_split",
     "dedup_transitive_clusters",

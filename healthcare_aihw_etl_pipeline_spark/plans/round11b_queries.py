@@ -612,3 +612,482 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ols_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump learning: best information-gain split
+
+# Entropy quantum: integer milli-nats per c*ln(n) - c*ln(c) term. The
+# terms are generic reals (a 1-ulp libm ln divergence cannot reach the
+# 5e-4 quantization boundary), the BM25/value_drift_psi discipline.
+_IG_QUANT = 1000.0
+
+
+@register(
+    "decision_stump_quantity_split",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    qmax AS (SELECT MAX(q) AS m FROM cells),
+    splits AS (SELECT DISTINCT q AS s FROM cells, qmax WHERE q < m),
+    pairs AS (
+      SELECT s, CASE WHEN q <= s THEN 'L' ELSE 'R' END AS side, flag, c
+      FROM splits, cells
+    ),
+    grp AS (
+      SELECT s, side, flag, CAST(SUM(c) AS BIGINT) AS c
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    sided AS (
+      SELECT *, CAST(SUM(c) OVER (PARTITION BY s, side) AS BIGINT) AS n
+      FROM grp
+    ),
+    terms AS (
+      SELECT s, side, c,
+             CAST(floor((CAST(c AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                         - CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                        * {_IG_QUANT} + 0.5) AS BIGINT) AS t
+      FROM sided
+    ),
+    score AS (
+      SELECT s, CAST(SUM(t) AS BIGINT) AS child_milli,
+             CAST(SUM(CASE WHEN side = 'L' THEN c ELSE 0 END)
+                  AS BIGINT) AS n_left,
+             CAST(SUM(CASE WHEN side = 'R' THEN c ELSE 0 END)
+                  AS BIGINT) AS n_right
+      FROM terms GROUP BY s
+    ),
+    ft AS (
+      SELECT flag, CAST(SUM(c) AS BIGINT) AS c FROM cells GROUP BY flag
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ft),
+    parent AS (
+      SELECT CAST(SUM(CAST(floor((CAST(c AS DOUBLE)
+                                  * ln(CAST(n AS DOUBLE))
+                                  - CAST(c AS DOUBLE)
+                                  * ln(CAST(c AS DOUBLE)))
+                                 * {_IG_QUANT} + 0.5) AS BIGINT))
+                  AS BIGINT) AS p
+      FROM ft, tot
+    )
+    SELECT s AS split_q, n_left, n_right,
+           child_milli AS child_entropy_milli,
+           CAST(p - child_milli AS BIGINT) AS info_gain_milli
+    FROM score, parent
+    ORDER BY child_milli ASC, s ASC LIMIT 1
+    """,
+    doc="Decision-stump learning in pure relational algebra: the "
+    "l_quantity threshold that best predicts l_returnflag by "
+    "information gain. The fact table collapses to (quantity, class) "
+    "cells in ONE map-side-combined groupBy — 150 cells regardless of "
+    "corpus size — and every candidate split is scored from those "
+    "cells alone: weighted child entropy as exact integer milli-nat "
+    "sums of c*ln(n) - c*ln(c) terms (quantize-before-sum, the BM25 "
+    "discipline — ln on identical integer-valued doubles cannot cross "
+    "the 5e-4 boundary), argmin with a deterministic split tiebreak. "
+    "The split x cell expansion (49 x 150) and every later step run "
+    "on broadcast metadata — the shape a distributed decision-tree "
+    "layer (one stump per feature per node) runs at 100 TB, where "
+    "only the histogram pass touches the fact table.",
+)
+def decision_stump_quantity_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        # Class-histogram grain (|quantity domain| x |classes| cells):
+        # four downstream consumers, one fact pass.
+        .localCheckpoint(eager=True)
+    )
+    qmax = cells.agg(F.max("q").alias("m"))
+    splits = (
+        cells.select("q")
+        .distinct()
+        .crossJoin(F.broadcast(qmax))
+        .where(F.col("q") < F.col("m"))
+        .select(F.col("q").alias("s"))
+    )
+    pairs = splits.crossJoin(F.broadcast(cells)).select(
+        "s",
+        F.when(F.col("q") <= F.col("s"), F.lit("L"))
+        .otherwise(F.lit("R"))
+        .alias("side"),
+        "flag",
+        "c",
+    )
+    grp = pairs.groupBy("s", "side", "flag").agg(F.sum("c").alias("c"))
+    wside = Window.partitionBy("s", "side")
+    sided = grp.select(
+        "s", "side", "c", F.sum("c").over(wside).alias("n")
+    )
+    term = F.floor(
+        (
+            F.col("c").cast("double") * F.log(F.col("n").cast("double"))
+            - F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        )
+        * F.lit(_IG_QUANT)
+        + F.lit(0.5)
+    ).cast("long")
+    score = (
+        sided.select("s", "side", "c", term.alias("t"))
+        .groupBy("s")
+        .agg(
+            F.sum("t").alias("child_milli"),
+            F.sum(
+                F.when(F.col("side") == "L", F.col("c")).otherwise(F.lit(0))
+            ).alias("n_left"),
+            F.sum(
+                F.when(F.col("side") == "R", F.col("c")).otherwise(F.lit(0))
+            ).alias("n_right"),
+        )
+    )
+    ft = cells.groupBy("flag").agg(F.sum("c").alias("c"))
+    tot = ft.agg(F.sum("c").alias("n"))
+    parent = (
+        ft.crossJoin(F.broadcast(tot))
+        .select(term.alias("t"))
+        .agg(F.sum("t").alias("p"))
+    )
+    return (
+        score.crossJoin(F.broadcast(parent))
+        .select(
+            F.col("s").alias("split_q"),
+            "n_left",
+            "n_right",
+            F.col("child_milli").alias("child_entropy_milli"),
+            (F.col("p") - F.col("child_milli"))
+            .cast("long")
+            .alias("info_gain_milli"),
+        )
+        .orderBy(F.col("child_entropy_milli").asc(), F.col("split_q").asc())
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: top event-type trigrams
+
+
+@register(
+    "event_trigram_patterns",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1, t2, t3 LIMIT 20
+    """,
+    doc="Sequential pattern mining, order-2: the 20 most frequent "
+    "consecutive event-type TRIGRAMS across user journeys (the "
+    "markov_transitions family one order deeper — order-k sequence "
+    "counts are the support statistics behind next-action models and "
+    "funnel discovery). The (ts, event_id) window order is total, so "
+    "every engine sees identical successors. Scale: one shuffle on "
+    "user_id for the two LEADs (per-user partitions, never global), "
+    "then a map-side-combined count on a domain bounded by "
+    "|event_types|^3 — metadata-sized regardless of fact volume; the "
+    "top-20 is a TakeOrderedAndProject.",
+)
+def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("n").desc(),
+            F.col("t1").asc(),
+            F.col("t2").asc(),
+            F.col("t3").asc(),
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# FIFO allocation matching (returns consumed against shipments)
+
+
+@register(
+    "fifo_return_matching",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS shi,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w
+                  - CAST(l_quantity AS BIGINT) AS BIGINT) AS slo,
+             l_shipdate AS sdate
+      FROM lineitem WHERE l_returnflag = 'N'
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    demand AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS dhi,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w
+                  - CAST(l_quantity AS BIGINT) AS BIGINT) AS dlo,
+             -- per-part demand total rides the SAME partition window:
+             -- no second scan, no separate aggregate branch
+             CAST(SUM(CAST(l_quantity AS BIGINT))
+                  OVER (PARTITION BY l_partkey) AS BIGINT) AS dq,
+             l_shipdate AS ddate
+      FROM lineitem WHERE l_returnflag = 'R'
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    matched AS (
+      SELECT d.l_partkey, d.dq,
+             LEAST(s.shi, d.dhi) - GREATEST(s.slo, d.dlo) AS mq,
+             CAST(date_diff('day', s.sdate, d.ddate) AS BIGINT) AS age
+      FROM demand d JOIN supply s
+        ON d.l_partkey = s.l_partkey
+       AND s.slo < d.dhi AND d.dlo < s.shi
+    ),
+    alloc AS (
+      SELECT l_partkey, CAST(SUM(mq) AS BIGINT) AS matched_qty,
+             CAST(SUM(mq * age) AS BIGINT) AS qty_age_days,
+             CAST(MAX(dq) AS BIGINT) AS dq
+      FROM matched GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, matched_qty,
+           CAST(dq - matched_qty AS BIGINT) AS unmatched_qty,
+           qty_age_days
+    FROM alloc
+    ORDER BY matched_qty DESC, partkey LIMIT 20
+    """,
+    doc="FIFO allocation matching — the classic interval-intersection "
+    "formulation: per part, shipments (flag N) and returns (flag R) "
+    "each become cumulative-quantity intervals [lo, hi) in FIFO order "
+    "(shipdate, orderkey, linenumber — a total order), and the "
+    "allocation of each return against each shipment is the OVERLAP "
+    "of their intervals — the set-based equivalent of the sequential "
+    "matching loop every inventory/cost-basis/payment-waterfall "
+    "system runs, with exact integer quantities and quantity-weighted "
+    "age. Scale: both cumulative windows partition by part (bounded "
+    "rows per part by the data model), the match is an EQUI join on "
+    "partkey with the interval overlap as a residual predicate — "
+    "co-partitioned, never a range-only join — and per-part fan-out "
+    "is linear in lines per part because each demand interval "
+    "overlaps on average O(1) supply intervals. Top-20 is a "
+    "TakeOrderedAndProject.",
+)
+def fifo_return_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+
+    def leg(flag: str, lo: str, hi: str, date_alias: str) -> DataFrame:
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return li.where(F.col("l_returnflag") == flag).select(
+            "l_partkey",
+            F.sum(qty).over(w).alias(hi),
+            (F.sum(qty).over(w) - qty).alias(lo),
+            F.col("l_shipdate").alias(date_alias),
+        )
+
+    supply = leg("N", "slo", "shi", "sdate").withColumnRenamed(
+        "l_partkey", "s_partkey"
+    )
+    # Per-part demand total rides the same partition exchange as the
+    # cumulative window — no second scan, no separate aggregate branch.
+    demand = leg("R", "dlo", "dhi", "ddate").withColumn(
+        "dq", F.sum(F.col("dhi") - F.col("dlo")).over(
+            Window.partitionBy("l_partkey")
+        )
+    )
+    matched = (
+        demand.join(
+            supply,
+            (F.col("l_partkey") == F.col("s_partkey"))
+            & (F.col("slo") < F.col("dhi"))
+            & (F.col("dlo") < F.col("shi")),
+        )
+        .select(
+            "l_partkey",
+            "dq",
+            (
+                F.least(F.col("shi"), F.col("dhi"))
+                - F.greatest(F.col("slo"), F.col("dlo"))
+            ).alias("mq"),
+            F.datediff(F.col("ddate"), F.col("sdate"))
+            .cast("long")
+            .alias("age"),
+        )
+    )
+    alloc = matched.groupBy("l_partkey").agg(
+        F.sum("mq").alias("matched_qty"),
+        F.sum(F.col("mq") * F.col("age")).alias("qty_age_days"),
+        F.max("dq").alias("dq"),
+    )
+    return (
+        alloc.select(
+            F.col("l_partkey").alias("partkey"),
+            "matched_qty",
+            (F.col("dq") - F.col("matched_qty"))
+            .cast("long")
+            .alias("unmatched_qty"),
+            "qty_age_days",
+        )
+        .orderBy(F.col("matched_qty").desc(), F.col("partkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (KM's estimator sibling, div-exact)
+
+_NA_DAY_US = 86_400_000_000
+_NA_QUANT = 1_000_000_000
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle=f"""
+    WITH h AS (SELECT MAX(ts) AS horizon FROM events),
+    s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.s_ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT s.user_id,
+             CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS evt,
+             (epoch_us(COALESCE(p.p_ts, h.horizon)) - epoch_us(s.s_ts))
+               // {_NA_DAY_US} AS dur
+      FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN h
+    ),
+    km AS (
+      SELECT dur, CAST(SUM(evt) AS BIGINT) AS d_t,
+             CAST(SUM(1 - evt) AS BIGINT) AS c_t
+      FROM d GROUP BY dur
+    ),
+    w AS (
+      SELECT dur, d_t, c_t,
+             (SELECT COUNT(*) FROM d)
+               - COALESCE(SUM(d_t + c_t) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_risk
+      FROM km
+    ),
+    t AS (
+      SELECT dur, n_risk, d_t, c_t,
+             CAST(d_t * {_NA_QUANT} // n_risk AS BIGINT) AS term_q
+      FROM w
+    )
+    SELECT dur AS duration_day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d_t AS n_events,
+           c_t AS n_censored,
+           CAST(SUM(term_q) OVER (ORDER BY dur) AS BIGINT) AS cumhaz_q
+    FROM t
+    ORDER BY duration_day
+    """,
+    doc="Nelson-Aalen cumulative hazard of signup->purchase conversion "
+    "(right-censored at the corpus horizon) — Kaplan-Meier's estimator "
+    "sibling, and arithmetically STRICTER: each hazard increment "
+    "d_t/n_risk quantizes through exact integer division (d_t * 10^9 "
+    "div n_risk — truncation-identical in both engines), so unlike "
+    "KM's ln terms no libm call exists anywhere; the whole curve is "
+    "integer arithmetic end to end. Same scale shape as KM: one "
+    "groupBy(user) shuffle, then the hazard relation is |distinct "
+    "durations| — calendar-bounded — so the unpartitioned cumulative "
+    "window costs nothing at any corpus size. Reference lineage: "
+    "extends the percentage-trend family of /root/reference/main.py "
+    "(pct_change views) to event-history statistics.",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("horizon"))
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    d = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("p_ts").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("evt"),
+            F.expr(
+                "timestampdiff(MICROSECOND, s_ts, coalesce(p_ts, horizon))"
+                f" div {_NA_DAY_US}"
+            ).alias("dur"),
+        )
+    )
+    km = d.groupBy("dur").agg(
+        F.sum("evt").alias("d_t"),
+        F.sum(F.lit(1) - F.col("evt")).alias("c_t"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = km.select(
+        "dur",
+        "d_t",
+        "c_t",
+        (
+            F.sum(F.col("d_t") + F.col("c_t")).over(wall)
+            - F.coalesce(
+                F.sum(F.col("d_t") + F.col("c_t")).over(wprev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    t = w.select(
+        "dur",
+        "n_risk",
+        "d_t",
+        "c_t",
+        F.expr(f"d_t * {_NA_QUANT} div n_risk").alias("term_q"),
+    )
+    return t.select(
+        F.col("dur").alias("duration_day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_t").alias("n_events"),
+        F.col("c_t").alias("n_censored"),
+        F.sum("term_q").over(wcum).cast("long").alias("cumhaz_q"),
+    ).orderBy("duration_day")

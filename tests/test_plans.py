@@ -1023,3 +1023,35 @@ def test_round11b_query_plan_shapes(spark, sf_dir):
     assert scan_count(p) == 0, p  # day grain only, post-checkpoint
     assert "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_round11b_batch2_plan_shapes(spark, sf_dir):
+    """Batch-2 shapes. decision stump: the fact table collapses once
+    into the checkpointed class histogram (zero parquet scans in the
+    final plan). trigrams: one scan, one user-partitioned Window, then
+    a bounded TakeOrderedAndProject. FIFO: exactly TWO lineitem scans
+    (supply + demand legs; the demand total rides the demand leg's own
+    cumulative max, not a third scan) and the match is an EQUI
+    SortMergeJoin on partkey — never a pure range join. Nelson-Aalen:
+    KM's shape — no CartesianProduct, hazard window on the bounded
+    duration grain."""
+    def scan_count(plan: str) -> int:
+        return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+
+    p = fresh_plan(spark, sf_dir, "decision_stump_quantity_split")
+    assert scan_count(p) == 0 and "CartesianProduct" not in p, p
+
+    p = fresh_plan(spark, sf_dir, "event_trigram_patterns")
+    assert scan_count(p) == 1 and "Window" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+    p = fresh_plan(spark, sf_dir, "fifo_return_matching")
+    assert scan_count(p) == 2, p
+    # The match is an EQUI join on partkey (hash or merge, per stats) —
+    # never a nested-loop range join over the fact.
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p), p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+    p = fresh_plan(spark, sf_dir, "nelson_aalen_hazard")
+    assert "CartesianProduct" not in p and "Window" in p, p

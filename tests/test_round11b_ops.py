@@ -268,3 +268,167 @@ def test_theil_sen_trunc_div_semantics(spark):
     ).collect()[0]
     assert (row.a, row.b, row.c) == (-3, 3, 3)
     assert (_trunc_div(-7, 2), _trunc_div(7, 2)) == (-3, 3)
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (information gain)
+
+
+def test_decision_stump_matches_pure_python(spark):
+    [r] = _rows(spark, "decision_stump_quantity_split")
+    cells = duckdb.sql(
+        f"""
+        SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS f,
+               COUNT(*) AS c
+        FROM '{SF}/lineitem.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    qs = sorted({int(q) for q, _, _ in cells})
+
+    def qterm(c, n):
+        return math.floor((c * math.log(n) - c * math.log(c)) * 1000.0 + 0.5)
+
+    best = None
+    for s in qs[:-1]:
+        sides = {"L": Counter(), "R": Counter()}
+        for q, f, c in cells:
+            sides["L" if q <= s else "R"][f] += int(c)
+        score = sum(
+            qterm(c, sum(side.values()))
+            for side in sides.values()
+            for c in side.values()
+        )
+        nl = sum(sides["L"].values())
+        nr = sum(sides["R"].values())
+        cand = (score, s, nl, nr)
+        if best is None or cand[:2] < best[:2]:
+            best = cand
+    parent = Counter()
+    for q, f, c in cells:
+        parent[f] += int(c)
+    n = sum(parent.values())
+    p_milli = sum(qterm(c, n) for c in parent.values())
+    assert (
+        r.split_q,
+        r.n_left,
+        r.n_right,
+        r.child_entropy_milli,
+        r.info_gain_milli,
+    ) == (best[1], best[2], best[3], best[0], p_milli - best[0])
+    assert r.n_left + r.n_right == n
+    assert r.info_gain_milli >= 0  # splitting cannot lose information
+
+
+# ---------------------------------------------------------------------------
+# Event trigram patterns
+
+
+def test_trigrams_match_pure_python(spark):
+    got = [(r.t1, r.t2, r.t3, r.n) for r in _rows(spark, "event_trigram_patterns")]
+    ev = duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM"
+        f" '{SF}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    byuser = defaultdict(list)
+    for u, ts, eid, et in ev:
+        byuser[u].append(et)
+    cnt = Counter()
+    for seq in byuser.values():
+        for i in range(len(seq) - 2):
+            cnt[(seq[i], seq[i + 1], seq[i + 2])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == [(t1, t2, t3, n) for (t1, t2, t3), n in want]
+
+
+# ---------------------------------------------------------------------------
+# FIFO return matching
+
+
+def _py_fifo():
+    """Direct sequential FIFO allocation loop — the queue semantics the
+    interval-intersection formulation must equal exactly."""
+    rows = duckdb.sql(
+        f"""
+        SELECT l_partkey, l_returnflag, CAST(l_quantity AS BIGINT),
+               l_shipdate
+        FROM '{SF}/lineitem.parquet' WHERE l_returnflag IN ('N', 'R')
+        ORDER BY l_partkey, l_shipdate, l_orderkey, l_linenumber
+        """
+    ).fetchall()
+    supply = defaultdict(list)
+    demand = defaultdict(list)
+    for pk, flag, q, d in rows:
+        (supply if flag == "N" else demand)[pk].append([int(q), d])
+    out = {}
+    for pk, dem in demand.items():
+        sup = [list(s) for s in supply.get(pk, [])]
+        si = 0
+        matched = wage = 0
+        dtot = sum(q for q, _ in dem)
+        for dq, ddate in dem:
+            while dq > 0 and si < len(sup):
+                take = min(dq, sup[si][0])
+                if take > 0:
+                    matched += take
+                    wage += take * (ddate - sup[si][1]).days
+                    sup[si][0] -= take
+                    dq -= take
+                if sup[si][0] == 0:
+                    si += 1
+        out[pk] = (matched, dtot - matched, wage)
+    return out
+
+
+def test_fifo_interval_form_equals_sequential_loop(spark):
+    got = _rows(spark, "fifo_return_matching")
+    want = _py_fifo()
+    assert len(got) == 20
+    for r in got:
+        m, u, w = want[r.partkey]
+        assert (r.matched_qty, r.unmatched_qty, r.qty_age_days) == (m, u, w)
+    # The top-20 selection itself must match the loop's ordering.
+    top = sorted(
+        ((m, -pk) for pk, (m, _, _) in want.items()), reverse=True
+    )[:20]
+    assert [(r.matched_qty, -r.partkey) for r in got] == top
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard
+
+
+def test_nelson_aalen_matches_pure_python(spark):
+    rows = _rows(spark, "nelson_aalen_hazard")
+    d = duckdb.sql(
+        f"""
+        WITH h AS (SELECT MAX(ts) AS horizon
+                   FROM '{SF}/events.parquet'),
+        s AS (SELECT user_id, MIN(ts) AS s_ts FROM '{SF}/events.parquet'
+              WHERE event_type = 'signup' GROUP BY user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+              FROM '{SF}/events.parquet' e
+              JOIN s ON e.user_id = s.user_id AND e.ts >= s.s_ts
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END,
+               (epoch_us(COALESCE(p.p_ts, h.horizon)) - epoch_us(s.s_ts))
+                 // 86400000000
+        FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN h
+        """
+    ).fetchall()
+    byd = defaultdict(lambda: [0, 0])
+    for evt, dur in d:
+        byd[int(dur)][0 if evt else 1] += 1
+    at_risk = len(d)
+    cum = 0
+    want = []
+    for dur in sorted(byd):
+        d_t, c_t = byd[dur]
+        cum += d_t * 1_000_000_000 // at_risk
+        want.append((dur, at_risk, d_t, c_t, cum))
+        at_risk -= d_t + c_t
+    assert [
+        (r.duration_day, r.n_risk, r.n_events, r.n_censored, r.cumhaz_q)
+        for r in rows
+    ] == want
+    hz = [r.cumhaz_q for r in rows]
+    assert hz == sorted(hz)  # cumulative hazard is nondecreasing
