@@ -228,6 +228,8 @@ _MUST_VERIFY_R11: list[str] = [
     "winnow_shared_fingerprints", "theil_sen_daily_trend",
     "decision_stump_quantity_split", "event_trigram_patterns",
     "fifo_return_matching", "nelson_aalen_hazard",
+    "segmented_trend_changepoint", "wasserstein_daily_revenue",
+    "gini_customer_revenue",
     # connected_components changed this round — re-verify all callers
     "embedding_cluster_keep_best", "cluster_aware_split",
     "dedup_transitive_clusters",

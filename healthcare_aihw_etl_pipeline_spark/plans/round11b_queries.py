@@ -400,7 +400,13 @@ _WIN_W = 4
     "map-side combined. No per-token row stream ever exists before "
     "the per-window minima collapse ~w-fold; at 100 TB the shuffled "
     "volume is the fingerprint density (~2/w per token), not the "
-    "token count.",
+    "token count. Measured (SCALE_CURVE_R11B): the residual vs "
+    "single-node DuckDB (~2.6x at sf10) is the interpreted "
+    "higher-order-function md5 constant — per-window slice "
+    "allocation was eliminated (least() chain, 13.6 -> 6.3 s at "
+    "sf10), and the exploded-token-stream alternative was rejected "
+    "because it shuffles the full k-gram stream (petabyte-grade at "
+    "100 TB) to shave a constant factor on a scan-local pass.",
 )
 def winnow_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
@@ -425,15 +431,35 @@ def winnow_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _window_minima(h):
+        # least(element_at x w) instead of array_min(slice(...)): the
+        # slice form ALLOCATES a w-element array per window inside the
+        # interpreted HOF path — measured 12.3 s vs 5.1 s for the
+        # minima pass at sf10 (the hash pass itself is ~5 s). Same
+        # value per window, zero allocation.
         return F.transform(
             F.sequence(F.lit(0), F.size(h) - F.lit(_WIN_W)),
-            lambda s: F.array_min(
-                F.slice(h, s + F.lit(1), F.lit(_WIN_W))
+            lambda s: F.least(
+                *[
+                    F.element_at(h, s + F.lit(j + 1))
+                    for j in range(_WIN_W)
+                ]
             ),
         )
 
+    # Round-robin the docs across the full core count before the heavy
+    # row-local pass: small-SF document files scan as 1-2 splits, which
+    # would serialize the md5 k-gram work on 2 of 32 cores (the
+    # inverted-index lesson — same fix). ~100-byte rows, so the one-off
+    # exchange is noise next to the hashing it parallelizes; on a real
+    # cluster the scan already arrives well-split and this is a no-op
+    # cost-wise.
+    nparts = max(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        docs.rdd.getNumPartitions(),
+    )
     fp = (
-        docs.where(F.trim(F.col("text")) != "")
+        docs.repartition(nparts)
+        .where(F.trim(F.col("text")) != "")
         .where(F.size(tokens("text")) >= _WIN_K + _WIN_W - 1)
         .select(
             "doc_id",
@@ -1028,6 +1054,12 @@ _NA_QUANT = 1_000_000_000
 def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     horizon = ev.agg(F.max("ts").alias("horizon"))
+    # KM's three-scan shape on purpose: each leg AGGREGATES to user
+    # grain map-side before its exchange, so the shuffled volume is
+    # |users|, not |events|. A single-scan user-window variant was
+    # measured (1.81 s vs 2.03 s at sf10 — noise-level locally) and
+    # REJECTED: WindowExec shuffles the full event stream with no
+    # partial aggregation, the wrong trade at 100 TB.
     s = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -1091,3 +1123,357 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_t").alias("n_censored"),
         F.sum("term_q").over(wcum).cast("long").alias("cumhaz_q"),
     ).orderBy("duration_day")
+
+
+# ---------------------------------------------------------------------------
+# Segmented (two-piece) trend at the CUSUM changepoint
+
+_SEG_EPOCH = "DATE '1992-01-01'"
+
+
+@register(
+    "segmented_trend_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', {_SEG_EPOCH}, o_orderdate) AS x,
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS r
+      FROM orders GROUP BY o_orderdate
+    ),
+    tot AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    c AS (
+      SELECT x,
+             CAST(SUM(r * (SELECT n FROM tot) - (SELECT total FROM tot))
+                  OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cusum
+      FROM daily
+    ),
+    cp AS (
+      SELECT x AS cp_x FROM c ORDER BY abs(cusum) DESC, x ASC LIMIT 1
+    ),
+    seg AS (
+      SELECT CASE WHEN d.x <= cp.cp_x THEN 'pre' ELSE 'post' END AS segment,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(d.x) AS BIGINT) AS sx,
+             CAST(SUM(d.r) AS BIGINT) AS sy,
+             CAST(SUM(d.x * d.x) AS BIGINT) AS sxx,
+             CAST(SUM(d.x * d.r) AS BIGINT) AS sxy
+      FROM daily d, cp GROUP BY 1
+    )
+    SELECT s.segment,
+           strftime({_SEG_EPOCH} + CAST(cp.cp_x AS INTEGER), '%Y-%m-%d')
+             AS cp_day,
+           s.nd AS n_days,
+           CASE WHEN CAST(s.nd AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                     - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) <> 0.0
+                THEN (CAST(s.nd AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                      - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+                     / (CAST(s.nd AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+                ELSE NULL END AS slope_cents_per_day,
+           CAST(s.sy AS DOUBLE) / CAST(s.nd AS DOUBLE) / 100.0
+             AS mean_dollars
+    FROM seg s, cp
+    ORDER BY s.segment DESC
+    """,
+    doc="Segmented (two-piece) regression: the CUSUM-detected "
+    "changepoint of daily revenue (exact scaled-integer deviations, "
+    "argmax |CUSUM| with a deterministic day tiebreak — bit-identical "
+    "to revenue_changepoint's detector) splits the day grain into "
+    "pre/post segments, and each segment gets an exact-moment OLS "
+    "trend — slope from BIGINT moments cast to DOUBLE before the "
+    "normal-equation products (the theil_sen overflow discipline), "
+    "guarded NULL for a degenerate single-day segment. Piecewise "
+    "trend fitting is the standard post-detection follow-up to a "
+    "changepoint alarm; this runs detector + both fits in ONE day-"
+    "grain pipeline. Scale: one fact groupBy to the calendar-bounded "
+    "day grain (localCheckpoint — detector and segment moments reuse "
+    "it), everything downstream is metadata-sized.",
+)
+def segmented_trend_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy("o_orderdate")
+        .agg(F.sum(cents("o_totalprice")).alias("r"))
+        .select(
+            F.datediff(F.col("o_orderdate"), F.expr(_SEG_EPOCH))
+            .cast("long")
+            .alias("x"),
+            "r",
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.sum("r").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    wcum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "cusum", F.sum(F.col("r") * F.col("n") - F.col("total")).over(wcum)
+    )
+    cp = (
+        c.orderBy(F.abs(F.col("cusum")).desc(), F.col("x").asc())
+        .limit(1)
+        .select(F.col("x").alias("cp_x"))
+    )
+    seg = (
+        daily.crossJoin(F.broadcast(cp))
+        .groupBy(
+            F.when(F.col("x") <= F.col("cp_x"), F.lit("pre"))
+            .otherwise(F.lit("post"))
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.sum("x").alias("sx"),
+            F.sum("r").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("r")).alias("sxy"),
+        )
+    )
+    den = (
+        F.col("nd").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    num = (
+        F.col("nd").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    return (
+        seg.crossJoin(F.broadcast(cp))
+        .select(
+            "segment",
+            F.date_format(
+                F.expr(f"date_add({_SEG_EPOCH}, CAST(cp_x AS INT))"),
+                "yyyy-MM-dd",
+            ).alias("cp_day"),
+            F.col("nd").alias("n_days"),
+            F.when(den != F.lit(0.0), num / den)
+            .otherwise(F.lit(None).cast("double"))
+            .alias("slope_cents_per_day"),
+            (
+                F.col("sy").cast("double")
+                / F.col("nd").cast("double")
+                / F.lit(100.0)
+            ).alias("mean_dollars"),
+        )
+        .orderBy(F.col("segment").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 distance between two daily-revenue distributions
+
+_W1_YEAR_A = 1995
+_W1_YEAR_B = 1996
+
+
+@register(
+    "wasserstein_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS r
+      FROM orders
+      WHERE year(o_orderdate) IN ({_W1_YEAR_A}, {_W1_YEAR_B})
+      GROUP BY o_orderdate
+    ),
+    v AS (
+      SELECT r,
+             CAST(SUM(CASE WHEN y = {_W1_YEAR_A} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN y = {_W1_YEAR_B} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM daily GROUP BY r
+    ),
+    cum AS (
+      SELECT r,
+             CAST(SUM(c1) OVER (ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS k1,
+             CAST(SUM(c2) OVER (ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS k2,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(c2) OVER () AS BIGINT) AS n2,
+             CAST(LEAD(r) OVER (ORDER BY r) - r AS BIGINT) AS gap
+      FROM v
+    )
+    SELECT CAST(MIN(n1) AS BIGINT) AS n1_days,
+           CAST(MIN(n2) AS BIGINT) AS n2_days,
+           CAST(SUM(abs(k1 * n2 - k2 * n1) * gap) AS BIGINT) AS w1_num,
+           CAST(SUM(abs(k1 * n2 - k2 * n1) * gap) AS DOUBLE)
+             / (CAST(MIN(n1) AS DOUBLE) * CAST(MIN(n2) AS DOUBLE))
+             / 100.0 AS w1_dollars
+    FROM cum WHERE gap IS NOT NULL
+    """,
+    doc=f"Wasserstein-1 (earth-mover) distance between the daily-"
+    f"revenue distributions of {_W1_YEAR_A} and {_W1_YEAR_B} — the "
+    "distribution-shift metric with UNITS (dollars of revenue that "
+    "must move), complementing the registry's PSI (log-ratio mass), "
+    "chi-square (counts) and MI (dependence) monitors. Computed as "
+    "the exact CDF-gap integral on the merged support: per support "
+    "value, |K1*n2 - K2*n1| * gap — cross-multiplied BIGINT "
+    "cumulative counts, no division until the final display column, "
+    "so the statistic is hash-exact (overflow bound: cum-count "
+    "products x cent gaps stay under 2^63 through ~sf10; beyond, "
+    "widen to DECIMAL on both engines). Scale: one fact groupBy to "
+    "the day grain, then the CDF window runs on the CALENDAR-bounded "
+    "support (<=731 values), the KM/changepoint justification.",
+)
+def wasserstein_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.where(
+            F.year("o_orderdate").isin(_W1_YEAR_A, _W1_YEAR_B)
+        )
+        .groupBy("o_orderdate")
+        .agg(F.sum(cents("o_totalprice")).alias("r"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            "r",
+        )
+    )
+    v = daily.groupBy("r").agg(
+        F.sum(
+            F.when(F.col("y") == _W1_YEAR_A, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("c1"),
+        F.sum(
+            F.when(F.col("y") == _W1_YEAR_B, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("c2"),
+    )
+    wcum = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wlead = Window.orderBy("r")
+    cum = v.select(
+        "r",
+        F.sum("c1").over(wcum).alias("k1"),
+        F.sum("c2").over(wcum).alias("k2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+        (F.lead("r").over(wlead) - F.col("r")).cast("long").alias("gap"),
+    )
+    return cum.where(F.col("gap").isNotNull()).agg(
+        F.min("n1").cast("long").alias("n1_days"),
+        F.min("n2").cast("long").alias("n2_days"),
+        F.sum(
+            F.abs(F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1"))
+            * F.col("gap")
+        )
+        .cast("long")
+        .alias("w1_num"),
+        (
+            F.sum(
+                F.abs(
+                    F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1")
+                )
+                * F.col("gap")
+            ).cast("double")
+            / (
+                F.min("n1").cast("double") * F.min("n2").cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("w1_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue concentration
+
+
+@register(
+    "gini_customer_revenue",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey, CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT)
+               AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    v AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt FROM cust GROUP BY m
+    ),
+    cum AS (
+      SELECT m, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS k,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+             CAST(SUM(m * cnt) OVER () AS BIGINT) AS s
+      FROM v
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+           CAST(MIN(s) AS BIGINT) AS total_cents,
+           -- 2*sum(i*x_(i)) with tie groups spanning ranks (k-cnt+1)..k:
+           -- sum over groups of m*cnt*(2k - cnt + 1), exact BIGINT
+           CAST(SUM(m * cnt * (2 * k - cnt + 1)) AS BIGINT)
+             AS two_sum_rank_value,
+           (CAST(SUM(m * cnt * (2 * k - cnt + 1)) AS DOUBLE)
+              - (CAST(MIN(n) AS DOUBLE) + 1.0) * CAST(MIN(s) AS DOUBLE))
+             / (CAST(MIN(n) AS DOUBLE) * CAST(MIN(s) AS DOUBLE)) AS gini
+    FROM cum
+    """,
+    doc="Gini coefficient of revenue concentration across customers — "
+    "the inequality statistic behind whale-risk and data-skew audits. "
+    "Exact grouped form: customers collapse to distinct revenue "
+    "VALUES with counts, and a tie group spanning sorted ranks "
+    "(k-cnt+1)..k contributes m*cnt*(2k-cnt+1) to 2*sum(i*x_(i)) — "
+    "all BIGINT, so the rank-weighted sum is hash-exact (fits 2^63 "
+    "through ~sf10: 2nS ~ 6.6e18; widen to DECIMAL beyond); the only "
+    "doubles are one shared final expression. Scale: one fact groupBy "
+    "to customer grain, a second to the distinct-value grain; the "
+    "cumulative window runs on distinct revenue values — data-"
+    "bounded, the order_value_deciles precedent — and a 100 TB "
+    "deployment swaps the exact tail for the quantile-sketch Lorenz "
+    "buckets the registry already carries.",
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("m")
+    )
+    v = cust.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = v.select(
+        "m",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("k"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.sum(F.col("m") * F.col("cnt")).over(wall).alias("s"),
+    )
+    two_sum = F.sum(
+        F.col("m")
+        * F.col("cnt")
+        * (F.lit(2) * F.col("k") - F.col("cnt") + F.lit(1))
+    )
+    return cum.agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.min("s").cast("long").alias("total_cents"),
+        two_sum.cast("long").alias("two_sum_rank_value"),
+        (
+            (
+                two_sum.cast("double")
+                - (F.min("n").cast("double") + F.lit(1.0))
+                * F.min("s").cast("double")
+            )
+            / (F.min("n").cast("double") * F.min("s").cast("double"))
+        ).alias("gini"),
+    )

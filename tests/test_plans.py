@@ -1013,7 +1013,10 @@ def test_round11b_query_plan_shapes(spark, sf_dir):
     p = fresh_plan(spark, sf_dir, "winnow_shared_fingerprints")
     assert scan_count(p) == 1, p
     assert len(re.findall(r"^\(\d+\) Generate", p, re.MULTILINE)) == 1, p
-    assert shuffle_count(p) <= 2 and "Window" not in p, p
+    # 3 exchanges: the deliberate round-robin doc spread (parallelizes
+    # the row-local md5 pass past a 1-2-split scan) + the two
+    # fingerprint aggregates. No Window anywhere.
+    assert shuffle_count(p) <= 3 and "Window" not in p, p
 
     p = fresh_plan(spark, sf_dir, "grid_density_clusters")
     assert scan_count(p) == 0, p  # cell grain only, post-checkpoint
@@ -1055,3 +1058,22 @@ def test_round11b_batch2_plan_shapes(spark, sf_dir):
 
     p = fresh_plan(spark, sf_dir, "nelson_aalen_hazard")
     assert "CartesianProduct" not in p and "Window" in p, p
+
+
+def test_round11b_batch3_plan_shapes(spark, sf_dir):
+    """Batch-3 shapes. Segmented trend: detector and both segment fits
+    reuse ONE checkpointed day grain (zero parquet scans in the final
+    plan). Wasserstein: one scan, then the CDF window on the calendar-
+    bounded support. Gini: one scan, two groupBys (customer, then
+    distinct value), no Cartesian anywhere."""
+    def scan_count(plan: str) -> int:
+        return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+
+    p = fresh_plan(spark, sf_dir, "segmented_trend_changepoint")
+    assert scan_count(p) == 0 and "CartesianProduct" not in p, p
+
+    p = fresh_plan(spark, sf_dir, "wasserstein_daily_revenue")
+    assert scan_count(p) == 1 and "CartesianProduct" not in p, p
+
+    p = fresh_plan(spark, sf_dir, "gini_customer_revenue")
+    assert scan_count(p) == 1 and "CartesianProduct" not in p, p

@@ -432,3 +432,116 @@ def test_nelson_aalen_matches_pure_python(spark):
     ] == want
     hz = [r.cumhaz_q for r in rows]
     assert hz == sorted(hz)  # cumulative hazard is nondecreasing
+
+
+# ---------------------------------------------------------------------------
+# Segmented trend at the changepoint
+
+
+def test_segmented_trend_matches_python_and_detector(spark):
+    rows = {r.segment: r for r in _rows(spark, "segmented_trend_changepoint")}
+    assert set(rows) == {"pre", "post"}
+    daily = duckdb.sql(
+        f"""
+        SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM '{SF}/orders.parquet' GROUP BY o_orderdate ORDER BY x
+        """
+    ).fetchall()
+    xs = [int(x) for x, _ in daily]
+    rs = [int(r) for _, r in daily]
+    n, total = len(rs), sum(rs)
+    cum, best = 0, None
+    for x, r in zip(xs, rs):
+        cum += r * n - total
+        if best is None or abs(cum) > best[0]:
+            best = (abs(cum), x)
+    cp_x = best[1]
+    import datetime as dt
+
+    cp_day = (dt.date(1992, 1, 1) + dt.timedelta(days=cp_x)).isoformat()
+    assert rows["pre"].cp_day == cp_day and rows["post"].cp_day == cp_day
+    # The detector must agree with revenue_changepoint bit-for-bit.
+    [cpq] = _rows(spark, "revenue_changepoint")
+    assert cpq.cp_day == cp_day
+    pre = [(x, r) for x, r in zip(xs, rs) if x <= cp_x]
+    post = [(x, r) for x, r in zip(xs, rs) if x > cp_x]
+    assert rows["pre"].n_days == len(pre)
+    assert rows["post"].n_days == len(post)
+    for seg, pts in (("pre", pre), ("post", post)):
+        sl, _ = np.polyfit(
+            np.asarray([p[0] for p in pts], float),
+            np.asarray([p[1] for p in pts], float),
+            1,
+        )
+        assert math.isclose(
+            rows[seg].slope_cents_per_day, float(sl), rel_tol=1e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 distance
+
+
+def test_wasserstein_matches_two_pointer_python(spark):
+    [r] = _rows(spark, "wasserstein_daily_revenue")
+    daily = duckdb.sql(
+        f"""
+        SELECT year(o_orderdate) AS y,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM '{SF}/orders.parquet'
+        WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY o_orderdate
+        """
+    ).fetchall()
+    a = sorted(int(v) for y, v in daily if y == 1995)
+    b = sorted(int(v) for y, v in daily if y == 1996)
+    n1, n2 = len(a), len(b)
+    # Independent formulation: integral of |F1 - F2| over the merged
+    # support, walked with two pointers (not the SQL's window shape).
+    support = sorted(set(a) | set(b))
+    num = 0
+    i = j = 0
+    for k, v in enumerate(support[:-1]):
+        while i < n1 and a[i] <= v:
+            i += 1
+        while j < n2 and b[j] <= v:
+            j += 1
+        num += abs(i * n2 - j * n1) * (support[k + 1] - v)
+    assert (r.n1_days, r.n2_days, r.w1_num) == (n1, n2, num)
+    assert math.isclose(
+        r.w1_dollars, num / (n1 * n2) / 100.0, rel_tol=1e-12
+    )
+    # W1 lower bound: at least the mean shift.
+    mean_gap = abs(sum(a) / n1 - sum(b) / n2) / 100.0
+    assert r.w1_dollars >= mean_gap - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient
+
+
+def test_gini_matches_sorted_rank_formula(spark):
+    [r] = _rows(spark, "gini_customer_revenue")
+    vals = sorted(
+        int(v)
+        for (v,) in duckdb.sql(
+            f"""
+            SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM '{SF}/orders.parquet' GROUP BY o_custkey
+            """
+        ).fetchall()
+    )
+    n, s = len(vals), sum(vals)
+    two_sum = 2 * sum((i + 1) * v for i, v in enumerate(vals))
+    assert (r.n_customers, r.total_cents, r.two_sum_rank_value) == (
+        n,
+        s,
+        two_sum,
+    )
+    gini = (two_sum - (n + 1) * s) / (n * s)
+    assert math.isclose(r.gini, gini, rel_tol=1e-12)
+    assert 0.0 <= r.gini < 1.0
