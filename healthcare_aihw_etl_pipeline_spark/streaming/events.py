@@ -497,3 +497,123 @@ def user_first_seen_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cohort"),
         )
     )
+
+
+def daily_peak_concurrency(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch sweep-line `max_concurrent_sessions`
+    (plans.round11_queries): per event-day, the number of user activity
+    spans (first..last event of each user that day, closed intervals)
+    and the day's PEAK concurrency, emitted exactly once when the
+    watermark closes the day (event-time timeout).
+
+    A prefix-sum sweep cannot be expressed as a streaming windowed
+    aggregate (it needs the day's complete, ordered boundary multiset),
+    so this is the canonical custom-stateful shape: state per day is
+    the per-user span table — three parallel arrays, bounded by the
+    day's active-user cardinality, NOT its event count (each event
+    only widens its user's span) — and the O(u log u) sweep runs once
+    at close, in the Arrow batch handler, on metadata-sized state.
+    Out-of-order arrival within the watermark is handled by
+    construction: spans only widen, and the sweep sees the final
+    table. The tie rule matches the batch query bit-for-bit: a span
+    ending at t and one starting at t ARE concurrent (+1 before -1).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("day", T.StringType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("max_concurrent", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("users", T.ArrayType(T.LongType())),
+            T.StructField("smin", T.ArrayType(T.LongType())),
+            T.StructField("smax", T.ArrayType(T.LongType())),
+        ]
+    )
+    _EMPTY = pd.DataFrame(
+        {"day": pd.Series(dtype="object"),
+         "n_sessions": pd.Series(dtype="int64"),
+         "max_concurrent": pd.Series(dtype="int64")}
+    )
+
+    def update(key, pdfs, state: GroupState):
+        day = key[0]
+        if state.hasTimedOut:
+            users, smin, smax = state.get
+            starts = sorted(smin)
+            ends = sorted(smax)
+            cur = peak = 0
+            i = j = 0
+            n = len(starts)
+            while i < n:
+                # starts first on ties: closed intervals are concurrent
+                if starts[i] <= ends[j]:
+                    cur += 1
+                    peak = max(peak, cur)
+                    i += 1
+                else:
+                    cur -= 1
+                    j += 1
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "day": [day.isoformat()],
+                    "n_sessions": [n],
+                    "max_concurrent": [peak],
+                }
+            )
+            return
+        spans: dict = {}
+        if state.exists:
+            users, smin, smax = state.get
+            spans = {u: [lo, hi] for u, lo, hi in zip(users, smin, smax)}
+        for pdf in pdfs:
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            )
+            for u, t in zip(pdf["user_id"].astype("int64"), ts_us):
+                u = int(u)
+                t = int(t)
+                s = spans.get(u)
+                if s is None:
+                    spans[u] = [t, t]
+                else:
+                    if t < s[0]:
+                        s[0] = t
+                    if t > s[1]:
+                        s[1] = t
+        state.update(
+            (
+                list(spans.keys()),
+                [s[0] for s in spans.values()],
+                [s[1] for s in spans.values()],
+            )
+        )
+        # Close when the watermark passes end-of-day: emit-once-per-day.
+        import datetime as _dt
+
+        day_end = _dt.datetime(day.year, day.month, day.day) + _dt.timedelta(
+            days=1
+        )
+        state.setTimeoutTimestamp(int(day_end.timestamp() * 1000))
+        yield _EMPTY
+
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

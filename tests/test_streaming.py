@@ -993,3 +993,41 @@ def test_tws_gate_matches_protobuf_importability():
     except ImportError:
         have = False
     assert tws_available() is have
+
+
+def test_daily_peak_concurrency_closes_day_with_tie_rule(spark, tmp_path):
+    """Streaming sweep-line twin (round-11 family): the day emits
+    EXACTLY ONCE when the watermark passes end-of-day, out-of-order
+    arrival within the watermark widens spans instead of corrupting
+    them, and the closed-interval tie rule is load-bearing — user 2's
+    span STARTS at the instant user 1's span ends (12:30), so peak
+    concurrency must be 2; an ends-first sweep would report 1."""
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+        daily_peak_concurrency,
+    )
+
+    rows = _replay_batches(
+        spark,
+        tmp_path,
+        [
+            # b1: u1 at 12:30, u2 at 13:00 (u2's span will start 12:30)
+            [(1, "2024-01-01 12:30:00", 1, 1.0),
+             (2, "2024-01-01 13:00:00", 2, 1.0)],
+            # b2: OUT-OF-ORDER u1 event at 10:00 (within the 6h
+            # watermark) widens u1's span to [10:00, 12:30]; u2's
+            # second event makes its span [12:30, 13:00]
+            [(3, "2024-01-01 10:00:00", 1, 1.0),
+             (4, "2024-01-01 12:30:00", 2, 1.0)],
+            # b3: Jan 2 event raises max event time; watermark still
+            # trails behind end-of-day-1 during this batch
+            [(5, "2024-01-02 08:00:00", 9, 1.0)],
+            # b4: watermark (08:00 - 6h = 02:00 Jan 2) now past
+            # end-of-day-1 -> the day-1 state times out and emits
+            [(6, "2024-01-02 09:00:00", 9, 1.0)],
+        ],
+        lambda s: daily_peak_concurrency(s, watermark="6 hours"),
+    )
+    done = [(r.day, r.n_sessions, r.max_concurrent) for r in rows]
+    # day 1 emitted exactly once with the tie-inclusive peak; day 2
+    # never closed (watermark never passed its end), so never emitted
+    assert done == [("2024-01-01", 2, 2)], done
