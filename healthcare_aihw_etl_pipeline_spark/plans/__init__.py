@@ -229,7 +229,8 @@ _MUST_VERIFY_R11: list[str] = [
     "decision_stump_quantity_split", "event_trigram_patterns",
     "fifo_return_matching", "nelson_aalen_hazard",
     "segmented_trend_changepoint", "wasserstein_daily_revenue",
-    "gini_customer_revenue",
+    "gini_customer_revenue", "consistent_hash_resharding",
+    "greedy_source_coverage",
     # connected_components changed this round — re-verify all callers
     "embedding_cluster_keep_best", "cluster_aware_split",
     "dedup_transitive_clusters",

@@ -1477,3 +1477,243 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.min("n").cast("double") * F.min("s").cast("double"))
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash resharding audit
+
+# Ring construction: V virtual nodes per shard, positions =
+# md5("s{shard}-v{vnode}") truncated to 48 bits — engine-portable (the
+# registry's md5 convention) and DATA-INDEPENDENT, so the ring is a
+# compile-time literal in both plans: assignment is a row-local lookup
+# over a ~100-element constant array, zero joins, zero shuffles.
+_CH_VNODES = 16
+_CH_N_OLD = 8
+_CH_N_NEW = 9
+
+
+def _ch_ring(n_shards: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    ring = []
+    for s in range(n_shards):
+        for j in range(_CH_VNODES):
+            pos = int(
+                hashlib.md5(f"s{s}-v{j}".encode()).hexdigest()[:12], 16
+            )
+            ring.append((pos, s))
+    ring.sort()
+    return ring
+
+
+def _ch_sql_lookup(ring: list[tuple[int, int]], h: str) -> str:
+    pos = "[" + ", ".join(str(p) for p, _ in ring) + "]"
+    sh = "[" + ", ".join(str(s) for _, s in ring) + "]"
+    # smallest ring position >= h, wrapping to the first entry
+    return (
+        f"{sh}[COALESCE(list_filter(range(1, {len(ring) + 1}),"
+        f" i -> {pos}[i] >= {h})[1], 1)]"
+    )
+
+
+def _ch_spark_lookup(ring: list[tuple[int, int]], h):
+    pos = F.array(*[F.lit(p).cast("long") for p, _ in ring])
+    sh = F.array(*[F.lit(s).cast("long") for _, s in ring])
+    idx = F.coalesce(
+        F.try_element_at(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(len(ring))),
+                lambda i: F.element_at(pos, i) >= h,
+            ),
+            F.lit(1),
+        ),
+        F.lit(1),
+    )
+    return F.element_at(sh, idx)
+
+
+@register(
+    "consistent_hash_resharding",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    pair AS (
+      SELECT {_ch_sql_lookup(_ch_ring(_CH_N_OLD), 'h')} AS s8,
+             {_ch_sql_lookup(_ch_ring(_CH_N_NEW), 'h')} AS s9
+      FROM assigned
+    )
+    SELECT CAST(s8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved_out,
+           CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS moved_ppm
+    FROM pair GROUP BY s8 ORDER BY shard
+    """,
+    doc=f"Consistent-hashing resharding audit: every document hashes "
+    f"onto a {_CH_VNODES}-vnode-per-shard md5 ring, and the query "
+    f"reports, per current shard ({_CH_N_OLD} shards), how many "
+    f"documents MOVE when a shard is added ({_CH_N_NEW}) — the "
+    "movement bound (~1/(N+1) of keys, vs ~all keys under modulo "
+    "hashing) that makes consistent hashing the standard reshard "
+    "strategy for 100 TB key-value layouts. The ring is data-"
+    "independent, so BOTH ring lookups are row-local scans over a "
+    "~144-element compile-time literal array (successor-with-wrap via "
+    "a filtered index sequence) — one scan, one 8-group aggregate, "
+    "zero joins; the md5 positions replay bit-for-bit in DuckDB "
+    "(hex-prefix cast, the engine-wide portable-hash convention).",
+)
+def consistent_hash_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    both = docs.select(
+        _ch_spark_lookup(_ch_ring(_CH_N_OLD), h).alias("s8"),
+        _ch_spark_lookup(_ch_ring(_CH_N_NEW), h).alias("s9"),
+    )
+    return (
+        both.groupBy(F.col("s8").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("s8") != F.col("s9"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_moved_out"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_moved_out",
+            F.expr("n_moved_out * 1000000 div n_docs").alias("moved_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage source selection (submodular corpus curation)
+
+_COV_ROUNDS = 5
+
+
+@register(
+    "greedy_source_coverage",
+    oracle=f"""
+    WITH st AS (
+      SELECT DISTINCT source, tok AS token
+      FROM (SELECT source, UNNEST(toks) AS tok
+            FROM (SELECT source, {sql_tokens('text')} AS toks
+                  FROM documents WHERE trim(text) <> ''))
+    ),
+    g1 AS (
+      SELECT source, COUNT(*) AS gain FROM st GROUP BY source
+      ORDER BY gain DESC, source LIMIT 1
+    ),
+    c1 AS (SELECT token FROM st WHERE source = (SELECT source FROM g1)),
+    g2 AS (
+      SELECT source, COUNT(*) AS gain FROM st
+      WHERE token NOT IN (SELECT token FROM c1)
+      GROUP BY source ORDER BY gain DESC, source LIMIT 1
+    ),
+    c2 AS (SELECT token FROM c1 UNION
+           SELECT token FROM st WHERE source = (SELECT source FROM g2)),
+    g3 AS (
+      SELECT source, COUNT(*) AS gain FROM st
+      WHERE token NOT IN (SELECT token FROM c2)
+      GROUP BY source ORDER BY gain DESC, source LIMIT 1
+    ),
+    c3 AS (SELECT token FROM c2 UNION
+           SELECT token FROM st WHERE source = (SELECT source FROM g3)),
+    g4 AS (
+      SELECT source, COUNT(*) AS gain FROM st
+      WHERE token NOT IN (SELECT token FROM c3)
+      GROUP BY source ORDER BY gain DESC, source LIMIT 1
+    ),
+    c4 AS (SELECT token FROM c3 UNION
+           SELECT token FROM st WHERE source = (SELECT source FROM g4)),
+    g5 AS (
+      SELECT source, COUNT(*) AS gain FROM st
+      WHERE token NOT IN (SELECT token FROM c4)
+      GROUP BY source ORDER BY gain DESC, source LIMIT 1
+    ),
+    c5 AS (SELECT token FROM c4 UNION
+           SELECT token FROM st WHERE source = (SELECT source FROM g5))
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS round, source,
+             CAST(gain AS BIGINT) AS marginal_gain,
+             CAST((SELECT COUNT(*) FROM c1) AS BIGINT) AS covered FROM g1
+      UNION ALL
+      SELECT 2, source, CAST(gain AS BIGINT),
+             CAST((SELECT COUNT(*) FROM c2) AS BIGINT) FROM g2
+      UNION ALL
+      SELECT 3, source, CAST(gain AS BIGINT),
+             CAST((SELECT COUNT(*) FROM c3) AS BIGINT) FROM g3
+      UNION ALL
+      SELECT 4, source, CAST(gain AS BIGINT),
+             CAST((SELECT COUNT(*) FROM c4) AS BIGINT) FROM g4
+      UNION ALL
+      SELECT 5, source, CAST(gain AS BIGINT),
+             CAST((SELECT COUNT(*) FROM c5) AS BIGINT) FROM g5
+    ) ORDER BY round
+    """,
+    doc=f"Greedy maximum-coverage source selection ({_COV_ROUNDS} "
+    "rounds): pick the corpus source whose documents add the most "
+    "NOT-YET-COVERED distinct tokens, repeat — the classic (1-1/e)-"
+    "approximate submodular-maximization loop behind data-mixture "
+    "curation ('which sources buy the most vocabulary for the "
+    "budget'). Iterative-algorithm family next to k-means/PageRank: "
+    "each round is one anti-join against the covered-token set plus "
+    "a source-grain argmax (a 1-row bounded collect, the capped-"
+    "domain policy), with lineage truncated per round. The (source, "
+    "token) base relation is built ONCE — one scan, one distinct — "
+    "and localCheckpointed; at 100 TB rounds shuffle only that "
+    "deduplicated relation, never the corpus. Deterministic "
+    "tiebreak (gain desc, source asc); the oracle replays the loop "
+    "as unrolled CTEs.",
+)
+def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select("source", F.explode(tokens("text")).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark_sess = docs.sparkSession
+    covered = None
+    out = []
+    covered_n = 0
+    for rnd in range(1, _COV_ROUNDS + 1):
+        remaining = (
+            st if covered is None else st.join(covered, "token", "left_anti")
+        )
+        pick = (
+            remaining.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("source").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        src, gain = pick[0].source, pick[0].gain
+        covered_n += gain
+        out.append((rnd, src, gain, covered_n))
+        newly = st.where(F.col("source") == src).select("token")
+        covered = (
+            newly
+            if covered is None
+            else covered.unionByName(newly).distinct()
+        ).localCheckpoint(eager=True)
+    return spark_sess.createDataFrame(
+        out, "round long, source string, marginal_gain long, covered long"
+    ).orderBy("round")

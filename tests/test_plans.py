@@ -1077,3 +1077,22 @@ def test_round11b_batch3_plan_shapes(spark, sf_dir):
 
     p = fresh_plan(spark, sf_dir, "gini_customer_revenue")
     assert scan_count(p) == 1 and "CartesianProduct" not in p, p
+
+
+def test_round11b_batch4_plan_shapes(spark, sf_dir):
+    """Batch-4 shapes. Consistent-hash resharding: both ring lookups
+    are row-local constant-array expressions — ONE scan, no join
+    anywhere, one shard-grain aggregate. Greedy coverage: the rounds
+    execute at construction (bounded 1-row argmax collects, the
+    capped-domain policy); the returned relation is driver-local."""
+    def scan_count(plan: str) -> int:
+        return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+
+    p = fresh_plan(spark, sf_dir, "consistent_hash_resharding")
+    assert scan_count(p) == 1, p
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    assert shuffle_count(p) <= 2, p
+
+    p = fresh_plan(spark, sf_dir, "greedy_source_coverage")
+    assert scan_count(p) == 0, p
+    assert ("LocalTableScan" in p) or ("Scan ExistingRDD" in p), p

@@ -545,3 +545,101 @@ def test_gini_matches_sorted_rank_formula(spark):
     gini = (two_sum - (n + 1) * s) / (n * s)
     assert math.isclose(r.gini, gini, rel_tol=1e-12)
     assert 0.0 <= r.gini < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash resharding
+
+
+def _py_ring(n, v=16):
+    ring = []
+    for s in range(n):
+        for j in range(v):
+            ring.append(
+                (int(hashlib.md5(f"s{s}-v{j}".encode()).hexdigest()[:12], 16), s)
+            )
+    ring.sort()
+    return ring
+
+
+def _py_assign(ring, h):
+    for pos, s in ring:
+        if pos >= h:
+            return s
+    return ring[0][1]
+
+
+def test_resharding_matches_python_and_moves_only_to_new_shard(spark):
+    got = [
+        (r.shard, r.n_docs, r.n_moved_out, r.moved_ppm)
+        for r in _rows(spark, "consistent_hash_resharding")
+    ]
+    r8, r9 = _py_ring(8), _py_ring(9)
+    ids = [
+        int(i)
+        for (i,) in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    agg = defaultdict(lambda: [0, 0])
+    for i in ids:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        s8, s9 = _py_assign(r8, h), _py_assign(r9, h)
+        agg[s8][0] += 1
+        if s8 != s9:
+            agg[s8][1] += 1
+            # consistent hashing's defining property: adding shard 8
+            # only moves keys INTO shard 8, never between old shards
+            assert s9 == 8, (i, s8, s9)
+    want = [
+        (s, n, m, m * 1_000_000 // n) for s, (n, m) in sorted(agg.items())
+    ]
+    assert got == want
+    total = sum(n for _, n, _, _ in got)
+    moved = sum(m for _, _, m, _ in got)
+    assert total == len(ids)
+    # movement stays near the 1/(N+1) ideal, far below modulo-hash ~8/9
+    assert moved / total < 0.45
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage source selection
+
+
+def test_greedy_coverage_matches_python_sets(spark):
+    # sf0.01: sf0.001's 50-doc corpus is covered by ONE source (both
+    # engines stop after round 1); the larger corpus exercises a real
+    # multi-round greedy loop.
+    sf = "/root/testdata/sf0.01"
+    got = [
+        (r.round, r.source, r.marginal_gain, r.covered)
+        for r in _rows(spark, "greedy_source_coverage", sf)
+    ]
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{sf}/documents.parquet'"
+        " WHERE trim(text) <> ''"
+    ).fetchall()
+    toks = defaultdict(set)
+    for src, text in docs:
+        toks[src] |= set(text.strip().lower().split())
+    covered = set()
+    want = []
+    for rnd in range(1, 6):
+        # deterministic tiebreak: gain desc, source asc; an all-covered
+        # state ends the loop in both engines (empty GROUP BY / empty
+        # anti-join)
+        gains = {s: len(toks[s] - covered) for s in toks}
+        best = sorted(gains, key=lambda s: (-gains[s], s))[0]
+        if gains[best] == 0:
+            break
+        covered |= toks[best]
+        want.append((rnd, best, gains[best], len(covered)))
+    assert got == want
+    # greedy marginal gains are non-increasing (submodularity)
+    gains = [g for _, _, g, _ in got]
+    assert gains == sorted(gains, reverse=True)
+    # covered is the running sum of gains (picks are disjoint additions)
+    run = 0
+    for _, _, g, c in got:
+        run += g
+        assert c == run
