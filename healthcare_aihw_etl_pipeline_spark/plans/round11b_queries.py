@@ -1717,3 +1717,148 @@ def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_sess.createDataFrame(
         out, "round long, source string, marginal_gain long, covered long"
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Stratified-matching ATT (observational causal inference)
+
+# Same experiment frame as cuped_ab_adjustment: pre-period activity x
+# (days <= 15, deci-cent units), post-period outcome y, variant =
+# user_id % 2 (1 = treated). Strata are log2 buckets of pre-activity —
+# DATA-INDEPENDENT boundaries (floor(log2(x+1)); log2 of exact powers
+# of two is exact in IEEE, so the floor is engine-stable), the
+# scale-safe alternative to global ntile quantiles.
+_ATT_UNIT = 1000
+_ATT_SPLIT_DAY = 15
+_ATT_QUANT = 1000
+
+
+@register(
+    "stratified_att_matching",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS t,
+             SUM(CASE WHEN day(ts) <= {_ATT_SPLIT_DAY}
+                 THEN CAST(round(value * 100) AS BIGINT) // {_ATT_UNIT}
+                 ELSE 0 END) AS x,
+             SUM(CASE WHEN day(ts) > {_ATT_SPLIT_DAY}
+                 THEN CAST(round(value * 100) AS BIGINT) // {_ATT_UNIT}
+                 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    strat AS (
+      SELECT CAST(floor(log2(CAST(x + 1 AS DOUBLE))) AS BIGINT) AS s,
+             t, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM per_user GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT s,
+             CAST(SUM(CASE WHEN t = 1 THEN n ELSE 0 END) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN t = 0 THEN n ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN t = 1 THEN sy ELSE 0 END) AS BIGINT) AS syt,
+             CAST(SUM(CASE WHEN t = 0 THEN sy ELSE 0 END) AS BIGINT) AS syc
+      FROM strat GROUP BY s
+    )
+    SELECT CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END)
+                AS BIGINT) AS n_treated_matched,
+           CAST(SUM(CASE WHEN nt > 0 AND nc = 0 THEN nt ELSE 0 END)
+                AS BIGINT) AS n_treated_unmatched,
+           CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_strata_matched,
+           CAST(SUM(CASE WHEN nt > 0 AND nc > 0
+                    THEN syt * {_ATT_QUANT}
+                         - (nt * syc * {_ATT_QUANT} // nc)
+                    ELSE 0 END)
+                // SUM(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END)
+                AS BIGINT) AS att_milli,
+           CAST(SUM(syt) * {_ATT_QUANT} // SUM(nt)
+                - SUM(syc) * {_ATT_QUANT} // SUM(nc)
+                AS BIGINT) AS naive_diff_milli
+    FROM cells
+    """,
+    doc="Stratified-matching average treatment effect on the treated "
+    "(ATT): treated users compare against control users in the SAME "
+    "pre-activity stratum (log2 buckets — data-independent "
+    "boundaries), the standard observational adjustment when "
+    "randomization can't be assumed, next to the registry's "
+    "randomized-experiment tools (CUPED, Welch-t). ENTIRELY integer "
+    "arithmetic: per-stratum counterfactual sums quantize through "
+    "nt*syc*1000 div nc (truncating integer division, identical in "
+    "both engines), the ATT is one integer division over the matched "
+    "treated count, and the unadjusted naive difference rides along "
+    "for the confounding contrast — no float enters any estimate "
+    "(overflow bound: nt x syc x 1000 stays under 2^63 through "
+    "~sf10 at these deci-cent units; widen to DECIMAL beyond). "
+    "Off-support strata (no control) are excluded and counted — the "
+    "common-support accounting a real matching pipeline must report. "
+    "Scale: one events groupBy(user), one (stratum, variant) groupBy "
+    "(<=2 x ~40 cells), then scalar math.",
+)
+def stratified_att_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    unit_val = F.expr(
+        f"CAST(round(value * 100) AS BIGINT) div {_ATT_UNIT}"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") <= _ATT_SPLIT_DAY, unit_val).otherwise(
+                F.lit(0)
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(F.dayofmonth("ts") > _ATT_SPLIT_DAY, unit_val).otherwise(
+                F.lit(0)
+            )
+        ).alias("y"),
+    ).select(
+        (F.col("user_id") % 2).alias("t"), "x", "y"
+    )
+    strat = per_user.groupBy(
+        F.floor(F.log2((F.col("x") + 1).cast("double")))
+        .cast("long")
+        .alias("s"),
+        "t",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+    )
+    cells = strat.groupBy("s").agg(
+        F.sum(F.when(F.col("t") == 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("nt"),
+        F.sum(F.when(F.col("t") == 0, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when(F.col("t") == 1, F.col("sy")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("syt"),
+        F.sum(F.when(F.col("t") == 0, F.col("sy")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("syc"),
+    )
+    matched = (F.col("nt") > 0) & (F.col("nc") > 0)
+    return cells.agg(
+        F.sum(F.when(matched, F.col("nt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_treated_matched"),
+        F.sum(
+            F.when((F.col("nt") > 0) & (F.col("nc") == 0), F.col("nt"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_treated_unmatched"),
+        F.sum(F.when(matched, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_strata_matched"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN nt > 0 AND nc > 0 THEN syt * {_ATT_QUANT}"
+            f" - (nt * syc * {_ATT_QUANT} div nc) ELSE 0 END)"
+            " div SUM(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("att_milli"),
+        F.expr(
+            f"CAST(SUM(syt) * {_ATT_QUANT} div SUM(nt)"
+            f" - SUM(syc) * {_ATT_QUANT} div SUM(nc) AS BIGINT)"
+        ).alias("naive_diff_milli"),
+    )

@@ -1096,3 +1096,12 @@ def test_round11b_batch4_plan_shapes(spark, sf_dir):
     p = fresh_plan(spark, sf_dir, "greedy_source_coverage")
     assert scan_count(p) == 0, p
     assert ("LocalTableScan" in p) or ("Scan ExistingRDD" in p), p
+
+
+def test_stratified_att_plan_shape(spark, sf_dir):
+    """One events scan, user groupBy then the bounded (stratum,
+    variant) groupBy, scalar math after — no join, no window, no
+    Cartesian anywhere."""
+    p = fresh_plan(spark, sf_dir, "stratified_att_matching")
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    assert scans == 1 and "Join" not in p and "Window" not in p, p

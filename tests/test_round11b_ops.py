@@ -643,3 +643,63 @@ def test_greedy_coverage_matches_python_sets(spark):
     for _, _, g, c in got:
         run += g
         assert c == run
+
+
+# ---------------------------------------------------------------------------
+# Stratified-matching ATT
+
+
+def test_stratified_att_matches_pure_python(spark):
+    [r] = _rows(spark, "stratified_att_matching")
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id % 2,
+               SUM(CASE WHEN day(ts) <= 15
+                   THEN CAST(round(value * 100) AS BIGINT) // 1000
+                   ELSE 0 END),
+               SUM(CASE WHEN day(ts) > 15
+                   THEN CAST(round(value * 100) AS BIGINT) // 1000
+                   ELSE 0 END)
+        FROM '{SF}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # s -> nt, nc, syt, syc
+    for t, x, y in rows:
+        s = int(math.floor(math.log2(int(x) + 1)))
+        c = cells[s]
+        if t == 1:
+            c[0] += 1
+            c[2] += int(y)
+        else:
+            c[1] += 1
+            c[3] += int(y)
+    num = den = unmatched = n_strata = 0
+    tot_nt = tot_nc = tot_syt = tot_syc = 0
+    for s, (nt, nc, syt, syc) in cells.items():
+        tot_nt += nt
+        tot_nc += nc
+        tot_syt += syt
+        tot_syc += syc
+        if nt > 0 and nc > 0:
+            # truncating division, matching Spark div / DuckDB //
+            num += syt * 1000 - _trunc_div(nt * syc * 1000, nc)
+            den += nt
+            n_strata += 1
+        elif nt > 0:
+            unmatched += nt
+    assert (
+        r.n_treated_matched,
+        r.n_treated_unmatched,
+        r.n_strata_matched,
+        r.att_milli,
+        r.naive_diff_milli,
+    ) == (
+        den,
+        unmatched,
+        n_strata,
+        _trunc_div(num, den),
+        _trunc_div(tot_syt * 1000, tot_nt)
+        - _trunc_div(tot_syc * 1000, tot_nc),
+    )
+    # every treated user is accounted for: matched + off-support
+    assert den + unmatched == tot_nt
