@@ -1418,10 +1418,13 @@ def wasserstein_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
            CAST(MIN(s) AS BIGINT) AS total_cents,
            -- 2*sum(i*x_(i)) with tie groups spanning ranks (k-cnt+1)..k:
-           -- sum over groups of m*cnt*(2k - cnt + 1), exact BIGINT
-           CAST(SUM(m * cnt * (2 * k - cnt + 1)) AS BIGINT)
-             AS two_sum_rank_value,
-           (CAST(SUM(m * cnt * (2 * k - cnt + 1)) AS DOUBLE)
+           -- sum over groups of m*cnt*(2k - cnt + 1). DECIMAL(38,0):
+           -- 2nS overflows 2^63 already at sf10 day totals (caught by
+           -- the sf10 window replay), and 10^38 holds through any SF
+           CAST(SUM(CAST(m AS HUGEINT) * cnt * (2 * k - cnt + 1))
+                AS VARCHAR) AS two_sum_rank_value,
+           (CAST(SUM(CAST(m AS HUGEINT) * cnt * (2 * k - cnt + 1))
+                 AS DOUBLE)
               - (CAST(MIN(n) AS DOUBLE) + 1.0) * CAST(MIN(s) AS DOUBLE))
              / (CAST(MIN(n) AS DOUBLE) * CAST(MIN(s) AS DOUBLE)) AS gini
     FROM cum
@@ -1431,9 +1434,11 @@ def wasserstein_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Exact grouped form: customers collapse to distinct revenue "
     "VALUES with counts, and a tie group spanning sorted ranks "
     "(k-cnt+1)..k contributes m*cnt*(2k-cnt+1) to 2*sum(i*x_(i)) — "
-    "all BIGINT, so the rank-weighted sum is hash-exact (fits 2^63 "
-    "through ~sf10: 2nS ~ 6.6e18; widen to DECIMAL beyond); the only "
-    "doubles are one shared final expression. Scale: one fact groupBy "
+    "accumulated in DECIMAL(38,0)/HUGEINT (the sf10 window replay "
+    "caught the BIGINT form overflowing: 2nS ~ 1e21 on the replicated "
+    "sf10 corpus; 10^38 holds at any SF), so the rank-weighted sum "
+    "stays hash-exact; the only doubles are one shared final "
+    "expression. Scale: one fact groupBy "
     "to customer grain, a second to the distinct-value grain; the "
     "cumulative window runs on distinct revenue values — data-"
     "bounded, the order_value_deciles precedent — and a 100 TB "
@@ -1460,14 +1465,18 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("m") * F.col("cnt")).over(wall).alias("s"),
     )
     two_sum = F.sum(
-        F.col("m")
+        F.col("m").cast("decimal(38,0)")
         * F.col("cnt")
         * (F.lit(2) * F.col("k") - F.col("cnt") + F.lit(1))
     )
     return cum.agg(
         F.min("n").cast("long").alias("n_customers"),
         F.min("s").cast("long").alias("total_cents"),
-        two_sum.cast("long").alias("two_sum_rank_value"),
+        # digit string: DECIMAL(38,0) survives neither engine's pandas
+        # bridge losslessly (DuckDB renders float64), a plain string does
+        two_sum.cast("decimal(38,0)").cast("string").alias(
+            "two_sum_rank_value"
+        ),
         (
             (
                 two_sum.cast("double")

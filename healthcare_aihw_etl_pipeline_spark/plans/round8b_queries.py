@@ -883,7 +883,7 @@ _CORR_EXPR = (
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) // 1000 AS r
+             CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) // 100000 AS r
       FROM orders GROUP BY day
     ),
     led AS (
@@ -915,9 +915,10 @@ _CORR_EXPR = (
     "series is the date-grain aggregate (bounded: one row per "
     "calendar day), lags are row-leads over the observed-day order, "
     "and Pearson r comes from EXACT BIGINT moments: day sums are "
-    "quantized to cents then coarsened to tens-of-dollar units "
-    "(integer div 1000) so the squared-sum moments keep ~40 bits of "
-    "headroom below 2^63 even at 100 TB day totals; the final "
+    "quantized to cents then coarsened to $1000 units (integer div "
+    "100000; sf10 day totals overflowed the previous $10 units — "
+    "caught by the sf10 window replay) so the squared-sum moments "
+    "keep headroom below 2^63 through ~sf100 day totals; the final "
     "correlation is one identically-written IEEE expression (sqrt is "
     "correctly rounded, so the engines agree bit-for-bit). The "
     "unpartitioned lead window runs on the DATE-GRAIN relation, "
@@ -932,7 +933,7 @@ def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(cents("o_totalprice")).alias("_c"))
-        .select("day", F.expr("_c div 1000").alias("r"))
+        .select("day", F.expr("_c div 100000").alias("r"))
     )
     w = Window.orderBy("day")
     led = daily.select(

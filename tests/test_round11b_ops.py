@@ -540,7 +540,7 @@ def test_gini_matches_sorted_rank_formula(spark):
     assert (r.n_customers, r.total_cents, r.two_sum_rank_value) == (
         n,
         s,
-        two_sum,
+        str(two_sum),
     )
     gini = (two_sum - (n + 1) * s) / (n * s)
     assert math.isclose(r.gini, gini, rel_tol=1e-12)
