@@ -231,6 +231,7 @@ _MUST_VERIFY_R11: list[str] = [
     "segmented_trend_changepoint", "wasserstein_daily_revenue",
     "gini_customer_revenue", "consistent_hash_resharding",
     "greedy_source_coverage", "stratified_att_matching",
+    "mann_whitney_order_values",
     # connected_components changed this round — re-verify all callers
     "embedding_cluster_keep_best", "cluster_aware_split",
     "dedup_transitive_clusters",

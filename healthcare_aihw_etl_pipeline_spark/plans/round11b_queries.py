@@ -1871,3 +1871,128 @@ def stratified_att_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - SUM(syc) * {_ATT_QUANT} div SUM(nc) AS BIGINT)"
         ).alias("naive_diff_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-based nonparametric A/B test)
+
+# Value bands: deci-dollar quantization (cents div 1000) deliberately
+# produces tied ranks, so the midrank machinery and the tie-corrected
+# variance are exercised, not just present. Doubled midranks keep the
+# rank sums in integers: 2*midrank(v) = 2*prev(v) + cnt(v) + 1.
+_MWU_BAND = 1000
+
+
+@register(
+    "mann_whitney_order_values",
+    oracle=f"""
+    WITH vals AS (
+      SELECT {sql_cents('o_totalprice')} // {_MWU_BAND} AS v,
+             o_orderkey % 2 AS t
+      FROM orders
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+      FROM vals GROUP BY v
+    ),
+    cum AS (
+      SELECT v, n1, n0, n1 + n0 AS c,
+             CAST(SUM(n1 + n0) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (n1 + n0) AS BIGINT) AS prev
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS na,
+             CAST(SUM(n0) AS BIGINT) AS nb,
+             CAST(SUM(n1 * (2 * prev + c + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie3
+      FROM cum
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(r2a - na * (na + 1) AS BIGINT) AS u_a_doubled,
+           (CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0
+            - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+           / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                  * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                     - CAST(tie3 AS DOUBLE)
+                       / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                          * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                             - 1.0)))) AS z_score
+    FROM agg
+    """,
+    doc="Mann-Whitney U: the rank-based nonparametric A/B test, the "
+    "distribution-free complement to the registry's Welch-t (no "
+    "normality assumption — the right tool for heavy-tailed revenue). "
+    "Order values band to deci-dollars so TIES genuinely occur, and "
+    "the whole rank layer is exact integers: doubled midranks "
+    "(2*prev + cnt + 1 per tie group) make the treated rank sum, the "
+    "U statistic (doubled), and the tie-correction term sum(c^3 - c) "
+    "all BIGINT — only the final normal-approximation z is a shared "
+    "IEEE expression. Scale: one fact groupBy to the band grain, the "
+    "cumulative window runs on distinct bands (value-domain-bounded, "
+    "the Gini/deciles precedent), then scalar math. Overflow: rank "
+    "sums ~ 2N^2 fit 2^63 through ~sf100; the tie cube needs a "
+    "dominant band of ~2e6 rows to matter, documented with it.",
+)
+def mann_whitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.expr(
+            f"CAST(round(o_totalprice * 100) AS BIGINT) div {_MWU_BAND}"
+        ).alias("v"),
+        (F.col("o_orderkey") % 2).alias("t"),
+    )
+    g = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("t") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("t") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n0"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "n1",
+        "n0",
+        (F.col("n1") + F.col("n0")).alias("c"),
+        (
+            F.sum(F.col("n1") + F.col("n0")).over(wcum)
+            - (F.col("n1") + F.col("n0"))
+        ).alias("prev"),
+    )
+    agg = cum.agg(
+        F.sum("n1").alias("na"),
+        F.sum("n0").alias("nb"),
+        F.sum(
+            F.col("n1")
+            * (F.lit(2) * F.col("prev") + F.col("c") + F.lit(1))
+        ).alias("r2a"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    u2 = (F.col("r2a") - F.col("na") * (F.col("na") + 1)).cast("long")
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        u2.alias("u_a_doubled"),
+        (
+            (u2.cast("double") / F.lit(2.0) - na * nb / F.lit(2.0))
+            / F.sqrt(
+                na
+                * nb
+                / F.lit(12.0)
+                * (
+                    (na + nb + F.lit(1.0))
+                    - F.col("tie3").cast("double")
+                    / ((na + nb) * (na + nb - F.lit(1.0)))
+                )
+            )
+        ).alias("z_score"),
+    )

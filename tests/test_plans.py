@@ -1105,3 +1105,11 @@ def test_stratified_att_plan_shape(spark, sf_dir):
     p = fresh_plan(spark, sf_dir, "stratified_att_matching")
     scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
     assert scans == 1 and "Join" not in p and "Window" not in p, p
+
+
+def test_mann_whitney_plan_shape(spark, sf_dir):
+    """One orders scan, one band-grain groupBy, the cumulative window
+    on distinct bands, scalar math — no join anywhere."""
+    p = fresh_plan(spark, sf_dir, "mann_whitney_order_values")
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.MULTILINE))
+    assert scans == 1 and "Join" not in p, p

@@ -703,3 +703,57 @@ def test_stratified_att_matches_pure_python(spark):
     )
     # every treated user is accounted for: matched + off-support
     assert den + unmatched == tot_nt
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U
+
+
+def test_mann_whitney_matches_pure_python(spark):
+    [r] = _rows(spark, "mann_whitney_order_values")
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000,
+               o_orderkey % 2
+        FROM '{SF}/orders.parquet'
+        """
+    ).fetchall()
+    vals = sorted((int(v), int(t)) for v, t in rows)
+    n = len(vals)
+    # midranks via tie groups over the sorted pooled sample
+    r2a = 0  # doubled rank sum of group A (t=1)
+    tie3 = 0
+    i = 0
+    na = sum(1 for _, t in vals if t == 1)
+    nb = n - na
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        c = j - i
+        dbl_midrank = 2 * i + c + 1  # = 2 * average of ranks i+1..j
+        r2a += dbl_midrank * sum(1 for k in range(i, j) if vals[k][1] == 1)
+        tie3 += c * c * c - c
+        i = j
+    u2a = r2a - na * (na + 1)
+    assert (r.n_a, r.n_b, r.u_a_doubled) == (na, nb, u2a)
+    u = u2a / 2.0
+    z = (u - na * nb / 2.0) / math.sqrt(
+        na * nb / 12.0 * ((na + nb + 1.0) - tie3 / ((na + nb) * (na + nb - 1.0)))
+    )
+    assert math.isclose(r.z_score, z, rel_tol=1e-12)
+    # U_a + U_b = n_a * n_b (doubled: identity over the rank partition)
+    vals_b = [(v, 1 - t) for v, t in vals]
+    r2b = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        c = j - i
+        r2b += (2 * i + c + 1) * sum(
+            1 for k in range(i, j) if vals[k][1] == 0
+        )
+        i = j
+    u2b = r2b - nb * (nb + 1)
+    assert u2a + u2b == 2 * na * nb
