@@ -757,3 +757,111 @@ def test_mann_whitney_matches_pure_python(spark):
         i = j
     u2b = r2b - nb * (nb + 1)
     assert u2a + u2b == 2 * na * nb
+
+
+# ---------------------------------------------------------------------------
+# FIFO formulation property: interval algebra == sequential loop,
+# on ARBITRARY inventories (no Spark in the loop — the formulation is
+# validated through DuckDB, which the Spark plan already hash-matches)
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),            # part
+            st.sampled_from("NR"),        # supply / demand
+            st.integers(1, 9),            # quantity
+            st.integers(0, 20),           # ship-day offset
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_fifo_interval_algebra_equals_loop_on_random_inventories(rows):
+    import datetime as dt
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE li (l_partkey BIGINT, l_returnflag VARCHAR,"
+        " l_quantity BIGINT, l_shipdate DATE, l_orderkey BIGINT,"
+        " l_linenumber BIGINT)"
+    )
+    base = dt.date(1995, 1, 1)
+    for i, (pk, flag, q, d) in enumerate(rows):
+        con.execute(
+            "INSERT INTO li VALUES (?, ?, ?, ?, ?, ?)",
+            [pk, flag, q, base + dt.timedelta(days=d), i, 1],
+        )
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(
+            """
+            WITH supply AS (
+              SELECT l_partkey,
+                     SUM(l_quantity) OVER w AS shi,
+                     SUM(l_quantity) OVER w - l_quantity AS slo,
+                     l_shipdate AS sdate
+              FROM li WHERE l_returnflag = 'N'
+              WINDOW w AS (PARTITION BY l_partkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ),
+            demand AS (
+              SELECT l_partkey,
+                     SUM(l_quantity) OVER w AS dhi,
+                     SUM(l_quantity) OVER w - l_quantity AS dlo,
+                     SUM(l_quantity) OVER (PARTITION BY l_partkey) AS dq,
+                     l_shipdate AS ddate
+              FROM li WHERE l_returnflag = 'R'
+              WINDOW w AS (PARTITION BY l_partkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ),
+            matched AS (
+              SELECT d.l_partkey, d.dq,
+                     LEAST(s.shi, d.dhi) - GREATEST(s.slo, d.dlo) AS mq,
+                     date_diff('day', s.sdate, d.ddate) AS age
+              FROM demand d JOIN supply s
+                ON d.l_partkey = s.l_partkey
+               AND s.slo < d.dhi AND d.dlo < s.shi
+            )
+            SELECT l_partkey, CAST(SUM(mq) AS BIGINT),
+                   CAST(MAX(dq) - SUM(mq) AS BIGINT),
+                   CAST(SUM(mq * age) AS BIGINT)
+            FROM matched GROUP BY l_partkey
+            """
+        ).fetchall()
+    }
+    # sequential FIFO loop, same total order
+    ordered = sorted(
+        ((pk, flag, q, d, i) for i, (pk, flag, q, d) in enumerate(rows)),
+        key=lambda r: (r[0], r[3], r[4]),
+    )
+    supply = defaultdict(list)
+    demand = defaultdict(list)
+    for pk, flag, q, d, _ in ordered:
+        (supply if flag == "N" else demand)[pk].append([q, d])
+    for pk, dem in demand.items():
+        sup = [list(x) for x in supply.get(pk, [])]
+        si = matched = wage = 0
+        dtot = sum(q for q, _ in dem)
+        for dq_, dd in dem:
+            while dq_ > 0 and si < len(sup):
+                take = min(dq_, sup[si][0])
+                matched += take
+                wage += take * (dd - sup[si][1])
+                sup[si][0] -= take
+                dq_ -= take
+                if sup[si][0] == 0:
+                    si += 1
+        if matched > 0:
+            assert got[pk] == (matched, dtot - matched, wage), (pk, rows)
+        else:
+            assert pk not in got
+    for pk in got:
+        assert pk in demand
