@@ -3,11 +3,11 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 11 pins the eight
-round-11 queries, then every connected_components caller — the operator
-gained a bounded fast path this round — then the round-8 cohort, the
-oldest window evidence, then the round-7 portables and a handful of
-r1-3 stalwarts); everything else
+verified cohort is due a regression sweep (round 11 pinned the 24 new
+round-11/11b queries, then every connected_components caller — the
+operator gained a bounded fast path that round — then the round-8
+cohort, the oldest window evidence, then the round-7 portables and a
+handful of r1-3 stalwarts); everything else
 sits behind the window with its cumulative driver-side record standing.
 The full registry is additionally swept in-round by scripts/driver_sim.py
 and committed as CORRECTNESS_FULL_r{N}.json.
@@ -210,14 +210,14 @@ _MUST_VERIFY_R10: list[str] = [
 _DRIVER_GREEN_R10 = list(_MUST_VERIFY_R10)
 _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R10
 
-# Round 11 rotates per the standing policy (new queries lead, then the
-# oldest driver evidence): the five round-11 queries, then the round-8
-# cohort — last driver-verified in CORRECTNESS_r08 and now the oldest
-# window evidence (it also contains embedding_cluster_keep_best and
-# cluster_aware_split, whose shared connected_components operator
-# gained a bounded driver fast path this round — plus
-# dedup_transitive_clusters for the same reason), then the round-7
-# portable-sketch family, then r1-3 stalwarts to fill ~50.
+# Round 11 rotated per the standing policy (new queries lead, then the
+# oldest driver evidence): the 24 new round-11/11b queries, then every
+# connected_components caller (embedding_cluster_keep_best,
+# cluster_aware_split, dedup_transitive_clusters — the shared operator
+# gained a bounded driver fast path that round), then the round-8
+# cohort — last driver-verified in CORRECTNESS_r08 and then the oldest
+# window evidence — then the round-7 portable-sketch family, then
+# r1-3 stalwarts to fill ~50.
 _MUST_VERIFY_R11: list[str] = [
     # new this round
     "skyline_orders", "max_concurrent_sessions",

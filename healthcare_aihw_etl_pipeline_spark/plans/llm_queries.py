@@ -149,9 +149,22 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
-    """The probe vector for ANN queries: embedding of vec_id = 0."""
+    """The probe vector for ANN queries: embedding of vec_id = 0.
+
+    Runs an eager (bounded: one row) job at plan-build time by design —
+    the probe is a query PARAMETER, spliced into the plan as a literal so
+    both engines score against identical constants. Raises a descriptive
+    error when the probe row is absent instead of a bare TypeError on
+    ``None[0]``.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    return [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    row = emb.where("vec_id = 0").select("embedding").first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"embeddings table at {sf_dir!r} has no probe row vec_id=0 "
+            "(required as the ANN/RRF query vector)"
+        )
+    return [float(x) for x in row[0]]
 
 
 @register(

@@ -166,10 +166,11 @@ def hybrid_rrf_fusion_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Dense leg: 6dp-quantized cosine (the ann_cosine_top10 contract),
     # depth-50.
-    qv = [
-        float(x)
-        for x in emb.where("vec_id = 0").select("embedding").first()[0]
-    ]
+    from healthcare_aihw_etl_pipeline_spark.plans.llm_queries import (
+        _query_vector,
+    )
+
+    qv = _query_vector(spark, sf_dir)
     scored = emb.select(
         "vec_id",
         F.round(cosine_to_query("embedding", qv), 6).alias("cos"),

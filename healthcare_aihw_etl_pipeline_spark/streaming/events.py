@@ -597,11 +597,18 @@ def daily_peak_concurrency(
             )
         )
         # Close when the watermark passes end-of-day: emit-once-per-day.
+        # The epoch must be computed in UTC explicitly: the day grouping
+        # (to_date) and the watermark both run under the session timezone
+        # pinned to UTC, but a naive datetime's .timestamp() uses the
+        # Python worker's OS-local zone — on a non-UTC host the timeout
+        # would shift by the UTC offset (early close → duplicate partial
+        # emit, or a re-registered timeout already behind the watermark).
+        # Same fix as sources/txlog.py as_of-naive-datetime handling.
         import datetime as _dt
 
-        day_end = _dt.datetime(day.year, day.month, day.day) + _dt.timedelta(
-            days=1
-        )
+        day_end = _dt.datetime(
+            day.year, day.month, day.day, tzinfo=_dt.timezone.utc
+        ) + _dt.timedelta(days=1)
         state.setTimeoutTimestamp(int(day_end.timestamp() * 1000))
         yield _EMPTY
 
