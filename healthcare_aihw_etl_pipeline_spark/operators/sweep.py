@@ -1,0 +1,136 @@
+"""Shared sweep-line operator over daily activity intervals.
+
+Three registry queries derive from the SAME relation — per-(user, day)
+activity spans [first event, last event] exploded into +1/-1 boundary
+deltas with a day-partitioned running prefix sum:
+
+- ``max_concurrent_sessions``  (peak of the running count)
+- ``interval_union_coverage``  (union measure / concurrency integral)
+- ``interval_sweep_profile``   (both families fused in one pass)
+
+Factoring the boundary-delta relation here (round-12, per the round-11
+review) means one scan, one (user, day) aggregate exchange and one
+(day) window exchange serve every consumer, instead of each query
+rebuilding the pipeline. The sweep is the textbook parallel form:
+intervals never span days by construction, so the window partitions
+exactly by day — no global sort, no single-partition window — and tie
+blocks of identical (t, d) rows produce consecutive running values
+whose per-day MAX / gap-weighted sums are permutation-invariant, so
+every derived output is deterministic cross-engine even where row
+order within ties is not.
+
+Reference lineage: the reference pipeline serves grouped daily
+utilisation views of admissions data (/root/reference/main.py:61-78);
+this operator family generalises those to exact interval-concurrency
+measures at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_boundary_segments(events: DataFrame) -> DataFrame:
+    """Boundary-delta sweep segments of per-(user, day) activity spans.
+
+    Input: an events relation with ``user_id`` and ``ts`` columns.
+    Output columns (grain: one row per interval boundary):
+
+    - ``day``      the event date (intervals never cross days)
+    - ``t``        boundary time, exact integer epoch microseconds
+    - ``d``        +1 (span start) / -1 (span end)
+    - ``dur``      span length in µs on the +1 row, 0 on the -1 row
+                   (so SUM(dur) is the non-deduplicated session time)
+    - ``running``  active-span count at/after this boundary — prefix
+                   sum ordered by (t asc, d desc): closed intervals, a
+                   span ending at t and one starting at t ARE concurrent
+    - ``gap_us``   µs until the next boundary (0 on the last one), the
+                   segment measure for union/integral aggregates
+
+    Plan shape: one scan → one (user, day) partial-aggregated exchange
+    → one (day) window exchange shared by the running sum and the LEAD.
+    The µs epoch is taken via unix_micros on the NTZ-cast timestamp;
+    only DIFFERENCES and per-day orderings of ``t`` are meaningful to
+    consumers, so any fixed epoch offset cancels.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = events.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min(us).alias("s"), F.max(us).alias("e"))
+    one = F.lit(1).cast("long")
+    deltas = iv.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("t"),
+                    one.alias("d"),
+                    (F.col("e") - F.col("s")).alias("dur"),
+                ),
+                F.struct(
+                    F.col("e").alias("t"),
+                    (-one).alias("d"),
+                    F.lit(0).cast("long").alias("dur"),
+                ),
+            )
+        ).alias("x"),
+    ).select("day", "x.t", "x.d", "x.dur")
+    w = Window.partitionBy("day").orderBy(F.col("t").asc(), F.col("d").desc())
+    return deltas.select(
+        "day",
+        "t",
+        "d",
+        "dur",
+        F.sum("d")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running"),
+        F.coalesce(F.lead("t").over(w) - F.col("t"), F.lit(0).cast("long"))
+        .alias("gap_us"),
+    )
+
+
+def sweep_day_profile(events: DataFrame) -> DataFrame:
+    """Per-day concurrency profile — every sweep-derived measure from
+    ONE pass over :func:`daily_boundary_segments`:
+
+    - ``n_sessions``        spans opened that day
+    - ``max_concurrent``    peak simultaneous spans
+    - ``covered_us``        measure of the UNION of the day's spans
+    - ``total_session_us``  non-deduplicated sum of span lengths
+    - ``user_us_integral``  area under the concurrency curve
+                            (== total_session_us, a built-in check)
+
+    Fusing the five aggregates onto the shared segment relation is the
+    round-11 review's A/B: two queries that each ran the full
+    scan→agg→window pipeline now cost one pipeline when both are
+    needed.
+    """
+    seg = daily_boundary_segments(events)
+    one = F.lit(1).cast("long")
+    active_gap = (
+        F.when(F.col("running") > 0, F.col("gap_us")).otherwise(F.lit(0))
+    )
+    return (
+        seg.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, one).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_sessions"),
+            F.max("running").cast("long").alias("max_concurrent"),
+            F.sum(active_gap).cast("long").alias("covered_us"),
+            F.sum("dur").cast("long").alias("total_session_us"),
+            F.sum(active_gap * F.col("running"))
+            .cast("long")
+            .alias("user_us_integral"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_sessions",
+            "max_concurrent",
+            "covered_us",
+            "total_session_us",
+            "user_us_integral",
+        )
+        .orderBy("day")
+    )

@@ -182,30 +182,20 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interval aggregate per branch (three events scans, three fact-grain
     # shuffles — Spark does not CSE across union branches); exploding
     # each interval into its two boundary deltas map-side keeps one
-    # scan, one (user, day) shuffle, one (day) window shuffle. The
-    # per-day session count rides the same pass as sum of +1 deltas.
-    ev = load_table(spark, sf_dir, "events")
-    iv = ev.groupBy(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
-    one = F.lit(1).cast("long")
-    deltas = iv.select(
-        "day",
-        F.explode(
-            F.array(
-                F.struct(F.col("s").alias("t"), one.alias("d")),
-                F.struct(F.col("e").alias("t"), (-one).alias("d")),
-            )
-        ).alias("x"),
-    ).select("day", F.col("x.t").alias("t"), F.col("x.d").alias("d"))
-    w = (
-        Window.partitionBy("day")
-        .orderBy(F.col("t").asc(), F.col("d").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # scan, one (user, day) shuffle, one (day) window shuffle. Round 12
+    # factored the boundary-delta pipeline into operators.sweep, shared
+    # with interval_union_coverage and the fused interval_sweep_profile
+    # (ordering by exact integer µs ≡ ordering by the timestamp, and t
+    # itself is not an output, so the result is bit-identical).
+    from healthcare_aihw_etl_pipeline_spark.operators.sweep import (
+        daily_boundary_segments,
     )
+
+    ev = load_table(spark, sf_dir, "events")
+    seg = daily_boundary_segments(ev)
+    one = F.lit(1).cast("long")
     return (
-        deltas.withColumn("running", F.sum("d").over(w))
-        .groupBy("day")
+        seg.groupBy("day")
         .agg(
             F.sum(F.when(F.col("d") == 1, one).otherwise(F.lit(0)))
             .cast("long")
@@ -988,36 +978,14 @@ def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cannot change any output.",
 )
 def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    iv = ev.groupBy(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).agg(F.min(us).alias("s"), F.max(us).alias("e"))
-    one = F.lit(1).cast("long")
-    deltas = iv.select(
-        "day",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("s").alias("t"),
-                    one.alias("d"),
-                    (F.col("e") - F.col("s")).alias("dur"),
-                ),
-                F.struct(
-                    F.col("e").alias("t"),
-                    (-one).alias("d"),
-                    F.lit(0).cast("long").alias("dur"),
-                ),
-            )
-        ).alias("x"),
-    ).select("day", "x.t", "x.d", "x.dur")
-    w = Window.partitionBy("day").orderBy(F.col("t").asc(), F.col("d").desc())
-    seg = deltas.select(
-        "day",
-        "dur",
-        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("running"),
-        F.coalesce(F.lead("t").over(w) - F.col("t"), F.lit(0).cast("long")).alias("gap_us"),
+    # Round 12: built on the shared boundary-delta sweep operator (same
+    # relation as max_concurrent_sessions / interval_sweep_profile).
+    from healthcare_aihw_etl_pipeline_spark.operators.sweep import (
+        daily_boundary_segments,
     )
+
+    ev = load_table(spark, sf_dir, "events")
+    seg = daily_boundary_segments(ev)
     active_gap = F.when(F.col("running") > 0, F.col("gap_us")).otherwise(F.lit(0))
     return (
         seg.groupBy("day")

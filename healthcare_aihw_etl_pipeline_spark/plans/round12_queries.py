@@ -1,0 +1,648 @@
+"""Round-12 query families — iterative ML and fused sweep analytics:
+
+- fused interval sweep profile (every sweep-derived daily concurrency
+  measure — session count, peak, union coverage, concurrency integral —
+  from ONE scan/agg/window pipeline over the shared boundary-delta
+  operator, the round-11 review's requested fusion A/B),
+- Cox proportional hazards (single Newton step from beta = 0 on the
+  partial likelihood, Breslow ties, exact integer risk-set moments —
+  completes the KM / Nelson-Aalen survival family with the canonical
+  covariate-effect model),
+- logistic regression (single Newton/IRLS step from beta = 0 — the
+  closed-form first iteration every GLM fitter runs, entirely from five
+  exact integer moments),
+- BPE merge training (bounded merge rounds over the weighted pair-count
+  relation of the DISTINCT-word vocabulary — the tokenizer-training
+  companion to the bpe_token_totals application query),
+- winnowing xxhash64 fast path (the production-hash twin of the
+  portable md5 winnowing fingerprints, same banding law).
+
+Same contract as every plans module: idiomatic PySpark paired with a
+DuckDB oracle whose arithmetic is bit-identical — exact integer
+moments, integer-quantized per-group terms before any cross-row sum,
+single IEEE arithmetic on identical expressions (float products/sums
+of identical doubles are IEEE-deterministic; only transcendentals are
+not), and truncating integer division (Spark ``div`` == DuckDB ``//``).
+Reference lineage: the reference (/root/reference/main.py) serves
+grouped views of admissions data; these queries extend the engine's
+statistics/ML surface (survival modelling, GLMs, tokenizer training)
+the way a 100 TB curation cluster needs them — bounded-round loops over
+pre-aggregated relations, never per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.plans.registry import register
+from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Fused sweep profile (round-11 review item: one pass, both families)
+
+
+@register(
+    "interval_sweep_profile",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             epoch_us(MIN(ts)) AS s, epoch_us(MAX(ts)) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    deltas AS (
+      SELECT day, s AS t, CAST(1 AS BIGINT) AS d, e - s AS dur FROM iv
+      UNION ALL
+      SELECT day, e AS t, CAST(-1 AS BIGINT) AS d, 0 FROM iv
+    ),
+    seg AS (
+      SELECT day, d, dur,
+             SUM(d) OVER (
+               PARTITION BY day ORDER BY t, d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS running,
+             COALESCE(LEAD(t) OVER (
+               PARTITION BY day ORDER BY t, d DESC) - t, 0) AS gap_us
+      FROM deltas
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           CAST(MAX(running) AS BIGINT) AS max_concurrent,
+           CAST(SUM(CASE WHEN running > 0 THEN gap_us ELSE 0 END)
+                AS BIGINT) AS covered_us,
+           CAST(SUM(dur) AS BIGINT) AS total_session_us,
+           CAST(SUM(CASE WHEN running > 0 THEN gap_us * running ELSE 0 END)
+                AS BIGINT) AS user_us_integral
+    FROM seg GROUP BY day ORDER BY day
+    """,
+    doc="Fused daily sweep profile: session count, peak concurrency, "
+    "union coverage, total span time and the concurrency integral — "
+    "the outputs of max_concurrent_sessions AND interval_union_coverage "
+    "— from ONE scan, one (user, day) aggregate exchange and one "
+    "(day)-partitioned window (operators.sweep.sweep_day_profile). "
+    "This is the round-11 review's fusion: callers who need both "
+    "families (every capacity dashboard does) previously paid the "
+    "scan→agg→window pipeline twice; the fused pass halves the I/O and "
+    "shuffle volume, and the shared operator means the three sweep "
+    "queries cannot drift semantically. Identity cross-checks ride "
+    "along: user_us_integral == total_session_us (each span contributes "
+    "its own length to the integral) and covered_us <= total_session_us "
+    "with equality iff no overlap.",
+)
+def interval_sweep_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.sweep import (
+        sweep_day_profile,
+    )
+
+    return sweep_day_profile(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional hazards: one Newton step on the partial likelihood
+
+# Survival frame matches kaplan_meier_conversion / nelson_aalen_hazard:
+# duration = days from first signup to first subsequent purchase,
+# right-censored at the corpus horizon. Covariate x = user_id % 2 (the
+# experiment-variant convention shared with cuped_ab_adjustment), so
+# beta is the log hazard ratio of variant 1 vs 0.
+#
+# At beta = 0 the score and information are pure risk-set moments:
+#   U(0) = sum_t [ dx_t - d_t * S1(t)/S0(t) ]
+#   I(0) = sum_t d_t * (S1/S0) * (1 - S1/S0)          (binary x: S2 = S1)
+# with S0/S1 the subjects/treated-subjects at risk at duration t and
+# d_t/dx_t the events/treated events AT t (Breslow tie handling). Each
+# per-duration term is quantized to integer millionths BEFORE the
+# cross-duration sum — both engines evaluate the identical truncating
+# integer expression on exact BIGINT moments, so the sums match
+# bit-for-bit. Overflow bound: d_t*S1*Q <= N^2 * 1e6 needs N < ~3e6
+# subjects (sf300 for this corpus's user universe); past that, raise
+# the grain or drop Q.
+_COX_Q = 1_000_000
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "cox_hazard_newton",
+    oracle=f"""
+    WITH h AS (SELECT MAX(ts) AS horizon FROM events),
+    s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.s_ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT s.user_id % 2 AS x,
+             CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS evt,
+             (epoch_us(COALESCE(p.p_ts, h.horizon)) - epoch_us(s.s_ts))
+               // {_DAY_US} AS dur
+      FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN h
+    ),
+    byt AS (
+      SELECT dur,
+             CAST(COUNT(*) AS BIGINT) AS n_t,
+             CAST(SUM(x) AS BIGINT) AS x_t,
+             CAST(SUM(evt) AS BIGINT) AS d_t,
+             CAST(SUM(evt * x) AS BIGINT) AS dx_t
+      FROM d GROUP BY dur
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS xs FROM d
+    ),
+    risk AS (
+      SELECT dur, d_t, dx_t,
+             n - COALESCE(SUM(n_t) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS s0,
+             xs - COALESCE(SUM(x_t) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS s1
+      FROM byt CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT d_t, dx_t,
+             (d_t * s1 * {_COX_Q}) // s0 AS du_q,
+             ((d_t * s1 * {_COX_Q}) // s0) * (s0 - s1) // s0 AS i_q
+      FROM risk WHERE d_t > 0
+    )
+    SELECT (SELECT n FROM tot) AS n_subjects,
+           (SELECT xs FROM tot) AS n_treated,
+           CAST(SUM(d_t) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_event_days,
+           CAST(SUM(dx_t * {_COX_Q} - du_q) AS BIGINT) AS score_uq,
+           CAST(SUM(i_q) AS BIGINT) AS info_iq,
+           CAST(SUM(dx_t * {_COX_Q} - du_q) AS DOUBLE)
+             / CAST(SUM(i_q) AS DOUBLE) AS beta1
+    FROM terms
+    """,
+    doc="Cox proportional-hazards model of signup->purchase conversion "
+    "(the canonical covariate-effect companion to the KM/Nelson-Aalen "
+    "curves the registry already carries): one exact Newton step from "
+    "beta = 0 on the partial likelihood with Breslow tie handling, "
+    "covariate = experiment variant (user_id % 2). The score U(0) and "
+    "information I(0) reduce to risk-set moments S0/S1 — descending "
+    "cumulative sums over the calendar-bounded duration grain (the "
+    "same value-grouped-cumulative shape as KM) — and every "
+    "per-duration term is quantized to integer millionths before the "
+    "cross-duration sum, so both engines agree bit-for-bit; "
+    "beta1 = U/I is ONE IEEE divide on identical integers. Scale: the "
+    "only fact-grain work is the per-user signup/purchase aggregate "
+    "(map-side combined); everything after lives on the duration "
+    "relation, bounded by the calendar, not the data. A full Newton "
+    "solve iterates this step with exp(beta*x) weights — each "
+    "iteration the same one-pass moment shape (for binary x it is two "
+    "exact exponential weights); the single step from 0 is the "
+    "standard score test and carries the entire distributed design.",
+)
+def cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("horizon"))
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    d = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("user_id") % 2).alias("x"),
+            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("evt"),
+            F.expr(
+                "timestampdiff(MICROSECOND, s_ts, coalesce(p_ts, horizon))"
+                f" div {_DAY_US}"
+            ).alias("dur"),
+        )
+    )
+    byt = d.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+        F.sum("x").cast("long").alias("x_t"),
+        F.sum("evt").cast("long").alias("d_t"),
+        F.sum(F.col("evt") * F.col("x")).cast("long").alias("dx_t"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("xs"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        byt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "s0",
+            F.col("n") - F.coalesce(F.sum("n_t").over(wprev), F.lit(0)),
+        )
+        .withColumn(
+            "s1",
+            F.col("xs") - F.coalesce(F.sum("x_t").over(wprev), F.lit(0)),
+        )
+        .where(F.col("d_t") > 0)
+    )
+    terms = risk.select(
+        "n",
+        "xs",
+        "d_t",
+        "dx_t",
+        F.expr(f"(d_t * s1 * {_COX_Q}) div s0").alias("du_q"),
+        F.expr(
+            f"((d_t * s1 * {_COX_Q}) div s0) * (s0 - s1) div s0"
+        ).alias("i_q"),
+    )
+    uq = F.sum(F.col("dx_t") * F.lit(_COX_Q) - F.col("du_q")).cast("long")
+    iq = F.sum("i_q").cast("long")
+    return terms.groupBy("n", "xs").agg(
+        F.sum("d_t").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_event_days"),
+        uq.alias("score_uq"),
+        iq.alias("info_iq"),
+        (uq.cast("double") / iq.cast("double")).alias("beta1"),
+    ).select(
+        F.col("n").alias("n_subjects"),
+        F.col("xs").alias("n_treated"),
+        "n_events",
+        "n_event_days",
+        "score_uq",
+        "info_iq",
+        "beta1",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression: one Newton (IRLS) step from beta = 0
+
+# Model: P(order is finished) ~ sigmoid(b0 + b1 * order_age_days).
+# At beta = 0 the Hessian is X'X/4 and the gradient X'(y - 1/2), so the
+# first Newton step has the closed form
+#   beta = 2 * (X'X)^{-1} [2*sy - n, 2*sxy - sx]
+# — five exact BIGINT moments (n, sx, sxx, sy, sxy), then pure IEEE
+# double arithmetic on identical expressions (each moment cast to
+# DOUBLE before any product: n*sxx overflows BIGINT at sf10 — the OLS
+# normal-equation discipline).
+_LOGIT_EPOCH = "DATE '1992-01-01'"
+
+
+@register(
+    "logistic_newton_step",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS sy,
+             CAST(SUM(date_diff('day', {_LOGIT_EPOCH}, o_orderdate))
+                  AS BIGINT) AS sx,
+             CAST(SUM(date_diff('day', {_LOGIT_EPOCH}, o_orderdate)
+                      * date_diff('day', {_LOGIT_EPOCH}, o_orderdate))
+                  AS BIGINT) AS sxx,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                      THEN date_diff('day', {_LOGIT_EPOCH}, o_orderdate)
+                      ELSE 0 END) AS BIGINT) AS sxy
+      FROM orders
+    )
+    SELECT n, sy AS n_pos, sx, sxx, sxy,
+           2.0 * (CAST(sxx AS DOUBLE) * CAST(2 * sy - n AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(2 * sxy - sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta0,
+           2.0 * (CAST(n AS DOUBLE) * CAST(2 * sxy - sx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(2 * sy - n AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta1
+    FROM m
+    """,
+    doc="Logistic regression of order completion on order age: one "
+    "Newton/IRLS step from beta = 0 — the closed-form first iteration "
+    "of every GLM fitter, computed entirely from five exact integer "
+    "moments in ONE map-side-combined aggregate over the fact table. "
+    "At beta = 0 the working weights are the constant 1/4, so the step "
+    "is 2*(X'X)^-1 * [2*sy - n, 2*sxy - sx] — the gradient doubled into "
+    "integers to stay exact. The 2x2 solve runs in DOUBLE on moments "
+    "cast BEFORE multiplying (n*sxx passes 2^63 at sf10; products and "
+    "sums of identical doubles are IEEE-deterministic cross-engine, "
+    "unlike transcendentals, so no quantization is needed). Scale: "
+    "this is the textbook distributed-GLM shape — each further IRLS "
+    "iteration is the same one-pass moment aggregate with "
+    "sigmoid-weighted sufficient statistics; nothing but a 5-number "
+    "relation ever leaves the executors.",
+)
+def logistic_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("long")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).cast("long")
+    m = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", x).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    g0_d = (2 * F.col("sy") - F.col("n")).cast("double")
+    g1_d = (2 * F.col("sxy") - F.col("sx")).cast("double")
+    det = n_d * sxx_d - sx_d * sx_d
+    return m.select(
+        "n",
+        F.col("sy").alias("n_pos"),
+        "sx",
+        "sxx",
+        "sxy",
+        (F.lit(2.0) * (sxx_d * g0_d - sx_d * g1_d) / det).alias("beta0"),
+        (F.lit(2.0) * (n_d * g1_d - sx_d * g0_d) / det).alias("beta1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (bounded merge rounds over the vocab relation)
+
+# Merge rounds — a compile-time constant, so the oracle unrolls to R
+# CTE stages and the Spark loop collects exactly R one-row argmaxes.
+_BPE_ROUNDS = 8
+# Word filter: pure ASCII letters, bounded length — the vocabulary
+# relation stays a deterministic function of the corpus and every
+# symbol is space-free (the spaced encoding depends on that).
+_BPE_WORD_RE = "^[a-z]{2,16}$"
+
+
+def _bpe_stage_sql(i: int) -> str:
+    """One unrolled merge round: pair counts -> argmax -> rewrite."""
+    prev = f"v{i - 1}"
+    return f"""
+    p{i} AS (
+      SELECT pr AS pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        SELECT UNNEST(list_transform(
+                 range(1, len(sy)),
+                 k -> sy[k] || ' ' || sy[k+1])) AS pr,
+               cnt
+        FROM (SELECT list_filter(string_split(spaced, '  '),
+                                 s -> s <> '') AS sy, cnt
+              FROM {prev})
+      ) GROUP BY pr
+    ),
+    t{i} AS (
+      SELECT CAST({i} AS BIGINT) AS round,
+             string_split(pair, ' ')[1] AS left_sym,
+             string_split(pair, ' ')[2] AS right_sym,
+             replace(pair, ' ', '') AS merged,
+             c AS pair_count
+      FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1
+    ),
+    v{i} AS (
+      SELECT replace(spaced,
+                     ' ' || left_sym || '  ' || right_sym || ' ',
+                     ' ' || merged || ' ') AS spaced, cnt
+      FROM {prev} CROSS JOIN t{i}
+    )"""
+
+
+_BPE_ORACLE = (
+    f"""
+    WITH words AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE regexp_matches(t, '{_BPE_WORD_RE}') GROUP BY t
+    ),
+    v0 AS (
+      SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS spaced,
+             cnt
+      FROM words
+    ),"""
+    + ",".join(_bpe_stage_sql(i) for i in range(1, _BPE_ROUNDS + 1))
+    + """
+    SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT * FROM t{i}" for i in range(1, _BPE_ROUNDS + 1)
+    )
+    + """)
+    ORDER BY round
+    """
+)
+
+
+@register(
+    "bpe_merge_training",
+    oracle=_BPE_ORACLE,
+    doc="Byte-pair-encoding merge training (Sennrich 2016 — the "
+    f"tokenizer-training algorithm): {_BPE_ROUNDS} merge rounds, each "
+    "selecting the corpus's most frequent adjacent symbol pair "
+    "(count desc, pair asc — a total order, so the merge table is "
+    "deterministic) and rewriting every word by merging that pair "
+    "left-to-right non-overlapping. The key scale trick is the one "
+    "every production BPE trainer uses: aggregate the corpus to the "
+    "DISTINCT-WORD vocabulary with counts FIRST — the corpus-sized "
+    "work happens exactly once; all merge rounds run on the vocab "
+    "relation, orders of magnitude smaller and bounded by the "
+    "language, not the data. Words are encoded as double-space-joined "
+    "symbol strings so a merge is ONE string replace: both engines' "
+    "replace() scans left-to-right and resumes after the consumed "
+    "match (verified identical, incl. the 'a a a' overlap case), which "
+    "is exactly BPE's greedy non-overlapping application; the doubled "
+    "separator keeps each neighbouring boundary intact when a match "
+    "consumes its two flanking spaces. Spark runs the bounded loop "
+    "with one 1-row argmax collect per round (the greedy-max-coverage "
+    "pattern) against a localCheckpointed vocab; the oracle unrolls "
+    f"the same {_BPE_ROUNDS} stages as CTEs. Output: the merge table "
+    "(round, pair, merged symbol, count) — the artifact a tokenizer "
+    "ships.",
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    spark_sess = docs.sparkSession
+    nparts = spark_sess.sparkContext.defaultParallelism
+    words = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select(F.explode(tokens("text")).alias("word"))
+        .where(F.col("word").rlike(_BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # Vocab relation: bounded by the language (~1e4-1e6 words at any
+    # corpus size), so checkpointing it per round is metadata-scale.
+    # repartition first: the vocab parquet lineage may hold 1-2 splits.
+    vocab = (
+        words.repartition(nparts)
+        .select(
+            F.concat(
+                F.lit("  "),
+                F.regexp_replace(F.col("word"), "(.)", "$1  "),
+            ).alias("spaced"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        syms = F.filter(
+            F.split(F.col("spaced"), "  "), lambda s: s != F.lit("")
+        )
+        # Guard size >= 2 BEFORE building the index sequence: Spark's
+        # sequence(1, 0) is the DESCENDING [1, 0], not empty (DuckDB's
+        # range(1, 1) is empty) — a fully-merged single-symbol word
+        # would otherwise index element 0.
+        sy = vocab.select(syms.alias("sy"), "cnt").where(
+            F.size("sy") >= 2
+        )
+        pairs = sy.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("sy") - F.lit(1)),
+                    lambda k: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("sy"), k),
+                        F.element_at(F.col("sy"), k + F.lit(1)),
+                    ),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        pick = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        pair, c = pick[0].pair, pick[0].c
+        a, b = pair.split(" ")
+        merged = a + b
+        out.append((rnd, a, b, merged, c))
+        vocab = vocab.select(
+            F.replace(
+                F.col("spaced"),
+                F.lit(f" {a}  {b} "),
+                F.lit(f" {merged} "),
+            ).alias("spaced"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark_sess.createDataFrame(
+        out,
+        "round long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing xxhash64 fast path (production twin of the md5 portable form)
+
+_WIN_K = 3  # token k-gram size — must match winnow_shared_fingerprints
+_WIN_W = 4  # winnowing window in k-grams
+
+
+@register(
+    "winnow_shared_fingerprints_fast",
+    # No oracle: DuckDB has no xxhash64. The md5 twin
+    # (winnow_shared_fingerprints, round11b) carries the full
+    # bit-replay oracle for the identical banding algebra; the
+    # equivalence law (both paths flag the same planted shared-run
+    # structure, locality guarantee included) is asserted in
+    # tests/test_round12.py on a planted corpus — the same fast-path
+    # discipline as the minhash/simhash dedup twins.
+    oracle=None,
+    doc="Winnowing fingerprints, production hash path: identical "
+    "algorithm to winnow_shared_fingerprints (token 3-grams, window-4 "
+    "minima, Schleimer/Wilkerson/Aiken locality guarantee) with the "
+    "k-gram hash swapped from interpreted-HOF md5+conv to the "
+    "JVM-native codegen xxhash64 — the round-11 curve showed the md5 "
+    "constant IS the residual vs single-node (~17us per k-gram "
+    "interpreted), and xxhash64 is the hash the dedup family already "
+    "ships in production paths. Same plan shape: row-local k-gram -> "
+    "hash -> least()-chain window minima (no per-window array "
+    "allocation), then the two map-side-combined fingerprint "
+    "aggregates. Shuffled volume stays ~2/w per token. Rows-only "
+    "correctness (the hash is engine-native); the md5 twin is the "
+    "portable oracle form.",
+)
+def winnow_shared_fingerprints_fast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _kgram_hashes(t):
+        def _h(i):
+            return F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at(t, i + F.lit(1)),
+                    F.element_at(t, i + F.lit(2)),
+                    F.element_at(t, i + F.lit(3)),
+                )
+            )
+
+        return F.transform(
+            F.sequence(F.lit(0), F.size(t) - F.lit(_WIN_K)), _h
+        )
+
+    def _window_minima(h):
+        # least(element_at x w): zero per-window allocation (the
+        # measured 12.3 s -> 5.1 s rework from the md5 twin).
+        return F.transform(
+            F.sequence(F.lit(0), F.size(h) - F.lit(_WIN_W)),
+            lambda s: F.least(
+                *[
+                    F.element_at(h, s + F.lit(j + 1))
+                    for j in range(_WIN_W)
+                ]
+            ),
+        )
+
+    nparts = max(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        docs.rdd.getNumPartitions(),
+    )
+    fp = (
+        docs.repartition(nparts)
+        .where(F.trim(F.col("text")) != "")
+        .where(F.size(tokens("text")) >= _WIN_K + _WIN_W - 1)
+        .select(
+            "doc_id",
+            F.explode(
+                bind(bind(tokens("text"), _kgram_hashes), _window_minima)
+            ).alias("f"),
+        )
+    )
+    perdoc = fp.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        perdoc.groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            F.col("f").alias("fingerprint"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc",
+        )
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("n_occurrences").desc(),
+            F.col("fingerprint").asc(),
+        )
+        .limit(20)
+    )

@@ -1,0 +1,284 @@
+"""Round-12 operator tests: Cox partial-likelihood Newton step (vs an
+independent pure-Python survival computation from raw events), logistic
+Newton step (vs numpy, plus the behavioral law that the step improves
+log-likelihood), BPE merge training (vs a direct Python implementation
+of the Sennrich merge loop), winnowing fast-path equivalence (planted
+shared-run corpus flagged identically by the md5 and xxhash64 paths),
+and the fused sweep profile (column-exact vs its two source queries)."""
+
+import math
+import re
+from collections import Counter
+
+import duckdb
+import numpy as np
+
+from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+DAY_US = 86_400_000_000
+COX_Q = 1_000_000
+
+
+def _rows(spark, name, sf=SF):
+    return REGISTRY[name].build(spark, sf).collect()
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional hazards
+
+
+def _py_cox_frame():
+    """(x, evt, dur) per signup user, computed from raw event rows in
+    plain Python — independent of both engines' SQL."""
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) AS us, event_type"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()
+    horizon = max(us for _, us, _ in rows)
+    signup: dict[int, int] = {}
+    for u, us, et in rows:
+        if et == "signup" and (u not in signup or us < signup[u]):
+            signup[u] = us
+    purchase: dict[int, int] = {}
+    for u, us, et in rows:
+        if et == "purchase" and u in signup and us >= signup[u]:
+            if u not in purchase or us < purchase[u]:
+                purchase[u] = us
+    frame = []
+    for u, s_us in signup.items():
+        p_us = purchase.get(u)
+        evt = 1 if p_us is not None else 0
+        end = p_us if p_us is not None else horizon
+        # truncation toward zero == floor for the non-negative duration
+        frame.append((u % 2, evt, (end - s_us) // DAY_US))
+    return frame
+
+
+def test_cox_newton_matches_python_replication(spark):
+    frame = _py_cox_frame()
+    n = len(frame)
+    xs = sum(x for x, _, _ in frame)
+    byt: dict[int, list[int]] = {}
+    for x, evt, dur in frame:
+        agg = byt.setdefault(dur, [0, 0, 0, 0])  # n_t, x_t, d_t, dx_t
+        agg[0] += 1
+        agg[1] += x
+        agg[2] += evt
+        agg[3] += evt * x
+    score_uq = info_iq = 0
+    n_events = n_event_days = 0
+    seen_n = seen_x = 0
+    for dur in sorted(byt):
+        n_t, x_t, d_t, dx_t = byt[dur]
+        s0 = n - seen_n
+        s1 = xs - seen_x
+        seen_n += n_t
+        seen_x += x_t
+        if d_t == 0:
+            continue
+        du_q = (d_t * s1 * COX_Q) // s0
+        score_uq += dx_t * COX_Q - du_q
+        info_iq += (du_q * (s0 - s1)) // s0
+        n_events += d_t
+        n_event_days += 1
+
+    [row] = _rows(spark, "cox_hazard_newton")
+    assert row.n_subjects == n
+    assert row.n_treated == xs
+    assert row.n_events == n_events
+    assert row.n_event_days == n_event_days
+    assert row.score_uq == score_uq
+    assert row.info_iq == info_iq
+    assert math.isclose(row.beta1, score_uq / info_iq, rel_tol=1e-12)
+
+    # Against the UNQUANTIZED float score/information: the millionth
+    # quantization must not move beta materially at this scale.
+    u = i = 0.0
+    seen_n = seen_x = 0
+    for dur in sorted(byt):
+        n_t, x_t, d_t, dx_t = byt[dur]
+        s0 = n - seen_n
+        s1 = xs - seen_x
+        seen_n += n_t
+        seen_x += x_t
+        if d_t == 0:
+            continue
+        u += dx_t - d_t * s1 / s0
+        i += d_t * (s1 / s0) * (1 - s1 / s0)
+    assert math.isclose(row.beta1, u / i, rel_tol=1e-3, abs_tol=1e-6)
+
+
+def test_cox_score_sign_is_treated_event_excess(spark):
+    """sign(U) compares treated event share against treated risk share —
+    the score test's defining direction."""
+    [row] = _rows(spark, "cox_hazard_newton")
+    assert row.info_iq > 0
+    assert (row.beta1 > 0) == (row.score_uq > 0)
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression Newton step
+
+
+def _logit_xy():
+    rows = duckdb.sql(
+        "SELECT date_diff('day', DATE '1992-01-01', o_orderdate),"
+        " CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+        f" FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    y = np.array([r[1] for r in rows], dtype=np.float64)
+    return x, y
+
+
+def test_logistic_newton_matches_numpy(spark):
+    x, y = _logit_xy()
+    n = len(x)
+    sy = int(y.sum())
+    sx = int(x.sum())
+    sxx = int((x * x).sum())
+    sxy = int((x * y).sum())
+    det = float(n) * float(sxx) - float(sx) * float(sx)
+    g0 = float(2 * sy - n)
+    g1 = float(2 * sxy - sx)
+    beta0 = 2.0 * (float(sxx) * g0 - float(sx) * g1) / det
+    beta1 = 2.0 * (float(n) * g1 - float(sx) * g0) / det
+
+    [row] = _rows(spark, "logistic_newton_step")
+    assert (row.n, row.n_pos, row.sx, row.sxx, row.sxy) == (
+        n, sy, sx, sxx, sxy,
+    )
+    assert math.isclose(row.beta0, beta0, rel_tol=1e-12)
+    assert math.isclose(row.beta1, beta1, rel_tol=1e-12)
+
+
+def test_logistic_newton_step_improves_loglik(spark):
+    """The behavioral law: one Newton step from 0 must increase the
+    Bernoulli log-likelihood on the training data."""
+    x, y = _logit_xy()
+    [row] = _rows(spark, "logistic_newton_step")
+
+    def loglik(b0, b1):
+        z = b0 + b1 * x
+        # log sigmoid via logaddexp for numerical stability
+        return float((y * z - np.logaddexp(0.0, z)).sum())
+
+    assert loglik(row.beta0, row.beta1) > loglik(0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+
+
+def _py_bpe(rounds=8):
+    rows = duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+        " WHERE trim(text) <> ''"
+    ).fetchall()
+    pat = re.compile(r"^[a-z]{2,16}$")
+    vocab = Counter()
+    for (text,) in rows:
+        for w in text.strip().lower().split():
+            if pat.fullmatch(w):
+                vocab[w] += 1
+    words = {w: tuple(w) for w in vocab}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pair_counts: Counter = Counter()
+        for w, syms in words.items():
+            c = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += c
+        if not pair_counts:
+            break
+        (a, b), c = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        merges.append((rnd, a, b, a + b, c))
+        new_words = {}
+        for w, syms in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges
+
+
+def test_bpe_merge_training_matches_python(spark):
+    expect = _py_bpe()
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in _rows(spark, "bpe_merge_training")
+    ]
+    assert got == expect
+    assert len(got) == 8
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fast path ≡ portable path on planted shared runs
+
+
+def test_winnow_fast_flags_same_planted_structure(spark, tmp_path):
+    """Both hash paths must flag the planted sharing: a 3-doc shared run
+    and a 2-doc shared run (locality guarantee: any shared token run of
+    >= k + w - 1 = 6 tokens yields >= 1 shared fingerprint), and no
+    fingerprint may span unrelated docs."""
+    shared_a = "alpha beta gamma delta epsilon zeta eta theta"
+    shared_b = "one two three four five six"
+    docs = [
+        (0, f"intro {shared_a} outro0"),
+        (1, f"start1 {shared_a} end1 filler"),
+        (2, f"{shared_a} tail2 pad pad2"),
+        (3, f"lead3 {shared_b} trail3"),
+        (4, f"{shared_b} coda4 extra4 more4"),
+        (5, "completely different words without any overlap here ok"),
+        (6, "another unique document text nothing shared at all yes"),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({d}, '{t}', 'en', 'src', {len(t)})" for d, t in docs)
+        + ") AS t(doc_id, text, lang, source, n_chars)"
+    )
+    con.execute(
+        f"COPY documents TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+    for name in ("winnow_shared_fingerprints", "winnow_shared_fingerprints_fast"):
+        rows = REGISTRY[name].build(spark, str(tmp_path)).collect()
+        by_ndocs = Counter(r.n_docs for r in rows)
+        assert max(by_ndocs) == 3, name  # the 3-doc run, nothing beyond
+        assert by_ndocs[3] >= 1, name
+        assert by_ndocs[2] >= 1, name  # the 2-doc run
+        # the 3-doc sharing must anchor at the first sharing doc
+        top = [r for r in rows if r.n_docs == 3]
+        assert all(r.first_doc == 0 for r in top), name
+
+
+# ---------------------------------------------------------------------------
+# Fused sweep profile ≡ its two source queries
+
+
+def test_sweep_profile_fuses_both_queries_exactly(spark):
+    fused = {r.day: r for r in _rows(spark, "interval_sweep_profile")}
+    peak = {r.day: r for r in _rows(spark, "max_concurrent_sessions")}
+    cover = {r.day: r for r in _rows(spark, "interval_union_coverage")}
+    assert set(fused) == set(peak) == set(cover)
+    for day, f in fused.items():
+        assert f.n_sessions == peak[day].n_sessions
+        assert f.max_concurrent == peak[day].max_concurrent
+        assert f.covered_us == cover[day].covered_us
+        assert f.total_session_us == cover[day].total_session_us
+        assert f.user_us_integral == cover[day].user_us_integral
+        # sweep identities
+        assert f.user_us_integral == f.total_session_us
+        assert f.covered_us <= f.total_session_us
