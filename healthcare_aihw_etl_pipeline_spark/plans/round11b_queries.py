@@ -921,65 +921,16 @@ def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrderedAndProject.",
 )
 def fifo_return_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 12: the allocation relation moved to operators.fifo so the
+    # streaming twin (streaming.fifo.part_fifo_matching) shares the
+    # exact definition; this query is its top-20 ranked surface.
+    from healthcare_aihw_etl_pipeline_spark.operators.fifo import (
+        fifo_interval_alloc,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("long")
-
-    def leg(flag: str, lo: str, hi: str, date_alias: str) -> DataFrame:
-        w = (
-            Window.partitionBy("l_partkey")
-            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return li.where(F.col("l_returnflag") == flag).select(
-            "l_partkey",
-            F.sum(qty).over(w).alias(hi),
-            (F.sum(qty).over(w) - qty).alias(lo),
-            F.col("l_shipdate").alias(date_alias),
-        )
-
-    supply = leg("N", "slo", "shi", "sdate").withColumnRenamed(
-        "l_partkey", "s_partkey"
-    )
-    # Per-part demand total rides the same partition exchange as the
-    # cumulative window — no second scan, no separate aggregate branch.
-    demand = leg("R", "dlo", "dhi", "ddate").withColumn(
-        "dq", F.sum(F.col("dhi") - F.col("dlo")).over(
-            Window.partitionBy("l_partkey")
-        )
-    )
-    matched = (
-        demand.join(
-            supply,
-            (F.col("l_partkey") == F.col("s_partkey"))
-            & (F.col("slo") < F.col("dhi"))
-            & (F.col("dlo") < F.col("shi")),
-        )
-        .select(
-            "l_partkey",
-            "dq",
-            (
-                F.least(F.col("shi"), F.col("dhi"))
-                - F.greatest(F.col("slo"), F.col("dlo"))
-            ).alias("mq"),
-            F.datediff(F.col("ddate"), F.col("sdate"))
-            .cast("long")
-            .alias("age"),
-        )
-    )
-    alloc = matched.groupBy("l_partkey").agg(
-        F.sum("mq").alias("matched_qty"),
-        F.sum(F.col("mq") * F.col("age")).alias("qty_age_days"),
-        F.max("dq").alias("dq"),
-    )
     return (
-        alloc.select(
-            F.col("l_partkey").alias("partkey"),
-            "matched_qty",
-            (F.col("dq") - F.col("matched_qty"))
-            .cast("long")
-            .alias("unmatched_qty"),
-            "qty_age_days",
-        )
+        fifo_interval_alloc(li)
         .orderBy(F.col("matched_qty").desc(), F.col("partkey").asc())
         .limit(20)
     )

@@ -11,6 +11,9 @@ from healthcare_aihw_etl_pipeline_spark.streaming.events import (
     user_running_totals,
     write_stream_upsert_partitions,
 )
+from healthcare_aihw_etl_pipeline_spark.streaming.fifo import (
+    part_fifo_matching,
+)
 from healthcare_aihw_etl_pipeline_spark.streaming.drift import (
     monitor_drift,
     psi_of_counts,
@@ -30,6 +33,7 @@ __all__ = [
     "sliding_event_counts",
     "user_running_totals",
     "write_stream_upsert_partitions",
+    "part_fifo_matching",
     "monitor_drift",
     "psi_of_counts",
     "reference_counts",

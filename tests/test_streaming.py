@@ -5,6 +5,8 @@ session windows, and the custom stateful operator."""
 
 from __future__ import annotations
 
+import datetime as _dt
+import os
 import uuid
 
 import pytest
@@ -1031,3 +1033,161 @@ def test_daily_peak_concurrency_closes_day_with_tie_rule(spark, tmp_path):
     # day 1 emitted exactly once with the tie-inclusive peak; day 2
     # never closed (watermark never passed its end), so never emitted
     assert done == [("2024-01-01", 2, 2)], done
+
+
+# ---------------------------------------------------------------------------
+# Streaming FIFO return matching (round-12 twin of fifo_return_matching)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_LI_SCHEMA = (
+    "l_partkey long, l_orderkey long, l_linenumber long, "
+    "l_quantity double, l_returnflag string, l_shipdate timestamp"
+)
+
+
+def _replay_lineitem_batches(spark, tmp_path, batches, transform):
+    """Lineitem flavour of _replay_batches: land one parquet file per
+    micro-batch against a persistent checkpoint, availableNow each
+    time, accumulate the parquet sink."""
+    src = str(tmp_path / "li_src")
+    ckpt = str(tmp_path / "li_ckpt")
+    sink = str(tmp_path / "li_sink")
+    for seq, rows in enumerate(batches, start=1):
+        df = spark.createDataFrame(
+            [
+                (pk, ok, ln, float(q), fl, _dt.datetime.fromisoformat(sd))
+                for (pk, ok, ln, q, fl, sd) in rows
+            ],
+            _LI_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet")
+            .load(src)
+            .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        )
+        q = (
+            transform(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    try:
+        return spark.read.parquet(sink).collect()
+    except Exception:
+        return []
+
+
+def test_streaming_fifo_closes_part_once_with_out_of_order_lines(
+    spark, tmp_path
+):
+    """The part emits EXACTLY ONCE when the watermark passes its last
+    ship date + quiet horizon, and out-of-order arrival (an earlier
+    shipment landing AFTER a later return was already seen) cannot
+    change the allocation — state accumulation is order-insensitive,
+    the FIFO order is reconstructed at close."""
+    from healthcare_aihw_etl_pipeline_spark.streaming.fifo import (
+        part_fifo_matching,
+    )
+
+    rows = _replay_lineitem_batches(
+        spark,
+        tmp_path,
+        [
+            # b1: part 100 first shipment + a return; part 200
+            # supply-only (must close SILENTLY, like the batch join)
+            [
+                (100, 1, 1, 10, "N", "2024-01-01 00:00:00"),
+                (100, 3, 1, 4, "R", "2024-01-05 00:00:00"),
+                (200, 4, 1, 5, "N", "2024-01-02 00:00:00"),
+            ],
+            # b2: OUT-OF-ORDER: a Jan-2 shipment arrives after the
+            # Jan-5 return; plus a later return
+            [
+                (100, 2, 1, 6, "N", "2024-01-02 00:00:00"),
+                (100, 5, 1, 9, "R", "2024-01-08 00:00:00"),
+            ],
+            # b3: far-future line (part 300) pushes the watermark past
+            # Jan-8 + 3d quiet -> parts 100 and 200 time out
+            [(300, 9, 1, 1, "N", "2024-02-01 00:00:00")],
+            # b4: one more future batch: NO second emission for 100
+            [(300, 9, 2, 1, "N", "2024-02-02 00:00:00")],
+        ],
+        # watermark must cover the 3-day disorder of the Jan-2 line
+        # arriving after Jan-5/Jan-8 were seen
+        lambda s: part_fifo_matching(s, watermark="10 days", quiet_days=3),
+    )
+    got = [
+        (r.partkey, r.n_lines, r.matched_qty, r.unmatched_qty, r.qty_age_days)
+        for r in rows
+    ]
+    # FIFO: demand Jan5 x4 <- (Jan1, age 4); demand Jan8 x9 <- 6 from
+    # Jan1 (age 7) + 3 from Jan2 (age 6): matched 13, age 16+42+18 = 76
+    assert got == [(100, 4, 13, 0, 76)], got
+
+
+def test_streaming_fifo_replay_equals_batch_alloc_on_corpus(
+    spark, tmp_path
+):
+    """Full-corpus replay equivalence: sf0.001 lineitem split into 3
+    ROUND-ROBIN slices (ship/return lines interleave across batches in
+    arbitrary time order), plus a sentinel far-future line to close
+    every part — the emitted relation must equal the shared batch
+    operator fifo_interval_alloc row-for-row."""
+    from healthcare_aihw_etl_pipeline_spark.operators.fifo import (
+        fifo_interval_alloc,
+    )
+    from healthcare_aihw_etl_pipeline_spark.streaming.fifo import (
+        part_fifo_matching,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select(
+            "l_partkey", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_returnflag",
+            F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+        )
+    )
+    raw = li.collect()
+    slices = [raw[i::3] for i in range(3)]
+    # round-robin slices interleave the corpus's ~7-year date span
+    # arbitrarily, so the watermark delay must cover the WHOLE span
+    # (4000 days) for zero drops; the sentinel then needs to clear
+    # delay + quiet to close every real part
+    horizon = max(r.l_shipdate for r in raw) + _dt.timedelta(days=4200)
+    batches = [
+        [
+            (r.l_partkey, r.l_orderkey, r.l_linenumber, r.l_quantity,
+             r.l_returnflag, r.l_shipdate.isoformat(sep=" "))
+            for r in sl
+        ]
+        for sl in slices
+    ]
+    batches.append(
+        [(999_999_999, 1, 1, 1, "N", horizon.isoformat(sep=" "))]
+    )
+    rows = _replay_lineitem_batches(
+        spark,
+        tmp_path,
+        batches,
+        lambda s: part_fifo_matching(s, watermark="4000 days", quiet_days=7),
+    )
+    got = {
+        r.partkey: (r.matched_qty, r.unmatched_qty, r.qty_age_days)
+        for r in rows
+        if r.partkey != 999_999_999
+    }
+    want = {
+        r.partkey: (r.matched_qty, r.unmatched_qty, r.qty_age_days)
+        for r in fifo_interval_alloc(li).collect()
+    }
+    assert got == want
+    # every streamed part emitted exactly once
+    assert len([r for r in rows if r.partkey != 999_999_999]) == len(got)
