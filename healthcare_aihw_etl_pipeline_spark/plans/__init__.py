@@ -277,7 +277,7 @@ _MUST_VERIFY_R12: list[str] = [
     # new this round (winnow_shared_fingerprints_fast is rows-only by
     # design — it ships behind the window like the other fast paths)
     "interval_sweep_profile", "cox_hazard_newton",
-    "logistic_newton_step", "bpe_merge_training",
+    "logistic_newton_step", "bpe_merge_training", "roc_auc_order_age",
     # plans changed this round — re-verify all callers
     "max_concurrent_sessions", "interval_union_coverage",
     "fifo_return_matching", "hybrid_rrf_fusion_top10", "ann_cosine_top10",

@@ -646,3 +646,103 @@ def winnow_shared_fingerprints_fast(
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC of the order-age score (evaluation for the GLM family)
+
+
+@register(
+    "roc_auc_order_age",
+    oracle=f"""
+    WITH vals AS (
+      SELECT date_diff('day', {_LOGIT_EPOCH}, o_orderdate) AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT s,
+             CAST(SUM(y) AS BIGINT) AS n1,
+             CAST(SUM(1 - y) AS BIGINT) AS n0
+      FROM vals GROUP BY s
+    ),
+    cum AS (
+      SELECT n1, n0, n1 + n0 AS c,
+             CAST(SUM(n1 + n0) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (n1 + n0) AS BIGINT) AS prev
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS np,
+             CAST(SUM(n0) AS BIGINT) AS nn,
+             CAST(SUM(n1 * (2 * prev + c + 1)) AS BIGINT) AS r2p
+      FROM cum
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST(r2p - np * (np + 1) AS BIGINT) AS u2,
+           CAST(r2p - np * (np + 1) AS DOUBLE)
+             / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc,
+           CAST(r2p - np * (np + 1) AS DOUBLE)
+             / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) - 1.0
+             AS gini_index
+    FROM agg
+    """,
+    doc="Exact ROC-AUC of order age as a completion score — the "
+    "evaluation metric for the logistic_newton_step model (AUC is "
+    "monotone-invariant, so the single-feature model's AUC IS the raw "
+    "feature's AUC; the pair ships train + evaluate for the GLM "
+    "family). Computed exactly through the Mann-Whitney identity "
+    "AUC = U/(n_pos*n_neg) with the registry's doubled-midrank trick: "
+    "per distinct score, positive/negative counts; one cumulative "
+    "window over the calendar-bounded score grain; the doubled "
+    "positive rank sum, U (doubled) and both class counts stay exact "
+    "BIGINT, and AUC/Gini are single shared IEEE expressions. Scale: "
+    "one fact groupBy collapsing to the score domain (~2500 days), "
+    "then scalar math — the textbook distributed-AUC shape "
+    "(histogram-then-rank), never a pairwise comparison.",
+)
+def roc_auc_order_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        ).cast("long").alias("s"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = vals.groupBy("s").agg(
+        F.sum("y").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n0"),
+    )
+    wcum = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "n1",
+        "n0",
+        (F.col("n1") + F.col("n0")).alias("c"),
+        (
+            F.sum(F.col("n1") + F.col("n0")).over(wcum)
+            - (F.col("n1") + F.col("n0"))
+        ).alias("prev"),
+    )
+    agg = cum.agg(
+        F.sum("n1").alias("np"),
+        F.sum("n0").alias("nn"),
+        F.sum(
+            F.col("n1")
+            * (F.lit(2) * F.col("prev") + F.col("c") + F.lit(1))
+        ).alias("r2p"),
+    )
+    u2 = (F.col("r2p") - F.col("np") * (F.col("np") + 1)).cast("long")
+    np_d = F.col("np").cast("double")
+    nn_d = F.col("nn").cast("double")
+    u2_d = u2.cast("double")
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        u2.alias("u2"),
+        (u2_d / (F.lit(2.0) * np_d * nn_d)).alias("auc"),
+        (u2_d / (np_d * nn_d) - F.lit(1.0)).alias("gini_index"),
+    )

@@ -282,3 +282,43 @@ def test_sweep_profile_fuses_both_queries_exactly(spark):
         # sweep identities
         assert f.user_us_integral == f.total_session_us
         assert f.covered_us <= f.total_session_us
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC via the Mann-Whitney identity
+
+
+def test_roc_auc_matches_python_midranks(spark):
+    x, y = _logit_xy()
+    # pure-Python midrank AUC over the score groups
+    from collections import defaultdict
+
+    groups: dict[float, list[int]] = defaultdict(lambda: [0, 0])
+    for s, lbl in zip(x, y):
+        groups[float(s)][int(lbl)] += 1
+    prev = 0
+    r2p = 0
+    n_pos = n_neg = 0
+    for s in sorted(groups):
+        n0, n1 = groups[s]
+        c = n0 + n1
+        r2p += n1 * (2 * prev + c + 1)
+        prev += c
+        n_pos += n1
+        n_neg += n0
+    u2 = r2p - n_pos * (n_pos + 1)
+    auc = u2 / (2.0 * n_pos * n_neg)
+
+    [row] = _rows(spark, "roc_auc_order_age")
+    assert (row.n_pos, row.n_neg, row.u2) == (n_pos, n_neg, u2)
+    assert math.isclose(row.auc, auc, rel_tol=1e-12)
+    assert math.isclose(row.gini_index, 2 * auc - 1, rel_tol=1e-9)
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_roc_auc_direction_agrees_with_logistic_slope(spark):
+    """AUC > 1/2 iff the age feature separates positives upward — the
+    same direction the logistic Newton step must find (beta1 > 0)."""
+    [auc_row] = _rows(spark, "roc_auc_order_age")
+    [fit_row] = _rows(spark, "logistic_newton_step")
+    assert (auc_row.auc > 0.5) == (fit_row.beta1 > 0)
