@@ -777,19 +777,26 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_cust
     ),
     s AS (
-      SELECT COUNT(*) AS n, SUM(rev_c) AS tot, SUM(i * rev_c) AS weighted
+      SELECT COUNT(*) AS n, SUM(rev_c) AS tot,
+             SUM(CAST(i * rev_c AS DECIMAL(38,0))) AS weighted
       FROM ranked
     )
     SELECT n,
            CAST(tot AS DOUBLE) / 100.0 AS total_revenue,
-           ROUND((2.0 * weighted) / (CAST(n AS DOUBLE) * tot)
+           ROUND((2.0 * CAST(weighted AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
                  - (n + 1.0) / n, 6) AS gini
     FROM s
     """,
     doc="Revenue-concentration Gini coefficient over per-customer "
     "revenue: rank-weighted exact formula G = 2·Σ(i·x_i)/(n·Σx) - "
-    "(n+1)/n with every sum an exact BIGINT over cents (i·rev products "
-    "stay far under 2^63 at any plausible customer count) and ties "
+    "(n+1)/n. Each i·rev_c product fits BIGINT, but their SUM passes "
+    "2^63 at sf10 (~5e18 — caught by the round-12 sf10 replay, the "
+    "same failure class as gini_customer_revenue's r11 fix), so the "
+    "rank-weighted sum accumulates in DECIMAL(38,0) on BOTH engines "
+    "(internal only: the surfaced gini is one IEEE expression on the "
+    "double cast, so the pandas-bridge DECIMAL caveat does not "
+    "apply). Ties broken by customer key so the rank assignment — "
     "broken by customer key so the rank assignment — and therefore the "
     "bit-exact result — is engine-independent. Scale: the fact rollup "
     "shuffles once on custkey; the global sort ranks the CUSTOMER "
@@ -807,14 +814,16 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev_c").alias("tot"),
-        F.sum(F.col("i") * F.col("rev_c")).alias("weighted"),
+        F.sum(
+            (F.col("i") * F.col("rev_c")).cast("decimal(38,0)")
+        ).alias("weighted"),
     )
     return s.select(
         "n",
         (F.col("tot").cast("double") / 100.0).alias("total_revenue"),
         F.round(
-            (2.0 * F.col("weighted"))
-            / (F.col("n").cast("double") * F.col("tot"))
+            (2.0 * F.col("weighted").cast("double"))
+            / (F.col("n").cast("double") * F.col("tot").cast("double"))
             - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),

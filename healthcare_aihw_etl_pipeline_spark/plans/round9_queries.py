@@ -508,24 +508,24 @@ def u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
              isodow(o_orderdate) AS dow,
-             CAST(SUM({sql_cents('o_totalprice')}) // 100 AS BIGINT)
-               AS rev_d
+             CAST(SUM({sql_cents('o_totalprice')}) // 100000 AS BIGINT)
+               AS rev_k
       FROM orders GROUP BY 1, 2
     ),
     m AS (
       SELECT dow, COUNT(*) AS n,
-             CAST(SUM(rev_d) AS BIGINT) AS s1,
-             CAST(SUM(rev_d * rev_d) AS BIGINT) AS s2
+             CAST(SUM(rev_k) AS BIGINT) AS s1,
+             CAST(SUM(rev_k * rev_k) AS BIGINT) AS s2
       FROM daily GROUP BY dow
     )
     SELECT strftime(daily.d, '%Y-%m-%d') AS day, daily.dow AS dow,
-           rev_d AS revenue_dollars,
+           rev_k AS revenue_kdollars,
            CAST(floor(
-             CAST(n * rev_d - s1 AS DOUBLE)
+             CAST(n * rev_k - s1 AS DOUBLE)
              / sqrt(CAST(n AS DOUBLE)
                     * CAST(n * s2 - s1 * s1 AS DOUBLE))
              * 1000 + 0.5) AS BIGINT) AS z_milli,
-           abs(CAST(n * rev_d - s1 AS DOUBLE))
+           abs(CAST(n * rev_k - s1 AS DOUBLE))
              > 3.0 * sqrt(CAST(n AS DOUBLE)
                           * CAST(n * s2 - s1 * s1 AS DOUBLE))
              AS anomaly
@@ -536,8 +536,11 @@ def u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Seasonally-adjusted anomaly screen: daily revenue z-scored "
     "against its OWN ISO day-of-week population (a Monday is compared "
     "to Mondays), so weekly seasonality cannot masquerade as an "
-    "anomaly. Moments are exact BIGINTs at whole-dollar scale "
-    "(n*s2 stays under 2^63 through sf10); the z itself is one "
+    "anomaly. Moments are exact BIGINTs at kilodollar scale — the "
+    "round-12 sf10 replay caught the whole-dollar grain overflowing "
+    "SUM(rev^2) past 2^63 (TPC-H daily revenue is ~1e9 dollars at "
+    "sf10), so the grain is $1000 units on both engines, good through "
+    "~sf3000; the z itself is one "
     "correctly-rounded IEEE divide+sqrt on identical inputs, "
     "milli-quantized — bit-stable where stddev_samp's float "
     "partial-merge order is not. One groupBy(day) shuffle; the dow "
@@ -552,15 +555,15 @@ def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.weekday("o_orderdate") + F.lit(1)).cast("long").alias("dow"),
         )
         .agg(F.sum(cents("o_totalprice")).alias("_rev_c"))
-        .withColumn("rev_d", F.expr("_rev_c div 100").cast("long"))
+        .withColumn("rev_k", F.expr("_rev_c div 100000").cast("long"))
         .drop("_rev_c")
     )
     m = daily.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rev_d").cast("long").alias("s1"),
-        F.sum(F.col("rev_d") * F.col("rev_d")).cast("long").alias("s2"),
+        F.sum("rev_k").cast("long").alias("s1"),
+        F.sum(F.col("rev_k") * F.col("rev_k")).cast("long").alias("s2"),
     )
-    dev = (F.col("n") * F.col("rev_d") - F.col("s1")).cast("double")
+    dev = (F.col("n") * F.col("rev_k") - F.col("s1")).cast("double")
     scale = F.sqrt(
         F.col("n").cast("double")
         * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
@@ -573,7 +576,7 @@ def dow_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "dow",
-            F.col("rev_d").alias("revenue_dollars"),
+            F.col("rev_k").alias("revenue_kdollars"),
             F.floor(dev / scale * F.lit(1000) + F.lit(0.5))
             .cast("long")
             .alias("z_milli"),
