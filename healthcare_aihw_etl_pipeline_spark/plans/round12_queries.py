@@ -746,3 +746,295 @@ def roc_auc_order_age(spark: SparkSession, sf_dir: str) -> DataFrame:
         (u2_d / (F.lit(2.0) * np_d * nn_d)).alias("auc"),
         (u2_d / (np_d * nn_d) - F.lit(1.0)).alias("gini_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (PAVA solution via the exact max-min formula)
+
+# Rate quantum: billionths. cum_ones * Q <= 1.5e7 * 1e9 at sf10 — safe
+# through ~sf600.
+_ISO_Q = 1_000_000_000
+
+
+@register(
+    "isotonic_calibration_by_age",
+    oracle=f"""
+    WITH g AS (
+      SELECT date_diff('day', {_LOGIT_EPOCH}, o_orderdate) AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ones
+      FROM orders GROUP BY s
+    ),
+    cum AS (
+      SELECT s, cnt, ones,
+             SUM(cnt) OVER w AS ccnt, SUM(ones) OVER w AS cones
+      FROM g
+      WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    pairs AS (
+      SELECT lo.s AS j, hi.s AS k,
+             ((hi.cones - lo.cones + lo.ones) * {_ISO_Q})
+               // (hi.ccnt - lo.ccnt + lo.cnt) AS bq
+      FROM cum lo JOIN cum hi ON lo.s <= hi.s
+    ),
+    amin AS (
+      SELECT j, k,
+             MIN(bq) OVER (PARTITION BY j ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+      FROM pairs
+    ),
+    fit AS (
+      SELECT k AS s, CAST(MAX(a) AS BIGINT) AS iso_q
+      FROM amin GROUP BY k
+    )
+    SELECT g.s AS age_day, g.cnt AS n, g.ones AS n_pos,
+           CAST((g.ones * {_ISO_Q}) // g.cnt AS BIGINT) AS rate_q,
+           fit.iso_q
+    FROM g JOIN fit ON g.s = fit.s
+    ORDER BY age_day
+    """,
+    doc="Isotonic regression of order-completion rate on order age — "
+    "the calibration leg of the GLM family (train: "
+    "logistic_newton_step; evaluate: roc_auc_order_age; calibrate: "
+    "this — the standard monotone-calibration stack). Computed by the "
+    "EXACT max-min characterization of the weighted-L2 isotonic "
+    "solution (Barlow et al. 1972): fit(i) = max_{{j<=i}} min_{{k>=i}} "
+    "wmean(y, j..k). Every windowed mean quantizes to billionths by "
+    "truncating integer division, and because truncation is monotone "
+    "it COMMUTES with min/max — the integer result is exactly "
+    "floor(Q * true fit), bit-stable on both engines with zero float "
+    "in the lattice. Scale: the only fact-grain work is one map-side "
+    "combined groupBy to the age grain; the O(G^2) pair relation "
+    "(~3M rows) is CALENDAR-bounded — independent of corpus size — "
+    "so the sequential-looking PAVA becomes two windows and a "
+    "groupBy over a fixed-size relation. Verified against a "
+    "pure-Python Fraction-exact PAVA (the minimax theorem makes them "
+    "equal).",
+)
+def isotonic_calibration_by_age(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("long")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    g = o.groupBy(s.alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(y).cast("long").alias("ones"),
+    )
+    wcum = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "s",
+        "cnt",
+        "ones",
+        F.sum("cnt").over(wcum).alias("ccnt"),
+        F.sum("ones").over(wcum).alias("cones"),
+    )
+    lo = cum.select(
+        F.col("s").alias("j"),
+        F.col("cnt").alias("j_cnt"),
+        F.col("ones").alias("j_ones"),
+        F.col("ccnt").alias("j_ccnt"),
+        F.col("cones").alias("j_cones"),
+    )
+    hi = cum.select(
+        F.col("s").alias("k"),
+        F.col("ccnt").alias("k_ccnt"),
+        F.col("cones").alias("k_cones"),
+    )
+    # calendar-bounded BNLJ (the Theil-Sen precedent): G^2 pairs where
+    # G is the number of distinct age days, not a function of the data
+    pairs = lo.join(hi, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        F.expr(
+            f"((k_cones - j_cones + j_ones) * {_ISO_Q})"
+            " div (k_ccnt - j_ccnt + j_cnt)"
+        ).alias("bq"),
+    )
+    wmin = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    amin = pairs.select("j", "k", F.min("bq").over(wmin).alias("a"))
+    fit = amin.groupBy("k").agg(F.max("a").cast("long").alias("iso_q"))
+    return (
+        g.join(fit, g["s"] == fit["k"])
+        .select(
+            F.col("s").alias("age_day"),
+            F.col("cnt").alias("n"),
+            F.col("ones").alias("n_pos"),
+            F.expr(f"(ones * {_ISO_Q}) div cnt").cast("long").alias("rate_q"),
+            "iso_q",
+        )
+        .orderBy("age_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval (distribution-free coverage)
+
+# Miscoverage level: alpha = 0.1 -> the ceil(0.9*(n_cal+1))-th smallest
+# calibration residual is the interval half-width (finite-sample
+# guarantee >= 90% coverage on exchangeable data).
+_CONF_KEY = (
+    "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+)
+
+
+@register(
+    "conformal_interval_price",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST({{y_c}} AS DOUBLE) AS y,
+             CASE WHEN substr(md5({_CONF_KEY}), 1, 2) < '55' THEN 0
+                  WHEN substr(md5({_CONF_KEY}), 1, 2) < 'aa' THEN 1
+                  ELSE 2 END AS split
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM base WHERE split = 0
+    ),
+    fit AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS b0
+      FROM m
+    ),
+    cal AS (
+      SELECT CAST(floor(abs(y - (b0 + b1 * x))) AS BIGINT) AS r_c
+      FROM base CROSS JOIN fit WHERE split = 1
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    bands AS (
+      SELECT r_c, COUNT(*) AS c FROM cal GROUP BY r_c
+    ),
+    q AS (
+      SELECT CAST(MIN(r_c) AS BIGINT) AS q_c FROM (
+        SELECT r_c,
+               SUM(c) OVER (ORDER BY r_c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM bands
+      ) CROSS JOIN nc
+      WHERE cum >= (9 * (n_cal + 1) + 9) // 10
+    ),
+    ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN CAST(floor(abs(y - (b0 + b1 * x)))
+                                AS BIGINT) <= q_c
+                      THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM base CROSS JOIN fit CROSS JOIN q WHERE split = 2
+    )
+    SELECT (SELECT n FROM fit) AS n_train,
+           (SELECT n_cal FROM nc) AS n_cal,
+           (SELECT b1 FROM fit) AS b1,
+           (SELECT q_c FROM q) AS q_cents,
+           n_eval, covered,
+           CAST(covered * 1000000 // n_eval AS BIGINT) AS coverage_ppm
+    FROM ev
+    """.replace("{y_c}", "round(l_extendedprice * 100)"),
+    doc="Split-conformal prediction interval for line price from "
+    "quantity — the distribution-free uncertainty layer of the ML "
+    "family (finite-sample coverage guarantee with NO model or noise "
+    "assumptions; Vovk/Papadopoulos, the standard production recipe): "
+    "md5 thirds split the facts into train/calibrate/evaluate; OLS "
+    "fits on train (exact-moment normal equations in shared IEEE "
+    "expressions); the ceil(0.9*(n_cal+1))-th smallest absolute "
+    "calibration residual — an EXACT order statistic via cent-banded "
+    "cumulative counts, never a sort of the residual stream — is the "
+    "interval half-width; held-out coverage is reported in exact ppm. "
+    "The coverage >= 90% guarantee is asserted as a property test. "
+    "Scale: three scans of the fact table (train moments, calibration "
+    "bands, eval coverage), each a map-side-combined aggregate; the "
+    "order statistic runs on the banded residual DOMAIN, not the row "
+    "stream — the same histogram-then-rank shape as the AUC/quantile "
+    "family.",
+)
+def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h2 = F.substring(
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+    base = li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.expr("CAST(round(l_extendedprice * 100) AS DOUBLE)").alias("y"),
+        F.when(h2 < "55", 0).when(h2 < "aa", 1).otherwise(2).alias("split"),
+    )
+    m = base.where("split = 0").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = m.select(
+        "n", b1.alias("b1"), ((F.col("sy") - b1 * F.col("sx")) / F.col("n")).alias("b0")
+    )
+    resid = F.floor(
+        F.abs(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
+    ).cast("long")
+    cal = (
+        base.where("split = 1")
+        .crossJoin(F.broadcast(fit))
+        .select(resid.alias("r_c"))
+    )
+    nc = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    bands = cal.groupBy("r_c").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("r_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = (
+        bands.select("r_c", F.sum("c").over(wcum).alias("cum"))
+        .crossJoin(F.broadcast(nc))
+        .where(F.expr("cum >= (9 * (n_cal + 1) + 9) div 10"))
+        .agg(F.min("r_c").cast("long").alias("q_c"))
+    )
+    ev = (
+        base.where("split = 2")
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.when(resid <= F.col("q_c"), 1).otherwise(0))
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return (
+        ev.crossJoin(F.broadcast(fit.select("n", "b1")))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("n").alias("n_train"),
+            "n_cal",
+            "b1",
+            F.col("q_c").alias("q_cents"),
+            "n_eval",
+            "covered",
+            F.expr("covered * 1000000 div n_eval").cast("long")
+            .alias("coverage_ppm"),
+        )
+    )

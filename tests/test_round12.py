@@ -322,3 +322,70 @@ def test_roc_auc_direction_agrees_with_logistic_slope(spark):
     [auc_row] = _rows(spark, "roc_auc_order_age")
     [fit_row] = _rows(spark, "logistic_newton_step")
     assert (auc_row.auc > 0.5) == (fit_row.beta1 > 0)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression ≡ exact PAVA (minimax theorem)
+
+
+def test_isotonic_fit_equals_fraction_pava(spark):
+    """The max-min formula the query computes equals the PAVA solution
+    (Barlow et al.), and truncation commutes with the lattice ops — so
+    floor(Q * exact PAVA fit) must match the engine bit-for-bit."""
+    from fractions import Fraction
+
+    ISO_Q = 1_000_000_000
+    rows = duckdb.sql(
+        "SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS s,"
+        " COUNT(*) AS cnt,"
+        " SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ones"
+        f" FROM '{SF}/orders.parquet' GROUP BY s ORDER BY s"
+    ).fetchall()
+    # weighted PAVA: blocks of (weight, sum_y); merge while decreasing
+    blocks = []  # [w, sy]
+    for _, cnt, ones in rows:
+        blocks.append([cnt, ones])
+        while len(blocks) > 1 and (
+            Fraction(blocks[-2][1], blocks[-2][0])
+            >= Fraction(blocks[-1][1], blocks[-1][0])
+        ):
+            w2, s2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+    # expand blocks back to per-s fits
+    expected = {}
+    idx = 0
+    for w, sy in blocks:
+        # consume rows until the block's weight is exhausted
+        acc = 0
+        while acc < w:
+            s, cnt, _ = rows[idx]
+            expected[s] = (sy * ISO_Q) // w  # floor(Q * block mean)
+            acc += cnt
+            idx += 1
+    got = {
+        r.age_day: r.iso_q
+        for r in _rows(spark, "isotonic_calibration_by_age")
+    }
+    assert got == expected
+    # monotone non-decreasing by construction
+    seq = [got[k] for k in sorted(got)]
+    assert all(a <= b for a, b in zip(seq, seq[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal coverage guarantee
+
+
+def test_conformal_interval_covers_at_level(spark):
+    """The defining property: held-out coverage of the calibrated
+    interval is >= 1 - alpha = 90% up to sampling noise (exchangeable
+    md5 splits), and the interval is not vacuous."""
+    [row] = _rows(spark, "conformal_interval_price")
+    assert row.n_train > 0 and row.n_cal > 0 and row.n_eval > 0
+    # finite-sample guarantee with slack for the eval half's noise
+    assert row.coverage_ppm >= 870_000, row.coverage_ppm
+    # non-vacuous: the interval must not cover everything
+    assert row.coverage_ppm < 999_999
+    assert 0 < row.q_cents
+    assert row.covered <= row.n_eval
