@@ -11,6 +11,9 @@ from healthcare_aihw_etl_pipeline_spark.streaming.events import (
     user_running_totals,
     write_stream_upsert_partitions,
 )
+from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+    daily_sweep_profile,
+)
 from healthcare_aihw_etl_pipeline_spark.streaming.fifo import (
     part_fifo_matching,
 )
@@ -33,6 +36,7 @@ __all__ = [
     "sliding_event_counts",
     "user_running_totals",
     "write_stream_upsert_partitions",
+    "daily_sweep_profile",
     "part_fifo_matching",
     "monitor_drift",
     "psi_of_counts",

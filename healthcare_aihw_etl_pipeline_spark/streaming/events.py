@@ -624,3 +624,149 @@ def daily_peak_concurrency(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def daily_sweep_profile(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the FUSED batch sweep `interval_sweep_profile`
+    (plans.round12_queries / operators.sweep): per event-day, ALL the
+    sweep-derived measures — session count, peak concurrency, union
+    coverage, total span time, concurrency integral — emitted exactly
+    once when the watermark closes the day.
+
+    Same state shape as `daily_peak_concurrency` (per-user span table:
+    three parallel arrays bounded by the day's ACTIVE-USER cardinality,
+    not its event count — spans only widen, so out-of-order arrival
+    within the watermark is handled by construction), with the close
+    handler running the full boundary sweep instead of only the peak:
+    one O(u log u) sort of starts/ends, then a two-pointer walk
+    accumulating peak, covered time (gap where running > 0) and the
+    concurrency integral (gap x running). The tie rule matches the
+    batch operator bit-for-bit: boundaries process in (t asc, +1
+    before -1) order, and zero-length segments contribute nothing, so
+    within-tie order cannot change any output. The Fubini identity
+    (integral == total span time) holds on every emitted row — the
+    same built-in cross-check the batch oracle carries.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("day", T.StringType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("max_concurrent", T.LongType()),
+            T.StructField("covered_us", T.LongType()),
+            T.StructField("total_session_us", T.LongType()),
+            T.StructField("user_us_integral", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("users", T.ArrayType(T.LongType())),
+            T.StructField("smin", T.ArrayType(T.LongType())),
+            T.StructField("smax", T.ArrayType(T.LongType())),
+        ]
+    )
+    _EMPTY = pd.DataFrame(
+        {
+            "day": pd.Series(dtype="object"),
+            "n_sessions": pd.Series(dtype="int64"),
+            "max_concurrent": pd.Series(dtype="int64"),
+            "covered_us": pd.Series(dtype="int64"),
+            "total_session_us": pd.Series(dtype="int64"),
+            "user_us_integral": pd.Series(dtype="int64"),
+        }
+    )
+
+    def update(key, pdfs, state: GroupState):
+        day = key[0]
+        if state.hasTimedOut:
+            users, smin, smax = state.get
+            starts = sorted(smin)
+            ends = sorted(smax)
+            n = len(starts)
+            total = sum(e - s for s, e in zip(smin, smax))
+            cur = peak = 0
+            covered = integral = 0
+            i = j = 0
+            prev_t = None
+            while j < len(ends):
+                # next boundary: starts first on ties (+1 before -1,
+                # the closed-interval rule)
+                if i < n and starts[i] <= ends[j]:
+                    t = starts[i]
+                else:
+                    t = ends[j]
+                if prev_t is not None and t > prev_t and cur > 0:
+                    gap = t - prev_t
+                    covered += gap
+                    integral += gap * cur
+                if i < n and starts[i] <= ends[j]:
+                    cur += 1
+                    peak = max(peak, cur)
+                    i += 1
+                else:
+                    cur -= 1
+                    j += 1
+                prev_t = t
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "day": [day.isoformat()],
+                    "n_sessions": [n],
+                    "max_concurrent": [peak],
+                    "covered_us": [covered],
+                    "total_session_us": [total],
+                    "user_us_integral": [integral],
+                }
+            )
+            return
+        spans: dict = {}
+        if state.exists:
+            users, smin, smax = state.get
+            spans = {u: [lo, hi] for u, lo, hi in zip(users, smin, smax)}
+        for pdf in pdfs:
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            )
+            for u, t in zip(pdf["user_id"].astype("int64"), ts_us):
+                u = int(u)
+                t = int(t)
+                s = spans.get(u)
+                if s is None:
+                    spans[u] = [t, t]
+                else:
+                    if t < s[0]:
+                        s[0] = t
+                    if t > s[1]:
+                        s[1] = t
+        state.update(
+            (
+                list(spans.keys()),
+                [s[0] for s in spans.values()],
+                [s[1] for s in spans.values()],
+            )
+        )
+        # UTC-explicit day-end epoch (see daily_peak_concurrency).
+        import datetime as _dt
+
+        day_end = _dt.datetime(
+            day.year, day.month, day.day, tzinfo=_dt.timezone.utc
+        ) + _dt.timedelta(days=1)
+        state.setTimeoutTimestamp(int(day_end.timestamp() * 1000))
+        yield _EMPTY
+
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

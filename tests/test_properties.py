@@ -244,3 +244,64 @@ def test_wav_codec_roundtrip_property(samples, rate):
     assert (sr, ch, n) == (rate, 1, len(samples))
     assert peak == max(abs(s) for s in samples)
     assert sumsq == sum(s * s for s in samples)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic max-min formula == PAVA (the identity round-12's
+# isotonic_calibration_by_age relies on), on random weighted sequences
+# with the engine's exact quantized integer arithmetic.
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),   # weight (count)
+            st.integers(min_value=0, max_value=20),   # successes <= w
+        ).map(lambda t: (t[0], min(t[1], t[0]))),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_isotonic_maxmin_equals_pava_quantized(seq):
+    """fit(i) = max_{j<=i} min_{k>=i} wmean(j..k), with every windowed
+    mean truncated to integer millionths, must equal floor(Q * PAVA
+    block mean) — truncation is monotone, so it commutes with the
+    min/max lattice (the exactness argument in the registered query's
+    doc)."""
+    from fractions import Fraction
+
+    Q = 1_000_000
+    n = len(seq)
+    cw = [0] * (n + 1)
+    cs = [0] * (n + 1)
+    for i, (w, s) in enumerate(seq):
+        cw[i + 1] = cw[i] + w
+        cs[i + 1] = cs[i] + s
+
+    def bq(j, k):  # quantized mean over [j, k] inclusive, 0-based
+        return ((cs[k + 1] - cs[j]) * Q) // (cw[k + 1] - cw[j])
+
+    maxmin = [
+        max(min(bq(j, k) for k in range(i, n)) for j in range(i + 1))
+        for i in range(n)
+    ]
+
+    blocks = []  # [w, s]
+    for w, s in seq:
+        blocks.append([w, s])
+        while len(blocks) > 1 and Fraction(
+            blocks[-2][1], blocks[-2][0]
+        ) >= Fraction(blocks[-1][1], blocks[-1][0]):
+            w2, s2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+    pava = []
+    idx = 0
+    for w, s in blocks:
+        acc = 0
+        while acc < w:
+            pava.append((s * Q) // w)
+            acc += seq[idx][0]
+            idx += 1
+    assert maxmin == pava
+    assert all(a <= b for a, b in zip(maxmin, maxmin[1:]))

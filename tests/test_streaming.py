@@ -1191,3 +1191,68 @@ def test_streaming_fifo_replay_equals_batch_alloc_on_corpus(
     assert got == want
     # every streamed part emitted exactly once
     assert len([r for r in rows if r.partkey != 999_999_999]) == len(got)
+
+
+# ---------------------------------------------------------------------------
+# Streaming fused sweep profile (round-12 twin of interval_sweep_profile)
+
+
+def test_daily_sweep_profile_matches_batch_on_closed_day(spark, tmp_path):
+    """The streaming fused sweep must emit, for the watermark-closed
+    day, EXACTLY the row the batch interval_sweep_profile computes for
+    that day over the same events — including the closed-interval tie
+    rule and the Fubini identity — with out-of-order arrival widening
+    spans instead of corrupting them."""
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+        daily_sweep_profile,
+    )
+
+    batches = [
+        # u1 span will be [10:00, 12:30]; u2 span [12:30, 13:00]
+        [(1, "2024-01-01 12:30:00", 1, 1.0),
+         (2, "2024-01-01 13:00:00", 2, 1.0)],
+        # out-of-order widening + u2's start arriving late
+        [(3, "2024-01-01 10:00:00", 1, 1.0),
+         (4, "2024-01-01 12:30:00", 2, 1.0)],
+        # u3: a zero-length span (single event) at 11:00
+        [(5, "2024-01-01 11:00:00", 3, 1.0)],
+        # next-day events advance the watermark past end-of-day-1
+        [(6, "2024-01-02 08:00:00", 9, 1.0)],
+        [(7, "2024-01-02 09:00:00", 9, 1.0)],
+    ]
+    rows = _replay_batches(
+        spark,
+        tmp_path,
+        batches,
+        lambda s: daily_sweep_profile(s, watermark="6 hours"),
+    )
+    got = [
+        (r.day, r.n_sessions, r.max_concurrent, r.covered_us,
+         r.total_session_us, r.user_us_integral)
+        for r in rows
+    ]
+    # batch twin over the same rows, restricted to the closed day
+    all_rows = [r for b in batches for r in b]
+    df = spark.createDataFrame(
+        all_rows, ["event_id", "ts_s", "user_id", "value"]
+    ).select(
+        F.col("user_id").cast("long"),
+        F.to_timestamp("ts_s").alias("ts"),
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.sweep import (
+        sweep_day_profile,
+    )
+
+    want = [
+        (r.day, r.n_sessions, r.max_concurrent, r.covered_us,
+         r.total_session_us, r.user_us_integral)
+        for r in sweep_day_profile(df).collect()
+        if r.day == "2024-01-01"
+    ]
+    assert got == want, (got, want)
+    # day emitted exactly once, identities hold
+    assert len(got) == 1
+    day, n, peak, covered, total, integral = got[0]
+    assert integral == total  # Fubini identity
+    assert covered <= total  # the union cannot exceed the span sum
+    assert n == 3 and peak == 2  # closed-interval tie rule at 12:30
