@@ -3,8 +3,9 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 12 pins the four new
-oracled round-12 queries, then every plan changed this round — the
+verified cohort is due a regression sweep (round 12 pins the eight new
+oracled round-12 queries — fused sweep, Cox, logistic, BPE, ROC-AUC,
+isotonic, conformal, t-closeness — then every plan changed this round — the
 sweep pair and FIFO now build on shared operators, the RRF/ANN probe
 gained a guarded lookup — then the round-9 six, the oldest window
 evidence, then the round-10 head, the round-5 cohort tail, the sketch
@@ -265,7 +266,7 @@ _DRIVER_GREEN_R11 = list(_MUST_VERIFY_R11)
 _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R11
 
 # Round 12 rotates per the standing policy (new queries lead, then the
-# oldest driver evidence): the four new oracled round-12 queries, then
+# oldest driver evidence): the eight new oracled round-12 queries, then
 # every query whose plan changed this round (the sweep pair + FIFO now
 # build on shared operators; the RRF/ANN probe gained a guarded
 # lookup), then the round-9 six — last driver-verified in
@@ -274,11 +275,13 @@ _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R11
 # round-5 cohort tail, the sketch stores, and the round-6 cohort head
 # to fill ~50.
 _MUST_VERIFY_R12: list[str] = [
-    # new this round (winnow_shared_fingerprints_fast is rows-only by
-    # design — it ships behind the window like the other fast paths)
+    # new this round — all eight oracled additions
+    # (winnow_shared_fingerprints_fast is rows-only by design — it
+    # ships behind the window like the other fast paths)
     "interval_sweep_profile", "cox_hazard_newton",
     "logistic_newton_step", "bpe_merge_training", "roc_auc_order_age",
     "isotonic_calibration_by_age", "conformal_interval_price",
+    "t_closeness_audit",
     # plans changed this round — re-verify all callers
     "max_concurrent_sessions", "interval_union_coverage",
     "fifo_return_matching", "hybrid_rrf_fusion_top10", "ann_cosine_top10",

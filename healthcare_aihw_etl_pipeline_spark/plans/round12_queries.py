@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from healthcare_aihw_etl_pipeline_spark.operators.privacy import sql_band_of
 from healthcare_aihw_etl_pipeline_spark.plans.registry import register
 from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
 
@@ -1037,4 +1038,137 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("covered * 1000000 div n_eval").cast("long")
             .alias("coverage_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness release audit (completes the k-anonymity / l-diversity pair)
+
+# Variational-distance quantum: parts-per-million. The cross-multiplied
+# deviation sum S <= 2 * n_g * N, so S * 500000 <= 1e6 * n_g * N —
+# under 2^63 while n_g * N < 9.2e12, i.e. through ~sf40 for the worst
+# group; past that, band to per-thousand.
+_TC_BANDS = "CASE band_lo WHEN 1 THEN 'k=1 unique' WHEN 2 THEN '2<=k<5' WHEN 5 THEN '5<=k<20' ELSE 'k>=20' END"
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    seg AS (
+      SELECT c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS seg_n FROM cells
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+    per_cell AS (
+      SELECT c.c_nationkey, c.bal_band, c.cnt, s.seg_n, t.n,
+             SUM(c.cnt) OVER (PARTITION BY c.c_nationkey, c.bal_band)
+               AS k
+      FROM cells c JOIN seg s USING (c_mktsegment) CROSS JOIN tot t
+    ),
+    per_group AS (
+      SELECT c_nationkey, bal_band,
+             CAST(MAX(k) AS BIGINT) AS k,
+             CAST(SUM(abs(cnt * n - seg_n * k)) AS BIGINT)
+               AS present_dev,
+             CAST(SUM(seg_n) AS BIGINT) AS present_seg_n
+      FROM per_cell GROUP BY c_nationkey, bal_band
+    ),
+    vd AS (
+      SELECT k,
+             (present_dev + (t.n - present_seg_n) * k) * 500000
+               // (k * t.n) AS vd_ppm
+      FROM per_group CROSS JOIN tot t
+    ),
+    banded AS (
+      SELECT {{band_expr}} AS band_lo, k, vd_ppm FROM vd
+    )
+    SELECT band_lo, {_TC_BANDS} AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX(vd_ppm) AS BIGINT) AS max_vd_ppm,
+           CAST(SUM(vd_ppm) // COUNT(*) AS BIGINT) AS mean_vd_ppm,
+           CAST(SUM(CASE WHEN vd_ppm > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_t
+    FROM banded GROUP BY band_lo ORDER BY band_lo
+    """.replace("{band_expr}", sql_band_of("k")),
+    doc="t-closeness release audit over the same quasi-identifier frame "
+    "as k_anonymity_audit (nation x $1000 balance band, sensitive = "
+    "market segment): per QI group, the variational distance "
+    "(categorical t-closeness, Li et al. 2007) between the group's "
+    "sensitive distribution and the global one — exact via "
+    "cross-multiplied integer counts, ppm-quantized with truncating "
+    "division; absent segments contribute their full global mass "
+    "through the (N - sum of present seg_n) * k term, no outer join "
+    "against the segment domain needed. Reported per k-anonymity risk "
+    "band with the count of groups above the t = 0.2 disclosure "
+    "threshold — k, l (k_anonymity_audit) and t together are the "
+    "standard pre-release privacy triple. Scale: one fact groupBy to "
+    "the (QI, segment) cell grain (map-side combined); the 5-row "
+    "segment totals broadcast back; everything after runs on the "
+    "group relation.",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators import privacy
+
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    seg = cells.groupBy("c_mktsegment").agg(
+        F.sum("cnt").cast("long").alias("seg_n")
+    )
+    tot = cells.agg(F.sum("cnt").cast("long").alias("n"))
+    wg = Window.partitionBy("c_nationkey", "bal_band")
+    enriched = (
+        cells.join(F.broadcast(seg), "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("k", F.sum("cnt").over(wg).cast("long"))
+    )
+    per_group = enriched.groupBy("c_nationkey", "bal_band").agg(
+        F.max("k").alias("k"),
+        F.sum(
+            F.abs(F.col("cnt") * F.col("n") - F.col("seg_n") * F.col("k"))
+        )
+        .cast("long")
+        .alias("present_dev"),
+        F.sum("seg_n").cast("long").alias("present_seg_n"),
+        F.max("n").alias("n"),
+    )
+    vd = per_group.select(
+        "k",
+        F.expr(
+            "(present_dev + (n - present_seg_n) * k) * 500000"
+            " div (k * n)"
+        ).alias("vd_ppm"),
+    )
+    banded = vd.select(privacy.band_of(F.col("k")).alias("band_lo"), "k", "vd_ppm")
+    band_name = (
+        F.when(F.col("band_lo") == 1, "k=1 unique")
+        .when(F.col("band_lo") == 2, "2<=k<5")
+        .when(F.col("band_lo") == 5, "5<=k<20")
+        .otherwise("k>=20")
+    )
+    return (
+        banded.groupBy("band_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.max("vd_ppm").cast("long").alias("max_vd_ppm"),
+            F.expr("SUM(vd_ppm) div COUNT(*)").cast("long").alias("mean_vd_ppm"),
+            F.sum(F.when(F.col("vd_ppm") > 200000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_above_t"),
+        )
+        .select("band_lo", band_name.alias("band"), "n_groups",
+                "max_vd_ppm", "mean_vd_ppm", "n_above_t")
+        .orderBy("band_lo")
     )

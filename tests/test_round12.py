@@ -389,3 +389,46 @@ def test_conformal_interval_covers_at_level(spark):
     assert row.coverage_ppm < 999_999
     assert 0 < row.q_cents
     assert row.covered <= row.n_eval
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit ≡ pure-Python variational distance
+
+
+def test_t_closeness_matches_python(spark):
+    from collections import defaultdict
+
+    rows = duckdb.sql(
+        "SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT),"
+        f" c_mktsegment FROM '{SF}/customer.parquet'"
+    ).fetchall()
+    n_total = len(rows)
+    seg_n = Counter(seg for _, _, seg in rows)
+    groups = defaultdict(Counter)
+    for nat, band, seg in rows:
+        groups[(nat, band)][seg] += 1
+    bands = defaultdict(lambda: [0, 0, 0, 0])  # n, max, sum, above
+    for cnts in groups.values():
+        k = sum(cnts.values())
+        present_dev = sum(
+            abs(c * n_total - seg_n[s] * k) for s, c in cnts.items()
+        )
+        present_seg = sum(seg_n[s] for s in cnts)
+        vd_ppm = (present_dev + (n_total - present_seg) * k) * 500000 // (
+            k * n_total
+        )
+        assert 0 <= vd_ppm <= 1_000_000
+        lo = 1 if k < 2 else 2 if k < 5 else 5 if k < 20 else 20
+        b = bands[lo]
+        b[0] += 1
+        b[1] = max(b[1], vd_ppm)
+        b[2] += vd_ppm
+        b[3] += vd_ppm > 200_000
+    got = {
+        r.band_lo: (r.n_groups, r.max_vd_ppm, r.mean_vd_ppm, r.n_above_t)
+        for r in _rows(spark, "t_closeness_audit")
+    }
+    want = {
+        lo: (b[0], b[1], b[2] // b[0], b[3]) for lo, b in bands.items()
+    }
+    assert got == want
