@@ -253,8 +253,6 @@ def cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d_t") > 0)
     )
     terms = risk.select(
-        "n",
-        "xs",
         "d_t",
         "dx_t",
         F.expr(f"(d_t * s1 * {_COX_Q}) div s0").alias("du_q"),
@@ -264,13 +262,19 @@ def cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uq = F.sum(F.col("dx_t") * F.lit(_COX_Q) - F.col("du_q")).cast("long")
     iq = F.sum("i_q").cast("long")
-    return terms.groupBy("n", "xs").agg(
+    # GLOBAL aggregate (not groupBy over broadcast constants): a corpus
+    # with zero qualifying events would make `terms` empty, and a
+    # grouped aggregate would return ZERO rows while the oracle's
+    # ungrouped aggregate + scalar subselects returns ONE row with
+    # NULL sums — the shapes must match on every input.
+    agg = terms.agg(
         F.sum("d_t").cast("long").alias("n_events"),
         F.count(F.lit(1)).cast("long").alias("n_event_days"),
         uq.alias("score_uq"),
         iq.alias("info_iq"),
         (uq.cast("double") / iq.cast("double")).alias("beta1"),
-    ).select(
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
         F.col("n").alias("n_subjects"),
         F.col("xs").alias("n_treated"),
         "n_events",
@@ -979,14 +983,17 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.select(
         F.col("l_quantity").cast("double").alias("x"),
         F.expr("CAST(round(l_extendedprice * 100) AS DOUBLE)").alias("y"),
+        F.col("l_quantity").cast("long").alias("xi"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("yi"),
         F.when(h2 < "55", 0).when(h2 < "aa", 1).otherwise(2).alias("split"),
     )
+    # exact BIGINT moments, DOUBLE only inside the solve (see oracle)
     m = base.where("split = 0").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("yi").cast("double").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("double").alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).cast("double").alias("sxy"),
     )
     b1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

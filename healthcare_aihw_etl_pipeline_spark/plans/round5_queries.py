@@ -797,7 +797,7 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(internal only: the surfaced gini is one IEEE expression on the "
     "double cast, so the pandas-bridge DECIMAL caveat does not "
     "apply). Ties broken by customer key so the rank assignment — "
-    "broken by customer key so the rank assignment — and therefore the "
+    "and therefore the "
     "bit-exact result — is engine-independent. Scale: the fact rollup "
     "shuffles once on custkey; the global sort ranks the CUSTOMER "
     "aggregate (dimension-sized), and the final reduce is one row.",

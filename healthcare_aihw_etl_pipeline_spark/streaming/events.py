@@ -499,6 +499,55 @@ def user_first_seen_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _accumulate_user_spans(state, pdfs) -> None:
+    """Shared span-state machinery for the daily sweep twins
+    (daily_peak_concurrency / daily_sweep_profile): widen each user's
+    [first, last] µs span with this batch's events and store the three
+    parallel arrays back. Order-insensitive by construction — spans
+    only widen — which is what makes out-of-order arrival within the
+    watermark safe for both consumers."""
+    spans: dict = {}
+    if state.exists:
+        users, smin, smax = state.get
+        spans = {u: [lo, hi] for u, lo, hi in zip(users, smin, smax)}
+    for pdf in pdfs:
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        for u, t in zip(pdf["user_id"].astype("int64"), ts_us):
+            u = int(u)
+            t = int(t)
+            span = spans.get(u)
+            if span is None:
+                spans[u] = [t, t]
+            else:
+                if t < span[0]:
+                    span[0] = t
+                if t > span[1]:
+                    span[1] = t
+    state.update(
+        (
+            list(spans.keys()),
+            [span[0] for span in spans.values()],
+            [span[1] for span in spans.values()],
+        )
+    )
+
+
+def _utc_day_end_ms(day) -> int:
+    """End-of-day epoch millis computed explicitly in UTC: the day
+    grouping (to_date) and the watermark run under the session timezone
+    pinned to UTC, but a naive datetime's .timestamp() uses the Python
+    worker's OS-local zone — on a non-UTC host the timeout would shift
+    by the UTC offset (early close -> duplicate partial emit, or a
+    re-registered timeout already behind the watermark). Same fix as
+    sources/txlog.py as_of-naive-datetime handling."""
+    import datetime as _dt
+
+    day_end = _dt.datetime(
+        day.year, day.month, day.day, tzinfo=_dt.timezone.utc
+    ) + _dt.timedelta(days=1)
+    return int(day_end.timestamp() * 1000)
+
+
 def daily_peak_concurrency(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
@@ -570,46 +619,9 @@ def daily_peak_concurrency(
                 }
             )
             return
-        spans: dict = {}
-        if state.exists:
-            users, smin, smax = state.get
-            spans = {u: [lo, hi] for u, lo, hi in zip(users, smin, smax)}
-        for pdf in pdfs:
-            ts_us = (
-                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
-            )
-            for u, t in zip(pdf["user_id"].astype("int64"), ts_us):
-                u = int(u)
-                t = int(t)
-                s = spans.get(u)
-                if s is None:
-                    spans[u] = [t, t]
-                else:
-                    if t < s[0]:
-                        s[0] = t
-                    if t > s[1]:
-                        s[1] = t
-        state.update(
-            (
-                list(spans.keys()),
-                [s[0] for s in spans.values()],
-                [s[1] for s in spans.values()],
-            )
-        )
+        _accumulate_user_spans(state, pdfs)
         # Close when the watermark passes end-of-day: emit-once-per-day.
-        # The epoch must be computed in UTC explicitly: the day grouping
-        # (to_date) and the watermark both run under the session timezone
-        # pinned to UTC, but a naive datetime's .timestamp() uses the
-        # Python worker's OS-local zone — on a non-UTC host the timeout
-        # would shift by the UTC offset (early close → duplicate partial
-        # emit, or a re-registered timeout already behind the watermark).
-        # Same fix as sources/txlog.py as_of-naive-datetime handling.
-        import datetime as _dt
-
-        day_end = _dt.datetime(
-            day.year, day.month, day.day, tzinfo=_dt.timezone.utc
-        ) + _dt.timedelta(days=1)
-        state.setTimeoutTimestamp(int(day_end.timestamp() * 1000))
+        state.setTimeoutTimestamp(_utc_day_end_ms(day))
         yield _EMPTY
 
     return (
@@ -723,39 +735,8 @@ def daily_sweep_profile(
                 }
             )
             return
-        spans: dict = {}
-        if state.exists:
-            users, smin, smax = state.get
-            spans = {u: [lo, hi] for u, lo, hi in zip(users, smin, smax)}
-        for pdf in pdfs:
-            ts_us = (
-                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
-            )
-            for u, t in zip(pdf["user_id"].astype("int64"), ts_us):
-                u = int(u)
-                t = int(t)
-                s = spans.get(u)
-                if s is None:
-                    spans[u] = [t, t]
-                else:
-                    if t < s[0]:
-                        s[0] = t
-                    if t > s[1]:
-                        s[1] = t
-        state.update(
-            (
-                list(spans.keys()),
-                [s[0] for s in spans.values()],
-                [s[1] for s in spans.values()],
-            )
-        )
-        # UTC-explicit day-end epoch (see daily_peak_concurrency).
-        import datetime as _dt
-
-        day_end = _dt.datetime(
-            day.year, day.month, day.day, tzinfo=_dt.timezone.utc
-        ) + _dt.timedelta(days=1)
-        state.setTimeoutTimestamp(int(day_end.timestamp() * 1000))
+        _accumulate_user_spans(state, pdfs)
+        state.setTimeoutTimestamp(_utc_day_end_ms(day))
         yield _EMPTY
 
     return (

@@ -141,7 +141,6 @@ def part_fifo_matching(
         acc = (
             [list(c) for c in state.get] if state.exists else [[], [], [], [], []]
         )
-        max_us = None
         for pdf in pdfs:
             us = pdf["l_shipdate"].astype("datetime64[ns]").astype("int64") // 1000
             acc[0].extend(int(v) for v in us)
@@ -151,15 +150,14 @@ def part_fifo_matching(
             acc[4].extend(
                 1 if f == "R" else 0 for f in pdf["l_returnflag"]
             )
-            m = int(us.max())
-            max_us = m if max_us is None else max(max_us, m)
         state.update(tuple(acc))
         # Event-time timeout: (last ship instant seen) + quiet horizon.
-        # µs epochs are timezone-free integers; no naive-datetime
-        # round-trip, so no OS-timezone dependence.
-        last_us = max_us
-        if last_us is None:  # re-invocation with no new rows
-            last_us = max(acc[0])
+        # The max is over the WHOLE accumulated state, not the current
+        # batch — a late-but-admitted OLDER line must not regress the
+        # timeout and close the part early (which would split its
+        # emission). µs epochs are timezone-free integers; no
+        # naive-datetime round-trip, so no OS-timezone dependence.
+        last_us = max(acc[0])
         timeout_ms = last_us // 1000 + quiet_days * 86_400_000
         state.setTimeoutTimestamp(timeout_ms)
         yield empty

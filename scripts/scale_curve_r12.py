@@ -102,6 +102,10 @@ def _time_duck(d: str, sql: str, reps: int):
                 timer.cancel()
             best = min(best, time.perf_counter() - t0)
     except Exception:
+        # keep a successful earlier rep: a later interrupt (cache
+        # eviction, background load) must not erase a real data point
+        if best != float("inf"):
+            return round(best, 3)
         return f"timeout{DUCK_TIMEOUT}s"
     finally:
         con.close()

@@ -432,3 +432,27 @@ def test_t_closeness_matches_python(spark):
         lo: (b[0], b[1], b[2] // b[0], b[3]) for lo, b in bands.items()
     }
     assert got == want
+
+
+def test_cox_newton_one_row_even_with_zero_events(spark, tmp_path):
+    """A corpus with signups but no qualifying purchases must still
+    return ONE row (matching the oracle's ungrouped-aggregate shape):
+    subjects populated, event sums NULL, beta NULL."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 7, 'signup', 1.0, '{}'),"
+        "(2, TIMESTAMP '2024-01-02 10:00:00', 8, 'signup', 1.0, '{}'),"
+        "(3, TIMESTAMP '2024-01-03 10:00:00', 8, 'click', 1.0, '{}')"
+        ") AS t(event_id, ts, user_id, event_type, value, props)"
+    )
+    con.execute(
+        f"COPY events TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    rows = REGISTRY["cox_hazard_newton"].build(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert r.n_subjects == 2 and r.n_treated == 1
+    assert r.n_event_days == 0
+    assert r.n_events is None and r.score_uq is None and r.beta1 is None

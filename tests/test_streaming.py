@@ -1256,3 +1256,51 @@ def test_daily_sweep_profile_matches_batch_on_closed_day(spark, tmp_path):
     assert integral == total  # Fubini identity
     assert covered <= total  # the union cannot exceed the span sum
     assert n == 3 and peak == 2  # closed-interval tie rule at 12:30
+
+
+def test_streaming_fifo_late_older_line_does_not_regress_timeout(
+    spark, tmp_path
+):
+    """A late-but-admitted OLDER line must not pull the part's quiet
+    horizon backwards: the timeout is max over ALL accumulated ship
+    instants + quiet, so the part stays open until (true last ship +
+    quiet) and emits exactly once with every line included. (Timeouts
+    evaluate against the batch-END watermark, and lines older than
+    watermark-delay are dropped — the dates below respect both.)"""
+    from healthcare_aihw_etl_pipeline_spark.streaming.fifo import (
+        part_fifo_matching,
+    )
+
+    transform = lambda s: part_fifo_matching(  # noqa: E731
+        s, watermark="10 days", quiet_days=3
+    )
+    batches = [
+        # b1: last ship Apr 22 -> horizon Apr 25 (wm after b1: Apr 12)
+        [
+            (100, 1, 1, 5, "N", "2024-04-20 00:00:00"),
+            (100, 2, 1, 2, "R", "2024-04-22 00:00:00"),
+        ],
+        # b2: LATE older line (Apr 14, above the Apr 12 watermark). A
+        # per-batch max would regress the horizon to Apr 17.
+        [(100, 3, 1, 1, "N", "2024-04-14 00:00:00")],
+        # b3: sentinel -> wm Apr 22 at batch end: inside (Apr 17,
+        # Apr 25), so a regressed timeout fires HERE; the correct one
+        # must not
+        [(300, 9, 1, 1, "N", "2024-05-02 00:00:00")],
+    ]
+    rows3 = _replay_lineitem_batches(spark, tmp_path, batches, transform)
+    assert [r for r in rows3 if r.partkey == 100] == [], rows3
+    # b4: wm Apr 28 > Apr 25 -> exactly one emission with ALL THREE
+    # lines (the late line takes its proper FIFO position)
+    batches.append([(300, 9, 2, 1, "N", "2024-05-08 00:00:00")])
+    rows4 = _replay_lineitem_batches(
+        spark, tmp_path / "second", batches, transform
+    )
+    got = [
+        (r.n_lines, r.matched_qty, r.unmatched_qty, r.qty_age_days)
+        for r in rows4
+        if r.partkey == 100
+    ]
+    # FIFO: demand 2@Apr22 <- 1 from Apr14 (age 8) + 1 from Apr20
+    # (age 2) = 10 quantity-age-days
+    assert got == [(3, 2, 0, 10)], got
