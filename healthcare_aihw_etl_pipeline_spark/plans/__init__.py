@@ -281,7 +281,7 @@ _MUST_VERIFY_R12: list[str] = [
     "interval_sweep_profile", "cox_hazard_newton",
     "logistic_newton_step", "bpe_merge_training", "roc_auc_order_age",
     "isotonic_calibration_by_age", "conformal_interval_price",
-    "t_closeness_audit",
+    "t_closeness_audit", "pca_power_component",
     # plans changed this round — re-verify all callers
     "max_concurrent_sessions", "interval_union_coverage",
     "fifo_return_matching", "hybrid_rrf_fusion_top10", "ann_cosine_top10",

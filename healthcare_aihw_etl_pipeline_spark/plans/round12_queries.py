@@ -1179,3 +1179,156 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_vd_ppm", "mean_vd_ppm", "n_above_t")
         .orderBy("band_lo")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via integer power iteration on the mean Gram matrix
+
+# Embedding quantum (3dp) and direction surface quantum. Bounds at D=64:
+# quantized coords |xq| <= ~1000, Gram entries <= 1e6 * n (exact BIGINT
+# through ~sf10^6 after the div-n mean), iteration products
+# <= 1e6(mean gram) * 1e6(rescaled v) * 64 ~ 6e13.
+_PCA_XQ = 1_000
+_PCA_VQ = 1_000_000
+_PCA_D = 64
+
+
+@register(
+    "pca_power_component",
+    oracle=f"""
+    WITH xq AS (
+      SELECT vec_id, i,
+             -- promote to DOUBLE before scaling: the stored type is
+             -- float32, and a single-precision x*1000 rounds
+             -- differently at quantization boundaries (caught by the
+             -- sf10 spot-check as an off-by-one direction component;
+             -- Spark's pandas path promotes to float64 first)
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PCA_XQ} + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings CROSS JOIN range(1, {_PCA_D + 1}) t(i)
+    ),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    gram AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS g
+      FROM xq a JOIN xq b USING (vec_id)
+      GROUP BY a.i, b.i
+    ),
+    m AS (SELECT i, j, g // n AS m FROM gram CROSS JOIN nv),
+    v1 AS (SELECT i, CAST(SUM(m) AS BIGINT) AS v FROM m GROUP BY i),
+    s1 AS (SELECT MAX(abs(v)) // {_PCA_VQ} + 1 AS s FROM v1),
+    v1r AS (SELECT i, v // s AS v FROM v1 CROSS JOIN s1),
+    v2 AS (
+      SELECT m.i AS i, CAST(SUM(m.m * v1r.v) AS BIGINT) AS v
+      FROM m JOIN v1r ON m.j = v1r.i GROUP BY m.i
+    ),
+    s2 AS (SELECT MAX(abs(v)) AS mx FROM v2),
+    ray AS (
+      SELECT CAST(SUM(v2.v * v1r.v) AS BIGINT)
+               // (SELECT SUM(v * v) FROM v1r) AS rq
+      FROM v2 JOIN v1r USING (i)
+    )
+    SELECT v2.i AS dim,
+           CAST(v2.v * {_PCA_VQ} // s2.mx AS BIGINT) AS direction_q,
+           (SELECT n FROM nv) AS n_vectors,
+           (SELECT rq FROM ray) AS rayleigh_q
+    FROM v2 CROSS JOIN s2
+    ORDER BY dim
+    """,
+    doc="Principal-direction estimate of the embedding cloud: TWO exact "
+    "integer power-iteration steps on the mean (uncentered) Gram "
+    "matrix — the "
+    "dimensionality-reduction leg of the iterative-ML family next to "
+    "k-means/PageRank/greedy-coverage. Coordinates quantize to 3dp "
+    "integers (floor(x*1000 + 0.5), identical in both engines), so the "
+    "Gram moments, the div-n mean matrix, both matrix-vector products, "
+    "the between-iteration L-inf rescale and the Rayleigh-quotient "
+    "eigenvalue estimate are ALL exact BIGINT arithmetic — zero float "
+    "anywhere, hash-stable by construction. Surface: the direction in "
+    "L-inf-normalized millionths plus the Rayleigh quotient (largest "
+    "eigenvalue of the mean Gram, quantized-coordinate units). Scale "
+    "shape: the only fact-grain pass computes per-Arrow-batch partial "
+    "Gram matrices with vectorized int64 X^T X (mapInPandas — the "
+    "multimodal/Arrow discipline; numpy integer matmul is exact and "
+    "associative, so batch boundaries cannot change the sum) and "
+    "shuffles ONLY the D^2 = 4096-entry partials per partition; every "
+    "iteration then runs on the fixed 4096-row matrix relation — the "
+    "oracle replays the same integers through an explode/self-join, "
+    "feasible at oracle scale and bit-identical because integer sums "
+    "are order-free. Like kmeans_refine_clusters, the registered op is "
+    "the exact BOUNDED iteration (convergence needs a spectral gap the "
+    "synthetic corpus deliberately lacks); further components = "
+    "deflate and repeat, further iterations = the same bounded step.",
+)
+def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    spark_sess = emb.sparkSession
+
+    def gram_partials(batches):
+        import numpy as np
+
+        acc = np.zeros((_PCA_D, _PCA_D), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xq = np.floor(x * _PCA_XQ + 0.5).astype(np.int64)
+            acc += xq.T @ xq
+            seen = True
+        if seen:
+            ii, jj = np.indices((_PCA_D, _PCA_D))
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).reshape(-1),
+                    "j": (jj + 1).reshape(-1),
+                    "p": acc.reshape(-1),
+                }
+            )
+
+    partials = emb.select("embedding").mapInPandas(
+        gram_partials, "i int, j int, p long"
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("g"))
+        .crossJoin(F.broadcast(nv))
+        .select("i", "j", F.expr("g div n").alias("m"))
+    )
+    v1 = m.groupBy("i").agg(F.sum("m").cast("long").alias("v"))
+    s1 = v1.agg(
+        F.expr(f"MAX(abs(v)) div {_PCA_VQ} + 1").alias("s")
+    )
+    v1r = v1.crossJoin(F.broadcast(s1)).select(
+        "i", F.expr("v div s").alias("v")
+    )
+    v2 = (
+        m.join(
+            v1r.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("m") * F.col("vj")).cast("long").alias("v"))
+    )
+    s2 = v2.agg(F.max(F.abs(F.col("v"))).alias("mx"))
+    vsq = v1r.agg(F.sum(F.col("v") * F.col("v")).alias("vv"))
+    ray = (
+        v2.join(v1r.select(F.col("i"), F.col("v").alias("v1")), "i")
+        .agg(F.sum(F.col("v") * F.col("v1")).alias("num"))
+        .crossJoin(F.broadcast(vsq))
+        .select(F.expr("num div vv").cast("long").alias("rq"))
+    )
+    return (
+        v2.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(ray))
+        .select(
+            F.col("i").alias("dim"),
+            F.expr(f"v * {_PCA_VQ} div mx").cast("long").alias("direction_q"),
+            F.col("n").alias("n_vectors"),
+            F.col("rq").alias("rayleigh_q"),
+        )
+        .orderBy("dim")
+    )

