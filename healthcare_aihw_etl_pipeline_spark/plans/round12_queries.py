@@ -1224,8 +1224,12 @@ _PCA_D = 64
     ),
     s2 AS (SELECT MAX(abs(v)) AS mx FROM v2),
     ray AS (
-      SELECT CAST(SUM(v2.v * v1r.v) AS BIGINT)
-               // (SELECT SUM(v * v) FROM v1r) AS rq
+      -- CAST the quotient itself: DuckDB SUMs of BIGINT are HUGEINT,
+      -- and a HUGEINT surfaced through the pandas bridge degrades to
+      -- float64 (the strict-harness gotcha)
+      SELECT CAST(CAST(SUM(v2.v * v1r.v) AS BIGINT)
+               // CAST((SELECT SUM(v * v) FROM v1r) AS BIGINT)
+               AS BIGINT) AS rq
       FROM v2 JOIN v1r USING (i)
     )
     SELECT v2.i AS dim,

@@ -54,6 +54,15 @@ def norm(v):
 
 qs = e.queries(); osql = e.oracle_sql()
 names = ONLY if ONLY else list(qs)[:N]
+# SIM_RELEASE=1 (default for full-registry sweeps): evict each query's
+# prepared-plan cache entry after comparing. The cache is a SERVING
+# feature (repeat executions of the same query); a one-shot sweep never
+# re-executes, and 230+ cached plans pin their broadcasts/checkpoint
+# blocks in the driver heap — measured: the 239-query sweep exhausts a
+# default heap around query ~220 without eviction.
+RELEASE = os.environ.get("SIM_RELEASE", "1" if not ONLY else "0") == "1"
+if RELEASE:
+    from healthcare_aihw_etl_pipeline_spark.plans import registry as _reg
 bad = []
 report = {}
 for name in names:
@@ -91,6 +100,9 @@ for name in names:
         report[name] = {"oracle": name in osql, "status": "error",
                         "error": f"{type(ex).__name__}: {ex}"[:200]}
         bad.append(name)
+    finally:
+        if RELEASE:
+            _reg.invalidate(name=name)
 if OUT:
     summary = {
         "sf_dir": SF,
