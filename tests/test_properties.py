@@ -305,3 +305,61 @@ def test_isotonic_maxmin_equals_pava_quantized(seq):
             idx += 1
     assert maxmin == pava
     assert all(a <= b for a, b in zip(maxmin, maxmin[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Streaming FIFO resolver == the sequential FIFO law on random
+# inventories (the third implementation of the allocation semantics,
+# beside the batch interval algebra and the reference loop — all three
+# must agree; pure Python, no Spark in the loop).
+
+_DAY_US = 86_400_000_000
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([0, 1]),      # supply / return
+            st.integers(1, 9),            # quantity
+            st.integers(0, 20),           # ship-day offset
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_streaming_fifo_resolver_equals_sequential_law(rows):
+    from healthcare_aihw_etl_pipeline_spark.streaming.fifo import (
+        _resolve_fifo,
+    )
+
+    state_rows = [
+        (d * _DAY_US, i, 1, q, ret)  # (sus, okey, lnum, qty, ret)
+        for i, (ret, q, d) in enumerate(rows)
+    ]
+    got = _resolve_fifo(state_rows)
+
+    ordered = sorted(
+        ((ret, q, d, i) for i, (ret, q, d) in enumerate(rows)),
+        key=lambda r: (r[2], r[3]),
+    )
+    supply = [[q, d] for ret, q, d, _ in ordered if ret == 0]
+    demand = [(q, d) for ret, q, d, _ in ordered if ret == 1]
+    if not supply or not demand:
+        assert got is None
+        return
+    si = matched = wage = 0
+    dtot = sum(q for q, _ in demand)
+    for dq, dd in demand:
+        while dq > 0 and si < len(supply):
+            take = min(dq, supply[si][0])
+            matched += take
+            wage += take * (dd - supply[si][1])
+            supply[si][0] -= take
+            dq -= take
+            if supply[si][0] == 0:
+                si += 1
+    assert got == (len(rows), matched, dtot - matched, wage), rows
+    # order-insensitivity: any permutation of the state rows resolves
+    # identically (the streaming contract)
+    assert _resolve_fifo(list(reversed(state_rows))) == got
