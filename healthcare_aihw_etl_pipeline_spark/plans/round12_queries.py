@@ -1184,11 +1184,18 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # PCA top component via integer power iteration on the mean Gram matrix
 
-# Embedding quantum (3dp) and direction surface quantum. Bounds at D=64:
-# quantized coords |xq| <= ~1000, Gram entries <= 1e6 * n (exact BIGINT
-# through ~sf10^6 after the div-n mean), iteration products
-# <= 1e6(mean gram) * 1e6(rescaled v) * 64 ~ 6e13.
+# Embedding quantum (3dp), iterate rescale bound and direction surface
+# quantum. Worst-case bounds at D=64 for ANY unit-ball coordinates
+# (|x| <= 1 => |xq| <= 1000, mean-Gram entries <= 1e6):
+#   v2 entries       <= 64 * 1e6 * _PCA_ITQ        = 6.4e11
+#   direction_q step <= v2 * _PCA_VQ               = 6.4e17  (< 2^63)
+#   Rayleigh num     <= 64 * 6.4e11 * _PCA_ITQ     = 4.1e17  (< 2^63)
+# The iterate rescale target is deliberately 1e4, not 1e6: a 1e6
+# iterate pushed the direction scale-up and Rayleigh products past
+# int64 on adversarial (near-unit, correlated) coordinates — Spark
+# (non-ANSI) would wrap silently while the oracle errors.
 _PCA_XQ = 1_000
+_PCA_ITQ = 10_000
 _PCA_VQ = 1_000_000
 _PCA_D = 64
 
@@ -1216,7 +1223,7 @@ _PCA_D = 64
     ),
     m AS (SELECT i, j, g // n AS m FROM gram CROSS JOIN nv),
     v1 AS (SELECT i, CAST(SUM(m) AS BIGINT) AS v FROM m GROUP BY i),
-    s1 AS (SELECT MAX(abs(v)) // {_PCA_VQ} + 1 AS s FROM v1),
+    s1 AS (SELECT MAX(abs(v)) // {_PCA_ITQ} + 1 AS s FROM v1),
     v1r AS (SELECT i, v // s AS v FROM v1 CROSS JOIN s1),
     v2 AS (
       SELECT m.i AS i, CAST(SUM(m.m * v1r.v) AS BIGINT) AS v
@@ -1304,7 +1311,7 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = m.groupBy("i").agg(F.sum("m").cast("long").alias("v"))
     s1 = v1.agg(
-        F.expr(f"MAX(abs(v)) div {_PCA_VQ} + 1").alias("s")
+        F.expr(f"MAX(abs(v)) div {_PCA_ITQ} + 1").alias("s")
     )
     v1r = v1.crossJoin(F.broadcast(s1)).select(
         "i", F.expr("v div s").alias("v")

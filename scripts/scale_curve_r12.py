@@ -56,6 +56,7 @@ OPS = [
     "isotonic_calibration_by_age",
     "conformal_interval_price",
     "t_closeness_audit",
+    "pca_power_component",
 ]
 
 _SF_ORDER = [d[0] for d in DIRS]

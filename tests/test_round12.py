@@ -467,7 +467,8 @@ def test_pca_power_component_matches_numpy(spark):
     the analytic laws: Rayleigh quotient <= lambda_1 and the
     two-iteration direction already well aligned with the true top
     eigenvector of the same quantized mean Gram matrix."""
-    VQ = 1_000_000
+    VQ = 1_000_000   # direction surface quantum
+    ITQ = 10_000     # iterate rescale bound (see _PCA_ITQ)
     arrs = duckdb.sql(
         f"SELECT embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
     ).fetchall()
@@ -475,11 +476,11 @@ def test_pca_power_component_matches_numpy(spark):
     xq = np.floor(x * 1000 + 0.5).astype(np.int64)
     n = len(xq)
     gram = xq.T @ xq
-    m = gram // n  # truncation == floor: entries non-negative? not
-    # necessarily — numpy // floors while engines truncate toward zero
+    # numpy // FLOORS while both engines truncate toward zero, so every
+    # integer division below goes through the sign-split form
     m = np.sign(gram) * (np.abs(gram) // n)
     v1 = m.sum(axis=1)
-    s1 = np.abs(v1).max() // VQ + 1
+    s1 = np.abs(v1).max() // ITQ + 1
     v1r = np.sign(v1) * (np.abs(v1) // s1)
     v2 = m @ v1r
     mx = np.abs(v2).max()
