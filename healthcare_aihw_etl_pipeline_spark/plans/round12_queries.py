@@ -899,15 +899,24 @@ _CONF_KEY = (
     WITH base AS (
       SELECT CAST(l_quantity AS DOUBLE) AS x,
              CAST({{y_c}} AS DOUBLE) AS y,
+             CAST(l_quantity AS BIGINT) AS xi,
+             CAST({{y_c}} AS BIGINT) AS yi,
              CASE WHEN substr(md5({_CONF_KEY}), 1, 2) < '55' THEN 0
                   WHEN substr(md5({_CONF_KEY}), 1, 2) < 'aa' THEN 1
                   ELSE 2 END AS split
       FROM lineitem
     ),
     m AS (
+      -- Exact integer moments (HUGEINT), cast to DOUBLE only for the
+      -- solve — the same order as the Spark side's BIGINT sums, so the
+      -- two engines round the SAME exact integer once instead of
+      -- accumulating order-dependent double partials. Parity bound is
+      -- now the Spark long-sum overflow (sxy ~ 2.6e15 at sf10, 2^63 at
+      -- ~sf3000), not the 2^53 double-mantissa edge (~sf30).
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+             CAST(SUM(xi) AS DOUBLE) AS sx, CAST(SUM(yi) AS DOUBLE) AS sy,
+             CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+             CAST(SUM(xi * yi) AS DOUBLE) AS sxy
       FROM base WHERE split = 0
     ),
     fit AS (
@@ -987,7 +996,10 @@ def conformal_interval_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("yi"),
         F.when(h2 < "55", 0).when(h2 < "aa", 1).otherwise(2).alias("split"),
     )
-    # exact BIGINT moments, DOUBLE only inside the solve (see oracle)
+    # Exact BIGINT moments on BOTH engines (oracle sums the same
+    # BIGINT-cast xi/yi into HUGEINT), each cast to DOUBLE once before
+    # the solve — bit-identical until the Spark long sum itself
+    # overflows (~sf3000), far past the old double-partial 2^53 edge.
     m = base.where("split = 0").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("xi").cast("double").alias("sx"),
