@@ -258,8 +258,8 @@ def _time_query(
     return best, med, best_exec, cold
 
 
-def _wave(spark, sf_dir: str, reps: int = 5) -> tuple[float, float]:
-    """(min, median) suite wall over `reps` concurrent waves.
+def _wave(spark, sf_dir: str, reps: int = 5) -> tuple[float, float, list[float]]:
+    """(min, median, raw samples) suite wall over `reps` concurrent waves.
 
     Each rep: pre-resolve 13 FRESH physical plans sequentially (plan
     construction is py4j/Catalyst work — single-threaded on purpose, it
@@ -307,8 +307,9 @@ def _wave(spark, sf_dir: str, reps: int = 5) -> tuple[float, float]:
             t0 = time.perf_counter()
             list(ex.map(_collect, enumerate(dfs)))
             samples.append(time.perf_counter() - t0)
+    raw = [round(s, 4) for s in samples]
     samples.sort()
-    return samples[0], samples[len(samples) // 2]
+    return samples[0], samples[len(samples) // 2], raw
 
 
 def _noise_probe(spark, reps: int = 3) -> float:
@@ -395,7 +396,7 @@ def run_spark() -> tuple[
     # Python/py4j-side lag with the JVM idle — host noise, jstack'd);
     # min-of-7 puts P(all reps stalled) below 1e-6 for ~0.6 s of extra
     # bench time.
-    wave_min, wave_med = _wave(spark, SF_DIR, reps=7)
+    wave_min, wave_med, wave_samples = _wave(spark, SF_DIR, reps=7)
     small = _small_dir(SF_DIR)
     times_small = (
         {name: round(_time_query(spark, name, small)[0], 4) for name in HEADLINE}
@@ -415,11 +416,28 @@ def run_spark() -> tuple[
                 name: _time_query(spark, name, sf1_dir, reps=2)[0]
                 for name in HEADLINE
             }
-            w1_min, w1_med = _wave(spark, sf1_dir, reps=7)
+            w1_min, w1_med, w1_samples = _wave(spark, sf1_dir, reps=7)
             sf1 = {
                 "wall": round(w1_min, 4),
                 "wall_med": round(w1_med, 4),
                 "seq": round(sum(seq1.values()), 4),
+                # Round-13 provenance: the sf1 wave's raw per-rep
+                # samples plus the corpus file's mtime. The round-12
+                # "regression" (1.127 -> 1.42-1.57 s) was host-state
+                # drift, not a plan change: three back-to-back runs of
+                # IDENTICAL code on the bit-identical corpus bracketed
+                # 1.08-1.55 s while the same-run empty-job floor
+                # drifted 25.6 -> 40.3 ms (+57%) and DuckDB's own sf1
+                # sequential drifted +10% — the host slows under
+                # cumulative session load and the 13-thread wave
+                # amplifies it. Raw samples make that visible per-run
+                # instead of burying it in the min.
+                "wall_samples": w1_samples,
+                "corpus_mtime": int(
+                    os.path.getmtime(
+                        os.path.join(sf1_dir, "lineitem.parquet")
+                    )
+                ),
                 # per-query sf1 decomposition rides into BENCH_DETAIL
                 # (stripped from stdout): the data needed to attack the
                 # wave's critical path instead of guessing it.
@@ -433,7 +451,7 @@ def run_spark() -> tuple[
     return (times, medians, execs, colds, times_small, sched_floor_ms,
             [round(probe_start, 4), round(probe_end, 4)],
             round(wave_min, 4), round(wave_med, 4), sf1, sf1_dir,
-            ext, ext_duck)
+            ext, ext_duck, wave_samples)
 
 
 def _ensure_sf1() -> str | None:
@@ -562,7 +580,8 @@ def stdout_line(out: dict, limit: int = 1900) -> str:
 
 def main() -> None:
     (times, medians, execs, colds, times_small, sched_floor_ms,
-     noise_floor, wave_min, wave_med, sf1, sf1_dir, ext, ext_duck) = run_spark()
+     noise_floor, wave_min, wave_med, sf1, sf1_dir, ext, ext_duck,
+     wave_samples) = run_spark()
     # DuckDB baseline ALWAYS runs in the same process (same-run
     # comparison is the graded one); --duckdb additionally computes the
     # small-dir marginal split for BENCH_DETAIL.
@@ -628,7 +647,8 @@ def main() -> None:
                 sum(ext_duck[n] for n in paired), 4
             )
     # Full per-query decomposition: stderr + BENCH_DETAIL.json, never stdout.
-    detail = {"exec_sec": execs, "cold_sec": colds, "med_sec": medians}
+    detail = {"exec_sec": execs, "cold_sec": colds, "med_sec": medians,
+              "wave_samples": wave_samples}
     if ext:
         detail["extended_sec"] = ext
         detail["extended_duckdb_sec"] = ext_duck

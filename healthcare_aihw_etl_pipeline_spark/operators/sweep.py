@@ -27,7 +27,10 @@ measures at cluster scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -90,6 +93,53 @@ def daily_boundary_segments(events: DataFrame) -> DataFrame:
     )
 
 
+def served_boundary_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boundary-delta segment relation SERVED from a materialized
+    silver table (bronze -> silver, the events_typed_agg discipline).
+
+    The round-12 fusion A/B proved the sweep family's residual cost vs
+    the single-node baseline is the scan->agg->window pipeline itself —
+    plan-minimal but paid from scratch on EVERY query. A capacity
+    dashboard asks these three queries per day against the same events
+    snapshot, so a real pipeline materializes the segment relation once
+    at ingest and serves every consumer from a plain columnar scan:
+    per-query cost drops from scan + (user, day) exchange + (day)
+    window to scan + (day) aggregate. At 100 TB the materialization IS
+    the ingest job; here it is cached per scale-factor directory,
+    keyed on the source parquet's mtime, and rebuilt when stale —
+    identical to the events_typed silver table
+    (plans/reference_queries.py::_events_typed).
+
+    The from-scratch :func:`daily_boundary_segments` form stays
+    registered on all three original queries as the oracle path; the
+    ``*_served`` twins share the originals' DuckDB oracles (which
+    replay the full sweep from raw events), so a hash match PROVES the
+    materialization preserved the sweep's semantics.
+    """
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_sweep_segments",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    success = os.path.join(base, "_SUCCESS")
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import (
+        invalidate,
+        watch_path,
+    )
+
+    watch_path(sf_dir, success)
+    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
+        src
+    ):
+        from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+        seg = daily_boundary_segments(load_table(spark, sf_dir, "events"))
+        seg.write.mode("overwrite").parquet(base)
+        invalidate(sf_dir=sf_dir)
+    return spark.read.parquet(base)
+
+
 def sweep_day_profile(events: DataFrame) -> DataFrame:
     """Per-day concurrency profile — every sweep-derived measure from
     ONE pass over :func:`daily_boundary_segments`:
@@ -106,7 +156,13 @@ def sweep_day_profile(events: DataFrame) -> DataFrame:
     scan→agg→window pipeline now cost one pipeline when both are
     needed.
     """
-    seg = daily_boundary_segments(events)
+    return profile_from_segments(daily_boundary_segments(events))
+
+
+def profile_from_segments(seg: DataFrame) -> DataFrame:
+    """The fused per-day aggregate over an (already built or served)
+    segment relation — shared by the from-scratch and silver-served
+    forms so the two cannot drift."""
     one = F.lit(1).cast("long")
     active_gap = (
         F.when(F.col("running") > 0, F.col("gap_us")).otherwise(F.lit(0))
@@ -128,6 +184,50 @@ def sweep_day_profile(events: DataFrame) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n_sessions",
             "max_concurrent",
+            "covered_us",
+            "total_session_us",
+            "user_us_integral",
+        )
+        .orderBy("day")
+    )
+
+
+def max_concurrent_from_segments(seg: DataFrame) -> DataFrame:
+    """Per-day session count + peak concurrency over a segment relation
+    (shared by max_concurrent_sessions and its silver-served twin)."""
+    one = F.lit(1).cast("long")
+    return (
+        seg.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, one).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_sessions"),
+            F.max("running").alias("max_concurrent"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_sessions",
+            "max_concurrent",
+        )
+        .orderBy("day")
+    )
+
+
+def union_coverage_from_segments(seg: DataFrame) -> DataFrame:
+    """Per-day union / integral measures over a segment relation
+    (shared by interval_union_coverage and its silver-served twin)."""
+    active_gap = F.when(F.col("running") > 0, F.col("gap_us")).otherwise(F.lit(0))
+    return (
+        seg.groupBy("day")
+        .agg(
+            F.sum(active_gap).cast("long").alias("covered_us"),
+            F.sum("dur").cast("long").alias("total_session_us"),
+            F.sum(active_gap * F.col("running"))
+            .cast("long")
+            .alias("user_us_integral"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             "covered_us",
             "total_session_us",
             "user_us_integral",

@@ -189,26 +189,11 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself is not an output, so the result is bit-identical).
     from healthcare_aihw_etl_pipeline_spark.operators.sweep import (
         daily_boundary_segments,
+        max_concurrent_from_segments,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    seg = daily_boundary_segments(ev)
-    one = F.lit(1).cast("long")
-    return (
-        seg.groupBy("day")
-        .agg(
-            F.sum(F.when(F.col("d") == 1, one).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("n_sessions"),
-            F.max("running").alias("max_concurrent"),
-        )
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "n_sessions",
-            "max_concurrent",
-        )
-        .orderBy("day")
-    )
+    return max_concurrent_from_segments(daily_boundary_segments(ev))
 
 
 # ---------------------------------------------------------------------------
@@ -982,24 +967,11 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation as max_concurrent_sessions / interval_sweep_profile).
     from healthcare_aihw_etl_pipeline_spark.operators.sweep import (
         daily_boundary_segments,
+        union_coverage_from_segments,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    seg = daily_boundary_segments(ev)
-    active_gap = F.when(F.col("running") > 0, F.col("gap_us")).otherwise(F.lit(0))
-    return (
-        seg.groupBy("day")
-        .agg(
-            F.sum(active_gap).cast("long").alias("covered_us"),
-            F.sum("dur").cast("long").alias("total_session_us"),
-            F.sum(active_gap * F.col("running")).cast("long").alias("user_us_integral"),
-        )
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "covered_us", "total_session_us", "user_us_integral",
-        )
-        .orderBy("day")
-    )
+    return union_coverage_from_segments(daily_boundary_segments(ev))
 
 
 # ---------------------------------------------------------------------------

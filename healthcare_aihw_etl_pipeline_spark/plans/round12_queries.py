@@ -235,53 +235,47 @@ def cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("evt").cast("long").alias("d_t"),
         F.sum(F.col("evt") * F.col("x")).cast("long").alias("dx_t"),
     )
-    tot = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("xs"),
+    # Risk-set moments as ONE descending-cumulative window pass:
+    # S0(t) = sum_{dur >= t} n_t and S1(t) = sum_{dur >= t} x_t are the
+    # oracle's n - prefix / xs - prefix on the same exact integers —
+    # and the totals themselves fall out as MAX(s0)/MAX(s1) (the
+    # cumulative sum of non-negative counts peaks at the smallest
+    # duration, where everyone is at risk). Round 13: this replaces the
+    # separate `tot` aggregate, which re-ran the ENTIRE fact pipeline
+    # (both event scans, the user-grain exchanges and the left join) a
+    # second time just to fetch two scalars, plus its two broadcast
+    # crossJoins — the per-stage floor the round-12 curve measured.
+    wdesc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    risk = (
-        byt.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "s0",
-            F.col("n") - F.coalesce(F.sum("n_t").over(wprev), F.lit(0)),
-        )
-        .withColumn(
-            "s1",
-            F.col("xs") - F.coalesce(F.sum("x_t").over(wprev), F.lit(0)),
-        )
-        .where(F.col("d_t") > 0)
-    )
-    terms = risk.select(
+    risk = byt.select(
         "d_t",
         "dx_t",
-        F.expr(f"(d_t * s1 * {_COX_Q}) div s0").alias("du_q"),
-        F.expr(
-            f"((d_t * s1 * {_COX_Q}) div s0) * (s0 - s1) div s0"
-        ).alias("i_q"),
+        F.sum("n_t").over(wdesc).alias("s0"),
+        F.sum("x_t").over(wdesc).alias("s1"),
     )
-    uq = F.sum(F.col("dx_t") * F.lit(_COX_Q) - F.col("du_q")).cast("long")
-    iq = F.sum("i_q").cast("long")
-    # GLOBAL aggregate (not groupBy over broadcast constants): a corpus
-    # with zero qualifying events would make `terms` empty, and a
-    # grouped aggregate would return ZERO rows while the oracle's
-    # ungrouped aggregate + scalar subselects returns ONE row with
-    # NULL sums — the shapes must match on every input.
-    agg = terms.agg(
-        F.sum("d_t").cast("long").alias("n_events"),
-        F.count(F.lit(1)).cast("long").alias("n_event_days"),
+    hit = F.col("d_t") > 0
+    du_q = F.expr(f"(d_t * s1 * {_COX_Q}) div s0")
+    i_q = F.expr(f"((d_t * s1 * {_COX_Q}) div s0) * (s0 - s1) div s0")
+    ev_days = F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+    # The oracle aggregates over `terms` (event days only): on a corpus
+    # with zero qualifying events its SUMs are NULL over an empty
+    # relation while COUNT(*) is 0 — reproduce that shape exactly by
+    # aggregating the UNFILTERED risk relation with event-day-gated
+    # sums nulled when no event day exists. GLOBAL aggregate (not
+    # groupBy over constants) so an empty corpus still yields one row;
+    # n_subjects coalesces to 0 to match the oracle's COUNT(*) there.
+    sum_if = lambda c: F.when(ev_days > 0, F.sum(F.when(hit, c).otherwise(F.lit(0).cast("long"))).cast("long"))  # noqa: E731
+    uq = sum_if(F.col("dx_t") * F.lit(_COX_Q) - du_q)
+    iq = sum_if(i_q)
+    return risk.agg(
+        F.coalesce(F.max("s0"), F.lit(0).cast("long")).alias("n_subjects"),
+        F.max("s1").alias("n_treated"),
+        sum_if(F.col("d_t")).alias("n_events"),
+        ev_days.alias("n_event_days"),
         uq.alias("score_uq"),
         iq.alias("info_iq"),
         (uq.cast("double") / iq.cast("double")).alias("beta1"),
-    )
-    return agg.crossJoin(F.broadcast(tot)).select(
-        F.col("n").alias("n_subjects"),
-        F.col("xs").alias("n_treated"),
-        "n_events",
-        "n_event_days",
-        "score_uq",
-        "info_iq",
-        "beta1",
     )
 
 

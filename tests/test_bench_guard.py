@@ -42,8 +42,9 @@ def test_wave_runs_and_is_positive(spark, sf_dir):
     timings at any sf_dir."""
     import bench
 
-    wave_min, wave_med = bench._wave(spark, sf_dir, reps=2)
+    wave_min, wave_med, samples = bench._wave(spark, sf_dir, reps=2)
     assert 0 < wave_min <= wave_med
+    assert len(samples) == 2 and abs(min(samples) - wave_min) < 1e-3
 
 
 def test_bench_stdout_line_under_limit_with_current_shape():
