@@ -55,3 +55,80 @@ def test_served_segments_rebuild_on_stale_source(spark, tmp_path):
     os.utime(sf / "events.parquet", (future, future))
     served_boundary_segments(spark, str(sf)).collect()
     assert os.path.getmtime(success) > first
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph construction
+
+
+def test_knn_graph_matches_numpy_replication(spark):
+    """Full bit-replication of the banded-LSH kNN graph in numpy,
+    independent of both engines' SQL: quantize, signatures, candidate
+    union across the two bands, exact integer dots, per-src top-5."""
+    import duckdb
+    import numpy as np
+
+    from healthcare_aihw_etl_pipeline_spark.plans.round13_queries import (
+        _KNN_K,
+        _knn_planes,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        qlsh_signs,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    emb = np.array([r[1] for r in rows], dtype=np.float64)
+    # round-half-away-from-zero to match both engines (numpy's own
+    # np.round rounds halves to even):
+    q = np.sign(emb * 127.0).astype(np.int64) * np.floor(
+        np.abs(emb * 127.0) + 0.5
+    ).astype(np.int64)
+    p = _knn_planes(len(ids))
+    signs = np.array(qlsh_signs(2 * p, 64), dtype=np.int64)
+    dots = q @ signs.T  # (n, 2p)
+    bits = (dots > 0).astype(np.int64)
+    weights = np.array([1 << (j % p) for j in range(2 * p)], dtype=np.int64)
+    sig0 = (bits[:, :p] * weights[:p]).sum(axis=1)
+    sig1 = (bits[:, p:] * weights[p : 2 * p]).sum(axis=1)
+    expected = {}
+    gram = q @ q.T
+    for i in range(len(ids)):
+        cand = np.where(
+            ((sig0 == sig0[i]) | (sig1 == sig1[i])) & (ids != ids[i])
+        )[0]
+        scored = sorted(
+            ((int(gram[i, j]), int(ids[j])) for j in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:_KNN_K]
+        for r, (dot, nbr) in enumerate(scored, start=1):
+            expected[(int(ids[i]), r)] = (nbr, dot)
+    got = {
+        (r["src"], r["rank"]): (r["nbr"], r["qdot"])
+        for r in REGISTRY["knn_graph_topk"].build(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_knn_graph_degree_and_symmetry(spark):
+    """Structural laws: per-src degree <= k with dense ranks 1..deg, no
+    self-edges, and qdot is symmetric wherever both directions appear."""
+    from healthcare_aihw_etl_pipeline_spark.plans.round13_queries import (
+        _KNN_K,
+    )
+
+    rows = REGISTRY["knn_graph_topk"].build(spark, SF).collect()
+    by_src = {}
+    dots = {}
+    for r in rows:
+        assert r["src"] != r["nbr"]
+        by_src.setdefault(r["src"], []).append(r["rank"])
+        dots[(r["src"], r["nbr"])] = r["qdot"]
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= _KNN_K
+    for (a, b), d in dots.items():
+        if (b, a) in dots:
+            assert dots[(b, a)] == d
