@@ -320,3 +320,344 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _KNN_K)
         .orderBy("src", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece) pruning step
+
+# One hard-EM round over the DISTINCT-word relation (the vocab-first
+# trick that made bpe_merge_training the only sf10 finisher):
+#   seed   — candidate pieces = every substring (len 1..4) of every
+#            distinct word, weighted by word count; vocab = all single
+#            chars (coverage guarantee) + top-M multi-char pieces.
+#   score  — ln(count/total) quantized to integer millionths with the
+#            doc_bigram_nll_top20 expression (identical ln on identical
+#            doubles both engines; floor(x*1e6 + 0.5)).
+#   E step — per-word Viterbi segmentation maximizing the integer
+#            score sum; backtrack prefers the SHORTEST piece on ties
+#            (deterministic cross-engine).
+#   M step — piece usage = count-weighted Viterbi occurrences; prune
+#            loss(x) = usage * (score(x) - alt(x)) where alt(x) is the
+#            best segmentation of x by OTHER pieces; report the
+#            bottom-K (least-loss) pieces — the SentencePiece pruning
+#            rule, integer end-to-end above the shared ln quantization.
+_UNI_CAP = 16  # max word length segmented (both engines filter)
+_UNI_MAXP = 4  # max piece length
+_UNI_TOPM = 64  # multi-char vocab cap (rank by cnt desc, piece asc)
+_UNI_PRUNE = 20  # bottom-k pruned pieces reported
+_UNI_CHAR_CAP = 4096  # collected-model guard (alphabet size bound)
+_UNI_SCORE_SQL = (
+    "CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0"
+    " + 0.5) AS BIGINT)"
+)
+
+
+def _uni_dp_sql(n_stages: int, skip_whole: bool) -> str:
+    """Unrolled Viterbi forward stages d1..dN over a per-word score map
+    m (key = start*8 + len -> quantized piece score). NULL is -inf:
+    missing pieces yield NULL lookups, NULL + x = NULL, and GREATEST
+    skips NULLs in both engines. With skip_whole the (start=1, len=L)
+    entry is absent from the map instead (see the map CTE), so the DP
+    body is shared."""
+    ctes = []
+    prev = "m0"
+    for i in range(1, n_stages + 1):
+        terms = []
+        for l in range(1, min(_UNI_MAXP, i) + 1):
+            j = i - l + 1  # 1-based start of the candidate piece
+            dp_prev = "CAST(0 AS BIGINT)" if i - l == 0 else f"dp{i - l}"
+            terms.append(f"({dp_prev} + m[{j * 8 + l}][1])")
+        body = terms[0] if len(terms) == 1 else f"GREATEST({', '.join(terms)})"
+        ctes.append(f"d{i} AS (SELECT *, {body} AS dp{i} FROM {prev})")
+        prev = f"d{i}"
+    return ",\n    ".join(ctes)
+
+
+def _uni_backtrack_sql(n_stages: int) -> str:
+    """Unrolled backtracking b1..bN: from pos = length(word) choose the
+    SMALLEST piece length whose dp transition reproduces dp[pos] (the
+    CASE checks l = 1..4 in order), emit the piece, step down."""
+
+    def dpat(x: str) -> str:
+        return f"(CASE WHEN {x} = 0 THEN CAST(0 AS BIGINT) ELSE dparr[{x}] END)"
+
+    ctes = []
+    prev = "b0"
+    for t in range(1, n_stages + 1):
+        whens = []
+        for l in range(1, _UNI_MAXP + 1):
+            whens.append(
+                f"WHEN pos >= {l} AND {dpat('pos - ' + str(l))}"
+                f" + m[(pos - {l} + 1) * 8 + {l}][1] = {dpat('pos')}"
+                f" THEN {l}"
+            )
+        ctes.append(
+            f"b{t} AS (SELECT * EXCLUDE (pos), "
+            f"CASE WHEN pos > 0 THEN CASE {' '.join(whens)} END END AS l{t}, "
+            f"CASE WHEN pos > 0 THEN substr(word, pos - (CASE {' '.join(whens)} END) + 1, "
+            f"CASE {' '.join(whens)} END) END AS p{t}, "
+            f"CASE WHEN pos > 0 THEN pos - (CASE {' '.join(whens)} END) "
+            f"ELSE 0 END AS pos FROM {prev})"
+        )
+        prev = f"b{t}"
+    return ",\n    ".join(ctes)
+
+
+def _uni_oracle() -> str:
+    piece_stages = _uni_dp_sql(_UNI_MAXP, skip_whole=True)
+    word_stages = _uni_dp_sql(_UNI_CAP, skip_whole=False)
+    backtrack = _uni_backtrack_sql(_UNI_CAP)
+    dparr = ", ".join(f"dp{i}" for i in range(1, _UNI_CAP + 1))
+    path_list = ", ".join(f"p{t}" for t in range(1, _UNI_CAP + 1))
+    from healthcare_aihw_etl_pipeline_spark.operators.search import sql_tokens
+
+    return f"""
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT UNNEST({sql_tokens('text')}) AS word
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE word <> '' AND length(word) <= {_UNI_CAP}
+      GROUP BY word
+    ),
+    grid AS (
+      SELECT i.i AS i, l.l AS l
+      FROM (SELECT UNNEST(range(1, {_UNI_CAP} + 1)) AS i) i,
+           (SELECT UNNEST(range(1, {_UNI_MAXP} + 1)) AS l) l
+    ),
+    sub AS (
+      SELECT substr(w.word, g.i, g.l) AS piece, w.n
+      FROM words w JOIN grid g
+        ON g.i <= length(w.word) AND g.l <= length(w.word) - g.i + 1
+    ),
+    pcnt AS (
+      SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM sub GROUP BY piece
+    ),
+    multi AS (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM pcnt WHERE length(piece) > 1
+      ) WHERE rk <= {_UNI_TOPM}
+    ),
+    vocab AS (
+      SELECT piece, cnt FROM pcnt WHERE length(piece) = 1
+      UNION ALL SELECT piece, cnt FROM multi
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+    scored AS (
+      SELECT piece, cnt, {_UNI_SCORE_SQL} AS score_q FROM vocab, tot
+    ),
+    occ AS (
+      SELECT w.word, w.n, g.i, g.l, s.score_q AS s
+      FROM words w
+      JOIN grid g
+        ON g.i <= length(w.word) AND g.l <= length(w.word) - g.i + 1
+      JOIN scored s ON s.piece = substr(w.word, g.i, g.l)
+    ),
+    m0 AS (
+      SELECT word, ANY_VALUE(n) AS n,
+             MAP_FROM_ENTRIES(LIST({{'k': i * 8 + l, 'v': s}})) AS m
+      FROM occ GROUP BY word
+    ),
+    {word_stages},
+    b0 AS (
+      SELECT word, n, m, [{dparr}] AS dparr, length(word) AS pos
+      FROM d{_UNI_CAP}
+    ),
+    {backtrack},
+    paths AS (
+      SELECT word, n, UNNEST([{path_list}]) AS piece FROM b{_UNI_CAP}
+    ),
+    usage AS (
+      SELECT piece, CAST(SUM(n) AS BIGINT) AS usage FROM paths
+      WHERE piece IS NOT NULL GROUP BY piece
+    ),
+    pocc AS (
+      SELECT v.piece AS word, CAST(0 AS BIGINT) AS n, g.i, g.l,
+             s.score_q AS s
+      FROM multi v
+      JOIN grid g
+        ON g.i <= length(v.piece) AND g.l <= length(v.piece) - g.i + 1
+      JOIN scored s ON s.piece = substr(v.piece, g.i, g.l)
+      WHERE NOT (g.i = 1 AND g.l = length(v.piece))
+    ),
+    m0p AS (
+      SELECT word, ANY_VALUE(n) AS n,
+             MAP_FROM_ENTRIES(LIST({{'k': i * 8 + l, 'v': s}})) AS m
+      FROM pocc GROUP BY word
+    ),
+    {piece_stages.replace('m0', 'm0p').replace(' d1 ', ' a1 ')
+                 .replace('d1 AS', 'a1 AS').replace('FROM d1', 'FROM a1')
+                 .replace('d2 AS', 'a2 AS').replace('FROM d2', 'FROM a2')
+                 .replace('d3 AS', 'a3 AS').replace('FROM d3', 'FROM a3')
+                 .replace('d4 AS', 'a4 AS')},
+    alts AS (
+      SELECT word AS piece,
+             [dp1, dp2, dp3, dp4][length(word)] AS alt_q
+      FROM a4
+    ),
+    losses AS (
+      SELECT s.piece, s.cnt, COALESCE(u.usage, 0) AS usage, s.score_q,
+             a.alt_q,
+             COALESCE(u.usage, 0) * (s.score_q - a.alt_q) AS loss_q
+      FROM scored s
+      JOIN alts a ON a.piece = s.piece
+      LEFT JOIN usage u ON u.piece = s.piece
+      WHERE length(s.piece) > 1
+    )
+    SELECT piece, cnt, CAST(usage AS BIGINT) AS usage, score_q, alt_q,
+           CAST(loss_q AS BIGINT) AS loss_q
+    FROM losses ORDER BY loss_q, piece LIMIT {_UNI_PRUNE}
+    """
+
+
+def _uni_viterbi(score: dict, w: str, skip_whole: bool):
+    """Shared exact-integer Viterbi: (dp_value, pieces) with the same
+    NULL/-inf and shortest-piece-on-tie rules as the SQL stages."""
+    L = len(w)
+    dp: list = [None] * (L + 1)
+    dp[0] = 0
+    for i in range(1, L + 1):
+        best = None
+        for l in range(1, min(_UNI_MAXP, i) + 1):
+            if skip_whole and i == L and l == L:
+                continue
+            s = score.get(w[i - l : i])
+            if s is None or dp[i - l] is None:
+                continue
+            v = dp[i - l] + s
+            if best is None or v > best:
+                best = v
+        dp[i] = best
+    if dp[L] is None:
+        return None, []
+    pieces = []
+    pos = L
+    while pos > 0:
+        for l in range(1, min(_UNI_MAXP, pos) + 1):
+            if skip_whole and pos == L and l == L:
+                continue
+            s = score.get(w[pos - l : pos])
+            if s is not None and dp[pos - l] is not None and dp[pos - l] + s == dp[pos]:
+                pieces.append(w[pos - l : pos])
+                pos -= l
+                break
+        else:  # pragma: no cover - dp[L] feasible implies a step exists
+            raise AssertionError(f"backtrack stuck at {pos} in {w!r}")
+    return dp[L], pieces
+
+
+@register(
+    "unigram_lm_prune",
+    oracle=_uni_oracle(),
+    doc="Unigram-LM (SentencePiece) pruning step — the tokenizer-"
+    "training companion to bpe_merge_training: seed a candidate vocab "
+    "from count-weighted substrings of the DISTINCT-word relation "
+    "(all single chars for coverage + the top-64 multi-char pieces), "
+    "score pieces by quantized ln(count/total) (the "
+    "doc_bigram_nll_top20 expression), Viterbi-segment every word "
+    "(hard E step; shortest-piece tie-break), aggregate count-weighted "
+    "piece usage (M step), and report the 20 lowest-loss pieces under "
+    "the SentencePiece pruning rule loss = usage * (score - alt), "
+    "alt = the piece's own best segmentation by OTHER pieces. Above "
+    "the shared ln quantization everything is integer arithmetic, so "
+    "the result hash-checks against a DuckDB replay whose Viterbi is "
+    "UNROLLED into 16 forward + 16 backtrack SQL stages over a "
+    "per-word score map. Scale shape: the fact-grain work is one "
+    "token explode + two map-side-combined aggregates; Viterbi runs "
+    "on the distinct-word relation (Arrow-batched, bounded work per "
+    "word) against a BOUNDED broadcast model (top-M cap + alphabet), "
+    "collected once at plan build like the ANN probe; pruning math "
+    "lives on the <=M-row model relation.",
+)
+def unigram_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.trim(F.col("text")) != ""
+    )
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where((F.col("word") != "") & (F.length("word") <= _UNI_CAP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sub = words.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                f"transform(sequence(1, least({_UNI_MAXP}, "
+                "length(word) - i + 1)), l -> substring(word, i, l))))"
+            )
+        ).alias("piece"),
+        "n",
+    )
+    pcnt = sub.groupBy("piece").agg(F.sum("n").cast("long").alias("cnt"))
+    chars = pcnt.where(F.length("piece") == 1)
+    multi = (
+        pcnt.where(F.length("piece") > 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            ),
+        )
+        .where(F.col("rk") <= _UNI_TOPM)
+        .drop("rk")
+    )
+    vocab = chars.unionByName(multi)
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("t"))
+    scored = vocab.crossJoin(F.broadcast(tot)).select(
+        "piece", "cnt", F.expr(_UNI_SCORE_SQL).alias("score_q")
+    )
+    # Bounded model materialization (the _query_vector discipline: a
+    # capped plan-build-time job). Size <= TOPM + alphabet by
+    # construction; the LIMIT probe turns a violated assumption into a
+    # loud error instead of an unbounded collect.
+    cap = _UNI_TOPM + _UNI_CHAR_CAP
+    model_rows = scored.limit(cap + 1).collect()
+    if len(model_rows) > cap:  # pragma: no cover - contract guard
+        raise ValueError(f"unigram model exceeded {cap} pieces")
+    score = {r["piece"]: r["score_q"] for r in model_rows}
+
+    def usage_iter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_p: list = []
+            out_n: list = []
+            for w, n in zip(pdf["word"], pdf["n"]):
+                _, pieces = _uni_viterbi(score, w, skip_whole=False)
+                out_p.extend(pieces)
+                out_n.extend([int(n)] * len(pieces))
+            yield pd.DataFrame({"piece": out_p, "n": out_n})
+
+    usage = (
+        words.mapInPandas(usage_iter, "piece string, n long")
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("usage"))
+    )
+    alt_rows = [
+        (p, _uni_viterbi(score, p, skip_whole=True)[0])
+        for p in sorted(score)
+        if len(p) > 1
+    ]
+    alts = spark.createDataFrame(alt_rows, "piece string, alt_q long")
+    return (
+        scored.where(F.length("piece") > 1)
+        .join(F.broadcast(alts), "piece")
+        .join(usage, "piece", "left")
+        .select(
+            "piece",
+            "cnt",
+            F.coalesce(F.col("usage"), F.lit(0).cast("long")).alias("usage"),
+            "score_q",
+            "alt_q",
+            (
+                F.coalesce(F.col("usage"), F.lit(0).cast("long"))
+                * (F.col("score_q") - F.col("alt_q"))
+            ).alias("loss_q"),
+        )
+        .orderBy(F.col("loss_q").asc(), F.col("piece").asc())
+        .limit(_UNI_PRUNE)
+    )

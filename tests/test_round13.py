@@ -132,3 +132,100 @@ def test_knn_graph_degree_and_symmetry(spark):
     for (a, b), d in dots.items():
         if (b, a) in dots:
             assert dots[(b, a)] == d
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM pruning
+
+
+def test_unigram_lm_prune_matches_bruteforce(spark):
+    """Independent replication from raw text in plain Python: substring
+    seed counts, quantized ln scores (math.log — same doubles), and a
+    BRUTE-FORCE enumeration of every segmentation per word (words are
+    short) instead of the engine's DP. Among equal-score segmentations
+    the engine's backtrack takes the shortest piece first FROM THE END,
+    i.e. the reversed piece-length tuple is lexicographically minimal —
+    replicated here by sorting the enumerated candidates."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from healthcare_aihw_etl_pipeline_spark.plans.round13_queries import (
+        _UNI_CAP,
+        _UNI_MAXP,
+        _UNI_PRUNE,
+        _UNI_TOPM,
+    )
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet' WHERE trim(text) <> ''"
+        ).fetchall()
+    ]
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w and len(w) <= _UNI_CAP:
+                words[w] += 1
+    pieces = Counter()
+    for w, n in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(_UNI_MAXP, len(w) - i) + 1):
+                pieces[w[i : i + l]] += n
+    multi = sorted(
+        ((p, c) for p, c in pieces.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:_UNI_TOPM]
+    vocab = {p: c for p, c in pieces.items() if len(p) == 1}
+    vocab.update(dict(multi))
+    total = sum(vocab.values())
+    score = {
+        p: math.floor(math.log(c / total) * 1e6 + 0.5)
+        for p, c in vocab.items()
+    }
+
+    def segmentations(w, skip_whole):
+        if w == "":
+            yield []
+            return
+        for l in range(1, min(_UNI_MAXP, len(w)) + 1):
+            head, rest = w[:l], w[l:]
+            if head not in score:
+                continue
+            if skip_whole and rest == "" and l == len(w):
+                continue
+            for tail in segmentations(rest, False):
+                yield [head] + tail
+
+    def viterbi(w, skip_whole=False):
+        best = None
+        for seg in segmentations(w, skip_whole):
+            sc = sum(score[p] for p in seg)
+            key = (-sc, tuple(len(p) for p in reversed(seg)))
+            if best is None or key < best[0]:
+                best = (key, seg)
+        return (sum(score[p] for p in best[1]), best[1]) if best else (None, [])
+
+    usage = Counter()
+    for w, n in words.items():
+        _, seg = viterbi(w)
+        for p in seg:
+            usage[p] += n
+    rows = []
+    for p, c in vocab.items():
+        if len(p) == 1:
+            continue
+        alt, _ = viterbi(p, skip_whole=True)
+        rows.append(
+            (p, c, usage.get(p, 0), score[p], alt, usage.get(p, 0) * (score[p] - alt))
+        )
+    rows.sort(key=lambda r: (r[5], r[0]))
+    expected = rows[:_UNI_PRUNE]
+    got = [
+        tuple(r)
+        for r in REGISTRY["unigram_lm_prune"].build(spark, SF).collect()
+    ]
+    assert got == expected
+    assert all(r[5] >= 0 for r in got)  # loss >= 0 is a theorem here
