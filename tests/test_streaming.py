@@ -1304,3 +1304,155 @@ def test_streaming_fifo_late_older_line_does_not_regress_timeout(
     # FIFO: demand 2@Apr22 <- 1 from Apr14 (age 8) + 1 from Apr20
     # (age 2) = 10 quantity-age-days
     assert got == [(3, 2, 0, 10)], got
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (round-13 twin of incremental_dedup)
+
+_DOC_SCHEMA = (
+    "doc_id long, source string, text string, is_new boolean, "
+    "ingest_ts timestamp"
+)
+
+
+def _replay_doc_batches(spark, tmp_path, batches, transform):
+    """Documents flavour of _replay_lineitem_batches: one parquet file
+    per micro-batch, persistent checkpoint, availableNow each time."""
+    src = str(tmp_path / "doc_src")
+    ckpt = str(tmp_path / "doc_ckpt")
+    sink = str(tmp_path / "doc_sink")
+    for rows in batches:
+        df = spark.createDataFrame(
+            [
+                (d, s, t, bool(n), _dt.datetime.fromisoformat(ts))
+                for (d, s, t, n, ts) in rows
+            ],
+            _DOC_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            transform(
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .format("parquet")
+                .load(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    try:
+        return spark.read.parquet(sink).collect()
+    except Exception:
+        return []
+
+
+def test_streaming_dedup_base_after_new_flips_and_emits_once(
+    spark, tmp_path
+):
+    """A base document landing AFTER its new duplicates were seen must
+    still flip them to dup_base (order-insensitive state), every hash
+    emits exactly once at close, and base-only hashes close silently."""
+    from healthcare_aihw_etl_pipeline_spark.streaming.dedup import (
+        incremental_dedup_stream,
+    )
+
+    rows = _replay_doc_batches(
+        spark,
+        tmp_path,
+        [
+            # b1: two NEW holders of text 'aaa', one NEW holder of 'bbb'
+            [
+                (9, "s2", "aaa", True, "2024-01-01 00:00:00"),
+                (3, "s1", "aaa", True, "2024-01-02 00:00:00"),
+                (6, "s1", "bbb", True, "2024-01-01 12:00:00"),
+            ],
+            # b2: OUT-OF-ORDER base 'aaa' arrives after the new docs;
+            # a second NEW holder of 'bbb'; a base-only text 'ccc'
+            [
+                (1, "s0", "aaa", False, "2024-01-01 06:00:00"),
+                (12, "s2", "bbb", True, "2024-01-03 00:00:00"),
+                (2, "s0", "ccc", False, "2024-01-02 00:00:00"),
+            ],
+            # b3: far-future sentinel pushes the watermark past every
+            # hash's last-seen + quiet -> all close
+            [(999, "sx", "zzz-sentinel", False, "2024-02-01 00:00:00")],
+            # b4: one more future batch: NO second emission
+            [(998, "sx", "zzz-sentinel-2", False, "2024-02-02 00:00:00")],
+        ],
+        lambda s: incremental_dedup_stream(
+            s, watermark="10 days", quiet_days=3
+        ),
+    )
+    got = sorted((r.doc_id, r.source, r.verdict) for r in rows)
+    assert got == [
+        (3, "s1", "dup_base"),
+        (6, "s1", "kept"),
+        (9, "s2", "dup_base"),
+        (12, "s2", "within_dup"),
+    ], got
+
+
+def test_streaming_dedup_replay_equals_batch_on_corpus(spark, tmp_path):
+    """Full-corpus replay equivalence: sf0.001 documents split into 3
+    ROUND-ROBIN slices with synthetic ingest times (epoch + doc_id
+    seconds), sentinel closes every hash — the emitted per-document
+    verdicts must aggregate to the batch incremental_dedup query's
+    per-source counts row-for-row."""
+    from collections import Counter
+
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+    from healthcare_aihw_etl_pipeline_spark.streaming.dedup import (
+        incremental_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    raw = docs.collect()
+    epoch = _dt.datetime(2024, 1, 1)
+    slices = [raw[i::3] for i in range(3)]
+    batches = [
+        [
+            (
+                r.doc_id,
+                r.source,
+                r.text,
+                r.doc_id % 3 == 0,
+                (epoch + _dt.timedelta(seconds=r.doc_id)).isoformat(sep=" "),
+            )
+            for r in sl
+        ]
+        for sl in slices
+    ]
+    batches.append(
+        [(10**9, "sx", "zzz-sentinel", False, "2024-03-01 00:00:00")]
+    )
+    rows = _replay_doc_batches(
+        spark,
+        tmp_path,
+        batches,
+        lambda s: incremental_dedup_stream(s, watermark="2 days", quiet_days=7),
+    )
+    agg: dict = {}
+    for r in rows:
+        if r.doc_id == 10**9:
+            continue
+        c = agg.setdefault(r.source, Counter())
+        c["n_new"] += 1
+        c[r.verdict] += 1
+    got = {
+        s: (c["n_new"], c["dup_base"], c["within_dup"], c["kept"])
+        for s, c in agg.items()
+    }
+    want = {
+        r.source: (r.n_new, r.n_dup_vs_base, r.n_within_dup, r.n_kept)
+        for r in REGISTRY["incremental_dedup"].build(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # exactly-once: one verdict per new document
+    n_new_docs = len([r for r in raw if r.doc_id % 3 == 0])
+    assert len([r for r in rows if r.doc_id != 10**9]) == n_new_docs
