@@ -3,13 +3,13 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 12 pins the eight new
-oracled round-12 queries — fused sweep, Cox, logistic, BPE, ROC-AUC,
-isotonic, conformal, t-closeness — then every plan changed this round — the
-sweep pair and FIFO now build on shared operators, the RRF/ANN probe
-gained a guarded lookup — then the round-9 six, the oldest window
-evidence, then the round-10 head, the round-5 cohort tail, the sketch
-stores and the round-6 cohort head); everything else
+verified cohort is due a regression sweep (round 13 pins the five new
+round-13 queries — the three silver-served sweep twins, kNN-graph
+construction, unigram-LM pruning — then every plan or oracle changed
+this round — Cox's fused risk moments, the conformal BIGINT-moment
+oracle, the sweep trio on shared aggregate bodies — then the round-4
+cohort, the oldest window evidence since CORRECTNESS_r09, then the
+round-6 cohort tail); everything else
 sits behind the window with its cumulative driver-side record standing.
 The full registry is additionally swept in-round by scripts/driver_sim.py
 and committed as CORRECTNESS_FULL_r{N}.json.
@@ -314,6 +314,56 @@ _MUST_VERIFY_R12: list[str] = [
 ]
 
 
+# CORRECTNESS_r12.json (50/50 green on rows+schema+hash) +
+# CORRECTNESS_FULL_r12.json (239 queries, 233 hash-green, 6 rows-only
+# by design, 0 failures) covered every name in the r12 window; treat
+# them as green for the r13 rotation.
+_DRIVER_GREEN_R12 = list(_MUST_VERIFY_R12)
+_DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R12
+
+# Round 13 rotates per the standing policy (new queries lead, then the
+# oldest driver evidence): the five new oracled round-13 queries
+# (silver-served sweep twins, kNN-graph construction, unigram-LM
+# pruning), then every query whose plan or oracle changed this round
+# (Cox's fused descending-cumulative risk moments, the conformal
+# oracle's exact BIGINT moments, the sweep trio refactored onto the
+# shared *_from_segments bodies), then the round-4 cohort — last
+# driver-verified in CORRECTNESS_r09, now the oldest window evidence —
+# then the round-6 cohort tail (last verified in the r10 window) to
+# fill ~50.
+_MUST_VERIFY_R13: list[str] = [
+    # new this round
+    "interval_sweep_profile_served", "max_concurrent_sessions_served",
+    "interval_union_coverage_served", "knn_graph_topk", "unigram_lm_prune",
+    # plans/oracles changed this round — re-verify all callers
+    "cox_hazard_newton", "conformal_interval_price",
+    "interval_sweep_profile", "max_concurrent_sessions",
+    "interval_union_coverage",
+    # round-4 cohort (oldest window evidence, CORRECTNESS_r09)
+    "dedup_exact_stats", "dedup_prefix_keepers", "text_token_stats",
+    "embedding_norms", "embedding_near_dup_top20", "bpe_token_totals",
+    "text_quality_profile", "fingerprint_dup_groups",
+    "events_session_window", "asof_purchase_lag", "purchase_click_window",
+    "split_contamination", "doc_chunks", "hash_split_assign", "top_tokens",
+    "returning_users", "stratified_sample_stats", "bigram_top20",
+    "tfidf_top20", "long_token_profile", "churned_users",
+    "pii_redaction_stats", "token_position_profile", "source_token_entropy",
+    "gopher_quality_flags", "repetition_profile", "corpus_curation_funnel",
+    "dedup_keep_best", "oov_rate_by_source", "sequence_packing",
+    "domain_quota_sample", "multimodal_byte_profile",
+    "chunk_dedup_reassembly", "incremental_dedup", "mixture_weights",
+    "embedding_centroid_per_label", "ingest_clean_admissions",
+    "events_typed_agg",
+    # round-6 cohort tail (last verified in the r10 window)
+    "order_value_deciles", "customers_above_own_avg",
+    "first_last_order_shift", "event_session_stats",
+    "lapsed_part_suppliers", "revenue_drawdown_by_year",
+    "embedding_quantization_error", "vocab_growth_curve",
+    "txlog_delete_update_snapshot", "lang_id_distribution",
+    "rolling_7day_distinct_users", "top_orders_with_ties",
+]
+
+
 def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     """Rebuild the registry dict with unverified queries first.
 
@@ -323,8 +373,8 @@ def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R12 if n in registry]
-    placed = set(_MUST_VERIFY_R12)
+    pinned = [registry[n] for n in _MUST_VERIFY_R13 if n in registry]
+    placed = set(_MUST_VERIFY_R13)
     promoted_oracle = [
         q
         for n, q in registry.items()
