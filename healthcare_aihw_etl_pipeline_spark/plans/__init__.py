@@ -334,7 +334,8 @@ _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R12
 _MUST_VERIFY_R13: list[str] = [
     # new this round
     "interval_sweep_profile_served", "max_concurrent_sessions_served",
-    "interval_union_coverage_served", "knn_graph_topk", "unigram_lm_prune",
+    "interval_union_coverage_served", "knn_graph_topk",
+    "mutual_knn_dedup_clusters", "unigram_lm_prune",
     # plans/oracles changed this round — re-verify all callers
     "cox_hazard_newton", "conformal_interval_price",
     "interval_sweep_profile", "max_concurrent_sessions",

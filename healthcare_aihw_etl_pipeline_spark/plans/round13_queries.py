@@ -134,10 +134,12 @@ def _knn_planes(n: int | None) -> int:
     return max(4, math.ceil(math.log2(n / _KNN_TARGET)))
 
 
-@register(
-    "knn_graph_topk",
-    oracle=f"""
-    WITH params AS (
+# Shared oracle CTE block: signatures -> banded candidate pairs ->
+# exact integer scores -> per-src ranking. knn_graph_topk reads
+# `ranked` directly; mutual_knn_dedup_clusters composes a mutuality
+# join + the recursive-CTE closure on top of the SAME block, so the
+# two oracles cannot drift.
+_KNN_ORACLE_CTES = f"""params AS (
       SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / {_KNN_TARGET})) AS INT))
              AS p
       FROM embeddings
@@ -188,7 +190,13 @@ def _knn_planes(n: int | None) -> int:
                                 ORDER BY qdot DESC, nbr) AS rank,
              nbr, qdot
       FROM scored
-    )
+    )"""
+
+
+@register(
+    "knn_graph_topk",
+    oracle=f"""
+    WITH {_KNN_ORACLE_CTES}
     SELECT src, CAST(rank AS BIGINT) AS rank, nbr, qdot
     FROM ranked WHERE rank <= {_KNN_K} ORDER BY src, rank
     """,
@@ -207,6 +215,13 @@ def _knn_planes(n: int | None) -> int:
     "so the full graph hash-checks against DuckDB at any sf.",
 )
 def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_graph(spark, sf_dir).orderBy("src", "rank")
+
+
+def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranked kNN edge relation (src, rank, nbr, qdot), rank <= k —
+    shared by knn_graph_topk (its ordered surface) and
+    mutual_knn_dedup_clusters (its edge input)."""
     from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
         qlsh_signs,
     )
@@ -310,15 +325,96 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("src").orderBy(
         F.col("qdot").desc(), F.col("nbr").asc()
     )
+    return merged.select(
+        "src",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "nbr",
+        "qdot",
+    ).where(F.col("rank") <= _KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN graph dedup (the graph-based dedup the index build exists for)
+
+# Mutuality + a quantized-dot floor: an edge survives iff each endpoint
+# is in the OTHER's top-k AND the exact integer dot clears tau —
+# the standard reciprocal-nearest-neighbor denoising that turns a kNN
+# graph into dedup clusters (one-sided kNN edges from sparse regions
+# to cluster cores would otherwise chain distinct clusters together).
+# qdot is symmetric, so reverse-membership alone implies the reverse
+# dot also clears tau. tau = 5000 on int7 codes (|q| ~ 127 for the
+# unit-norm corpus, self-dot ~16.1k): the sf0.01 distribution puts
+# neighbor dots at p50 ~ 4.0k / p99 ~ 6.7k, so 5000 keeps the top
+# ~15% strongest edges.
+_MUTUAL_TAU = 5000
+
+
+@register(
+    "mutual_knn_dedup_clusters",
+    oracle=f"""
+    WITH {_KNN_ORACLE_CTES},
+    e AS (
+      SELECT src, nbr FROM ranked
+      WHERE rank <= {_KNN_K} AND qdot >= {_MUTUAL_TAU}
+    ),
+    mutual AS (
+      SELECT a.src AS a, a.nbr AS b
+      FROM e a JOIN e b ON a.src = b.nbr AND a.nbr = b.src
+      WHERE a.src < a.nbr
+    ),
+    sym AS (
+      SELECT a, b FROM mutual UNION SELECT b, a FROM mutual
+    ),
+    cc AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, reach.comp FROM sym s JOIN reach ON reach.node = s.b
+      )
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    )
+    SELECT component, COUNT(*) AS n_vecs, MAX(node) AS max_vec
+    FROM cc GROUP BY component ORDER BY component
+    """,
+    doc="Graph-based embedding dedup — the consumer the kNN-graph "
+    "build exists for: keep only MUTUAL top-k edges whose exact "
+    "integer dot clears a floor (reciprocal-nearest-neighbor "
+    "denoising; one-sided edges from sparse regions to cluster cores "
+    "would chain distinct clusters), then transitive closure into "
+    "clusters via the shared pointer-jumping operator "
+    "(operators/dedup.connected_components). Scale shape: the "
+    "mutuality test is a self-join of the slim (src, nbr) edge "
+    "relation (<= k rows per vector) on its own reversal; the closure "
+    "runs on the surviving edge set, never the corpus — the same law "
+    "as dedup_transitive_clusters, with the kNN graph replacing the "
+    "hash-equality edges. Fully oracled: the DuckDB replay composes "
+    "the mutuality join + recursive-CTE closure over the SAME ranked "
+    "CTE block as knn_graph_topk.",
+)
+def mutual_knn_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    e = (
+        _knn_graph(spark, sf_dir)
+        .where(F.col("qdot") >= _MUTUAL_TAU)
+        .select("src", "nbr")
+    )
+    rev = e.select(F.col("nbr").alias("src"), F.col("src").alias("nbr"))
+    mutual = (
+        e.join(rev, ["src", "nbr"])
+        .where(F.col("src") < F.col("nbr"))
+        .select("src", F.col("nbr").alias("dst"))
+    )
+    cc = connected_components(mutual)
     return (
-        merged.select(
-            "src",
-            F.row_number().over(w).cast("long").alias("rank"),
-            "nbr",
-            "qdot",
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max("node").alias("max_vec"),
         )
-        .where(F.col("rank") <= _KNN_K)
-        .orderBy("src", "rank")
+        .orderBy("component")
     )
 
 

@@ -229,3 +229,47 @@ def test_unigram_lm_prune_matches_bruteforce(spark):
     ]
     assert got == expected
     assert all(r[5] >= 0 for r in got)  # loss >= 0 is a theorem here
+
+
+def test_mutual_knn_dedup_matches_python_replication(spark):
+    """Mutual-kNN clusters replicated independently: reuse the engine's
+    ranked edge output (already numpy-verified above), apply the
+    mutuality + tau rule in plain Python, and close with union-find."""
+    from healthcare_aihw_etl_pipeline_spark.plans.round13_queries import (
+        _MUTUAL_TAU,
+    )
+
+    edges = {
+        (r["src"], r["nbr"]): r["qdot"]
+        for r in REGISTRY["knn_graph_topk"].build(spark, SF).collect()
+    }
+    mutual = [
+        (a, b)
+        for (a, b), d in edges.items()
+        if a < b and d >= _MUTUAL_TAU and (b, a) in edges
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in mutual:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    expected = sorted(
+        (c, len(ms), max(ms)) for c, ms in comps.items()
+    )
+    got = [
+        (r["component"], r["n_vecs"], r["max_vec"])
+        for r in REGISTRY["mutual_knn_dedup_clusters"].build(spark, SF).collect()
+    ]
+    assert got == expected
+    assert len(got) > 0  # degenerate-coverage guard
