@@ -339,6 +339,21 @@ def main() -> None:
           f"gen={meta['gen_sec']}s query={res['query_sec']}s",
           file=sys.stderr)
 
+    kdir = os.path.join(OUT, f"keepbest_{scale}")
+    meta = gen_keepbest(kdir, scale)
+    res = verify_keepbest(spark, kdir, meta["truth"])
+    section["embedding_cluster_keep_best"] = {
+        "n_vecs_total": meta["n_vecs_total"],
+        "gen_sec": meta["gen_sec"],
+        "ok": res["ok"],
+        "query_sec": res["query_sec"],
+        "truth_histogram": meta["truth"]["histogram"],
+        "got": res["got"],
+    }
+    print(f"keepbest {scale}: ok={res['ok']} "
+          f"gen={meta['gen_sec']}s query={res['query_sec']}s",
+          file=sys.stderr)
+
     existing: dict = {}
     if os.path.exists(ARTIFACT):
         with open(ARTIFACT) as fh:
@@ -349,6 +364,130 @@ def main() -> None:
     print(json.dumps({s: {k: v.get("ok") for k, v in d.items()
                           if isinstance(v, dict)}
                       for s, d in existing.items()}))
+
+
+
+
+# ---------------------------------------------------------------------------
+# Corpus 3: planted semantic clusters (embeddings: vec_id, embedding)
+#
+# embedding_cluster_keep_best bands on COORDINATE SIGNS (8 bands x 8
+# bits), so <= 256 clusters can be made pairwise candidate-DISJOINT in
+# every band by giving each cluster an injective byte per band. Members
+# of a cluster share one sign pattern and differ only by a positive
+# scale, so every within-cluster cosine is exactly 1 (>= 0.3 with no
+# boundary risk) and the component partition is the planted partition.
+# The keeper (argmax floor(norm*1e6 + 0.5)*2^32 + id) is computed at
+# generation time by replicating the engine's LEFT-TO-RIGHT double
+# accumulation per row, with an asserted margin from every floor
+# boundary.
+
+
+def gen_keepbest(path: str, scale: str) -> dict:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if scale == "sf10":  # ~196k vectors, ~235M scored pairs
+        sizes = [10] * 100 + [1000] * 50 + [2900] * 50
+    elif scale == "sf1":
+        sizes = [10] * 100 + [300] * 50 + [900] * 50
+    else:
+        sizes = [3] * 10 + [7] * 5
+    n_clusters = len(sizes)
+    assert n_clusters <= 200
+    rng = np.random.default_rng(13)
+    # injective byte per band per cluster -> zero cross-candidates
+    bytes_per_band = np.stack(
+        [rng.permutation(256)[:n_clusters] for _ in range(8)]
+    )  # (8, C)
+    signs = np.zeros((n_clusters, 64), dtype=np.float32)
+    for b in range(8):
+        for j in range(8):
+            bit = (bytes_per_band[b] >> j) & 1
+            signs[:, b * 8 + j] = np.where(bit == 1, 1.0, -1.0)
+
+    os.makedirs(path, exist_ok=True)
+    f = os.path.join(path, "embeddings.parquet")
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    writer = pq.ParquetWriter(f, schema)
+
+    t0 = time.time()
+    next_id = 0
+    truth_rows = []  # (size, keeper)
+    for c, size in enumerate(sizes):
+        ids = np.arange(next_id, next_id + size, dtype=np.int64)
+        next_id += size
+        t = (0.8 + 0.4 * np.arange(size) / max(size - 1, 1)).astype(
+            np.float64
+        )
+        vecs = (t[:, None] * (signs[c] * 0.12)[None, :]).astype(np.float32)
+        # engine-order norm: left-to-right float64 accumulation per row
+        v64 = vecs.astype(np.float64)
+        acc = np.zeros(size, dtype=np.float64)
+        for j in range(64):
+            acc = acc + v64[:, j] * v64[:, j]
+        scaled = np.sqrt(acc) * 1e6 + 0.5
+        # The replication above is BIT-identical to the engine's
+        # l2_norm (same left-fold of x*x from 0.0, same sqrt/mul/add —
+        # all correctly-rounded IEEE ops), so no boundary margin is
+        # needed; this tripwire only fires if the operator's
+        # accumulation order ever drifts from the replication.
+        frac = np.abs(scaled - np.round(scaled))
+        assert frac.min() > 1e-9, (c, float(frac.min()))
+        q = np.floor(scaled).astype(np.int64)
+        keeper = int(ids[np.argmax(q * (1 << 32) + ids)])
+        truth_rows.append((size, keeper))
+        writer.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        list(vecs), pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+    writer.close()
+    hist: dict[int, dict] = {}
+    for size, keeper in truth_rows:
+        h = hist.setdefault(size, {"n_clusters": 0, "min_keeper": keeper})
+        h["n_clusters"] += 1
+        h["min_keeper"] = min(h["min_keeper"], keeper)
+    truth = [
+        {
+            "size": s,
+            "n_clusters": h["n_clusters"],
+            "n_removed": (s - 1) * h["n_clusters"],
+            "min_keeper": h["min_keeper"],
+        }
+        for s, h in sorted(hist.items())
+    ]
+    return {
+        "n_vecs_total": next_id,
+        "gen_sec": round(time.time() - t0, 1),
+        "truth": {"histogram": truth},
+    }
+
+
+def verify_keepbest(spark, path: str, truth: dict) -> dict:
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    t0 = time.time()
+    rows = REGISTRY["embedding_cluster_keep_best"].build(spark, path).collect()
+    got = [
+        {
+            "size": r["size"],
+            "n_clusters": r["n_clusters"],
+            "n_removed": r["n_removed"],
+            "min_keeper": r["min_keeper"],
+        }
+        for r in rows
+    ]
+    ok = got == truth["histogram"]
+    return {"ok": bool(ok), "got": got, "query_sec": round(time.time() - t0, 1)}
 
 
 if __name__ == "__main__":
