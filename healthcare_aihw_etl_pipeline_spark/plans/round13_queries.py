@@ -672,11 +672,18 @@ def unigram_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.trim(F.col("text")) != ""
     )
+    # The distinct-word relation is the ONLY consumer of the fact
+    # table, and everything downstream (substring seed, score model,
+    # Viterbi usage) derives from it — materialize it once (eager
+    # localCheckpoint) so the corpus is scanned exactly once. Without
+    # this the plan re-ran the token explode per consumer (10 parquet
+    # scans of the 100 TB table in the first cut's explain).
     words = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .where((F.col("word") != "") & (F.length("word") <= _UNI_CAP))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
     )
     sub = words.select(
         F.explode(
