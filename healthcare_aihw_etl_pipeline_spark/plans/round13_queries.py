@@ -764,3 +764,168 @@ def unigram_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("loss_q").asc(), F.col("piece").asc())
         .limit(_UNI_PRUNE)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (data selection for language models)
+
+# Importance weight of a document = sum over its hashed n-gram feature
+# occurrences of log p_target(bucket) - log p_raw(bucket), with the
+# target distribution estimated from the English slice and the raw
+# distribution from the whole corpus (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling" — the hashed-ngram
+# variant used in production pipelines). Exactness: per-bucket add-1-
+# smoothed ln-probabilities are quantized to integer millionths with
+# the shared doc_bigram_nll expression (identical doubles both
+# engines), the bucket log-RATIO is a difference of those integers,
+# and the per-doc sum is pure BIGINT — partial-agg order cannot move
+# totals. |lr_q| <= ~20e6 and docs carry <= ~60 features, so weights
+# stay far inside int64 at any corpus size.
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_top20",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source, lang,
+             CAST('0x' || substr(md5(f), 1, 15) AS BIGINT)
+               % {_DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, source, lang, UNNEST(t) AS f
+        FROM (
+          SELECT doc_id, source, lang,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents WHERE trim(text) <> ''
+        )
+        UNION ALL
+        SELECT doc_id, source, lang, t[i] || ' ' || t[i + 1] AS f
+        FROM (
+          SELECT doc_id, source, lang,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents WHERE trim(text) <> ''
+        ), UNNEST(range(1, len(t))) AS x(i)
+        WHERE len(t) >= 2
+      )
+    ),
+    raw AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw FROM feats GROUP BY b
+    ),
+    tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM feats
+      WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c_raw) FROM raw) AS t_raw,
+             (SELECT COALESCE(SUM(c_tgt), 0) FROM tgt) AS t_tgt
+    ),
+    lr AS (
+      SELECT raw.b,
+             CAST(floor(ln((CAST(COALESCE(tgt.c_tgt, 0) AS DOUBLE) + 1.0)
+                    / (CAST(t_tgt AS DOUBLE) + {_DSIR_BUCKETS}.0))
+                  * 1000000.0 + 0.5) AS BIGINT)
+             - CAST(floor(ln((CAST(raw.c_raw AS DOUBLE) + 1.0)
+                    / (CAST(t_raw AS DOUBLE) + {_DSIR_BUCKETS}.0))
+                  * 1000000.0 + 0.5) AS BIGINT) AS lr_q
+      FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot
+    )
+    SELECT f.doc_id, ANY_VALUE(f.source) AS source,
+           ANY_VALUE(f.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(SUM(lr.lr_q) AS BIGINT) AS weight_q
+    FROM feats f JOIN lr ON lr.b = f.b
+    GROUP BY f.doc_id
+    ORDER BY weight_q DESC, f.doc_id ASC
+    LIMIT 20
+    """,
+    doc="DSIR-style importance resampling for training-data selection "
+    "(Xie et al. 2023, hashed-ngram variant): word unigrams + bigrams "
+    "hash into 1024 buckets (the portable md5 arithmetic — "
+    "conv(md5) == CAST('0x'||substr(md5)) — so the feature hash "
+    "replays exactly in DuckDB); bucket importance = add-1-smoothed "
+    "quantized ln p_target - ln p_raw with the English slice as the "
+    "target domain; a document's weight is the exact BIGINT sum of "
+    "its feature occurrences' bucket log-ratios, and the 20 most "
+    "target-like documents surface under a total order. Scale shape: "
+    "the feature stream is scanned once from the materialized doc "
+    "relation (one corpus scan); raw/target bucket counts are "
+    "map-side-combined aggregates onto a 1024-row model that "
+    "BROADCASTS back onto the stream; the per-doc sum is "
+    "map-side-combinable and the surface is TakeOrdered. The model "
+    "table is O(buckets), so per-shard stores roll up by cellwise "
+    "addition exactly like the CMS family.",
+)
+def dsir_importance_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select("doc_id", "source", "lang", tokens("text").alias("t"))
+        # One corpus scan: the token array feeds both the unigram and
+        # bigram explodes below.
+        .localCheckpoint(eager=True)
+    )
+    uni = docs.select(
+        "doc_id", "source", "lang", F.explode("t").alias("f")
+    )
+    bi = docs.where(F.size("t") >= 2).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', t[i - 1], t[i]))"
+            )
+        ).alias("f"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("f"), 1, 15), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    feats = uni.unionByName(bi).select(
+        "doc_id", "source", "lang", bucket.alias("b")
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c_raw"))
+    tgt = (
+        feats.where(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_tgt"))
+    )
+    tot = raw.agg(F.sum("c_raw").alias("t_raw")).crossJoin(
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tgt"))
+        )
+    )
+
+    def _lp(c, t):
+        return F.expr(
+            f"CAST(floor(ln((CAST({c} AS DOUBLE) + 1.0)"
+            f" / (CAST({t} AS DOUBLE) + {_DSIR_BUCKETS}.0))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        )
+
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                _lp("COALESCE(c_tgt, 0)", "t_tgt") - _lp("c_raw", "t_raw")
+            ).alias("lr_q"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("lr_q").cast("long").alias("weight_q"),
+        )
+        .orderBy(F.col("weight_q").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

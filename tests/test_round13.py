@@ -273,3 +273,77 @@ def test_mutual_knn_dedup_matches_python_replication(spark):
     ]
     assert got == expected
     assert len(got) > 0  # degenerate-coverage guard
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+
+
+def test_dsir_importance_matches_python_replication(spark):
+    """Independent Python replication from raw text: hashlib.md5
+    feature buckets, add-1-smoothed quantized ln ratios (math.log on
+    the same doubles), exact per-doc integer sums, top-20 under the
+    (weight desc, doc_id) total order."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from healthcare_aihw_etl_pipeline_spark.plans.round13_queries import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET_LANG,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, lang, text FROM '{SF}/documents.parquet'"
+        " WHERE trim(text) <> ''"
+    ).fetchall()
+
+    def buckets(text):
+        t = text.strip().lower().split()
+        feats = list(t) + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        return [
+            int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % _DSIR_BUCKETS
+            for f in feats
+        ]
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    per_doc = {}
+    meta = {}
+    for doc_id, source, lang, text in rows:
+        bs = buckets(text)
+        per_doc[doc_id] = bs
+        meta[doc_id] = (source, lang)
+        raw.update(bs)
+        if lang == _DSIR_TARGET_LANG:
+            tgt.update(bs)
+    t_raw, t_tgt = sum(raw.values()), sum(tgt.values())
+
+    def lp(c, t):
+        return math.floor(
+            math.log((c + 1.0) / (t + float(_DSIR_BUCKETS))) * 1e6 + 0.5
+        )
+
+    lr = {b: lp(tgt.get(b, 0), t_tgt) - lp(c, t_raw) for b, c in raw.items()}
+    scored = sorted(
+        (
+            (
+                doc_id,
+                meta[doc_id][0],
+                meta[doc_id][1],
+                len(bs),
+                sum(lr[b] for b in bs),
+            )
+            for doc_id, bs in per_doc.items()
+        ),
+        key=lambda r: (-r[4], r[0]),
+    )[:20]
+    got = [
+        tuple(r)
+        for r in REGISTRY["dsir_importance_top20"].build(spark, SF).collect()
+    ]
+    assert got == scored
+    # the target-domain docs should dominate the top of the ranking
+    assert sum(1 for r in got if r[2] == _DSIR_TARGET_LANG) >= 15
