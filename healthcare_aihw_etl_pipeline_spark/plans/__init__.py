@@ -336,7 +336,7 @@ _MUST_VERIFY_R13: list[str] = [
     "interval_sweep_profile_served", "max_concurrent_sessions_served",
     "interval_union_coverage_served", "knn_graph_topk",
     "mutual_knn_dedup_clusters", "unigram_lm_prune",
-    "dsir_importance_top20",
+    "dsir_importance_top20", "bpe_encode_stats",
     # plans/oracles changed this round — re-verify all callers
     "cox_hazard_newton", "conformal_interval_price",
     "interval_sweep_profile", "max_concurrent_sessions",

@@ -463,6 +463,18 @@ _BPE_ORACLE = (
     "ships.",
 )
 def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "round long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("round")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The bounded Sennrich merge loop, shared by bpe_merge_training
+    (its surface) and bpe_encode_stats (round 13: trains then APPLIES
+    the merges). Returns [(round, left, right, merged, pair_count)]."""
     from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -535,11 +547,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spaced"),
             "cnt",
         ).localCheckpoint(eager=True)
-    return spark_sess.createDataFrame(
-        out,
-        "round long, left_sym string, right_sym string, "
-        "merged string, pair_count long",
-    ).orderBy("round")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -938,3 +938,131 @@ def dsir_importance_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "n_features", "weight_q")
         .orderBy(F.col("weight_q").desc(), F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding (train -> APPLY, completing the tokenizer lifecycle)
+
+def _bpe_encode_oracle() -> str:
+    from healthcare_aihw_etl_pipeline_spark.plans.round12_queries import (
+        _BPE_ROUNDS,
+        _BPE_WORD_RE,
+        _bpe_stage_sql,
+    )
+
+    train_stages = ",".join(
+        _bpe_stage_sql(i) for i in range(1, _BPE_ROUNDS + 1)
+    )
+    encode_stages = ",\n".join(
+        f"""e{i} AS (
+      SELECT source,
+             replace(spaced, ' ' || t{i}.left_sym || '  ' || t{i}.right_sym
+                     || ' ', ' ' || t{i}.merged || ' ') AS spaced,
+             cnt, n_chars
+      FROM e{i - 1} CROSS JOIN t{i}
+    )"""
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE regexp_matches(t, '{_BPE_WORD_RE}') GROUP BY t
+    ),
+    v0 AS (
+      SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS spaced,
+             cnt
+      FROM words
+    ),{train_stages},
+    swords AS (
+      SELECT source, t AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT source,
+               UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE regexp_matches(t, '{_BPE_WORD_RE}')
+      GROUP BY source, t
+    ),
+    e0 AS (
+      SELECT source,
+             '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS spaced,
+             cnt, CAST(len(word) AS BIGINT) AS n_chars
+      FROM swords
+    ),
+    {encode_stages}
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+           CAST(SUM(n_chars * cnt) AS BIGINT) AS chars_total,
+           CAST(SUM(CAST(len(list_filter(string_split(spaced, '  '),
+                                         s -> s <> '')) AS BIGINT) * cnt)
+                AS BIGINT) AS bpe_tokens_total
+    FROM e{_BPE_ROUNDS} GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE ENCODING — the apply step that completes the tokenizer "
+    "lifecycle beside bpe_merge_training (train) and unigram_lm_prune "
+    "(prune): the 8 trained merges are applied in training order to "
+    "the per-(source, word) vocabulary (one engine-verified "
+    "left-to-right replace() pass per merge — the SAME scan-after-"
+    "match semantics the training rewrite used, so the tokenizer is "
+    "self-consistent by construction), and each source reports its "
+    "word occurrences, character volume and total BPE token count — "
+    "the compression accounting a tokenizer rollout produces. Scale "
+    "shape: training is the bounded vocab-first loop (shared "
+    "_bpe_train, 1-row collect per round); encoding is a PURE MAP "
+    "over the distinct (source, word) relation (8 chained replaces + "
+    "one split, no shuffle beyond the per-source aggregate), so the "
+    "corpus-scale work is one token explode.",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+    from healthcare_aihw_etl_pipeline_spark.plans.round12_queries import (
+        _BPE_WORD_RE,
+        _bpe_train,
+    )
+
+    merges = _bpe_train(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    swords = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .where(F.col("word").rlike(_BPE_WORD_RE))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    spaced = F.concat(
+        F.lit("  "), F.regexp_replace(F.col("word"), "(.)", "$1  ")
+    )
+    enc = swords.select(
+        "source",
+        spaced.alias("spaced"),
+        "cnt",
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    for _rnd, a, b, merged, _c in merges:
+        enc = enc.withColumn(
+            "spaced",
+            F.replace(
+                F.col("spaced"), F.lit(f" {a}  {b} "), F.lit(f" {merged} ")
+            ),
+        )
+    n_tokens = F.size(
+        F.filter(F.split(F.col("spaced"), "  "), lambda s: s != F.lit(""))
+    ).cast("long")
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_word_occurrences"),
+            F.sum(F.col("n_chars") * F.col("cnt"))
+            .cast("long")
+            .alias("chars_total"),
+            F.sum(n_tokens * F.col("cnt"))
+            .cast("long")
+            .alias("bpe_tokens_total"),
+        )
+        .orderBy("source")
+    )

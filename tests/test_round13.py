@@ -347,3 +347,63 @@ def test_dsir_importance_matches_python_replication(spark):
     assert got == scored
     # the target-domain docs should dominate the top of the ranking
     assert sum(1 for r in got if r[2] == _DSIR_TARGET_LANG) >= 15
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding (apply step)
+
+
+def test_bpe_encode_stats_matches_python(spark):
+    """Train with the test suite's independent Sennrich loop
+    (tests/test_round12._py_bpe), apply the merges greedily
+    non-overlapping to every (source, word) occurrence, and compare the
+    per-source compression accounting exactly."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from tests.test_round12 import _py_bpe
+
+    merges = _py_bpe()
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+        " WHERE trim(text) <> ''"
+    ).fetchall()
+    pat = re.compile(r"^[a-z]{2,16}$")
+
+    def encode(w):
+        syms = list(w)
+        for _rnd, a, b, _m, _c in merges:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    enc_cache: dict = {}
+    agg: dict = {}
+    for source, text in rows:
+        for w in text.strip().lower().split():
+            if not pat.fullmatch(w):
+                continue
+            if w not in enc_cache:
+                enc_cache[w] = encode(w)
+            occ, chars, toks = agg.get(source, (0, 0, 0))
+            agg[source] = (occ + 1, chars + len(w), toks + enc_cache[w])
+    expected = sorted((s, *v) for s, v in agg.items())
+    got = [
+        tuple(r)
+        for r in REGISTRY["bpe_encode_stats"].build(spark, SF).collect()
+    ]
+    assert got == expected
+    # structural law: merges only shrink, one token per char at worst,
+    # at least one token per word occurrence
+    for _s, occ, chars, toks in got:
+        assert occ <= toks <= chars
