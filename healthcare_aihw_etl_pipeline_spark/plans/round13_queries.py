@@ -15,6 +15,15 @@
   oracled via the portable quantized-LSH arithmetic
   (ann_qlsh_top10_portable's contract extended from one probe to
   every vector).
+- mutual-kNN graph dedup (mutual_knn_dedup_clusters): reciprocal
+  top-k edges + integer dot floor → pointer-jumping closure — the
+  consumer the index build exists for.
+- unigram-LM (SentencePiece) pruning (unigram_lm_prune) and BPE
+  encoding (bpe_encode_stats): with bpe_merge_training these complete
+  the tokenizer lifecycle — train, prune, apply.
+- DSIR importance resampling (dsir_importance_top20): hashed-ngram
+  importance weights for training-data selection (Xie et al. 2023),
+  exact above the shared quantized-ln layer.
 
 Same contract as every plans module: idiomatic PySpark paired with a
 DuckDB oracle whose arithmetic is bit-identical. Reference lineage: the
