@@ -195,7 +195,13 @@ _SHARD_TOKENS = 50_000
     "partition running sums + a partition-count-bounded offset "
     "window — no single-partition global window, identical output on "
     "any executor count, exact integer floor-division for the shard "
-    "id (a double divide mis-floors past 2^53).",
+    "id (a double divide mis-floors past 2^53). The slim (doc_id, "
+    "n_tokens) relation is materialized ONCE (eager localCheckpoint, "
+    "16 bytes/row) before the range repartition: without it the "
+    "range-boundary SAMPLING pass re-runs the full-text tokenize scan "
+    "— recomputing a 100 TB regex pass to save a 16-byte-per-row "
+    "materialization is the wrong trade at any scale (the "
+    "unigram_lm_prune scan-once lesson).",
 )
 def token_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -204,6 +210,7 @@ def token_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
         )
+        .localCheckpoint(eager=True)
     )
     sharded = shard_by_budget(docs, "doc_id", "n_tokens", _SHARD_TOKENS)
     return (
