@@ -365,17 +365,24 @@ def cluster_outlier_scores(
 # -- portable quantized-LSH ANN ----------------------------------------
 
 
-def qlsh_signs(planes: int = 4, dim: int = 64) -> list[list[int]]:
-    """Deterministic ±1 hyperplane entries derived from md5(j ',' d) —
-    the same values any engine's md5 produces, so the LSH partitioning
+def qlsh_signs(
+    planes: int = 4, dim: int = 64, salt: str = ""
+) -> list[list[int]]:
+    """Deterministic ±1 hyperplane entries derived from md5(salt j ',' d)
+    — the same values any engine's md5 produces, so the LSH partitioning
     replays exactly (unlike :func:`hyperplanes`, whose float Gaussians
-    are seeded-RNG-specific). Sign = parity of the first hex nibble."""
+    are seeded-RNG-specific). Sign = parity of the first hex nibble.
+    `salt` prefixes the hash input so independent matrices (e.g. the JL
+    projection beside the LSH bands) draw from disjoint hash streams."""
     import hashlib
 
     return [
         [
             1
-            if int(hashlib.md5(f"{j},{d}".encode()).hexdigest()[0], 16) % 2
+            if int(
+                hashlib.md5(f"{salt}{j},{d}".encode()).hexdigest()[0], 16
+            )
+            % 2
             == 1
             else -1
             for d in range(dim)

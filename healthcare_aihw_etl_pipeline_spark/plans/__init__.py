@@ -31,6 +31,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import round11_queries  # noqa: F4
 from healthcare_aihw_etl_pipeline_spark.plans import round11b_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round12_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round13_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import round13b_queries  # noqa: F401,E402
 
 # Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the
@@ -333,10 +334,15 @@ _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R12
 # fill ~50.
 _MUST_VERIFY_R13: list[str] = [
     # new this round
+    "ks_two_sample_value", "brier_decomposition", "zipf_slope_tokens",
+    "jl_projection_top10", "sprt_ab_decision",
     "interval_sweep_profile_served", "max_concurrent_sessions_served",
     "interval_union_coverage_served", "knn_graph_topk",
     "mutual_knn_dedup_clusters", "unigram_lm_prune",
     "dsir_importance_top20", "bpe_encode_stats",
+    # plan changed this round (scan-once checkpoint before the range
+    # repartition)
+    "token_shard_plan",
     # plans/oracles changed this round — re-verify all callers
     "cox_hazard_newton", "conformal_interval_price",
     "interval_sweep_profile", "max_concurrent_sessions",

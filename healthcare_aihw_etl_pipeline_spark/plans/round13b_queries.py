@@ -1,0 +1,708 @@
+"""Round-13 continuation families.
+
+- Kolmogorov–Smirnov two-sample test (ks_two_sample_value): the
+  nonparametric distribution-drift gate the PSI/Wasserstein family was
+  missing — exact integer cross-multiplied CDF gap, no libm anywhere.
+- Brier-score decomposition (brier_decomposition): reliability /
+  resolution / uncertainty (Murphy 1973) of a train-split forecast on a
+  held-out split — completes the GLM evaluate→calibrate stack beside
+  roc_auc_order_age and isotonic_calibration_by_age.
+- Zipf rank-frequency fit (zipf_slope_tokens): log-log OLS slope over
+  the top-1000 token ranks — the corpus-health diagnostic next to the
+  entropy/Gopher screens (natural text ≈ -1).
+- Johnson–Lindenstrauss projection search (jl_projection_top10):
+  ±1 md5-derived 64→16 projection, exact integer projected distances,
+  top-10 with per-row exact-top-10 membership — the dimensionality-
+  reduction leg of the ANN family (qLSH keeps only signs; JL keeps
+  distances).
+- Sequential probability ratio test (sprt_ab_decision): Wald's SPRT
+  over daily conversion counts per A/B variant — the sequential-
+  decision leg of the experimentation family (CUPED/Welch-t are
+  fixed-horizon; SPRT is the early-stopping form).
+
+Same contract as every plans module: idiomatic PySpark paired with a
+DuckDB oracle whose arithmetic is bit-identical (exact BIGINT sums;
+any double step is a single identically-written IEEE formula evaluated
+once per bounded row, then quantized). Reference lineage: extends the
+reference's descriptive-statistics surface (/root/reference/main.py
+grouped views, streamlit_app.py:108-152 distribution charts) to the
+hypothesis-testing and evaluation statistics a production pipeline
+runs on the same grouped relations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.plans.registry import cents, register
+from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample test
+
+# D = max_v |F1(v) - F2(v)| compared via the cross-multiplied integer
+# d_num = max |n2*cum1 - n1*cum2| — exact at any scale where n1*cum1
+# fits int64 (n1, n2 <= 3e9 keeps the product under 2^63; documented
+# corpus bound, same class as the Gini DECIMAL note). The quantized
+# display statistic divides once, as a single identical double op.
+_KS_DQ = (
+    "CAST(floor(CAST(d_num AS DOUBLE) * 1000000.0"
+    " / (CAST(n_purchase AS DOUBLE) * CAST(n_click AS DOUBLE)) + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "ks_two_sample_value",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v_c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    g AS (
+      SELECT v_c, CAST(SUM(is_p) AS BIGINT) AS c1,
+             CAST(SUM(1 - is_p) AS BIGINT) AS c2
+      FROM pts GROUP BY v_c
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n_purchase,
+             CAST(SUM(c2) AS BIGINT) AS n_click
+      FROM g
+    ),
+    cum AS (
+      SELECT v_c,
+             SUM(c1) OVER (ORDER BY v_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+             SUM(c2) OVER (ORDER BY v_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      FROM g
+    ),
+    d AS (
+      SELECT v_c, abs(n_click * f1 - n_purchase * f2) AS dn
+      FROM cum CROSS JOIN tot
+    ),
+    mx AS (SELECT CAST(MAX(dn) AS BIGINT) AS d_num FROM d),
+    at AS (
+      SELECT CAST(MIN(v_c) AS BIGINT) AS at_value_c
+      FROM d, mx WHERE d.dn = mx.d_num
+    )
+    SELECT n_purchase, n_click, d_num, {_KS_DQ} AS d_q, at_value_c
+    FROM tot, mx, at
+    """,
+    doc="Kolmogorov–Smirnov two-sample test between the purchase and "
+    "click value distributions — the nonparametric drift gate beside "
+    "value_drift_psi (binned) and wasserstein_daily_revenue "
+    "(transport): D = max CDF gap over the cents-quantized value "
+    "domain, decided on the EXACT integer cross-multiplication "
+    "|n2*cum1 - n1*cum2| (no division until the one quantized display "
+    "ratio), so the statistic and its argmax value hash-check at any "
+    "sf. Scale shape: one scan -> conditional groupBy on the value "
+    "domain (map-side combined; the domain is bounded by the corpus's "
+    "fixed price range, not the row count), one bounded-domain "
+    "cumulative window, one max — the nelson_aalen calendar-bounded "
+    "window law on the price axis.",
+)
+def ks_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        cents("value").alias("v_c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_p"
+        ),
+    )
+    g = pts.groupBy("v_c").agg(
+        F.sum("is_p").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("is_p")).cast("long").alias("c2"),
+    )
+    tot = g.agg(
+        F.sum("c1").cast("long").alias("n_purchase"),
+        F.sum("c2").cast("long").alias("n_click"),
+    )
+    w = Window.orderBy("v_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "v_c",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v_c",
+        F.abs(
+            F.col("n_click") * F.col("f1")
+            - F.col("n_purchase") * F.col("f2")
+        ).alias("dn"),
+    )
+    mx = d.agg(F.max("dn").cast("long").alias("d_num"))
+    at = (
+        d.crossJoin(F.broadcast(mx))
+        .where(F.col("dn") == F.col("d_num"))
+        .agg(F.min("v_c").cast("long").alias("at_value_c"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n_purchase",
+            "n_click",
+            "d_num",
+            F.expr(_KS_DQ).alias("d_q"),
+            "at_value_c",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier-score decomposition (Murphy): reliability / resolution / uncertainty
+
+# Forecast quantum: integer basis points (the SCORE_QUANT tier). The
+# Brier numerator is EXACT integer arithmetic; REL/RES terms carry one
+# rational that cannot stay integer (o_k/n_k), so each bin's term is a
+# single identically-written double formula quantized to millionths
+# BEFORE the (exact BIGINT) sum — partial-agg order cannot move totals.
+_BR_Q = 10_000
+_BR_REL_TERM = (
+    "CAST(floor(CAST(n_k AS DOUBLE) * "
+    f"(CAST(p_q AS DOUBLE) / {_BR_Q}.0"
+    " - CAST(o_k AS DOUBLE) / CAST(n_k AS DOUBLE))"
+    f" * (CAST(p_q AS DOUBLE) / {_BR_Q}.0"
+    " - CAST(o_k AS DOUBLE) / CAST(n_k AS DOUBLE))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+_BR_RES_TERM = (
+    "CAST(floor(CAST(n_k AS DOUBLE) * "
+    "(CAST(o_k AS DOUBLE) / CAST(n_k AS DOUBLE)"
+    " - CAST(o_ev AS DOUBLE) / CAST(n_ev AS DOUBLE))"
+    " * (CAST(o_k AS DOUBLE) / CAST(n_k AS DOUBLE)"
+    " - CAST(o_ev AS DOUBLE) / CAST(n_ev AS DOUBLE))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+_BR_UNC = (
+    "CAST(floor(CAST(o_ev AS DOUBLE) / CAST(n_ev AS DOUBLE)"
+    " * (1.0 - CAST(o_ev AS DOUBLE) / CAST(n_ev AS DOUBLE))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+_BR_BRIER = (
+    "CAST(floor(CAST(b_num AS DOUBLE) * 1000000.0"
+    f" / ({_BR_Q}.0 * {_BR_Q}.0 * CAST(n_ev AS DOUBLE)) + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "brier_decomposition",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS pri, year(o_orderdate) AS yr,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+                  < '80' THEN 0 ELSE 1 END AS split
+      FROM orders
+    ),
+    tr AS (
+      SELECT pri, yr, CAST(COUNT(*) AS BIGINT) AS n_tr,
+             CAST(SUM(y) AS BIGINT) AS o_tr
+      FROM base WHERE split = 0 GROUP BY pri, yr
+    ),
+    p AS (
+      SELECT pri, yr, CAST(o_tr * {_BR_Q} // n_tr AS BIGINT) AS p_q
+      FROM tr
+    ),
+    ev AS (
+      SELECT b.pri, b.yr, p.p_q, CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(b.y) AS BIGINT) AS o_k
+      FROM base b JOIN p ON p.pri = b.pri AND p.yr = b.yr
+      WHERE b.split = 1 GROUP BY b.pri, b.yr, p.p_q
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_k) AS BIGINT) AS n_ev,
+             CAST(SUM(o_k) AS BIGINT) AS o_ev,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(n_k * p_q * p_q - 2 * p_q * o_k * {_BR_Q}
+                      + o_k * {_BR_Q * _BR_Q}) AS BIGINT) AS b_num
+      FROM ev
+    ),
+    terms AS (
+      SELECT CAST(SUM({_BR_REL_TERM}) AS BIGINT) AS rel_num_q,
+             CAST(SUM({_BR_RES_TERM}) AS BIGINT) AS res_num_q
+      FROM ev CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(SUM(n_tr) AS BIGINT) FROM tr) AS n_train,
+           n_ev AS n_eval, n_bins, {_BR_BRIER} AS brier_q,
+           rel_num_q, res_num_q, {_BR_UNC} AS unc_q
+    FROM tot CROSS JOIN terms
+    """,
+    doc="Brier-score decomposition (Murphy 1973) of a held-out "
+    "forecast: per-(priority, order-year) fulfillment rates learned on "
+    "an md5 train split (integer basis points, exact `div`) are "
+    "evaluated on the held split, decomposed into reliability "
+    "(calibration gap), resolution (bin separation) and uncertainty "
+    "(base-rate variance) — completing the GLM evaluation stack "
+    "beside roc_auc_order_age (ranking) and isotonic_calibration_by_"
+    "age (recalibration). The Brier numerator is EXACT integer "
+    "arithmetic; each REL/RES bin term carries its one unavoidable "
+    "rational through a single identically-written double formula, "
+    "quantized per bin BEFORE the exact BIGINT sum, so partial-agg "
+    "order cannot move totals. Scale shape: two conditional "
+    "aggregates over one scan grain (train rates, eval counts), a "
+    "broadcast rate join, and all decomposition math on the "
+    "(priority x year)-bounded bin relation.",
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h2 = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    base = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.year("o_orderdate").alias("yr"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.when(h2 < "80", 0).otherwise(1).alias("split"),
+    )
+    tr = (
+        base.where("split = 0")
+        .groupBy("pri", "yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tr"),
+            F.sum("y").cast("long").alias("o_tr"),
+        )
+    )
+    p = tr.select(
+        "pri", "yr", F.expr(f"o_tr * {_BR_Q} div n_tr").alias("p_q")
+    )
+    ev = (
+        base.where("split = 1")
+        .join(F.broadcast(p), ["pri", "yr"])
+        .groupBy("pri", "yr", "p_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum("y").cast("long").alias("o_k"),
+        )
+    )
+    tot = ev.agg(
+        F.sum("n_k").cast("long").alias("n_ev"),
+        F.sum("o_k").cast("long").alias("o_ev"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(
+            F.expr(
+                f"n_k * p_q * p_q - 2 * p_q * o_k * {_BR_Q}"
+                f" + o_k * {_BR_Q * _BR_Q}"
+            )
+        )
+        .cast("long")
+        .alias("b_num"),
+    )
+    terms = (
+        ev.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr(_BR_REL_TERM)).cast("long").alias("rel_num_q"),
+            F.sum(F.expr(_BR_RES_TERM)).cast("long").alias("res_num_q"),
+        )
+    )
+    n_train = tr.agg(F.sum("n_tr").cast("long").alias("n_train"))
+    return (
+        tot.crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "n_train",
+            F.col("n_ev").alias("n_eval"),
+            "n_bins",
+            F.expr(_BR_BRIER).alias("brier_q"),
+            "rel_num_q",
+            "res_num_q",
+            F.expr(_BR_UNC).alias("unc_q"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (log-log OLS over the top-1000 token ranks)
+
+_ZIPF_K = 1000
+_ZIPF_XQ = "CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+_ZIPF_YQ = "CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+# OLS solve on the one-row exact-BIGINT moments; every double op below
+# is a single identically-written formula in both engines.
+_ZIPF_SLOPE_RAW = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+_ZIPF_SLOPE_Q = (
+    f"CAST(floor({_ZIPF_SLOPE_RAW} * 1000000.0 + 0.5) AS BIGINT)"
+)
+_ZIPF_ICEPT_Q = (
+    "CAST(floor((CAST(sy AS DOUBLE)"
+    f" - {_ZIPF_SLOPE_RAW} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+    " + 0.5) AS BIGINT)"
+)
+_ZIPF_R2_Q = (
+    "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "zipf_slope_tokens",
+    oracle=f"""
+    WITH counts AS (
+      SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE t <> '' GROUP BY t
+    ),
+    top AS (
+      SELECT token, cnt, rk FROM (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM counts
+      ) WHERE rk <= {_ZIPF_K}
+    ),
+    pts AS (
+      SELECT {_ZIPF_XQ} AS x_q, {_ZIPF_YQ} AS y_q FROM top
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_q) AS BIGINT) AS sx,
+             CAST(SUM(y_q) AS BIGINT) AS sy,
+             CAST(SUM(x_q * x_q) AS BIGINT) AS sxx,
+             CAST(SUM(x_q * y_q) AS BIGINT) AS sxy,
+             CAST(SUM(y_q * y_q) AS BIGINT) AS syy
+      FROM pts
+    )
+    SELECT n AS n_ranked, {_ZIPF_SLOPE_Q} AS slope_q,
+           {_ZIPF_ICEPT_Q} AS intercept_q, {_ZIPF_R2_Q} AS r2_q
+    FROM m
+    """,
+    doc="Zipf rank-frequency fit — the corpus-health diagnostic beside "
+    "the entropy/Gopher screens (natural text slopes ~ -1; template or "
+    "machine-generated corpora flatten or steepen): log-log OLS over "
+    "the top-1000 token ranks. ln(rank) and ln(count) quantize to "
+    "integer millionths (the shared doc_bigram_nll expression), the "
+    "OLS moments are EXACT BIGINT sums of those integers, and the "
+    "solve is a single identically-written double formula on the "
+    "one-row moment relation. Scale shape: one token explode + "
+    "map-side-combined counts, top-1000 via TakeOrderedAndProject "
+    "(never a global vocab sort), then all regression math on 1000 "
+    "bounded rows.",
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.trim(F.col("text")) != ""
+    )
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # top_k pulls exactly the top-1000 under the same total order the
+    # oracle ranks by, so re-ranking the bounded result locally equals
+    # the oracle's global ROW_NUMBER.
+    top = top_k(counts, "cnt", _ZIPF_K, tiebreak=["token"]).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        ),
+    )
+    pts = top.select(
+        F.expr(_ZIPF_XQ).alias("x_q"), F.expr(_ZIPF_YQ).alias("y_q")
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_q").cast("long").alias("sx"),
+        F.sum("y_q").cast("long").alias("sy"),
+        F.sum(F.col("x_q") * F.col("x_q")).cast("long").alias("sxx"),
+        F.sum(F.col("x_q") * F.col("y_q")).cast("long").alias("sxy"),
+        F.sum(F.col("y_q") * F.col("y_q")).cast("long").alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_ranked"),
+        F.expr(_ZIPF_SLOPE_Q).alias("slope_q"),
+        F.expr(_ZIPF_ICEPT_Q).alias("intercept_q"),
+        F.expr(_ZIPF_R2_Q).alias("r2_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss projection search (64 -> 16 dims, exact integers)
+
+_JL_DIMS = 16
+_JL_SALT = "jl:"
+_JL_TOPK = 10
+
+
+@register(
+    "jl_projection_top10",
+    oracle=f"""
+    WITH signs AS (
+      SELECT j.j AS j, d.d AS d,
+             CASE WHEN CAST('0x' ||
+                        substring(md5('{_JL_SALT}' || j.j || ',' || d.d),
+                                  1, 1) AS INT) % 2 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT UNNEST(range({_JL_DIMS})) AS j) j,
+           (SELECT UNNEST(range(64)) AS d) d
+    ),
+    qv AS (
+      SELECT vec_id, u.d AS d,
+             CAST(round(CAST(embedding[u.d + 1] AS DOUBLE) * 127)
+                  AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(64)) AS u(d)
+    ),
+    pq AS (SELECT d, q AS q0 FROM qv WHERE vec_id = 0),
+    proj AS (
+      SELECT qv.vec_id, signs.j, CAST(SUM(qv.q * signs.s) AS BIGINT) AS y
+      FROM qv JOIN signs ON signs.d = qv.d
+      GROUP BY qv.vec_id, signs.j
+    ),
+    pp AS (SELECT j, y AS y0 FROM proj WHERE vec_id = 0),
+    pd AS (
+      SELECT p.vec_id,
+             CAST(SUM((p.y - pp.y0) * (p.y - pp.y0)) AS BIGINT) AS pdist
+      FROM proj p JOIN pp USING (j) GROUP BY p.vec_id
+    ),
+    qd AS (
+      SELECT qv.vec_id,
+             CAST(SUM((qv.q - pq.q0) * (qv.q - pq.q0)) AS BIGINT) AS qdist
+      FROM qv JOIN pq USING (d) GROUP BY qv.vec_id
+    ),
+    ptop AS (
+      SELECT vec_id, pdist,
+             ROW_NUMBER() OVER (ORDER BY pdist, vec_id) AS rank
+      FROM pd
+    ),
+    etop AS (SELECT vec_id FROM qd ORDER BY qdist, vec_id LIMIT {_JL_TOPK})
+    SELECT CAST(p.rank AS BIGINT) AS rank, p.vec_id, p.pdist, qd.qdist,
+           p.vec_id IN (SELECT vec_id FROM etop) AS in_exact_top10
+    FROM ptop p JOIN qd ON qd.vec_id = p.vec_id
+    WHERE p.rank <= {_JL_TOPK} ORDER BY p.rank
+    """,
+    doc="Johnson–Lindenstrauss projection search — the dimensionality-"
+    "reduction leg of the ANN family (qLSH keeps only hyperplane "
+    "SIGNS; JL keeps projected DISTANCES, the primitive behind "
+    "sketched re-ranking and OPQ-style rotations): int7 codes project "
+    "64 -> 16 dims through a +/-1 md5-derived matrix (salted so the "
+    "stream is independent of the LSH bands), squared L2 in projected "
+    "space is exact int64, and the probe's projected top-10 carries "
+    "its exact 64-dim distance plus an in-exact-top-10 recall flag — "
+    "the quality readout a JL index ships with. Scale shape: one "
+    "embedding scan computes both distances (the 16 projections are "
+    "fixed-width integer folds), both top-10s are "
+    "TakeOrderedAndProject, and the flag join broadcasts 10 rows. "
+    "Whole pipeline integer-exact, hash-checked at any sf.",
+)
+def jl_projection_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        qlsh_signs,
+        quantize_q127,
+    )
+
+    signs = qlsh_signs(_JL_DIMS, 64, salt=_JL_SALT)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_q127("embedding").alias("q")
+    )
+    probe = emb.where(F.col("vec_id") == 0).select("q").first()
+    if probe is None or probe[0] is None:
+        raise ValueError(
+            f"embeddings table at {sf_dir!r} has no probe row vec_id=0"
+        )
+    q0 = [int(v) for v in probe[0]]
+    y0 = [sum(q0[d] * signs[j][d] for d in range(64)) for j in range(_JL_DIMS)]
+
+    def dot_signs(row: list[int]):
+        lits = F.array(*[F.lit(v).cast("long") for v in row])
+        return F.aggregate(
+            F.zip_with(F.col("q"), lits, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pdist = None
+    for j in range(_JL_DIMS):
+        term = dot_signs(signs[j]) - F.lit(y0[j]).cast("long")
+        sq = term * term
+        pdist = sq if pdist is None else pdist + sq
+    q0_lit = F.array(*[F.lit(v).cast("long") for v in q0])
+    qdist = F.aggregate(
+        F.zip_with(F.col("q"), q0_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.select(
+        "vec_id", pdist.alias("pdist"), qdist.alias("qdist")
+    )
+    ptop = (
+        scored.orderBy(F.col("pdist").asc(), F.col("vec_id").asc())
+        .limit(_JL_TOPK)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("pdist").asc(), F.col("vec_id").asc()))
+            .cast("long"),
+        )
+    )
+    etop = (
+        scored.orderBy(F.col("qdist").asc(), F.col("vec_id").asc())
+        .limit(_JL_TOPK)
+        .select("vec_id", F.lit(True).alias("_hit"))
+    )
+    return (
+        ptop.join(F.broadcast(etop), "vec_id", "left")
+        .select(
+            "rank",
+            "vec_id",
+            "pdist",
+            "qdist",
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("in_exact_top10"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald's sequential probability ratio test (SPRT) over daily conversions
+
+# H0: p = 0.48, H1: p = 0.52 (conversion = purchase share of the
+# purchase+click stream, ~0.5 in this corpus — the test runs near its
+# hardest operating point). alpha = beta = 0.05. Every ln is a literal
+# constant folded from the SAME double in both engines, quantized to
+# integer billionths; the cumulative LLR is then exact BIGINT. The
+# literals are CAST to DOUBLE explicitly: Spark parses a bare 0.52 /
+# 0.48 as DECIMAL division (different rounding), DuckDB as DOUBLE.
+def _sprt_c(num: float, den: float) -> str:
+    return (
+        f"CAST(floor(ln(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+        " * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+_SPRT_LA = _sprt_c(0.52, 0.48)
+_SPRT_LB = _sprt_c(0.48, 0.52)
+_SPRT_A = _sprt_c(0.95, 0.05)
+_SPRT_B = _sprt_c(0.05, 0.95)
+
+
+@register(
+    "sprt_ab_decision",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CASE WHEN CAST('0x' ||
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                        AS INT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(ts AS DATE) AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    daily AS (
+      SELECT variant, day, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS x
+      FROM ev GROUP BY variant, day
+    ),
+    cum AS (
+      SELECT variant, day,
+             SUM(x * {_SPRT_LA} + (n - x) * {_SPRT_LB}) OVER (
+               PARTITION BY variant ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS llr_q
+      FROM daily
+    ),
+    agg AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_days,
+             MIN(CASE WHEN llr_q >= {_SPRT_A} THEN day END) AS up_day,
+             MIN(CASE WHEN llr_q <= {_SPRT_B} THEN day END) AS dn_day,
+             CAST(arg_max(llr_q, day) AS BIGINT) AS final_llr_q
+      FROM cum GROUP BY variant
+    )
+    SELECT variant, n_days,
+           CASE WHEN up_day IS NOT NULL
+                     AND (dn_day IS NULL OR up_day <= dn_day)
+                THEN 'accept_h1'
+                WHEN dn_day IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           strftime(CASE WHEN up_day IS NOT NULL
+                              AND (dn_day IS NULL OR up_day <= dn_day)
+                         THEN up_day ELSE dn_day END,
+                    '%Y-%m-%d') AS decision_day,
+           final_llr_q
+    FROM agg ORDER BY variant
+    """,
+    doc="Wald's sequential probability ratio test per A/B variant — "
+    "the early-stopping leg of the experimentation family (CUPED / "
+    "Welch-t / Mann-Whitney are fixed-horizon): users md5-split into "
+    "variants, daily purchase-vs-click conversions accumulate a "
+    "log-likelihood ratio whose per-observation ln terms are literal "
+    "constants quantized to integer billionths (identical doubles "
+    "both engines), and each variant reports the first boundary "
+    "crossing (accept H1 at ln((1-b)/a), accept H0 at ln(b/(1-a)), "
+    "else continue) plus its final LLR. The cumulative sum, crossing "
+    "days and decision are exact BIGINT/date arithmetic. Scale shape: "
+    "one scan -> (variant, day) map-side-combined aggregate; the "
+    "cumulative window and decision logic run on the calendar-bounded "
+    "daily relation.",
+)
+def sprt_ab_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h1 = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+    base = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        F.when(F.conv(h1, 16, 10).cast("int") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        F.col("ts").cast("date").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    daily = base.groupBy("variant", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("x"),
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "variant",
+        "day",
+        F.sum(
+            F.col("x") * F.expr(_SPRT_LA)
+            + (F.col("n") - F.col("x")) * F.expr(_SPRT_LB)
+        )
+        .over(w)
+        .alias("llr_q"),
+    )
+    agg = cum.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.min(
+            F.when(F.col("llr_q") >= F.expr(_SPRT_A), F.col("day"))
+        ).alias("up_day"),
+        F.min(
+            F.when(F.col("llr_q") <= F.expr(_SPRT_B), F.col("day"))
+        ).alias("dn_day"),
+        F.expr("max_by(llr_q, day)").cast("long").alias("final_llr_q"),
+    )
+    up_first = F.col("up_day").isNotNull() & (
+        F.col("dn_day").isNull() | (F.col("up_day") <= F.col("dn_day"))
+    )
+    return agg.select(
+        "variant",
+        "n_days",
+        F.when(up_first, "accept_h1")
+        .when(F.col("dn_day").isNotNull(), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+        F.date_format(
+            F.when(up_first, F.col("up_day")).otherwise(F.col("dn_day")),
+            "yyyy-MM-dd",
+        ).alias("decision_day"),
+        "final_llr_q",
+    ).orderBy("variant")

@@ -1,0 +1,215 @@
+"""Round-13 continuation tests: independent replications (pure
+Python/numpy, no DuckDB) of the five new statistics queries, plus the
+structural invariants each family owes — the same two-witness pattern
+(oracle + replication) the round-12 GLM stack established."""
+
+import hashlib
+import math
+
+import pytest
+
+from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return REGISTRY[name].build(spark, SF).collect()
+
+
+@pytest.fixture(scope="module")
+def events_pd(spark):
+    return (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type", "value", "ts")
+        .toPandas()
+    )
+
+
+def test_ks_matches_pure_python(spark, events_pd):
+    df = events_pd[events_pd.event_type.isin(["purchase", "click"])]
+    v_c = (df.value * 100 + 0.5).astype("int64")
+    p = sorted(v_c[df.event_type == "purchase"])
+    c = sorted(v_c[df.event_type == "click"])
+    n1, n2 = len(p), len(c)
+    best, at = -1, None
+    for v in sorted(set(p) | set(c)):
+        f1 = sum(1 for x in p if x <= v)
+        f2 = sum(1 for x in c if x <= v)
+        dn = abs(n2 * f1 - n1 * f2)
+        if dn > best:
+            best, at = dn, v
+    (row,) = _rows(spark, "ks_two_sample_value")
+    assert (row.n_purchase, row.n_click) == (n1, n2)
+    assert row.d_num == best
+    assert row.at_value_c == at
+    assert row.d_q == int(best * 1_000_000.0 / (float(n1) * float(n2)) + 0.5)
+
+
+def test_brier_decomposition_identity_and_replication(spark):
+    import pandas as pd  # noqa: F401
+
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_orderstatus")
+        .toPandas()
+    )
+    Q = 10_000
+    orders["y"] = (orders.o_orderstatus == "F").astype(int)
+    orders["yr"] = orders.o_orderdate.map(lambda d: d.year)
+    orders["split"] = orders.o_orderkey.map(
+        lambda k: 0
+        if hashlib.md5(str(k).encode()).hexdigest()[:2] < "80"
+        else 1
+    )
+    tr = orders[orders.split == 0].groupby(["o_orderpriority", "yr"])["y"]
+    p_q = {k: (int(g.sum()) * Q) // int(g.count()) for k, g in tr}
+    ev = orders[orders.split == 1]
+    ev = ev[[k in p_q for k in zip(ev.o_orderpriority, ev.yr)]]
+    bins = {}
+    for pri, yr, y in zip(ev.o_orderpriority, ev.yr, ev.y):
+        n, o = bins.get((pri, yr), (0, 0))
+        bins[(pri, yr)] = (n + 1, o + int(y))
+    n_ev = sum(n for n, _ in bins.values())
+    o_ev = sum(o for _, o in bins.values())
+    b_num = sum(
+        n * p_q[k] * p_q[k] - 2 * p_q[k] * o * Q + o * Q * Q
+        for k, (n, o) in bins.items()
+    )
+    rel = sum(
+        math.floor(
+            n * (p_q[k] / Q - o / n) * (p_q[k] / Q - o / n) * 1e6 + 0.5
+        )
+        for k, (n, o) in bins.items()
+    )
+    res = sum(
+        math.floor(
+            n * (o / n - o_ev / n_ev) * (o / n - o_ev / n_ev) * 1e6 + 0.5
+        )
+        for k, (n, o) in bins.items()
+    )
+    (row,) = _rows(spark, "brier_decomposition")
+    assert row.n_eval == n_ev and row.n_bins == len(bins)
+    assert row.brier_q == math.floor(b_num * 1e6 / (Q * Q * n_ev) + 0.5)
+    assert (row.rel_num_q, row.res_num_q) == (rel, res)
+    # Murphy identity: brier = rel/N - res/N + unc, up to the per-bin
+    # quantization (each of ~n_bins terms floors once at 1e-6).
+    lhs = row.brier_q / 1e6
+    rhs = (row.rel_num_q - row.res_num_q) / 1e6 / n_ev + row.unc_q / 1e6
+    assert abs(lhs - rhs) <= (row.n_bins + 2) / 1e6 * max(1, 1e6 / n_ev) + 1e-4
+
+
+def test_zipf_slope_matches_numpy(spark):
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    counts: dict = {}
+    for t in docs.text:
+        if not t or not t.strip():
+            continue
+        for w in t.strip().lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    x = np.array(
+        [math.floor(math.log(r + 1) * 1e6 + 0.5) for r in range(len(top))],
+        dtype=np.int64,
+    )
+    y = np.array(
+        [math.floor(math.log(c) * 1e6 + 0.5) for _, c in top],
+        dtype=np.int64,
+    )
+    n = len(top)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy = int((x * x).sum()), int((x * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    (row,) = _rows(spark, "zipf_slope_tokens")
+    assert row.n_ranked == n
+    # libm ln differences between JVM/Python stay inside a few ulps —
+    # allow 2 quanta on the quantized slope.
+    assert abs(row.slope_q - math.floor(slope * 1e6 + 0.5)) <= 2
+    assert row.slope_q < 0  # Zipf: frequency falls with rank
+    assert 0 <= row.r2_q <= 1_000_000
+
+
+def test_jl_projection_probe_and_recall(spark):
+    rows = _rows(spark, "jl_projection_top10")
+    assert len(rows) == 10
+    assert [r.rank for r in rows] == list(range(1, 11))
+    first = rows[0]
+    # the probe matches itself exactly in both spaces
+    assert (first.vec_id, first.pdist, first.qdist) == (0, 0, 0)
+    assert first.in_exact_top10 is True
+    # projected distances are sorted by construction
+    pd_ = [r.pdist for r in rows]
+    assert pd_ == sorted(pd_)
+
+
+def test_jl_projection_distances_match_numpy(spark):
+    import numpy as np
+
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        qlsh_signs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    E = np.stack(emb.embedding.to_numpy()).astype(np.float64) * 127.0
+    Q = (np.sign(E) * np.floor(np.abs(E) + 0.5)).astype(np.int64)
+    S = np.array(qlsh_signs(16, 64, salt="jl:"), dtype=np.int64).T
+    Y = Q @ S
+    ids = emb.vec_id.to_numpy()
+    i0 = int(np.where(ids == 0)[0][0])
+    pdist = ((Y - Y[i0]) ** 2).sum(axis=1)
+    qdist = ((Q - Q[i0]) ** 2).sum(axis=1)
+    by_id = {int(v): (int(p), int(q)) for v, p, q in zip(ids, pdist, qdist)}
+    for r in _rows(spark, "jl_projection_top10"):
+        assert by_id[r.vec_id] == (r.pdist, r.qdist)
+
+
+def test_sprt_matches_pure_python(spark, events_pd):
+    df = events_pd[events_pd.event_type.isin(["purchase", "click"])]
+    la = math.floor(math.log(0.52 / 0.48) * 1e9 + 0.5)
+    lb = math.floor(math.log(0.48 / 0.52) * 1e9 + 0.5)
+    a_q = math.floor(math.log(0.95 / 0.05) * 1e9 + 0.5)
+    b_q = math.floor(math.log(0.05 / 0.95) * 1e9 + 0.5)
+    daily: dict = {}
+    for uid, et, ts in zip(df.user_id, df.event_type, df.ts):
+        variant = (
+            "A"
+            if int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) % 2
+            == 0
+            else "B"
+        )
+        k = (variant, ts.date())
+        n, x = daily.get(k, (0, 0))
+        daily[k] = (n + 1, x + (1 if et == "purchase" else 0))
+    expected = {}
+    for variant in ("A", "B"):
+        days = sorted(d for v, d in daily if v == variant)
+        cum, up, dn, final = 0, None, None, 0
+        for d in days:
+            n, x = daily[(variant, d)]
+            cum += x * la + (n - x) * lb
+            if up is None and cum >= a_q:
+                up = d
+            if dn is None and cum <= b_q:
+                dn = d
+            final = cum
+        if up is not None and (dn is None or up <= dn):
+            decision, dday = "accept_h1", up
+        elif dn is not None:
+            decision, dday = "accept_h0", dn
+        else:
+            decision, dday = "continue", None
+        expected[variant] = (
+            len(days),
+            decision,
+            dday.isoformat() if dday else None,
+            final,
+        )
+    for r in _rows(spark, "sprt_ab_decision"):
+        assert expected[r.variant] == (
+            r.n_days,
+            r.decision,
+            r.decision_day,
+            r.final_llr_q,
+        ), r.variant
