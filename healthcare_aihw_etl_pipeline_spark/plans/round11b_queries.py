@@ -1004,39 +1004,15 @@ _NA_QUANT = 1_000_000_000
     "(pct_change views) to event-history statistics.",
 )
 def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    horizon = ev.agg(F.max("ts").alias("horizon"))
-    # KM's three-scan shape on purpose: each leg AGGREGATES to user
-    # grain map-side before its exchange, so the shuffled volume is
-    # |users|, not |events|. A single-scan user-window variant was
-    # measured (1.81 s vs 2.03 s at sf10 — noise-level locally) and
-    # REJECTED: WindowExec shuffles the full event stream with no
-    # partial aggregation, the wrong trade at 100 TB.
-    s = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+    from healthcare_aihw_etl_pipeline_spark.operators.survival import (
+        signup_purchase_durations,
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s, "user_id")
-        .where(F.col("ts") >= F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    d = (
-        s.join(p, "user_id", "left")
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.when(F.col("p_ts").isNotNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("evt"),
-            F.expr(
-                "timestampdiff(MICROSECOND, s_ts, coalesce(p_ts, horizon))"
-                f" div {_NA_DAY_US}"
-            ).alias("dur"),
-        )
-    )
+
+    # Shared duration relation (operators/survival.py): two fact scans
+    # with map-side user-grain aggregation + the footer-statistics
+    # horizon (was three scans; the scan-count rationale lives with
+    # the operator).
+    d = signup_purchase_durations(spark, sf_dir)
     km = d.groupBy("dur").agg(
         F.sum("evt").alias("d_t"),
         F.sum(F.lit(1) - F.col("evt")).alias("c_t"),

@@ -203,31 +203,15 @@ _DAY_US = 86_400_000_000
     "standard score test and carries the entire distributed design.",
 )
 def cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    horizon = ev.agg(F.max("ts").alias("horizon"))
-    s = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+    from healthcare_aihw_etl_pipeline_spark.operators.survival import (
+        signup_purchase_durations,
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s, "user_id")
-        .where(F.col("ts") >= F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    d = (
-        s.join(p, "user_id", "left")
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            (F.col("user_id") % 2).alias("x"),
-            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("evt"),
-            F.expr(
-                "timestampdiff(MICROSECOND, s_ts, coalesce(p_ts, horizon))"
-                f" div {_DAY_US}"
-            ).alias("dur"),
-        )
+
+    # Shared duration relation (operators/survival.py): two fact scans
+    # with map-side user-grain aggregation + the footer-statistics
+    # horizon — a metadata read replaced what used to be a third scan.
+    d = signup_purchase_durations(
+        spark, sf_dir, extra={"x": F.col("user_id") % 2}
     )
     byt = d.groupBy("dur").agg(
         F.count(F.lit(1)).cast("long").alias("n_t"),

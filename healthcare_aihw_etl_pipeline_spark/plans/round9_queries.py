@@ -110,42 +110,30 @@ _DAY_US = 86_400_000_000
 def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    horizon = ev.agg(F.max("ts").alias("horizon"))
-    s = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+    from healthcare_aihw_etl_pipeline_spark.operators.survival import (
+        signup_purchase_durations,
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(s, "user_id")
-        .where(F.col("ts") >= F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    d = (
-        s.join(p, "user_id", "left")
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("evt"),
-            F.expr(
-                "timestampdiff(MICROSECOND, s_ts, coalesce(p_ts, horizon))"
-                f" div {_DAY_US}"
-            ).alias("dur"),
-        )
-    )
+
+    # Shared duration relation (operators/survival.py): two fact scans
+    # + the footer-statistics horizon.
+    d = signup_purchase_durations(spark, sf_dir)
     km = d.groupBy("dur").agg(
         F.sum("evt").cast("long").alias("d_t"),
         F.sum(F.lit(1) - F.col("evt")).cast("long").alias("c_t"),
     )
-    total = d.agg(F.count(F.lit(1)).alias("_n"))
+    # n_risk from the bounded km relation itself (wall-window total -
+    # exclusive prefix, the nelson_aalen identity): the old separate
+    # `total` aggregate re-ran the ENTIRE duration pipeline a second
+    # time just to fetch one scalar.
     wcum = Window.orderBy("dur").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w = km.crossJoin(F.broadcast(total)).withColumn(
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = km.withColumn(
         "n_risk",
-        F.col("_n")
+        F.sum(F.col("d_t") + F.col("c_t")).over(wall)
         - F.coalesce(F.sum(F.col("d_t") + F.col("c_t")).over(wcum), F.lit(0)),
     )
     term_q = F.when(

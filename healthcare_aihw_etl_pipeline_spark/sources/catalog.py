@@ -113,6 +113,59 @@ def table_rows(sf_dir: str, name: str) -> int | None:
     return n
 
 
+_HORIZON_CACHE: dict[str, object] = {}
+
+
+def events_horizon_us(sf_dir: str):
+    """Exact corpus horizon MAX(events.ts) as a naive microsecond
+    datetime, read from parquet footer COLUMN statistics — the second
+    table-statistics primitive beside :func:`table_rows` (a metastore
+    serves both; at 100 TB this is a metadata read instead of a full
+    fact scan). Exactness: parquet min/max statistics for INT64
+    timestamps are exact (no truncation class like strings), so the
+    footer max over all row groups EQUALS the scan's MAX(ts); for the
+    TIMESTAMP(NANOS) physical variant the µs-truncated statistic equals
+    load_table's `ts DIV 1000` floor conversion, but pyarrow's typed
+    accessor is not guaranteed there, so only the MICROS physical type
+    is served — anything else returns None and callers fall back to
+    the aggregate scan. Survival-family queries splice the value as a
+    TIMESTAMP_NTZ literal (the ANN-probe plan-parameter discipline)."""
+    hit = _HORIZON_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    try:
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(f"{sf_dir}/events.parquet")
+        t = f.schema_arrow.field("ts").type
+        if not str(t).startswith("timestamp[us"):
+            return None
+        md = f.metadata
+        idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        best = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max
+            if not isinstance(mx, datetime.datetime):
+                return None
+            if best is None or mx > best:
+                best = mx
+    except Exception:
+        return None
+    if best is None:
+        return None
+    _HORIZON_CACHE[sf_dir] = best
+    return best
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the full corpus as a dict of lazy DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

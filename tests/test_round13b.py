@@ -213,3 +213,41 @@ def test_sprt_matches_pure_python(spark, events_pd):
             r.decision_day,
             r.final_llr_q,
         ), r.variant
+
+
+def test_events_horizon_footer_equals_scan(spark):
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import (
+        events_horizon_us,
+        load_table,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        hz = events_horizon_us(sf)
+        if hz is None:  # footer stats absent: fallback path covers it
+            continue
+        from pyspark.sql import functions as F
+
+        scan = load_table(spark, sf, "events").agg(F.max("ts")).first()[0]
+        assert hz == scan, (sf, hz, scan)
+
+
+def test_survival_family_scan_counts(spark, sf_dir):
+    """The shared duration relation must keep the survival family at
+    TWO fact scans total: the signup leg materializes once at build
+    (eager checkpoint — so the served plan scans parquet exactly ONCE,
+    the purchase leg), the footer-statistics horizon replaced the old
+    third scan, and KM's `total` re-run of the whole pipeline is gone."""
+    import re
+
+    from tests.test_plans import fresh_plan
+
+    def scan_count(plan: str) -> int:
+        return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+
+    for name in (
+        "kaplan_meier_conversion",
+        "nelson_aalen_hazard",
+        "cox_hazard_newton",
+    ):
+        p = fresh_plan(spark, sf_dir, name)
+        assert scan_count(p) == 1, (name, p)
