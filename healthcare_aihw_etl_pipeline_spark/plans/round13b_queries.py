@@ -706,3 +706,217 @@ def sprt_ab_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decision_day"),
         "final_llr_q",
     ).orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon–Matias–Szegedy) F2 sketch — second-moment estimation
+
+# k independent ±1 estimators over the md5 hash stream 'f2:{i},{token}'
+# (the qlsh_signs salting discipline): Z_i = sum_t cnt_t * s_i(t),
+# E[Z_i^2] = F2. Vocab-first: counts aggregate on the token domain
+# BEFORE the k sign expressions run, so the md5-per-estimator cost is
+# |vocab| * k, never |occurrences| * k — the same law that made BPE the
+# only sf10 finisher. Everything is exact integer arithmetic: Z_i,
+# Z_i^2, the mean estimate (exact div), the exact F2 and the ppm error.
+# int64 bound: |Z_i| <= total token occurrences and F2 <= (max cnt)^2
+# * |vocab| — both < 2^63 to ~1e9-occurrence corpora per shard
+# (documented corpus contract, the Gini DECIMAL class).
+_AMS_K = 16
+
+
+def _ams_sign_sql(i: int) -> str:
+    """DuckDB sign expression ('0x' hex cast)."""
+    return (
+        f"CASE WHEN CAST('0x' || substring(md5('f2:{i},' || token), 1, 1)"
+        " AS INT) % 2 = 1 THEN 1 ELSE -1 END"
+    )
+
+
+def _ams_sign_spark(i: int) -> str:
+    """Spark twin of :func:`_ams_sign_sql` — same first-nibble parity
+    via conv() (Spark cannot CAST '0x…' strings to INT; conv ==
+    CAST('0x'||…) on hex digits, the DSIR bucket-hash convention)."""
+    return (
+        "CASE WHEN CAST(conv(substring(md5(concat('f2:"
+        f"{i},', token)), 1, 1), 16, 10) AS INT) % 2 = 1"
+        " THEN 1 ELSE -1 END"
+    )
+
+
+@register(
+    "ams_f2_tokens",
+    oracle=f"""
+    WITH counts AS (
+      SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE t <> '' GROUP BY t
+    ),
+    z AS (
+      SELECT
+        {", ".join(f"CAST(SUM(cnt * ({_ams_sign_sql(i)})) AS BIGINT) AS z{i}"
+                   for i in range(_AMS_K))},
+        CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens_distinct
+      FROM counts
+    )
+    SELECT n_tokens_distinct, exact_f2,
+           CAST(({" + ".join(f"z{i} * z{i}" for i in range(_AMS_K))})
+                // {_AMS_K} AS BIGINT) AS est_f2,
+           CAST(abs(({" + ".join(f"z{i} * z{i}" for i in range(_AMS_K))})
+                // {_AMS_K} - exact_f2) * 1000000 // exact_f2 AS BIGINT)
+             AS err_ppm
+    FROM z
+    """,
+    doc="AMS F2 sketch — the second-moment estimator that completes "
+    "the sketch family (HLL=F0, CMS=point counts, quantile, theta, "
+    "bloom): 16 independent +/-1 md5-derived estimators ('f2:' salt — "
+    "the qlsh_signs stream discipline), Z_i = sum cnt_t * s_i(t), "
+    "mean of Z_i^2 estimates sum cnt^2. Vocab-first: token counts "
+    "aggregate BEFORE the k sign expressions, so the md5 cost is "
+    "|vocab| x 16, never |occurrences| x 16; per-shard sketches roll "
+    "up by adding the Z vectors (linear sketch), exactly like the CMS "
+    "family. The estimate, the exact F2 (computed beside it from the "
+    "same counts) and the ppm error are pure BIGINT — hash-exact at "
+    "any sf. Scale shape: one token explode + map-side-combined "
+    "counts + one wide aggregate.",
+)
+def ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.trim(F.col("text")) != ""
+    )
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    aggs = [
+        F.sum(F.col("cnt") * F.expr(_ams_sign_spark(i)))
+        .cast("long")
+        .alias(f"z{i}")
+        for i in range(_AMS_K)
+    ]
+    z = counts.agg(
+        *aggs,
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("exact_f2"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_distinct"),
+    )
+    sq = " + ".join(f"z{i} * z{i}" for i in range(_AMS_K))
+    return z.select(
+        "n_tokens_distinct",
+        "exact_f2",
+        F.expr(f"({sq}) div {_AMS_K}").alias("est_f2"),
+        F.expr(
+            f"abs(({sq}) div {_AMS_K} - exact_f2) * 1000000 div exact_f2"
+        ).alias("err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value encoding
+
+# The scorecard-modeling feature screen: per (mktsegment x balance-sign)
+# bin, WOE = ln((good_share)/(bad_share)) with add-0 guard via the
+# add-1-smoothed shares (the DSIR smoothing discipline), IV term =
+# (g/G - b/B) * WOE. WOE quantizes through the shared ln expression on
+# exact integers; the IV term carries its two rationals through ONE
+# identically-written double formula per bounded bin, quantized before
+# any sum. Outcome: customer has >= 1 'F' (fulfilled) order.
+_WOE_GS = "((CAST(g AS DOUBLE) + 1.0) / (CAST(gt AS DOUBLE) + CAST(nb AS DOUBLE)))"
+_WOE_BS = "((CAST(b AS DOUBLE) + 1.0) / (CAST(bt AS DOUBLE) + CAST(nb AS DOUBLE)))"
+_WOE_LN = (
+    f"CAST(floor(ln({_WOE_GS} / {_WOE_BS})"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+_WOE_IV = (
+    f"CAST(floor(({_WOE_GS} - {_WOE_BS})"
+    f" * (ln({_WOE_GS} / {_WOE_BS}))"
+    " * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "woe_iv_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c.c_custkey, c.c_mktsegment AS seg,
+             CASE WHEN c.c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bal,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+             ) THEN 1 ELSE 0 END AS y
+      FROM customer c
+    ),
+    bins AS (
+      SELECT seg, bal, CAST(SUM(y) AS BIGINT) AS g,
+             CAST(SUM(1 - y) AS BIGINT) AS b
+      FROM cust GROUP BY seg, bal
+    ),
+    tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS gt, CAST(SUM(b) AS BIGINT) AS bt,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM bins
+    )
+    SELECT seg, bal, g AS n_good, b AS n_bad,
+           {_WOE_LN} AS woe_q,
+           {_WOE_IV} AS iv_term_q
+    FROM bins CROSS JOIN tot
+    ORDER BY seg, bal
+    """,
+    doc="Weight-of-evidence / information-value feature screen (the "
+    "scorecard-modeling standard): per (market segment x balance sign) "
+    "bin, WOE = ln(good share / bad share) with add-1 smoothing (the "
+    "DSIR discipline — no zero-bin infinities) and the IV term "
+    "(g/G - b/B) * WOE, the additive measure of a feature's predictive "
+    "power; outcome = customer has a fulfilled order (a semi-join "
+    "flag, never an orders fan-out). WOE quantizes to millionths and "
+    "each IV term carries its rationals through a single "
+    "identically-written double formula per BOUNDED bin (segments x 2), "
+    "so every output is exact BIGINT. Scale shape: one orders "
+    "semi-join aggregated to customer grain map-side, one bounded "
+    "groupBy, all ratio math on the 10-row bin relation.",
+)
+def woe_iv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f_orders = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    base = (
+        cust.join(
+            f_orders.withColumn("_has_f", F.lit(1)), "c_custkey", "left"
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("c_acctbal") >= 0, "pos").otherwise("neg").alias(
+                "bal"
+            ),
+            F.coalesce(F.col("_has_f"), F.lit(0)).alias("y"),
+        )
+    )
+    bins = base.groupBy("seg", "bal").agg(
+        F.sum("y").cast("long").alias("g"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("b"),
+    )
+    tot = bins.agg(
+        F.sum("g").cast("long").alias("gt"),
+        F.sum("b").cast("long").alias("bt"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "bal",
+            F.col("g").alias("n_good"),
+            F.col("b").alias("n_bad"),
+            F.expr(_WOE_LN).alias("woe_q"),
+            F.expr(_WOE_IV).alias("iv_term_q"),
+        )
+        .orderBy("seg", "bal")
+    )

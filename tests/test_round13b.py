@@ -251,3 +251,65 @@ def test_survival_family_scan_counts(spark, sf_dir):
     ):
         p = fresh_plan(spark, sf_dir, name)
         assert scan_count(p) == 1, (name, p)
+
+
+def test_ams_f2_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    counts: dict = {}
+    for t in docs.text:
+        if not t or not t.strip():
+            continue
+        for w in t.strip().lower().split():
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    K = 16
+    z = [0] * K
+    for tok, c in counts.items():
+        for i in range(K):
+            s = (
+                1
+                if int(
+                    hashlib.md5(f"f2:{i},{tok}".encode()).hexdigest()[0], 16
+                )
+                % 2
+                == 1
+                else -1
+            )
+            z[i] += c * s
+    exact = sum(c * c for c in counts.values())
+    est = sum(v * v for v in z) // K
+    (row,) = _rows(spark, "ams_f2_tokens")
+    assert row.n_tokens_distinct == len(counts)
+    assert row.exact_f2 == exact
+    assert row.est_f2 == est
+    assert row.err_ppm == abs(est - exact) * 1_000_000 // exact
+
+
+def test_woe_iv_replication_and_nonnegative_iv(spark):
+    rows = _rows(spark, "woe_iv_segments")
+    assert len(rows) >= 5  # segments x balance signs present in corpus
+    cust = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    f_cust = set(orders[orders.o_orderstatus == "F"].o_custkey)
+    bins: dict = {}
+    for ck, seg, bal in zip(cust.c_custkey, cust.c_mktsegment, cust.c_acctbal):
+        k = (seg, "pos" if bal >= 0 else "neg")
+        g, b = bins.get(k, (0, 0))
+        if ck in f_cust:
+            bins[k] = (g + 1, b)
+        else:
+            bins[k] = (g, b + 1)
+    gt = sum(g for g, _ in bins.values())
+    bt = sum(b for _, b in bins.values())
+    nb = len(bins)
+    for r in rows:
+        g, b = bins[(r.seg, r.bal)]
+        assert (r.n_good, r.n_bad) == (g, b), (r.seg, r.bal)
+        gs = (g + 1.0) / (gt + float(nb))
+        bs = (b + 1.0) / (bt + float(nb))
+        assert r.woe_q == math.floor(math.log(gs / bs) * 1e6 + 0.5)
+        assert r.iv_term_q == math.floor(
+            (gs - bs) * math.log(gs / bs) * 1e9 + 0.5
+        )
+        # (a-b) and ln(a/b) share a sign, so every IV term is >= 0
+        assert r.iv_term_q >= 0
