@@ -50,6 +50,7 @@ OPS = [
     # old letter residues, re-measured same-run
     "token_shard_plan",
     "twap_event_value",
+    "cdc_chunk_stats",
     "skyline_orders",
     "asof_purchase_lag",
 ]

@@ -313,3 +313,72 @@ def test_woe_iv_replication_and_nonnegative_iv(spark):
         )
         # (a-b) and ln(a/b) share a sign, so every IV term is >= 0
         assert r.iv_term_q >= 0
+
+
+def test_cdc_chunk_stats_matches_pure_python(spark):
+    W, MOD, MIX, MASK = 16, 64, 2654435761, 1 << 20
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    per_source: dict = {}
+    for doc_id, src, t in zip(docs.doc_id, docs.source, docs.text):
+        if not t or not t.strip():
+            continue
+        n = len(t)
+        gear = [(ord(c) * MIX) % MASK for c in t]
+        ends = [
+            i
+            for i in range(W, n)  # 1-based boundary i in [W, n)
+            if sum(gear[i - 1 - k] * (1 << k) for k in range(W)) % MOD == 0
+        ]
+        starts = [1] + [e + 1 for e in ends]
+        stops = ends + [n]
+        rec = per_source.setdefault(src, {"docs": set(), "lens": [], "hs": []})
+        rec["docs"].add(doc_id)
+        for s, e in zip(starts, stops):
+            rec["lens"].append(e - s + 1)
+            rec["hs"].append(
+                hashlib.md5(t[s - 1 : e].encode()).hexdigest()
+            )
+    rows = _rows(spark, "cdc_chunk_stats")
+    assert {r.source for r in rows} == set(per_source)
+    for r in rows:
+        rec = per_source[r.source]
+        assert r.n_docs == len(rec["docs"])
+        assert r.n_chunks == len(rec["lens"])
+        assert r.chars_total == sum(rec["lens"])
+        assert r.avg_len_c == sum(rec["lens"]) * 100 // len(rec["lens"])
+        assert r.n_distinct_chunks == len(set(rec["hs"]))
+        assert r.dup_chunks == len(rec["hs"]) - len(set(rec["hs"]))
+
+
+def test_cdc_position_shift_invariance(spark):
+    """The CDC property fixed-size chunking lacks: a shared substring
+    far from both documents' starts must produce identical interior
+    chunk hashes regardless of the (different-length) prefixes."""
+    import hashlib as hl
+
+    W, MOD, MIX, MASK = 16, 64, 2654435761, 1 << 20
+
+    def chunks(t):
+        n = len(t)
+        gear = [(ord(c) * MIX) % MASK for c in t]
+        ends = [
+            i
+            for i in range(W, n)
+            if sum(gear[i - 1 - k] * (1 << k) for k in range(W)) % MOD == 0
+        ]
+        starts = [1] + [e + 1 for e in ends]
+        stops = ends + [n]
+        return [
+            hl.md5(t[s - 1 : e].encode()).hexdigest()
+            for s, e in zip(starts, stops)
+        ]
+
+    import random
+
+    rng = random.Random(7)
+    shared = "".join(rng.choice("abcdefgh ") for _ in range(4000))
+    a = "PREFIX-A " + shared
+    b = "a different and much longer prefix here " + shared
+    ca, cb = set(chunks(a)), set(chunks(b))
+    # all interior chunks of the shared region coincide
+    assert len(ca & cb) >= max(1, len(ca) - 3)
