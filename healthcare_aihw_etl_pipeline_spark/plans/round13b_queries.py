@@ -394,7 +394,6 @@ _ZIPF_R2_Q = (
     "bounded rows.",
 )
 def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
     from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
 
     docs = load_table(spark, sf_dir, "documents").where(
@@ -406,6 +405,14 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return _zipf_fit(counts)
+
+
+def _zipf_fit(counts: DataFrame) -> DataFrame:
+    """The rank/fit surface over a (token, cnt) relation — shared by
+    the from-scratch form and the silver-served twin (cannot drift)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.relational import top_k
+
     # top_k pulls exactly the top-1000 under the same total order the
     # oracle ranks by, so re-ranking the bounded result locally equals
     # the oracle's global ROW_NUMBER.
@@ -803,6 +810,12 @@ def ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return _ams_from_counts(counts)
+
+
+def _ams_from_counts(counts: DataFrame) -> DataFrame:
+    """The estimator surface over a (token, cnt) relation — shared by
+    the from-scratch form and the silver-served twin."""
     aggs = [
         F.sum(F.col("cnt") * F.expr(_ams_sign_spark(i)))
         .cast("long")
@@ -1111,3 +1124,53 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Silver-served token-count twins (bronze -> silver, the sweep-family
+# discipline applied to the token-statistics floor). Oracles are the
+# ORIGINALS' oracles (raw-documents replay) pulled from the registry,
+# so a hash match proves the vocabulary silver faithful.
+
+from healthcare_aihw_etl_pipeline_spark.plans.registry import REGISTRY as _REG
+
+_ZIPF_ORACLE = _REG["zipf_slope_tokens"].oracle
+_AMS_ORACLE = _REG["ams_f2_tokens"].oracle
+
+
+@register(
+    "zipf_slope_tokens_served",
+    oracle=_ZIPF_ORACLE,
+    doc="zipf_slope_tokens served from the materialized vocabulary "
+    "silver table (operators/text.served_token_counts): the round-13b "
+    "curve showed every token-statistics query pays the same "
+    "explode+count floor from scratch; a corpus-health dashboard asks "
+    "several against one documents snapshot, so the vocabulary "
+    "materializes once at ingest (mtime-keyed) and this twin costs a "
+    "columnar scan + TakeOrdered + the 1000-row fit. The oracle "
+    "replays the full explode from raw documents, so the hash match "
+    "proves the silver faithful; the from-scratch form stays "
+    "registered as the oracle path.",
+)
+def zipf_slope_tokens_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import (
+        served_token_counts,
+    )
+
+    return _zipf_fit(served_token_counts(spark, sf_dir))
+
+
+@register(
+    "ams_f2_tokens_served",
+    oracle=_AMS_ORACLE,
+    doc="ams_f2_tokens served from the materialized vocabulary silver "
+    "table — scan + one wide aggregate per query (see "
+    "zipf_slope_tokens_served); the linear-sketch Z vector computes "
+    "over the silver vocabulary with identical integer arithmetic.",
+)
+def ams_f2_tokens_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import (
+        served_token_counts,
+    )
+
+    return _ams_from_counts(served_token_counts(spark, sf_dir))

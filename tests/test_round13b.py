@@ -382,3 +382,16 @@ def test_cdc_position_shift_invariance(spark):
     ca, cb = set(chunks(a)), set(chunks(b))
     # all interior chunks of the shared region coincide
     assert len(ca & cb) >= max(1, len(ca) - 3)
+
+
+def test_token_count_served_twins_match_from_scratch(spark):
+    for served, original in (
+        ("zipf_slope_tokens_served", "zipf_slope_tokens"),
+        ("ams_f2_tokens_served", "ams_f2_tokens"),
+    ):
+        sdf = REGISTRY[served].build(spark, SF)
+        odf = REGISTRY[original].build(spark, SF)
+        assert sdf.columns == odf.columns, served
+        assert sorted(map(tuple, sdf.collect())) == sorted(
+            map(tuple, odf.collect())
+        ), served
