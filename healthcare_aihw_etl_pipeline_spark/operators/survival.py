@@ -33,18 +33,9 @@ from healthcare_aihw_etl_pipeline_spark.sources.catalog import (
 DAY_US = 86_400_000_000
 
 
-def signup_purchase_durations(
-    spark: SparkSession,
-    sf_dir: str,
-    *,
-    extra: dict[str, object] | None = None,
-) -> DataFrame:
-    """(evt, dur[, *extra]) — one row per user with a signup event:
-    evt = 1 when a purchase at-or-after the first signup exists (else
-    right-censored at the corpus horizon), dur = whole days from first
-    signup to first qualifying purchase (or horizon). `extra` adds
-    named columns evaluated on the joined user relation (e.g. the Cox
-    treatment arm ``{"x": F.col("user_id") % 2}``)."""
+def _user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, s_ts, p_ts) — first signup + first qualifying
+    purchase per user, built from scratch (two fact scans)."""
     ev = load_table(spark, sf_dir, "events")
     # The signup relation feeds BOTH the purchase-qualification join
     # and the left side of the censoring join; materialize it once
@@ -67,11 +58,67 @@ def signup_purchase_durations(
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
     )
-    joined = s.join(p, "user_id", "left")
+    return s.join(p, "user_id", "left")
+
+
+def served_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`_user_spans` SERVED from a materialized silver table
+    (bronze → silver, the served_boundary_segments discipline). The
+    span relation is HORIZON-INDEPENDENT — censoring applies at serve
+    time with the footer-statistics horizon — so one ingest-time
+    materialization serves every survival estimator against the same
+    events snapshot; per-query cost drops from two fact scans + two
+    user-grain exchanges to a slim columnar scan. mtime-keyed per
+    sf_dir; the from-scratch form stays the oracle path."""
+    import os
+    import tempfile
+
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import (
+        invalidate,
+        watch_path,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_user_spans",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    success = os.path.join(base, "_SUCCESS")
+    watch_path(sf_dir, success)
+    if not os.path.exists(success) or os.path.getmtime(
+        success
+    ) < os.path.getmtime(src):
+        _user_spans(spark, sf_dir).write.mode("overwrite").parquet(base)
+        invalidate(sf_dir=sf_dir)
+    return spark.read.parquet(base)
+
+
+def signup_purchase_durations(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    extra: dict[str, object] | None = None,
+    served: bool = False,
+) -> DataFrame:
+    """(evt, dur[, *extra]) — one row per user with a signup event:
+    evt = 1 when a purchase at-or-after the first signup exists (else
+    right-censored at the corpus horizon), dur = whole days from first
+    signup to first qualifying purchase (or horizon). `extra` adds
+    named columns evaluated on the joined user relation (e.g. the Cox
+    treatment arm ``{"x": F.col("user_id") % 2}``). With ``served``
+    the span relation reads from the :func:`served_user_spans` silver
+    table instead of the fact scans."""
+    joined = (
+        served_user_spans(spark, sf_dir)
+        if served
+        else _user_spans(spark, sf_dir)
+    )
     hz = events_horizon_us(sf_dir)
     if hz is not None:
         href = f"TIMESTAMP_NTZ '{hz.isoformat(sep=' ')}'"
     else:
+        ev = load_table(spark, sf_dir, "events")
         joined = joined.crossJoin(
             F.broadcast(ev.agg(F.max("ts").alias("horizon")))
         )

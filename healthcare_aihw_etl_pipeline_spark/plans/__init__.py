@@ -337,7 +337,8 @@ _MUST_VERIFY_R13: list[str] = [
     "ks_two_sample_value", "brier_decomposition", "zipf_slope_tokens",
     "jl_projection_top10", "sprt_ab_decision", "ams_f2_tokens",
     "woe_iv_segments", "cdc_chunk_stats", "zipf_slope_tokens_served",
-    "ams_f2_tokens_served",
+    "ams_f2_tokens_served", "kaplan_meier_conversion_served",
+    "nelson_aalen_hazard_served", "cox_hazard_newton_served",
     "interval_sweep_profile_served", "max_concurrent_sessions_served",
     "interval_union_coverage_served", "knn_graph_topk",
     "mutual_knn_dedup_clusters", "unigram_lm_prune",

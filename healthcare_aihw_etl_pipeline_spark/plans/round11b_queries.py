@@ -1013,6 +1013,12 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # horizon (was three scans; the scan-count rationale lives with
     # the operator).
     d = signup_purchase_durations(spark, sf_dir)
+    return _na_surface(d)
+
+
+def _na_surface(d: DataFrame) -> DataFrame:
+    """The Nelson-Aalen estimator over a (evt, dur) relation — shared
+    by the from-scratch form and the silver-served twin."""
     km = d.groupBy("dur").agg(
         F.sum("evt").alias("d_t"),
         F.sum(F.lit(1) - F.col("evt")).alias("c_t"),

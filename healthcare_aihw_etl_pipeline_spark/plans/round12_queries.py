@@ -213,6 +213,13 @@ def cox_hazard_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = signup_purchase_durations(
         spark, sf_dir, extra={"x": F.col("user_id") % 2}
     )
+    return _cox_surface(d)
+
+
+def _cox_surface(d: DataFrame) -> DataFrame:
+    """The Cox partial-likelihood Newton step over a (x, evt, dur)
+    relation — shared by the from-scratch form and the silver-served
+    twin."""
     byt = d.groupBy("dur").agg(
         F.count(F.lit(1)).cast("long").alias("n_t"),
         F.sum("x").cast("long").alias("x_t"),

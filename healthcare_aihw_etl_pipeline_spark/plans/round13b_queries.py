@@ -1174,3 +1174,80 @@ def ams_f2_tokens_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _ams_from_counts(served_token_counts(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Silver-served survival twins: the (user, s_ts, p_ts) span relation is
+# HORIZON-INDEPENDENT, so one ingest-time materialization
+# (operators/survival.served_user_spans) serves every estimator;
+# censoring applies at serve time with the footer-statistics horizon.
+# Oracles are the ORIGINALS' full raw-events replays.
+
+_KM_ORACLE = _REG["kaplan_meier_conversion"].oracle
+_NA_ORACLE = _REG["nelson_aalen_hazard"].oracle
+_COX_ORACLE = _REG["cox_hazard_newton"].oracle
+
+
+def _served_durations(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.survival import (
+        signup_purchase_durations,
+    )
+
+    return signup_purchase_durations(spark, sf_dir, served=True, **kw)
+
+
+@register(
+    "kaplan_meier_conversion_served",
+    oracle=_KM_ORACLE,
+    doc="kaplan_meier_conversion served from the materialized user-span "
+    "silver table (operators/survival.served_user_spans): the span "
+    "relation (first signup, first qualifying purchase per user) is "
+    "horizon-independent, so it materializes once at ingest and every "
+    "survival estimator serves from a slim columnar scan + the "
+    "footer-statistics horizon — per-query cost drops from two fact "
+    "scans + two user-grain exchanges to the calendar-bounded "
+    "duration-grain math. Oracle replays the full pipeline from raw "
+    "events, so the hash match proves the silver faithful; the "
+    "from-scratch form stays registered as the oracle path.",
+)
+def kaplan_meier_conversion_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.plans.round9_queries import (
+        _km_surface,
+    )
+
+    return _km_surface(_served_durations(spark, sf_dir))
+
+
+@register(
+    "nelson_aalen_hazard_served",
+    oracle=_NA_ORACLE,
+    doc="nelson_aalen_hazard served from the user-span silver table — "
+    "see kaplan_meier_conversion_served.",
+)
+def nelson_aalen_hazard_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.plans.round11b_queries import (
+        _na_surface,
+    )
+
+    return _na_surface(_served_durations(spark, sf_dir))
+
+
+@register(
+    "cox_hazard_newton_served",
+    oracle=_COX_ORACLE,
+    doc="cox_hazard_newton served from the user-span silver table — "
+    "see kaplan_meier_conversion_served; the treatment arm derives "
+    "from the silver's user_id at serve time.",
+)
+def cox_hazard_newton_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.plans.round12_queries import (
+        _cox_surface,
+    )
+
+    return _cox_surface(
+        _served_durations(spark, sf_dir, extra={"x": F.col("user_id") % 2})
+    )

@@ -117,6 +117,14 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shared duration relation (operators/survival.py): two fact scans
     # + the footer-statistics horizon.
     d = signup_purchase_durations(spark, sf_dir)
+    return _km_surface(d)
+
+
+def _km_surface(d: DataFrame) -> DataFrame:
+    """The KM estimator over a (evt, dur) relation — shared by the
+    from-scratch form and the silver-served twin (cannot drift)."""
+    from pyspark.sql import Window
+
     km = d.groupBy("dur").agg(
         F.sum("evt").cast("long").alias("d_t"),
         F.sum(F.lit(1) - F.col("evt")).cast("long").alias("c_t"),

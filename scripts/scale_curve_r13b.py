@@ -47,6 +47,11 @@ OPS = [
     "kaplan_meier_conversion",
     "nelson_aalen_hazard",
     "cox_hazard_newton",
+    "kaplan_meier_conversion_served",
+    "nelson_aalen_hazard_served",
+    "cox_hazard_newton_served",
+    "zipf_slope_tokens_served",
+    "ams_f2_tokens_served",
     # old letter residues, re-measured same-run
     "token_shard_plan",
     "twap_event_value",

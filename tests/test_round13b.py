@@ -395,3 +395,17 @@ def test_token_count_served_twins_match_from_scratch(spark):
         assert sorted(map(tuple, sdf.collect())) == sorted(
             map(tuple, odf.collect())
         ), served
+
+
+def test_survival_served_twins_match_from_scratch(spark):
+    for served, original in (
+        ("kaplan_meier_conversion_served", "kaplan_meier_conversion"),
+        ("nelson_aalen_hazard_served", "nelson_aalen_hazard"),
+        ("cox_hazard_newton_served", "cox_hazard_newton"),
+    ):
+        sdf = REGISTRY[served].build(spark, SF)
+        odf = REGISTRY[original].build(spark, SF)
+        assert sdf.columns == odf.columns, served
+        assert sorted(map(tuple, sdf.collect())) == sorted(
+            map(tuple, odf.collect())
+        ), served
