@@ -280,3 +280,46 @@ def served_token_counts(spark, sf_dir: str):
         counts.write.mode("overwrite").parquet(base)
         invalidate(sf_dir=sf_dir)
     return spark.read.parquet(base)
+
+
+def served_doc_token_counts(spark, sf_dir: str):
+    """The slim per-document token-count relation (doc_id, n_tokens)
+    SERVED from a materialized silver table — the export-sharding
+    companion to :func:`served_token_counts` (vocabulary grain). The
+    tokenize pass is the data-proportional cost of token_shard_plan;
+    an export pipeline re-plans shards whenever the budget or shard
+    policy changes, against the same corpus snapshot — so the count
+    relation materializes once at ingest (mtime-keyed) and every
+    re-plan costs a 16-byte-per-row columnar scan."""
+    import os
+    import tempfile
+
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import (
+        invalidate,
+        watch_path,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_doc_token_counts",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    success = os.path.join(base, "_SUCCESS")
+    watch_path(sf_dir, success)
+    if not os.path.exists(success) or os.path.getmtime(
+        success
+    ) < os.path.getmtime(src):
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.trim(F.col("text")) != "")
+            .select(
+                "doc_id",
+                F.size(tokens("text")).cast("long").alias("n_tokens"),
+            )
+        )
+        docs.write.mode("overwrite").parquet(base)
+        invalidate(sf_dir=sf_dir)
+    return spark.read.parquet(base)

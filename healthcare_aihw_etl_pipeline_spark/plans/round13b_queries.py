@@ -1251,3 +1251,33 @@ def cox_hazard_newton_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cox_surface(
         _served_durations(spark, sf_dir, extra={"x": F.col("user_id") % 2})
     )
+
+
+# ---------------------------------------------------------------------------
+# Silver-served export sharding
+
+_SHARD_ORACLE = _REG["token_shard_plan"].oracle
+
+
+@register(
+    "token_shard_plan_served",
+    oracle=_SHARD_ORACLE,
+    doc="token_shard_plan served from the materialized per-document "
+    "token-count silver table (operators/text."
+    "served_doc_token_counts): the tokenize pass is the query's "
+    "data-proportional cost, and an export pipeline re-plans shards "
+    "whenever the budget or policy changes against the same corpus "
+    "snapshot — so the (doc_id, n_tokens) relation materializes once "
+    "at ingest and every re-plan costs a slim columnar scan + the "
+    "distributed prefix sum. Oracle replays the full tokenize from "
+    "raw documents; from-scratch form stays the oracle path.",
+)
+def token_shard_plan_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.text import (
+        served_doc_token_counts,
+    )
+    from healthcare_aihw_etl_pipeline_spark.plans.round8b_queries import (
+        _shard_surface,
+    )
+
+    return _shard_surface(served_doc_token_counts(spark, sf_dir))

@@ -212,6 +212,12 @@ def token_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    return _shard_surface(docs)
+
+
+def _shard_surface(docs: DataFrame) -> DataFrame:
+    """The budget-sharding surface over a (doc_id, n_tokens) relation —
+    shared by the from-scratch form and the silver-served twin."""
     sharded = shard_by_budget(docs, "doc_id", "n_tokens", _SHARD_TOKENS)
     return (
         sharded.groupBy("shard")

@@ -54,6 +54,7 @@ OPS = [
     "ams_f2_tokens_served",
     # old letter residues, re-measured same-run
     "token_shard_plan",
+    "token_shard_plan_served",
     "twap_event_value",
     "cdc_chunk_stats",
     "skyline_orders",

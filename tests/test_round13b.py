@@ -409,3 +409,12 @@ def test_survival_served_twins_match_from_scratch(spark):
         assert sorted(map(tuple, sdf.collect())) == sorted(
             map(tuple, odf.collect())
         ), served
+
+
+def test_token_shard_served_twin_matches_from_scratch(spark):
+    sdf = REGISTRY["token_shard_plan_served"].build(spark, SF)
+    odf = REGISTRY["token_shard_plan"].build(spark, SF)
+    assert sdf.columns == odf.columns
+    assert sorted(map(tuple, sdf.collect())) == sorted(
+        map(tuple, odf.collect())
+    )
