@@ -339,7 +339,7 @@ _MUST_VERIFY_R13: list[str] = [
     "woe_iv_segments", "cdc_chunk_stats", "zipf_slope_tokens_served",
     "ams_f2_tokens_served", "kaplan_meier_conversion_served",
     "nelson_aalen_hazard_served", "cox_hazard_newton_served",
-    "token_shard_plan_served",
+    "token_shard_plan_served", "lpa_communities_top20",
     "interval_sweep_profile_served", "max_concurrent_sessions_served",
     "interval_union_coverage_served", "knn_graph_topk",
     "mutual_knn_dedup_clusters", "unigram_lm_prune",

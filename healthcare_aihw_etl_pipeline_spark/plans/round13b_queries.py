@@ -669,12 +669,11 @@ _SPRT_B = _sprt_c(0.05, 0.95)
     "daily relation.",
 )
 def sprt_ab_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.streaming.sprt import variant_of
+
     ev = load_table(spark, sf_dir, "events")
-    h1 = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
     base = ev.where(F.col("event_type").isin("purchase", "click")).select(
-        F.when(F.conv(h1, 16, 10).cast("int") % 2 == 0, "A")
-        .otherwise("B")
-        .alias("variant"),
+        variant_of().alias("variant"),
         F.col("ts").cast("date").alias("day"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
     )
@@ -682,6 +681,14 @@ def sprt_ab_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("x"),
     )
+    return _sprt_surface(daily)
+
+
+def _sprt_surface(daily: DataFrame) -> DataFrame:
+    """The decision layer over a (day, variant, n, x) evidence
+    relation — shared by the batch query and the streaming monitor's
+    read side (streaming/sprt.py), so batch and stream decisions
+    cannot drift."""
     w = (
         Window.partitionBy("variant")
         .orderBy("day")
@@ -1281,3 +1288,135 @@ def token_shard_plan_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _shard_surface(served_doc_token_counts(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (LPA) on the co-purchase graph
+
+# Synchronous LPA, 3 unrolled rounds, deterministic tie-break (most
+# frequent neighbor label, ties -> smallest label): the community-
+# detection sibling of the connected-components family — CC merges
+# anything touching, LPA needs label MAJORITY, so weak bridges between
+# dense groups do not fuse them. Edges: distinct part pairs sharing
+# >= 2 orders (the part_pair_cooccurrence relation with a support
+# floor — fan-out per order is C(lines, 2) with lines bounded by the
+# data model, so the edge build is linear in orders), symmetrized.
+_LPA_ROUNDS = 3
+_LPA_SUPPORT = 2
+_LPA_TOPK = 20
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""l{r} AS (
+      SELECT node, label FROM (
+        SELECT e.src AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.src
+                 ORDER BY COUNT(*) DESC, l.label) AS rk
+        FROM edges e JOIN {prev} l ON l.node = e.dst
+        GROUP BY e.src, l.label
+      ) WHERE rk = 1
+    )""")
+        prev = f"l{r}"
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_SUPPORT}
+    ),
+    edges AS (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL SELECT v, u FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {",".join(rounds)}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(node) AS BIGINT) AS min_part,
+           CAST(MAX(node) AS BIGINT) AS max_part
+    FROM l{_LPA_ROUNDS} GROUP BY label
+    ORDER BY n_parts DESC, community LIMIT {_LPA_TOPK}
+    """
+
+
+@register(
+    "lpa_communities_top20",
+    oracle=_lpa_oracle(),
+    doc="Label-propagation communities (synchronous LPA, 3 unrolled "
+    "rounds, deterministic most-frequent-neighbor-label update with "
+    "smallest-label tie-break) on the support-thresholded co-purchase "
+    "graph — the community-detection sibling of "
+    "dedup_transitive_clusters: connected components merge anything "
+    "touching, while LPA requires label MAJORITY, so weak bridges "
+    "between dense groups do not fuse them. Top-20 communities by "
+    "size. Scale shape: the edge build is the part_pair_cooccurrence "
+    "relation (linear in orders — per-order fan-out is C(lines, 2) "
+    "with lines bounded by the data model) with a support floor that "
+    "prunes the hairball; each round is one edge-label join + one "
+    "map-side-combined (node, label) count + a per-node window — "
+    "bounded rounds, static plan, no driver-side state. Fully "
+    "deterministic (no RNG anywhere), so the whole community "
+    "structure hash-checks against the unrolled SQL replay.",
+)
+def lpa_communities_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _LPA_SUPPORT)
+        .select("u", "v")
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    # The edge relation feeds every round — materialize once (the
+    # survival-operator checkpoint discipline; slim 16-byte rows).
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("node").cast("long").alias("min_part"),
+            F.max("node").cast("long").alias("max_part"),
+        )
+        .select(
+            F.col("label").alias("community"), "n_parts", "min_part",
+            "max_part",
+        )
+        .orderBy(F.col("n_parts").desc(), F.col("community").asc())
+        .limit(_LPA_TOPK)
+    )

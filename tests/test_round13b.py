@@ -418,3 +418,50 @@ def test_token_shard_served_twin_matches_from_scratch(spark):
     assert sorted(map(tuple, sdf.collect())) == sorted(
         map(tuple, odf.collect())
     )
+
+
+def test_lpa_communities_matches_pure_python(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    baskets: dict = {}
+    for ok, pk in zip(li.l_orderkey, li.l_partkey):
+        baskets.setdefault(ok, set()).add(pk)
+    from collections import Counter
+
+    pair_counts: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_counts[(ps[i], ps[j])] += 1
+    edges: dict = {}
+    for (u, v), c in pair_counts.items():
+        if c >= 2:
+            edges.setdefault(u, []).append(v)
+            edges.setdefault(v, []).append(u)
+    labels = {n: n for n in edges}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in edges.items():
+            cnt: Counter = Counter(labels[u] for u in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            # most frequent, ties -> smallest label
+            top = min(l for l, c in cnt.items() if c == best[1])
+            new[n] = top
+        labels = new
+    from collections import defaultdict
+
+    comm: dict = defaultdict(list)
+    for n, l in labels.items():
+        comm[l].append(n)
+    want = sorted(
+        (
+            (l, len(ns), min(ns), max(ns))
+            for l, ns in comm.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    got = [
+        (r.community, r.n_parts, r.min_part, r.max_part)
+        for r in _rows(spark, "lpa_communities_top20")
+    ]
+    assert got == want

@@ -1456,3 +1456,52 @@ def test_streaming_dedup_replay_equals_batch_on_corpus(spark, tmp_path):
     # exactly-once: one verdict per new document
     n_new_docs = len([r for r in raw if r.doc_id % 3 == 0])
     assert len([r for r in rows if r.doc_id != 10**9]) == n_new_docs
+
+
+def test_sprt_monitor_matches_batch_on_closed_days(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """Streaming SPRT evidence == the batch daily relation on closed
+    days, and the shared decision surface over the emitted evidence ==
+    the batch decision restricted to the same closed-day subset
+    (decisions need the full prefix, so the comparison holds the
+    evidence set fixed)."""
+    import datetime as dt
+
+    from healthcare_aihw_etl_pipeline_spark.plans.round13b_queries import (
+        _sprt_surface,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+    from healthcare_aihw_etl_pipeline_spark.streaming.sprt import (
+        daily_conversions,
+        monitor_sprt,
+    )
+
+    out = str(tmp_path / "sprt-out")
+    ckpt = str(tmp_path / "sprt-ckpt")
+    q = monitor_sprt(
+        read_event_stream(spark, events_stream_dir),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    emitted = spark.read.parquet(out)
+    got_daily = {
+        (r.day, r.variant): (r.n, r.x) for r in emitted.collect()
+    }
+    cutoff = _max_event_ts(spark, sf_dir) - dt.timedelta(hours=2)
+    closed = daily_conversions(load_table(spark, sf_dir, "events")).where(
+        F.to_timestamp("day") + F.expr("INTERVAL 1 DAY") <= F.lit(cutoff)
+    )
+    want_daily = {
+        (r.day, r.variant): (r.n, r.x) for r in closed.collect()
+    }
+    assert want_daily, "cutoff left no closed days"
+    assert got_daily == want_daily
+    # exactly-once: (day, variant) unique across all emitted batches
+    assert emitted.count() == emitted.select("day", "variant").distinct().count()
+    # decision parity on the same evidence
+    got = sorted(map(tuple, _sprt_surface(emitted).collect()))
+    want = sorted(map(tuple, _sprt_surface(closed).collect()))
+    assert got == want and len(got) == 2
