@@ -1420,3 +1420,376 @@ def lpa_communities_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_parts").desc(), F.col("community").asc())
         .limit(_LPA_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (2x2 DiD with md5 assignment)
+
+# Treatment: md5(custkey) parity (the SPRT split discipline); period:
+# orders before/after the cutoff. Outcome: order value in exact cents.
+# The four cell means are rationals; the DiD point estimate passes
+# through ONE identically-written double formula over the exact BIGINT
+# cell sums/counts, quantized to integer cents-millionths.
+_DID_CUT = "DATE '1998-07-01'"
+_DID_Q = (
+    "CAST(floor(((CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)"
+    " - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))"
+    " - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)"
+    " - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)))"
+    " * 10000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "did_order_value",
+    oracle=f"""
+    WITH base AS (
+      SELECT CASE WHEN CAST('0x' ||
+                        substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+                        AS INT) % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN o_orderdate >= {_DID_CUT} THEN 1 ELSE 0 END AS post,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v_c
+      FROM orders
+    ),
+    cells AS (
+      SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v_c) AS BIGINT) AS s
+      FROM base GROUP BY treated, post
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t1,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s_t1,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t0,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s_t0,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c1,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s_c1,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c0,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s_c0
+      FROM cells
+    )
+    SELECT n_t1, n_t0, n_c1, n_c0, s_t1, s_t0, s_c1, s_c0,
+           {_DID_Q} AS did_q
+    FROM wide
+    """,
+    doc="2x2 difference-in-differences — the panel-causal leg beside "
+    "CUPED (variance reduction) and stratified ATT (matching): "
+    "customers md5-assigned to treatment, orders split at a calendar "
+    "cutoff, outcome = order value in exact cents; DiD = (post-pre "
+    "gap, treated) - (post-pre gap, control) over the four cell "
+    "means, computed as ONE identically-written double formula on the "
+    "exact BIGINT cell sums (quantized to cents-ten-thousandths). "
+    "Scale shape: one conditional groupBy over one scan; all DiD math "
+    "on the 4-row cell relation pivoted wide.",
+)
+def did_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+    base = orders.select(
+        F.when(F.conv(h1, 16, 10).cast("int") % 2 == 0, 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.expr(f"o_orderdate >= {_DID_CUT}"), 1)
+        .otherwise(0)
+        .alias("post"),
+        cents("o_totalprice").alias("v_c"),
+    )
+    cells = base.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_c").cast("long").alias("s"),
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p), F.col(col)
+            )
+        ).alias(f"{col}_{'t' if t else 'c'}{p}")
+
+    wide = cells.agg(
+        cell(1, 1, "n"), cell(1, 1, "s"), cell(1, 0, "n"), cell(1, 0, "s"),
+        cell(0, 1, "n"), cell(0, 1, "s"), cell(0, 0, "n"), cell(0, 0, "s"),
+    )
+    return wide.select(
+        "n_t1", "n_t0", "n_c1", "n_c0",
+        "s_t1", "s_t0", "s_c1", "s_c0",
+        F.expr(_DID_Q).alias("did_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UCB1 bandit allocation over daily arm statistics
+
+# Arms = event types; reward = value >= 200 (a high-value event). After
+# each day, the UCB1 index mean + sqrt(2 ln N / n) decides the arm a
+# bandit would play next. Exact BIGINT cumulative (n, s) per arm on a
+# dense (day x arm) spine; the index is ONE identically-written double
+# formula quantized to millionths, and the argmax is decided on the
+# QUANTIZED integers (tie -> arm name) so both engines pick the same
+# arm even at 1-ulp libm divergence (the shared quantized-ln class).
+_UCB_REWARD = 200.0
+_UCB_IDX = (
+    "CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    " + sqrt(2.0 * ln(CAST(nt AS DOUBLE)) / CAST(n AS DOUBLE)))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "ucb1_daily_choice",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS arm,
+             CAST(COUNT(*) AS BIGINT) AS dn,
+             CAST(SUM(CASE WHEN value >= {_UCB_REWARD} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ds
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT d.day, a.arm
+      FROM (SELECT DISTINCT day FROM daily) d
+      CROSS JOIN (SELECT DISTINCT arm FROM daily) a
+    ),
+    cum AS (
+      SELECT s.day, s.arm,
+             CAST(SUM(COALESCE(dl.dn, 0)) OVER (
+               PARTITION BY s.arm ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n,
+             CAST(SUM(COALESCE(dl.ds, 0)) OVER (
+               PARTITION BY s.arm ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS s
+      FROM spine s LEFT JOIN daily dl
+        ON dl.day = s.day AND dl.arm = s.arm
+    ),
+    tot AS (
+      SELECT day, arm, n, s,
+             CAST(SUM(n) OVER (PARTITION BY day) AS BIGINT) AS nt
+      FROM cum
+    ),
+    idx AS (
+      SELECT day, arm, n, nt, {_UCB_IDX} AS index_q,
+             ROW_NUMBER() OVER (PARTITION BY day
+               ORDER BY {_UCB_IDX} DESC, arm) AS rk
+      FROM tot WHERE n > 0
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, arm AS chosen_arm,
+           n AS n_arm, nt AS n_total, index_q
+    FROM idx WHERE rk = 1 ORDER BY day
+    """,
+    doc="UCB1 bandit allocation — the adaptive-experimentation leg "
+    "beside SPRT (sequential stopping) and CUPED (variance "
+    "reduction): per day, the arm (event type) a UCB1 bandit would "
+    "play next given the cumulative reward history (reward = "
+    "high-value event), i.e. argmax of mean + sqrt(2 ln N / n). "
+    "Cumulative (n, s) are exact BIGINT windows per arm on a dense "
+    "(day x arm) spine (an arm silent for a day carries its stats "
+    "forward); the index is one identically-written double formula "
+    "quantized to millionths, and the per-day argmax decides on the "
+    "QUANTIZED integers with an arm-name tie-break — cross-engine "
+    "deterministic under the shared quantized-ln contract. Scale "
+    "shape: one conditional groupBy over one scan; everything after "
+    "lives on the calendar-bounded (day x 5 arms) relation.",
+)
+def ucb1_daily_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.col("event_type").alias("arm"),
+            F.when(F.col("value") >= _UCB_REWARD, 1).otherwise(0).alias(
+                "r"
+            ),
+        )
+        .groupBy("day", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dn"),
+            F.sum("r").cast("long").alias("ds"),
+        )
+    )
+    days = daily.select("day").distinct()
+    arms = daily.select("arm").distinct()
+    spine = days.crossJoin(arms)
+    joined = spine.join(daily, ["day", "arm"], "left")
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.select(
+        "day",
+        "arm",
+        F.sum(F.coalesce(F.col("dn"), F.lit(0)))
+        .over(wcum)
+        .cast("long")
+        .alias("n"),
+        F.sum(F.coalesce(F.col("ds"), F.lit(0)))
+        .over(wcum)
+        .cast("long")
+        .alias("s"),
+    )
+    tot = cum.withColumn(
+        "nt", F.sum("n").over(Window.partitionBy("day")).cast("long")
+    )
+    idx = tot.where(F.col("n") > 0).select(
+        "day",
+        "arm",
+        "n",
+        "nt",
+        F.expr(_UCB_IDX).alias("index_q"),
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("index_q").desc(), F.col("arm").asc()
+    )
+    return (
+        idx.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("arm").alias("chosen_arm"),
+            F.col("n").alias("n_arm"),
+            F.col("nt").alias("n_total"),
+            "index_q",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset over the embedding corpus
+
+# Gonzalez's 2-approximation: seed at vec_id 0, then 7 rounds of
+# "farthest point from the chosen set" (exact int7 squared L2,
+# tie -> smallest vec_id). Row `round` = the point selected at that
+# round with sel_dist = its distance to the prior set (the coverage
+# radius OF that prior set); round 9 reports the would-be-9th pick,
+# i.e. the radius certificate of the final 8-center coreset. The
+# greedy argmax is a 1-row TakeOrdered collect per round — the
+# bpe_merge_training bounded-collect policy (8 rounds, 1 row each).
+_KC_ROUNDS = 8
+
+
+def _kcenter_oracle() -> str:
+    ctes = ["""qv AS (
+      SELECT vec_id, u.d AS d,
+             CAST(round(CAST(embedding[u.d + 1] AS DOUBLE) * 127)
+                  AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(64)) AS u(d)
+    ),
+    d1 AS (
+      SELECT a.vec_id, CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT)
+               AS dist
+      FROM qv a JOIN qv b ON b.vec_id = 0 AND b.d = a.d
+      GROUP BY a.vec_id
+    ),
+    m1 AS (SELECT vec_id, dist FROM d1)"""]
+    for t in range(2, _KC_ROUNDS + 2):
+        ctes.append(f"""p{t} AS (
+      SELECT vec_id, dist FROM m{t - 1}
+      ORDER BY dist DESC, vec_id LIMIT 1
+    )""")
+        if t <= _KC_ROUNDS:
+            ctes.append(f"""d{t} AS (
+      SELECT a.vec_id, CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT)
+               AS dist
+      FROM qv a JOIN qv b ON b.d = a.d JOIN p{t} ON b.vec_id = p{t}.vec_id
+      GROUP BY a.vec_id
+    )""")
+            ctes.append(f"""m{t} AS (
+      SELECT m.vec_id, LEAST(m.dist, d{t}.dist) AS dist
+      FROM m{t - 1} m JOIN d{t} USING (vec_id)
+    )""")
+    rows = [
+        "SELECT 1 AS round, CAST(0 AS BIGINT) AS vec_id,"
+        " CAST(0 AS BIGINT) AS sel_dist"
+    ]
+    for t in range(2, _KC_ROUNDS + 2):
+        rows.append(
+            f"SELECT {t}, vec_id, CAST(dist AS BIGINT) FROM p{t}"
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(rows)
+        + "\n    ORDER BY round"
+    )
+
+
+@register(
+    "kcenter_coreset_seeds",
+    oracle=_kcenter_oracle(),
+    doc="k-center greedy coreset (Gonzalez's farthest-point 2-approx) "
+    "over the embedding corpus — the diversity-selection leg of the "
+    "data-selection family (DSIR picks by target-likeness, greedy "
+    "coverage by attribute mass; k-center picks by geometric "
+    "coverage): seed at the probe, then 7 farthest-point rounds on "
+    "exact int7 squared L2 with smallest-id tie-break; row `round` "
+    "carries the selected point and its distance to the prior set "
+    "(that set's coverage radius), and round 9 is the would-be-next "
+    "pick — the radius certificate of the final 8-center coreset. "
+    "Scale shape: the quantized code relation materializes once "
+    "(slim, checkpointed); each round is one Arrow-batched min-dist "
+    "update pass + a 1-row TakeOrdered collect (the bpe_merge "
+    "bounded-collect policy — 9 single-row collects total); the "
+    "min-dist column carries forward so round t costs one distance "
+    "to the NEW center, never t distances.",
+)
+def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        quantize_q127,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_q127("embedding").alias("q")
+    )
+
+    def center_code(vid: int) -> list[int]:
+        row = emb.where(F.col("vec_id") == vid).select("q").first()
+        if row is None or row[0] is None:
+            raise ValueError(f"missing center row vec_id={vid}")
+        return [int(v) for v in row[0]]
+
+    def min_dist_update(code: list[int], first: bool):
+        import numpy as np
+        import pandas as pd
+
+        cv = np.array(code, dtype=np.int64)
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                d = ((Q - cv) ** 2).sum(axis=1)
+                out = {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "q": pdf["q"],
+                    "dmin": d
+                    if first
+                    else np.minimum(pdf["dmin"].to_numpy(), d),
+                }
+                yield pd.DataFrame(out)
+
+        return fn
+
+    schema = "vec_id long, q array<long>, dmin long"
+    state = emb.mapInPandas(
+        min_dist_update(center_code(0), True), schema
+    ).localCheckpoint(eager=True)
+    out_rows = [(1, 0, 0)]
+    for t in range(2, _KC_ROUNDS + 2):
+        sel = (
+            state.orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        out_rows.append((t, int(sel["vec_id"]), int(sel["dmin"])))
+        if t <= _KC_ROUNDS:
+            state = state.mapInPandas(
+                min_dist_update([int(v) for v in sel["q"]], False), schema
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out_rows, "round int, vec_id long, sel_dist long"
+    ).orderBy("round")

@@ -465,3 +465,89 @@ def test_lpa_communities_matches_pure_python(spark):
         for r in _rows(spark, "lpa_communities_top20")
     ]
     assert got == want
+
+
+def test_did_matches_pure_python(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    import datetime as dt
+
+    cells = {}
+    for ck, od, tp in zip(
+        orders.o_custkey, orders.o_orderdate, orders.o_totalprice
+    ):
+        od = od.date() if hasattr(od, "hour") else od  # Timestamp -> date
+        t = 1 if int(hashlib.md5(str(ck).encode()).hexdigest()[0], 16) % 2 == 0 else 0
+        p = 1 if od >= dt.date(1998, 7, 1) else 0
+        n, s = cells.get((t, p), (0, 0))
+        cells[(t, p)] = (n + 1, s + math.floor(tp * 100 + 0.5))
+    (row,) = _rows(spark, "did_order_value")
+    assert (row.n_t1, row.s_t1) == cells[(1, 1)]
+    assert (row.n_c0, row.s_c0) == cells[(0, 0)]
+    m = lambda k: cells[k][1] / cells[k][0]  # noqa: E731
+    did = (m((1, 1)) - m((1, 0))) - (m((0, 1)) - m((0, 0)))
+    assert row.did_q == math.floor(did * 10000.0 + 0.5)
+
+
+def test_ucb1_matches_pure_python(spark, events_pd):
+    from collections import defaultdict
+
+    daily = defaultdict(lambda: [0, 0])
+    for et, v, ts in zip(
+        events_pd.event_type, events_pd.value, events_pd.ts
+    ):
+        k = (ts.date(), et)
+        daily[k][0] += 1
+        daily[k][1] += 1 if v >= 200.0 else 0
+    days = sorted({d for d, _ in daily})
+    arms = sorted({a for _, a in daily})
+    cum = {a: [0, 0] for a in arms}
+    want = []
+    for d in days:
+        for a in arms:
+            dn, ds = daily.get((d, a), (0, 0))
+            cum[a][0] += dn
+            cum[a][1] += ds
+        nt = sum(c[0] for c in cum.values())
+        best = None
+        for a in arms:
+            n, s = cum[a]
+            if n == 0:
+                continue
+            iq = math.floor(
+                (s / n + math.sqrt(2.0 * math.log(nt) / n)) * 1e6 + 0.5
+            )
+            key = (-iq, a)
+            if best is None or key < best[0]:
+                best = (key, a, n, nt, iq)
+        want.append((d.isoformat(), best[1], best[2], best[3], best[4]))
+    got = [
+        (r.day, r.chosen_arm, r.n_arm, r.n_total, r.index_q)
+        for r in _rows(spark, "ucb1_daily_choice")
+    ]
+    assert got == want
+
+
+def test_kcenter_matches_numpy_greedy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    E = np.stack(emb.embedding.to_numpy()).astype(np.float64) * 127.0
+    Q = (np.sign(E) * np.floor(np.abs(E) + 0.5)).astype(np.int64)
+    ids = emb.vec_id.to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    Q, ids = Q[order], ids[order]
+    i0 = int(np.where(ids == 0)[0][0])
+    dmin = ((Q - Q[i0]) ** 2).sum(axis=1)
+    want = [(1, 0, 0)]
+    for t in range(2, 10):
+        # argmax dist, tie -> smallest vec_id (ids sorted ascending)
+        best = int(np.argmax(dmin))
+        want.append((t, int(ids[best]), int(dmin[best])))
+        if t <= 8:
+            d = ((Q - Q[best]) ** 2).sum(axis=1)
+            dmin = np.minimum(dmin, d)
+    got = [
+        (r.round, r.vec_id, r.sel_dist)
+        for r in _rows(spark, "kcenter_coreset_seeds")
+    ]
+    assert got == want
