@@ -52,6 +52,10 @@ OPS = [
     "cox_hazard_newton_served",
     "zipf_slope_tokens_served",
     "ams_f2_tokens_served",
+    "lpa_communities_top20",
+    "did_order_value",
+    "ucb1_daily_choice",
+    "kcenter_coreset_seeds",
     # old letter residues, re-measured same-run
     "token_shard_plan",
     "token_shard_plan_served",
