@@ -70,28 +70,15 @@ def served_user_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     events snapshot; per-query cost drops from two fact scans + two
     user-grain exchanges to a slim columnar scan. mtime-keyed per
     sf_dir; the from-scratch form stays the oracle path."""
-    import os
-    import tempfile
+    from healthcare_aihw_etl_pipeline_spark.operators.silver import serve_silver
 
-    from healthcare_aihw_etl_pipeline_spark.plans.registry import (
-        invalidate,
-        watch_path,
-    )
-
-    base = os.path.join(
-        tempfile.gettempdir(),
+    return serve_silver(
+        spark,
+        sf_dir,
         "spark_graft_user_spans",
-        os.path.basename(sf_dir.rstrip("/")),
+        "events",
+        lambda: _user_spans(spark, sf_dir),
     )
-    src = os.path.join(sf_dir, "events.parquet")
-    success = os.path.join(base, "_SUCCESS")
-    watch_path(sf_dir, success)
-    if not os.path.exists(success) or os.path.getmtime(
-        success
-    ) < os.path.getmtime(src):
-        _user_spans(spark, sf_dir).write.mode("overwrite").parquet(base)
-        invalidate(sf_dir=sf_dir)
-    return spark.read.parquet(base)
 
 
 def signup_purchase_durations(

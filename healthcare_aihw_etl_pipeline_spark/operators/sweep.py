@@ -116,28 +116,16 @@ def served_boundary_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay the full sweep from raw events), so a hash match PROVES the
     materialization preserved the sweep's semantics.
     """
-    base = os.path.join(
-        tempfile.gettempdir(),
+    from healthcare_aihw_etl_pipeline_spark.operators.silver import serve_silver
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    return serve_silver(
+        spark,
+        sf_dir,
         "spark_graft_sweep_segments",
-        os.path.basename(sf_dir.rstrip("/")),
+        "events",
+        lambda: daily_boundary_segments(load_table(spark, sf_dir, "events")),
     )
-    src = os.path.join(sf_dir, "events.parquet")
-    success = os.path.join(base, "_SUCCESS")
-    from healthcare_aihw_etl_pipeline_spark.plans.registry import (
-        invalidate,
-        watch_path,
-    )
-
-    watch_path(sf_dir, success)
-    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
-        src
-    ):
-        from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
-
-        seg = daily_boundary_segments(load_table(spark, sf_dir, "events"))
-        seg.write.mode("overwrite").parquet(base)
-        invalidate(sf_dir=sf_dir)
-    return spark.read.parquet(base)
 
 
 def sweep_day_profile(events: DataFrame) -> DataFrame:

@@ -231,6 +231,22 @@ def hash_sample(id_col: Column | str, rate: float) -> Column:
     return F.substring(F.md5(c.cast("string")), 1, 2) < threshold
 
 
+def whitespace_token_counts(docs):
+    """The lowered whitespace-token vocabulary relation (token, cnt)
+    over a pre-filtered documents frame — THE single definition shared
+    by zipf_slope_tokens, ams_f2_tokens and the served_token_counts
+    silver builder, so the served twins' hash-match proof and the
+    from-scratch forms cannot drift (the survival-operator discipline)."""
+    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 def served_token_counts(spark, sf_dir: str):
     """The lowered whitespace-token vocabulary relation (token, cnt)
     SERVED from a materialized silver table (bronze → silver, the
@@ -247,39 +263,18 @@ def served_token_counts(spark, sf_dir: str):
     oracle path. The relation is the `counts` CTE both consumers'
     oracles replay from raw documents, so a hash match on a served
     twin PROVES the materialization faithful."""
-    import os
-    import tempfile
-
-    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
-    from healthcare_aihw_etl_pipeline_spark.plans.registry import (
-        invalidate,
-        watch_path,
-    )
+    from healthcare_aihw_etl_pipeline_spark.operators.silver import serve_silver
     from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_token_counts",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    src = os.path.join(sf_dir, "documents.parquet")
-    success = os.path.join(base, "_SUCCESS")
-    watch_path(sf_dir, success)
-    if not os.path.exists(success) or os.path.getmtime(
-        success
-    ) < os.path.getmtime(src):
+    def build():
         docs = load_table(spark, sf_dir, "documents").where(
             F.trim(F.col("text")) != ""
         )
-        counts = (
-            docs.select(F.explode(tokens("text")).alias("token"))
-            .where(F.col("token") != "")
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        )
-        counts.write.mode("overwrite").parquet(base)
-        invalidate(sf_dir=sf_dir)
-    return spark.read.parquet(base)
+        return whitespace_token_counts(docs)
+
+    return serve_silver(
+        spark, sf_dir, "spark_graft_token_counts", "documents", build
+    )
 
 
 def served_doc_token_counts(spark, sf_dir: str):
@@ -291,28 +286,12 @@ def served_doc_token_counts(spark, sf_dir: str):
     policy changes, against the same corpus snapshot — so the count
     relation materializes once at ingest (mtime-keyed) and every
     re-plan costs a 16-byte-per-row columnar scan."""
-    import os
-    import tempfile
-
     from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
-    from healthcare_aihw_etl_pipeline_spark.plans.registry import (
-        invalidate,
-        watch_path,
-    )
+    from healthcare_aihw_etl_pipeline_spark.operators.silver import serve_silver
     from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_doc_token_counts",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    src = os.path.join(sf_dir, "documents.parquet")
-    success = os.path.join(base, "_SUCCESS")
-    watch_path(sf_dir, success)
-    if not os.path.exists(success) or os.path.getmtime(
-        success
-    ) < os.path.getmtime(src):
-        docs = (
+    def build():
+        return (
             load_table(spark, sf_dir, "documents")
             .where(F.trim(F.col("text")) != "")
             .select(
@@ -320,6 +299,7 @@ def served_doc_token_counts(spark, sf_dir: str):
                 F.size(tokens("text")).cast("long").alias("n_tokens"),
             )
         )
-        docs.write.mode("overwrite").parquet(base)
-        invalidate(sf_dir=sf_dir)
-    return spark.read.parquet(base)
+
+    return serve_silver(
+        spark, sf_dir, "spark_graft_doc_token_counts", "documents", build
+    )

@@ -394,17 +394,14 @@ _ZIPF_R2_Q = (
     "bounded rows.",
 )
 def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+    from healthcare_aihw_etl_pipeline_spark.operators.text import (
+        whitespace_token_counts,
+    )
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.trim(F.col("text")) != ""
     )
-    counts = (
-        docs.select(F.explode(tokens("text")).alias("token"))
-        .where(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    counts = whitespace_token_counts(docs)
     return _zipf_fit(counts)
 
 
@@ -558,7 +555,14 @@ def jl_projection_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = raw.mapInPandas(score, "vec_id long, pdist long, qdist long")
+    # Materialize the scored relation once (eager checkpoint, slim 24
+    # bytes/row): it feeds TWO independent TakeOrdered subtrees (the
+    # projected top-10 and the exact top-10) — without it each branch
+    # re-runs the embeddings scan and the matmul pass (and the whole
+    # point of the vectorized rewrite was to pay that pass once).
+    scored = raw.mapInPandas(
+        score, "vec_id long, pdist long, qdist long"
+    ).localCheckpoint(eager=True)
     ptop = (
         scored.orderBy(F.col("pdist").asc(), F.col("vec_id").asc())
         .limit(_JL_TOPK)
@@ -806,17 +810,14 @@ def _ams_sign_spark(i: int) -> str:
     "counts + one wide aggregate.",
 )
 def ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_aihw_etl_pipeline_spark.operators.search import tokens
+    from healthcare_aihw_etl_pipeline_spark.operators.text import (
+        whitespace_token_counts,
+    )
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.trim(F.col("text")) != ""
     )
-    counts = (
-        docs.select(F.explode(tokens("text")).alias("token"))
-        .where(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    counts = whitespace_token_counts(docs)
     return _ams_from_counts(counts)
 
 

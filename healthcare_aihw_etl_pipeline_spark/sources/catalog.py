@@ -113,7 +113,7 @@ def table_rows(sf_dir: str, name: str) -> int | None:
     return n
 
 
-_HORIZON_CACHE: dict[str, object] = {}
+_HORIZON_CACHE: dict[tuple[str, float], object] = {}
 
 
 def events_horizon_us(sf_dir: str):
@@ -130,17 +130,26 @@ def events_horizon_us(sf_dir: str):
     is served — anything else returns None and callers fall back to
     the aggregate scan. Survival-family queries splice the value as a
     TIMESTAMP_NTZ literal (the ANN-probe plan-parameter discipline)."""
-    hit = _HORIZON_CACHE.get(sf_dir)
-    if hit is not None:
-        return hit
     try:
         import datetime
+        import os
 
         import pyarrow.parquet as pq
 
+        # Cache key includes the source mtime: a rewritten
+        # events.parquet must re-read footers (the same staleness
+        # contract the silver tables key on) — horizon is a
+        # CORRECTNESS input, unlike table_rows' strategy hint.
+        key = (sf_dir, os.path.getmtime(f"{sf_dir}/events.parquet"))
+        hit = _HORIZON_CACHE.get(key)
+        if hit is not None:
+            return hit
         f = pq.ParquetFile(f"{sf_dir}/events.parquet")
         t = f.schema_arrow.field("ts").type
-        if not str(t).startswith("timestamp[us"):
+        # EXACT naive-micros match: "timestamp[us, tz=UTC]"-class
+        # (isAdjustedToUTC) types would surface tz-aware stat values
+        # whose spliced literal shifts with the session zone.
+        if str(t) != "timestamp[us]":
             return None
         md = f.metadata
         idx = next(
@@ -162,7 +171,7 @@ def events_horizon_us(sf_dir: str):
         return None
     if best is None:
         return None
-    _HORIZON_CACHE[sf_dir] = best
+    _HORIZON_CACHE[key] = best
     return best
 
 

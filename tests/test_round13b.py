@@ -244,13 +244,22 @@ def test_survival_family_scan_counts(spark, sf_dir):
     def scan_count(plan: str) -> int:
         return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
 
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import (
+        events_horizon_us,
+    )
+
+    # On a TIMESTAMP(NANOS)-physical corpus generation the footer
+    # horizon is deliberately unavailable and the fallback adds one
+    # aggregate scan — the plan pin tightens only when the footer
+    # statistics path is live (same guard as the footer==scan test).
+    want = 1 if events_horizon_us(sf_dir) is not None else 2
     for name in (
         "kaplan_meier_conversion",
         "nelson_aalen_hazard",
         "cox_hazard_newton",
     ):
         p = fresh_plan(spark, sf_dir, name)
-        assert scan_count(p) == 1, (name, p)
+        assert scan_count(p) == want, (name, p)
 
 
 def test_ams_f2_matches_pure_python(spark):
