@@ -1794,3 +1794,149 @@ def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "round int, vec_id long, sel_dist long"
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (two-arm survival-curve comparison)
+
+# Per duration day t: O1 = observed arm-1 events, E1_t = d_t*n1_t/n_t
+# (expected under H0), V_t = hypergeometric variance
+# d_t*(n1/n)*(1-n1/n)*(n-d)/(n-1). E1/V are the family's unavoidable
+# rationals: each passes through ONE identically-written double
+# formula quantized to millionths per duration BEFORE the exact BIGINT
+# sum (the Brier discipline); durations with n_t <= 1 contribute no
+# variance (guarded identically both engines). The risk sets come from
+# the Cox descending-cumulative trick on the SAME shared duration
+# relation, so the whole survival family rides one operator.
+_LR_E1 = (
+    "CAST(floor(CAST(d_t AS DOUBLE) * CAST(n1_t AS DOUBLE)"
+    " / CAST(n_t AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+)
+_LR_V = (
+    "CAST(floor(CAST(d_t AS DOUBLE) * (CAST(n1_t AS DOUBLE)"
+    " / CAST(n_t AS DOUBLE)) * (1.0 - CAST(n1_t AS DOUBLE)"
+    " / CAST(n_t AS DOUBLE)) * (CAST(n_t AS DOUBLE)"
+    " - CAST(d_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0)"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+_LR_CHI2 = (
+    "CAST(floor((CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1000000.0)"
+    " * (CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1000000.0)"
+    " / (CAST(v_q AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "logrank_arm_test",
+    oracle=f"""
+    WITH h AS (SELECT MAX(ts) AS horizon FROM events),
+    s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.s_ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT s.user_id % 2 AS x,
+             CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS evt,
+             (epoch_us(COALESCE(p.p_ts, h.horizon)) - epoch_us(s.s_ts))
+               // 86400000000 AS dur
+      FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN h
+    ),
+    byt AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS c_t,
+             CAST(SUM(x) AS BIGINT) AS c1_t,
+             CAST(SUM(evt) AS BIGINT) AS d_t,
+             CAST(SUM(evt * x) AS BIGINT) AS d1_t
+      FROM d GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d_t, d1_t,
+             CAST(SUM(c_t) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_t,
+             CAST(SUM(c1_t) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n1_t
+      FROM byt
+    ),
+    terms AS (
+      SELECT CAST(SUM(d1_t) AS BIGINT) AS o1,
+             CAST(SUM(CASE WHEN d_t > 0 THEN {_LR_E1} ELSE 0 END)
+                  AS BIGINT) AS e1_q,
+             CAST(SUM(CASE WHEN d_t > 0 AND n_t > 1 THEN {_LR_V}
+                      ELSE 0 END) AS BIGINT) AS v_q,
+             CAST(MAX(n_t) AS BIGINT) AS n_subjects,
+             CAST(MAX(n1_t) AS BIGINT) AS n_arm1
+      FROM risk
+    )
+    SELECT n_subjects, n_arm1, o1, e1_q, v_q, {_LR_CHI2} AS chi2_q
+    FROM terms
+    """,
+    doc="Log-rank test between the two treatment arms (user parity, "
+    "the Cox arm) of signup->purchase survival — the hypothesis-test "
+    "completion of the survival family (KM/NA estimate curves, Cox "
+    "fits the hazard ratio, log-rank TESTS the difference): per "
+    "duration day, observed arm-1 events vs the hypergeometric "
+    "expectation and variance over the risk sets, chi-square from the "
+    "quantized sums. Risk sets come from the Cox descending-"
+    "cumulative pass over the SAME shared duration relation "
+    "(operators/survival.py); E1/V are the family's unavoidable "
+    "rationals, each one identically-written double formula quantized "
+    "per duration BEFORE the exact BIGINT sum (the Brier discipline); "
+    "n_t <= 1 durations contribute no variance, guarded identically "
+    "in both engines. Scale shape: the shared two-scan duration "
+    "pipeline, then everything on the calendar-bounded duration "
+    "grain.",
+)
+def logrank_arm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.survival import (
+        signup_purchase_durations,
+    )
+
+    d = signup_purchase_durations(
+        spark, sf_dir, extra={"x": F.col("user_id") % 2}
+    )
+    byt = d.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t"),
+        F.sum("x").cast("long").alias("c1_t"),
+        F.sum("evt").cast("long").alias("d_t"),
+        F.sum(F.col("evt") * F.col("x")).cast("long").alias("d1_t"),
+    )
+    wdesc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byt.select(
+        "dur",
+        "d_t",
+        "d1_t",
+        F.sum("c_t").over(wdesc).cast("long").alias("n_t"),
+        F.sum("c1_t").over(wdesc).cast("long").alias("n1_t"),
+    )
+    terms = risk.agg(
+        F.sum("d1_t").cast("long").alias("o1"),
+        F.sum(
+            F.when(F.col("d_t") > 0, F.expr(_LR_E1)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("e1_q"),
+        F.sum(
+            F.when(
+                (F.col("d_t") > 0) & (F.col("n_t") > 1), F.expr(_LR_V)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("v_q"),
+        F.max("n_t").cast("long").alias("n_subjects"),
+        F.max("n1_t").cast("long").alias("n_arm1"),
+    )
+    return terms.select(
+        "n_subjects", "n_arm1", "o1", "e1_q", "v_q",
+        F.expr(_LR_CHI2).alias("chi2_q"),
+    )

@@ -56,6 +56,7 @@ OPS = [
     "did_order_value",
     "ucb1_daily_choice",
     "kcenter_coreset_seeds",
+    "logrank_arm_test",
     # old letter residues, re-measured same-run
     "token_shard_plan",
     "token_shard_plan_served",

@@ -560,3 +560,50 @@ def test_kcenter_matches_numpy_greedy(spark):
         for r in _rows(spark, "kcenter_coreset_seeds")
     ]
     assert got == want
+
+
+def test_logrank_matches_pure_python(spark, events_pd):
+    from collections import defaultdict
+
+    ev = events_pd
+    s_ts, p_ts = {}, {}
+    for uid, et, ts in zip(ev.user_id, ev.event_type, ev.ts):
+        if et == "signup" and (uid not in s_ts or ts < s_ts[uid]):
+            s_ts[uid] = ts
+    for uid, et, ts in zip(ev.user_id, ev.event_type, ev.ts):
+        if et == "purchase" and uid in s_ts and ts >= s_ts[uid]:
+            if uid not in p_ts or ts < p_ts[uid]:
+                p_ts[uid] = ts
+    horizon = max(ev.ts)
+    byt = defaultdict(lambda: [0, 0, 0, 0])  # c, c1, d, d1
+    for uid, st in s_ts.items():
+        x = uid % 2
+        evt = 1 if uid in p_ts else 0
+        end = p_ts.get(uid, horizon)
+        dur = (int(end.value // 1000) - int(st.value // 1000)) // 86400000000
+        r = byt[dur]
+        r[0] += 1
+        r[1] += x
+        r[2] += evt
+        r[3] += evt * x
+    n_t = n1_t = 0
+    o1 = e1_q = v_q = 0
+    for dur in sorted(byt, reverse=True):
+        c, c1, d, d1 = byt[dur]
+        n_t += c
+        n1_t += c1
+        o1 += d1
+        if d > 0:
+            e1_q += math.floor(d * n1_t / n_t * 1e6 + 0.5)
+            if n_t > 1:
+                v_q += math.floor(
+                    d * (n1_t / n_t) * (1 - n1_t / n_t)
+                    * (n_t - d) / (n_t - 1) * 1e6 + 0.5
+                )
+    (row,) = _rows(spark, "logrank_arm_test")
+    assert row.n_subjects == len(s_ts)
+    assert row.o1 == o1
+    assert row.e1_q == e1_q
+    assert row.v_q == v_q
+    chi2 = (o1 - e1_q / 1e6) ** 2 / (v_q / 1e6)
+    assert row.chi2_q == math.floor(chi2 * 1e6 + 0.5)
