@@ -1379,15 +1379,18 @@ def lpa_communities_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= _LPA_SUPPORT)
         .select("u", "v")
+        # The PAIR relation is the expensive leg (lineitem self-join +
+        # support aggregate) and feeds BOTH union branches — checkpoint
+        # it once so symmetrization does not run the join twice; the
+        # union over the checkpoint is a cheap projection re-read by
+        # each round (slim 16-byte rows).
+        .localCheckpoint(eager=True)
     )
     edges = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    # The edge relation feeds every round — materialize once (the
-    # survival-operator checkpoint discipline; slim 16-byte rows).
-    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -1484,10 +1487,13 @@ _DID_Q = (
     "on the 4-row cell relation pivoted wide.",
 )
 def did_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.streaming.sprt import variant_of
+
     orders = load_table(spark, sf_dir, "orders")
-    h1 = F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
     base = orders.select(
-        F.when(F.conv(h1, 16, 10).cast("int") % 2 == 0, 1)
+        # the SAME md5 parity split as the SPRT family (shared helper,
+        # cannot drift), rendered as the DiD treatment indicator
+        F.when(variant_of("o_custkey") == "A", 1)
         .otherwise(0)
         .alias("treated"),
         F.when(F.expr(f"o_orderdate >= {_DID_CUT}"), 1)
@@ -1608,6 +1614,10 @@ def ucb1_daily_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("dn"),
             F.sum("r").cast("long").alias("ds"),
         )
+        # feeds THREE subtrees (day spine, arm spine, join input) —
+        # materialize the calendar-bounded relation once instead of
+        # re-running the fact scan per consumer.
+        .localCheckpoint(eager=True)
     )
     days = daily.select("day").distinct()
     arms = daily.select("arm").distinct()
@@ -1788,9 +1798,17 @@ def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out_rows.append((t, int(sel["vec_id"]), int(sel["dmin"])))
         if t <= _KC_ROUNDS:
+            prev = state
             state = state.mapInPandas(
                 min_dist_update([int(v) for v in sel["q"]], False), schema
             ).localCheckpoint(eager=True)
+            # release the superseded round's checkpoint blocks — without
+            # this up to 9 full copies of the (vec_id, q[64], dmin)
+            # relation stay pinned in executor storage simultaneously
+            try:
+                prev._jdf.queryExecution().toRdd().unpersist(False)
+            except Exception:
+                pass  # cleanup is best-effort; ContextCleaner catches up
     return spark.createDataFrame(
         out_rows, "round int, vec_id long, sel_dist long"
     ).orderBy("round")
@@ -1819,10 +1837,14 @@ _LR_V = (
     " - CAST(d_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0)"
     " * 1000000.0 + 0.5) AS BIGINT)"
 )
+# v_q = 0 (no duration contributes variance) yields NULL in BOTH
+# engines instead of an engine-divergent Infinity/NaN cast.
 _LR_CHI2 = (
+    "CASE WHEN v_q = 0 THEN CAST(NULL AS BIGINT) ELSE "
     "CAST(floor((CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1000000.0)"
     " * (CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1000000.0)"
     " / (CAST(v_q AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)"
+    " END"
 )
 
 

@@ -84,8 +84,23 @@ def monitor_sprt(
     """Maintain the daily-evidence silver table from a stream. Each
     batch writes to its own overwritten subdirectory, so at-least-once
     replays keep (day, variant) unique; restart-safe via the standard
-    checkpoint contract. Decisions read the accumulated output through
-    the batch surface (see module docstring)."""
+    checkpoint contract. out_path's lifetime is TIED to the
+    checkpoint: starting against an existing evidence directory with a
+    fresh checkpoint would re-number batches and leave stale batch=N
+    dirs duplicating evidence — guarded with a loud error instead of a
+    silently double-counted LLR. Decisions read the accumulated output
+    through the batch surface (see module docstring)."""
+    import glob
+    import os
+
+    if not os.path.exists(checkpoint) and glob.glob(
+        os.path.join(out_path, "batch=*")
+    ):
+        raise ValueError(
+            f"evidence dir {out_path!r} has batches from a previous "
+            "run but no matching checkpoint — reuse the original "
+            "checkpointLocation or start with a fresh out_path"
+        )
     daily = daily_conversions(stream_events)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -244,15 +244,20 @@ def test_survival_family_scan_counts(spark, sf_dir):
     def scan_count(plan: str) -> int:
         return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
 
-    from healthcare_aihw_etl_pipeline_spark.sources.catalog import (
-        events_horizon_us,
-    )
+    import pyarrow.parquet as pq
 
     # On a TIMESTAMP(NANOS)-physical corpus generation the footer
     # horizon is deliberately unavailable and the fallback adds one
-    # aggregate scan — the plan pin tightens only when the footer
-    # statistics path is live (same guard as the footer==scan test).
-    want = 1 if events_horizon_us(sf_dir) is not None else 2
+    # aggregate scan. Derive the expected mode from the FILE's actual
+    # physical type, not from events_horizon_us itself — on the naive
+    # micros corpus this PINS that the footer path is live (a
+    # regression to the fallback fails the == 1 assertion).
+    t = str(
+        pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field(
+            "ts"
+        ).type
+    )
+    want = 1 if t == "timestamp[us]" else 2
     for name in (
         "kaplan_meier_conversion",
         "nelson_aalen_hazard",
