@@ -341,7 +341,7 @@ _MUST_VERIFY_R13: list[str] = [
     "nelson_aalen_hazard_served", "cox_hazard_newton_served",
     "token_shard_plan_served", "lpa_communities_top20",
     "did_order_value", "ucb1_daily_choice", "kcenter_coreset_seeds",
-    "logrank_arm_test",
+    "logrank_arm_test", "ipw_ate_order_value",
     "interval_sweep_profile_served", "max_concurrent_sessions_served",
     "interval_union_coverage_served", "knn_graph_topk",
     "mutual_knn_dedup_clusters", "unigram_lm_prune",

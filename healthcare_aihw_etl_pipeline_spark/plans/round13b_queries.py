@@ -1962,3 +1962,124 @@ def logrank_arm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_subjects", "n_arm1", "o1", "e1_q", "v_q",
         F.expr(_LR_CHI2).alias("chi2_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IPW / post-stratification ATE
+
+# Per (priority x year) stratum b with n_b rows, nT_b treated:
+# e_b = nT_b / n_b is the estimated propensity, and the IPW estimator
+# collapses stratum-wise to ATE = sum_b (sT_b/e_b - sC_b/(1-e_b)) / n
+# = sum_b (sT_b*n_b/nT_b - sC_b*n_b/nC_b) / n — the Horvitz-Thompson
+# form on exact integers. Strata with an empty arm are skipped
+# (standard positivity screen), identically in both engines. Each
+# stratum term is one identically-written double formula quantized to
+# cents-ten-thousandths BEFORE the exact BIGINT sum (the Brier
+# discipline); the naive difference in means rides along for the
+# selection-bias contrast.
+_IPW_TERM = (
+    "CAST(floor((CAST(s_t AS DOUBLE) * CAST(n_b AS DOUBLE)"
+    " / CAST(n_t AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(n_b AS DOUBLE)"
+    " / CAST(n_b - n_t AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT)"
+)
+_IPW_ATE = (
+    "CAST(floor(CAST(term_q AS DOUBLE) / CAST(n_used AS DOUBLE) + 0.5)"
+    " AS BIGINT)"
+)
+_IPW_NAIVE = (
+    "CAST(floor((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)"
+    " - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) * 10000.0 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "ipw_ate_order_value",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS pri, year(o_orderdate) AS yr,
+             CASE WHEN CAST('0x' ||
+                        substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+                        AS INT) % 2 = 0 THEN 1 ELSE 0 END AS t,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v_c
+      FROM orders
+    ),
+    strata AS (
+      SELECT pri, yr, CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(t) AS BIGINT) AS n_t,
+             CAST(SUM(t * v_c) AS BIGINT) AS s_t,
+             CAST(SUM((1 - t) * v_c) AS BIGINT) AS s_c
+      FROM base GROUP BY pri, yr
+    ),
+    used AS (
+      SELECT * FROM strata WHERE n_t > 0 AND n_t < n_b
+    ),
+    agg AS (
+      SELECT CAST(SUM(n_b) AS BIGINT) AS n_used,
+             CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM({_IPW_TERM}) AS BIGINT) AS term_q
+      FROM used
+    ),
+    naive AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS nt,
+             CAST(SUM(1 - t) AS BIGINT) AS nc,
+             CAST(SUM(t * v_c) AS BIGINT) AS st,
+             CAST(SUM((1 - t) * v_c) AS BIGINT) AS sc
+      FROM base
+    )
+    SELECT n_used, n_strata, {_IPW_NAIVE} AS naive_q,
+           {_IPW_ATE} AS ate_ipw_q
+    FROM agg CROSS JOIN naive
+    """,
+    doc="IPW / post-stratification average treatment effect — the "
+    "propensity-weighting leg that completes the causal stack (DiD: "
+    "parallel trends; CUPED: variance reduction; stratified ATT: "
+    "matching; IPW: reweighting): per (priority x year) stratum the "
+    "estimated propensity e_b = nT_b/n_b turns the Horvitz-Thompson "
+    "sum into the exact stratum identity sT*n/nT - sC*n/nC; strata "
+    "with an empty arm are screened out (positivity), identically in "
+    "both engines; each stratum term is one identically-written "
+    "double formula quantized BEFORE the exact BIGINT sum, and the "
+    "naive mean difference rides along as the selection-bias "
+    "contrast. Scale shape: one conditional groupBy over one scan "
+    "(plus the 4-sum naive aggregate on the same scan grain); all "
+    "estimator math on the bounded stratum relation.",
+)
+def ipw_ate_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.streaming.sprt import variant_of
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.year("o_orderdate").alias("yr"),
+        F.when(variant_of("o_custkey") == "A", 1).otherwise(0).alias("t"),
+        cents("o_totalprice").alias("v_c"),
+    )
+    strata = base.groupBy("pri", "yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(F.col("t") * F.col("v_c")).cast("long").alias("s_t"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("v_c"))
+        .cast("long")
+        .alias("s_c"),
+    )
+    used = strata.where((F.col("n_t") > 0) & (F.col("n_t") < F.col("n_b")))
+    agg = used.agg(
+        F.sum("n_b").cast("long").alias("n_used"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.expr(_IPW_TERM)).cast("long").alias("term_q"),
+    )
+    naive = base.agg(
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.lit(1) - F.col("t")).cast("long").alias("nc"),
+        F.sum(F.col("t") * F.col("v_c")).cast("long").alias("st"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("v_c"))
+        .cast("long")
+        .alias("sc"),
+    )
+    return agg.crossJoin(F.broadcast(naive)).select(
+        "n_used",
+        "n_strata",
+        F.expr(_IPW_NAIVE).alias("naive_q"),
+        F.expr(_IPW_ATE).alias("ate_ipw_q"),
+    )

@@ -57,6 +57,7 @@ OPS = [
     "ucb1_daily_choice",
     "kcenter_coreset_seeds",
     "logrank_arm_test",
+    "ipw_ate_order_value",
     # old letter residues, re-measured same-run
     "token_shard_plan",
     "token_shard_plan_served",

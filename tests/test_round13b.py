@@ -612,3 +612,40 @@ def test_logrank_matches_pure_python(spark, events_pd):
     assert row.v_q == v_q
     chi2 = (o1 - e1_q / 1e6) ** 2 / (v_q / 1e6)
     assert row.chi2_q == math.floor(chi2 * 1e6 + 0.5)
+
+
+def test_ipw_ate_matches_pure_python(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    strata: dict = {}
+    nt = nc = st = sc = 0
+    for ck, pri, od, tp in zip(
+        orders.o_custkey,
+        orders.o_orderpriority,
+        orders.o_orderdate,
+        orders.o_totalprice,
+    ):
+        yr = od.year
+        t = 1 if int(hashlib.md5(str(ck).encode()).hexdigest()[0], 16) % 2 == 0 else 0
+        v = math.floor(tp * 100 + 0.5)
+        r = strata.setdefault((pri, yr), [0, 0, 0, 0])  # n, nT, sT, sC
+        r[0] += 1
+        r[1] += t
+        r[2] += t * v
+        r[3] += (1 - t) * v
+        nt += t
+        nc += 1 - t
+        st += t * v
+        sc += (1 - t) * v
+    n_used = n_strata = term_q = 0
+    for n_b, n_t, s_t, s_c in strata.values():
+        if n_t == 0 or n_t == n_b:
+            continue
+        n_used += n_b
+        n_strata += 1
+        term_q += math.floor(
+            (s_t * n_b / n_t - s_c * n_b / (n_b - n_t)) * 10000.0 + 0.5
+        )
+    (row,) = _rows(spark, "ipw_ate_order_value")
+    assert (row.n_used, row.n_strata) == (n_used, n_strata)
+    assert row.naive_q == math.floor((st / nt - sc / nc) * 10000.0 + 0.5)
+    assert row.ate_ipw_q == math.floor(term_q / n_used + 0.5)
