@@ -29,8 +29,19 @@ def serve_silver(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Serve `build()`'s relation from a materialized parquet silver
-    table under ``$TMP/<name>/<basename(sf_dir)>``, rebuilt when the
-    source parquet is newer than the last materialization."""
+    table under ``$TMP/<name>/<basename(sf_dir)>/v=<src_mtime_ns>``,
+    rebuilt when the source parquet is newer than the last
+    materialization.
+
+    Each source mtime gets its OWN immutable version directory: a lazy
+    DataFrame handle returned before a rebuild keeps reading the
+    snapshot it resolved against instead of racing the overwrite of a
+    shared path (the snapshot-isolation contract a table format like
+    Iceberg provides at 100 TB). The two most recent versions are
+    retained; older ones are pruned, bounding temp growth while keeping
+    the immediately superseded snapshot alive for in-flight handles."""
+    import shutil
+
     from healthcare_aihw_etl_pipeline_spark.plans.registry import (
         invalidate,
         watch_path,
@@ -40,11 +51,21 @@ def serve_silver(
         tempfile.gettempdir(), name, os.path.basename(sf_dir.rstrip("/"))
     )
     src = os.path.join(sf_dir, f"{source_table}.parquet")
-    success = os.path.join(base, "_SUCCESS")
+    vdir = os.path.join(base, f"v={os.stat(src).st_mtime_ns}")
+    success = os.path.join(vdir, "_SUCCESS")
     watch_path(sf_dir, success)
-    if not os.path.exists(success) or os.path.getmtime(
-        success
-    ) < os.path.getmtime(src):
-        build().write.mode("overwrite").parquet(base)
+    if not os.path.exists(success):
+        build().write.mode("overwrite").parquet(vdir)
         invalidate(sf_dir=sf_dir)
-    return spark.read.parquet(base)
+        try:
+            versions = sorted(
+                int(d[2:])
+                for d in os.listdir(base)
+                if d.startswith("v=") and d[2:].isdigit()
+            )
+            for old in versions[:-2]:
+                shutil.rmtree(os.path.join(base, f"v={old}"),
+                              ignore_errors=True)
+        except OSError:
+            pass  # pruning is best-effort housekeeping
+    return spark.read.parquet(vdir)

@@ -32,6 +32,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import round11b_queries  # noqa: F
 from healthcare_aihw_etl_pipeline_spark.plans import round12_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round13_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round13b_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import round14_queries  # noqa: F401,E402
 
 # Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the

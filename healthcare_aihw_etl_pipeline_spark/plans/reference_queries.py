@@ -641,39 +641,22 @@ def _events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization is the ingest job itself; here it is cached per
     scale-factor directory and rebuilt if the source parquet is newer.
     """
-    import os
-    import tempfile
-
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_events_typed",
-        os.path.basename(sf_dir.rstrip("/")),
+    from healthcare_aihw_etl_pipeline_spark.operators.silver import (
+        serve_silver,
     )
-    src = os.path.join(sf_dir, "events.parquet")
-    success = os.path.join(base, "_SUCCESS")
-    # The derived root lives OUTSIDE sf_dir, so register it with the
-    # plan cache's staleness token — a rebuild is then visible to every
-    # cached plan for this sf_dir even without the explicit invalidate.
-    from healthcare_aihw_etl_pipeline_spark.plans.registry import watch_path
 
-    watch_path(sf_dir, success)
-    if not os.path.exists(success) or os.path.getmtime(success) < os.path.getmtime(
-        src
-    ):
+    def build() -> DataFrame:
         from pyspark.sql.types import IntegerType, StructField, StructType
-
-        from healthcare_aihw_etl_pipeline_spark.plans.registry import invalidate
 
         events = load_table(spark, sf_dir, "events")
         k_schema = StructType([StructField("k", IntegerType())])
-        typed = events.withColumn("k", F.from_json("props", k_schema)["k"]).drop(
-            "props"
-        )
-        typed.write.mode("overwrite").parquet(base)
-        # Cached plans for this sf_dir pinned the PREVIOUS derived-table
-        # file listing; drop them so readers resolve the rebuilt snapshot.
-        invalidate(sf_dir=sf_dir)
-    return spark.read.parquet(base)
+        return events.withColumn(
+            "k", F.from_json("props", k_schema)["k"]
+        ).drop("props")
+
+    return serve_silver(
+        spark, sf_dir, "spark_graft_events_typed", "events", build
+    )
 
 
 @register(

@@ -1785,10 +1785,40 @@ def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return fn
 
+    def _persisted_ids() -> set:
+        # JavaSparkContext.getPersistentRDDs(): id -> JavaRDD of every
+        # block-pinned RDD, including localCheckpoint's internal one
+        # (which queryExecution().toRdd() does NOT return — it builds a
+        # fresh scan RDD over the LogicalRDD, so unpersisting that was
+        # a no-op that left up to 9 state copies pinned).
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return set(jmap.keySet().toArray())
+        except Exception:
+            return set()
+
+    def _checkpoint(df: DataFrame) -> tuple[DataFrame, set]:
+        before = _persisted_ids()
+        ck = df.localCheckpoint(eager=True)
+        return ck, _persisted_ids() - before
+
+    def _release(ids: set) -> None:
+        # release the superseded round's checkpoint blocks — without
+        # this up to 9 full copies of the (vec_id, q[64], dmin)
+        # relation stay pinned in executor storage simultaneously
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:
+            pass  # cleanup is best-effort; ContextCleaner catches up
+
     schema = "vec_id long, q array<long>, dmin long"
-    state = emb.mapInPandas(
-        min_dist_update(center_code(0), True), schema
-    ).localCheckpoint(eager=True)
+    state, state_ids = _checkpoint(
+        emb.mapInPandas(min_dist_update(center_code(0), True), schema)
+    )
     out_rows = [(1, 0, 0)]
     for t in range(2, _KC_ROUNDS + 2):
         sel = (
@@ -1798,17 +1828,14 @@ def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out_rows.append((t, int(sel["vec_id"]), int(sel["dmin"])))
         if t <= _KC_ROUNDS:
-            prev = state
-            state = state.mapInPandas(
-                min_dist_update([int(v) for v in sel["q"]], False), schema
-            ).localCheckpoint(eager=True)
-            # release the superseded round's checkpoint blocks — without
-            # this up to 9 full copies of the (vec_id, q[64], dmin)
-            # relation stay pinned in executor storage simultaneously
-            try:
-                prev._jdf.queryExecution().toRdd().unpersist(False)
-            except Exception:
-                pass  # cleanup is best-effort; ContextCleaner catches up
+            prev_ids = state_ids
+            state, state_ids = _checkpoint(
+                state.mapInPandas(
+                    min_dist_update([int(v) for v in sel["q"]], False),
+                    schema,
+                )
+            )
+            _release(prev_ids)
     return spark.createDataFrame(
         out_rows, "round int, vec_id long, sel_dist long"
     ).orderBy("round")
@@ -1920,9 +1947,14 @@ def logrank_arm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         signup_purchase_durations,
     )
 
-    d = signup_purchase_durations(
-        spark, sf_dir, extra={"x": F.col("user_id") % 2}
+    return _logrank_surface(
+        signup_purchase_durations(
+            spark, sf_dir, extra={"x": F.col("user_id") % 2}
+        )
     )
+
+
+def _logrank_surface(d: DataFrame) -> DataFrame:
     byt = d.groupBy("dur").agg(
         F.count(F.lit(1)).cast("long").alias("c_t"),
         F.sum("x").cast("long").alias("c1_t"),
@@ -1961,6 +1993,22 @@ def logrank_arm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select(
         "n_subjects", "n_arm1", "o1", "e1_q", "v_q",
         F.expr(_LR_CHI2).alias("chi2_q"),
+    )
+
+
+@register(
+    "logrank_arm_test_served",
+    oracle=_REG["logrank_arm_test"].oracle,
+    doc="logrank_arm_test served from the user-span silver table "
+    "(operators/survival.served_user_spans) — the fourth and last "
+    "survival query onto the shared silver (KM/NA/Cox serve at "
+    "0.9-1.2x DuckDB); the treatment arm derives from the silver's "
+    "user_id at serve time, and the oracle replays the full raw-events "
+    "pipeline so the hash match proves the silver faithful.",
+)
+def logrank_arm_test_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _logrank_surface(
+        _served_durations(spark, sf_dir, extra={"x": F.col("user_id") % 2})
     )
 
 

@@ -1,0 +1,196 @@
+"""Round-14 query families.
+
+- graph-based ANN search (graph_ann_top10): bounded multi-entry beam
+  search over the kNN graph built by knn_graph_topk — the index-SEARCH
+  leg that completes index-build → index-search (the retrieval sibling
+  of LPA and the mutual-kNN closure, which consume the same edge
+  relation). HNSW's layer-0 search is a best-first frontier walk; the
+  deterministic, engine-portable formulation here is a fixed-depth
+  beam: score a stride-spread entry set against the probe, then H
+  times expand the current beam's out-edges, score only the
+  never-visited neighbors, and keep the global top-B as the next beam.
+  Every score is the exact int7-quantized integer dot product
+  (ann_qlsh_top10_portable's arithmetic), so the whole search replays
+  bit-identically in DuckDB as unrolled bounded-frontier CTEs (the
+  copurchase_2hop_reach pattern).
+
+Scale shape: the edge relation IS the served index (built distributed,
+checkpointed once, filtered by a broadcast-size beam each hop); each
+hop touches <= beam * k candidate rows plus one IN-pushed scan of the
+quantized codes; every driver-side collect is bounded by the fixed
+beam/entry constants, never by corpus size (the bpe_merge bounded-
+collect policy). Reference lineage: the reference app serves top-N
+ranked views from precomputed relations (/root/reference/
+streamlit_app.py:108-152); this is that serve-from-index discipline
+applied to vector retrieval.
+
+Same contract as every plans module: idiomatic PySpark paired with a
+DuckDB oracle whose arithmetic is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_aihw_etl_pipeline_spark.plans.registry import register
+from healthcare_aihw_etl_pipeline_spark.plans.round13_queries import (
+    _KNN_K,
+    _KNN_ORACLE_CTES,
+    _knn_graph,
+)
+from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN search over the kNN graph
+
+_GA_ENTRIES = 64  # target entry-point count (stride-spread over ids)
+_GA_BEAM = 32  # beam width B
+_GA_HOPS = 3  # expansion rounds H
+_GA_K = 10  # result size
+
+# Per-hop CTE triple: candidates = beam's out-neighbors never visited,
+# scored by the exact quantized dot against the probe, folded into the
+# visited relation; the next beam is the global top-B of visited.
+# Unrolled H times — the bounded-frontier recursion made static.
+_GA_HOP_CTES = "".join(
+    f""",
+    cand{t} AS (
+      SELECT DISTINCT e.nbr AS vec_id
+      FROM edges e JOIN beam{t - 1} b ON e.src = b.vec_id
+      WHERE e.nbr NOT IN (SELECT vec_id FROM visited{t - 1})
+    ),
+    score{t} AS (
+      SELECT qv.vec_id, CAST(SUM(qv.q * probe.q) AS BIGINT) AS dot
+      FROM qv JOIN probe ON probe.d = qv.d
+      JOIN cand{t} c ON c.vec_id = qv.vec_id
+      GROUP BY qv.vec_id
+    ),
+    visited{t} AS (
+      SELECT * FROM visited{t - 1} UNION ALL SELECT * FROM score{t}
+    ),
+    beam{t} AS (
+      SELECT vec_id FROM visited{t}
+      ORDER BY dot DESC, vec_id LIMIT {_GA_BEAM}
+    )"""
+    for t in range(1, _GA_HOPS + 1)
+)
+
+
+@register(
+    "graph_ann_top10",
+    oracle=f"""
+    WITH {_KNN_ORACLE_CTES},
+    edges AS (SELECT src, nbr FROM ranked WHERE rank <= {_KNN_K}),
+    stride AS (
+      SELECT GREATEST(1, COUNT(*) // {_GA_ENTRIES}) AS st FROM embeddings
+    ),
+    probe AS (SELECT d, q FROM qv WHERE vec_id = 0),
+    visited0 AS (
+      SELECT qv.vec_id, CAST(SUM(qv.q * probe.q) AS BIGINT) AS dot
+      FROM qv JOIN probe ON probe.d = qv.d
+      WHERE qv.vec_id % (SELECT st FROM stride) = 0
+      GROUP BY qv.vec_id
+    ),
+    beam0 AS (
+      SELECT vec_id FROM visited0
+      ORDER BY dot DESC, vec_id LIMIT {_GA_BEAM}
+    ){_GA_HOP_CTES}
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS BIGINT)
+             AS rank,
+           vec_id, dot AS qdot
+    FROM visited{_GA_HOPS}
+    ORDER BY dot DESC, vec_id LIMIT {_GA_K}
+    """,
+    doc="Graph-based ANN search: fixed-depth multi-entry beam search "
+    "over knn_graph_topk's edge relation for the probe (vec_id 0) — "
+    "the index-search leg completing index-build → index-search. "
+    f"{_GA_ENTRIES} stride-spread entry points are scored by exact "
+    "int7-quantized integer dot, then each of "
+    f"{_GA_HOPS} hops expands the top-{_GA_BEAM} beam's out-edges, "
+    "scores only never-visited neighbors, and re-ranks; the final "
+    f"top-{_GA_K} of the visited set is the answer. Deterministic end "
+    "to end (integer scores, (dot desc, id asc) ties), so the whole "
+    "search hash-checks against an unrolled bounded-frontier CTE "
+    "replay in DuckDB. Scale shape: the edge relation is the served "
+    "index (distributed build, checkpointed, beam-filtered per hop); "
+    "per-hop work is <= beam*k candidate rows + one IN-pushed scan of "
+    "the quantized codes; all driver collects are bounded by the "
+    "fixed search constants (entries + H*beam*k rows total), never by "
+    "corpus size. Recall vs the exact quantized brute-force top-10 is "
+    "property-tested beside the hash check.",
+)
+def graph_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        quantize_q127,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import table_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcodes = emb.select("vec_id", quantize_q127("embedding").alias("q"))
+
+    probe_row = qcodes.where(F.col("vec_id") == 0).select("q").first()
+    if probe_row is None or probe_row[0] is None:
+        raise ValueError("probe vec_id=0 missing from embeddings")
+    probe_lits = F.array(
+        *[F.lit(int(v)).cast("long") for v in probe_row[0]]
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), probe_lits, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("dot")
+
+    n = table_rows(sf_dir, "embeddings")
+    if n is None:  # unreadable footer: the scale-safe fallback is a count
+        n = qcodes.count()
+    stride = max(1, n // _GA_ENTRIES)
+
+    def score_ids(pred) -> list:
+        return (
+            qcodes.where(pred).select("vec_id", dot).collect()
+        )
+
+    # visited: vec_id -> exact integer score. Entry set is ~_GA_ENTRIES
+    # rows by construction of the stride; every later collect is
+    # bounded by beam * k.
+    visited: dict[int, int] = {
+        int(r["vec_id"]): int(r["dot"])
+        for r in score_ids(F.col("vec_id") % stride == 0)
+    }
+
+    # The index: slim (src, nbr) edge relation, materialized once —
+    # it is beam-filtered H times.
+    edges = (
+        _knn_graph(spark, sf_dir)
+        .where(F.col("rank") <= _KNN_K)
+        .select("src", "nbr")
+        .localCheckpoint(eager=True)
+    )
+
+    def beam() -> list[int]:
+        return [
+            v
+            for v, _ in sorted(
+                visited.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:_GA_BEAM]
+        ]
+
+    for _ in range(_GA_HOPS):
+        nbrs = (
+            edges.where(F.col("src").isin(beam()))
+            .select("nbr")
+            .distinct()
+            .collect()
+        )
+        new_ids = [int(r["nbr"]) for r in nbrs if int(r["nbr"]) not in visited]
+        if not new_ids:
+            continue  # beam's whole neighborhood already visited
+        for r in score_ids(F.col("vec_id").isin(new_ids)):
+            visited[int(r["vec_id"])] = int(r["dot"])
+
+    top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:_GA_K]
+    return spark.createDataFrame(
+        [(i + 1, v, d) for i, (v, d) in enumerate(top)],
+        "rank long, vec_id long, qdot long",
+    )

@@ -87,9 +87,10 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# Footer row-count cache: (sf_dir, table) -> rows. Pure file metadata —
-# the statistic a real catalog serves from the metastore.
-_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+# Footer row-count cache: (sf_dir, table) -> (source mtime, rows).
+# Pure file metadata — the statistic a real catalog serves from the
+# metastore; the stored mtime evicts entries for rewritten tables.
+_ROWCOUNT_CACHE: dict[tuple[str, str], tuple[float, int]] = {}
 
 
 def table_rows(sf_dir: str, name: str) -> int | None:
@@ -100,20 +101,27 @@ def table_rows(sf_dir: str, name: str) -> int | None:
     None when the footer is unreadable (callers must then choose the
     scale-safe strategy)."""
     key = (sf_dir, name)
-    hit = _ROWCOUNT_CACHE.get(key)
-    if hit is not None:
-        return hit
     try:
+        import os
+
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+        path = f"{sf_dir}/{name}.parquet"
+        mtime = os.path.getmtime(path)
+        hit = _ROWCOUNT_CACHE.get(key)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        n = pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return None
-    _ROWCOUNT_CACHE[key] = n
+    _ROWCOUNT_CACHE[key] = (mtime, n)
     return n
 
 
-_HORIZON_CACHE: dict[tuple[str, float], object] = {}
+# sf_dir -> (source mtime, horizon). Keyed by directory with the mtime
+# stored IN the value so a rewritten events.parquet replaces the entry
+# instead of accumulating one per rewrite in a long-lived session.
+_HORIZON_CACHE: dict[str, tuple[float, object]] = {}
 
 
 def events_horizon_us(sf_dir: str):
@@ -136,14 +144,14 @@ def events_horizon_us(sf_dir: str):
 
         import pyarrow.parquet as pq
 
-        # Cache key includes the source mtime: a rewritten
-        # events.parquet must re-read footers (the same staleness
-        # contract the silver tables key on) — horizon is a
-        # CORRECTNESS input, unlike table_rows' strategy hint.
-        key = (sf_dir, os.path.getmtime(f"{sf_dir}/events.parquet"))
-        hit = _HORIZON_CACHE.get(key)
-        if hit is not None:
-            return hit
+        # The source mtime is the staleness token: a rewritten
+        # events.parquet must re-read footers (the same contract the
+        # silver tables key on) — horizon is a CORRECTNESS input,
+        # unlike table_rows' strategy hint.
+        mtime = os.path.getmtime(f"{sf_dir}/events.parquet")
+        hit = _HORIZON_CACHE.get(sf_dir)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
         f = pq.ParquetFile(f"{sf_dir}/events.parquet")
         t = f.schema_arrow.field("ts").type
         # EXACT naive-micros match: "timestamp[us, tz=UTC]"-class
@@ -171,7 +179,7 @@ def events_horizon_us(sf_dir: str):
         return None
     if best is None:
         return None
-    _HORIZON_CACHE[key] = best
+    _HORIZON_CACHE[sf_dir] = (mtime, best)
     return best
 
 

@@ -93,13 +93,29 @@ def monitor_sprt(
     import glob
     import os
 
-    if not os.path.exists(checkpoint) and glob.glob(
-        os.path.join(out_path, "batch=*")
-    ):
+    have_batches = bool(glob.glob(os.path.join(out_path, "batch=*")))
+    if not os.path.exists(checkpoint) and have_batches:
         raise ValueError(
             f"evidence dir {out_path!r} has batches from a previous "
             "run but no matching checkpoint — reuse the original "
             "checkpointLocation or start with a fresh out_path"
+        )
+    # Inverse guard: a checkpoint that has COMMITTED batches will
+    # resume past them without re-emitting, so if the evidence dir was
+    # deleted (or partially deleted) the decision layer would read a
+    # silently truncated LLR prefix. Committed offsets live as files
+    # under <checkpoint>/commits/<batchId> per the Structured Streaming
+    # checkpoint contract.
+    commits = [
+        c
+        for c in glob.glob(os.path.join(checkpoint, "commits", "*"))
+        if os.path.basename(c).isdigit()
+    ]
+    if commits and not have_batches:
+        raise ValueError(
+            f"checkpoint {checkpoint!r} has {len(commits)} committed "
+            f"batches but evidence dir {out_path!r} has none — the "
+            "evidence was deleted; restore it or start BOTH paths fresh"
         )
     daily = daily_conversions(stream_events)
 

@@ -579,6 +579,75 @@ def test_asof_cogrouped_matches_native(spark, sf_dir):
     assert any(t[2] is not None for t in native)  # matches exist
 
 
+def test_asof_self_join_matches_two_sided(spark, sf_dir):
+    """The single-scan self-as-of (disjoint predicates over one
+    relation) must produce exactly the two-sided union+window form's
+    rows on the events corpus — plus the NULL-ts / tie / NULL-value
+    edge cases on a synthetic frame."""
+    from healthcare_aihw_etl_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_self_join,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    two_sided = {
+        (r.user_id, r.ts, r.ts_asof)
+        for r in asof_join(
+            clicks, purchases, on=["user_id"], ts="ts", value_cols=["ts"]
+        ).collect()
+    }
+    one_scan = {
+        (r.user_id, r.ts, r.ts_asof)
+        for r in asof_self_join(
+            events,
+            on=["user_id"],
+            ts="ts",
+            left_pred=F.col("event_type") == "click",
+            right_pred=F.col("event_type") == "purchase",
+            value_cols=["ts"],
+        ).collect()
+    }
+    assert one_scan == two_sided
+    assert any(t[2] is not None for t in one_scan)
+
+    # Edge cases: equal-ts tie matches inclusively (right sorts first);
+    # right row with NULL ts never matches; carried NULL value survives.
+    rows = [
+        (1, 10, "L", None),  # tie with the right row at ts=10
+        (1, 10, "R", 7),
+        (1, 5, "L", None),  # before any right row -> NULL match
+        (2, 9, "L", None),  # right NULL ts must not match
+        (2, None, "R", 3),
+        (3, 8, "L", None),  # matched right row carries NULL value
+        (3, 6, "R", None),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, side string, v int")
+    got = {
+        (r.k, r.t): (r.t_asof, r.v_asof)
+        for r in asof_self_join(
+            df,
+            on=["k"],
+            ts="t",
+            left_pred=F.col("side") == "L",
+            right_pred=F.col("side") == "R",
+            value_cols=["t", "v"],
+        ).collect()
+    }
+    assert got == {
+        (1, 10): (10, 7),
+        (1, 5): (None, None),
+        (2, 9): (None, None),
+        (3, 8): (6, None),
+    }
+
+
 def test_hll_rollup_mergeability_law(spark, sf_dir, duck):
     """The sketch-rollup pattern is only valid if union-of-partials
     equals the direct global sketch EXACTLY (register-wise MAX is

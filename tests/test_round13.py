@@ -46,15 +46,35 @@ def test_served_segments_rebuild_on_stale_source(spark, tmp_path):
     base = os.path.join(
         tempfile.gettempdir(), "spark_graft_sweep_segments", "sf_copy"
     )
-    served_boundary_segments(spark, str(sf)).collect()
-    success = os.path.join(base, "_SUCCESS")
-    assert os.path.exists(success)
-    first = os.path.getmtime(success)
-    # Source newer than the materialization -> rebuild on next access.
+    # The base path is keyed on basename(sf_dir) = "sf_copy", which a
+    # previous test run also used — start from a clean slate.
+    shutil.rmtree(base, ignore_errors=True)
+
+    def versions() -> list[str]:
+        return sorted(
+            d for d in os.listdir(base)
+            if d.startswith("v=")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        )
+
+    stale_handle = served_boundary_segments(spark, str(sf))
+    n_first = stale_handle.count()
+    v1 = versions()
+    assert len(v1) == 1
+    # Source newer than the materialization -> NEW version dir on next
+    # access; the superseded snapshot stays on disk so the lazy handle
+    # resolved before the rebuild still reads consistent data.
     future = time.time() + 60
     os.utime(sf / "events.parquet", (future, future))
     served_boundary_segments(spark, str(sf)).collect()
-    assert os.path.getmtime(success) > first
+    v2 = versions()
+    assert len(v2) == 2 and v1[0] in v2
+    assert stale_handle.count() == n_first  # snapshot isolation
+    # A third rebuild prunes the oldest version (retention = 2).
+    os.utime(sf / "events.parquet", (future + 60, future + 60))
+    served_boundary_segments(spark, str(sf)).collect()
+    v3 = versions()
+    assert len(v3) == 2 and v1[0] not in v3
 
 
 # ---------------------------------------------------------------------------
