@@ -3,13 +3,12 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 13 pins the five new
-round-13 queries — the three silver-served sweep twins, kNN-graph
-construction, unigram-LM pruning — then every plan or oracle changed
-this round — Cox's fused risk moments, the conformal BIGINT-moment
-oracle, the sweep trio on shared aggregate bodies — then the round-4
-cohort, the oldest window evidence since CORRECTNESS_r09, then the
-round-6 cohort tail); everything else
+verified cohort is due a regression sweep (round 14 pins the two new
+queries — graph-ANN beam search, the logrank served twin — then every
+plan changed this round — the single-scan self-as-of, k-center's
+checkpoint bookkeeping, every serve_silver consumer now reading
+versioned snapshot directories — then the round-5 cohort, the oldest
+window evidence since CORRECTNESS_r10); everything else
 sits behind the window with its cumulative driver-side record standing.
 The full registry is additionally swept in-round by scripts/driver_sim.py
 and committed as CORRECTNESS_FULL_r{N}.json.
@@ -379,6 +378,55 @@ _MUST_VERIFY_R13: list[str] = [
 ]
 
 
+# CORRECTNESS_r13.json (50/50 green on rows+schema+hash) +
+# CORRECTNESS_FULL_r13.json (267 queries, 261 hash-green, 6 rows-only
+# by design, 0 failures) covered every name in the r13 window; treat
+# them as green for the r14 rotation.
+_DRIVER_GREEN_R13 = list(_MUST_VERIFY_R13)
+_DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R13
+
+# Round 14 rotates per the standing policy: the two new oracled
+# queries (graph-ANN beam search, the logrank served twin) lead, then
+# every query whose PLAN changed this round — asof_purchase_lag moved
+# to the single-scan self-as-of, kcenter_coreset_seeds changed its
+# checkpoint bookkeeping, and every serve_silver consumer now reads an
+# immutable versioned snapshot directory (the silver scaffold's
+# snapshot-isolation fix) — then the round-5 cohort, whose last
+# driver-side evidence is CORRECTNESS_r10 and is due its regression
+# sweep.
+_MUST_VERIFY_R14: list[str] = [
+    # new this round
+    "graph_ann_top10", "logrank_arm_test_served",
+    "asof_purchase_lag_served",
+    # plan changed this round (self-as-of single scan)
+    "asof_purchase_lag",
+    # checkpoint bookkeeping changed (persistent-RDD-id diff release)
+    "kcenter_coreset_seeds",
+    # serve_silver consumers: versioned snapshot directories
+    "events_typed_agg", "interval_sweep_profile_served",
+    "max_concurrent_sessions_served", "interval_union_coverage_served",
+    "kaplan_meier_conversion_served", "nelson_aalen_hazard_served",
+    "cox_hazard_newton_served", "token_shard_plan_served",
+    "zipf_slope_tokens_served", "ams_f2_tokens_served",
+    # shared-surface refactor rider (same plan, cheap re-verify)
+    "logrank_arm_test",
+    # round-5 cohort (oldest window evidence, CORRECTNESS_r10)
+    "ewma_daily_revenue", "mode_ship_priority", "char_diversity_profile",
+    "levenshtein_blocked_pairs", "bipartite_pagerank_top20",
+    "ann_lsh_top10", "minhash_dup_clusters", "simhash_dup_clusters",
+    "ivf_cosine_top10", "approx_event_profile",
+    "duplicate_ngram_top20", "jaccard_pair_similarity",
+    "part_pair_cooccurrence", "top_session_paths", "value_histogram",
+    "event_volume_zscore", "customer_segment_setops",
+    "price_quantity_regression", "lsh_bucket_histogram",
+    "supplier_balance_position", "regression_by_returnflag",
+    "time_rollup_revenue", "event_type_transitions",
+    "customer_revenue_gini", "salted_event_type_totals",
+    "doc_length_quartiles_by_source", "events_in_prior_hour",
+    "event_type_reconciliation",
+]
+
+
 def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     """Rebuild the registry dict with unverified queries first.
 
@@ -388,8 +436,8 @@ def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R13 if n in registry]
-    placed = set(_MUST_VERIFY_R13)
+    pinned = [registry[n] for n in _MUST_VERIFY_R14 if n in registry]
+    placed = set(_MUST_VERIFY_R14)
     promoted_oracle = [
         q
         for n, q in registry.items()

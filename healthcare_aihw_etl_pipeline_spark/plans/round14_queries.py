@@ -194,3 +194,66 @@ def graph_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, v, d) for i, (v, d) in enumerate(top)],
         "rank long, vec_id long, qdot long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Served as-of attribution silver
+
+# The oracle is the ORIGINAL's (DuckDB native ASOF LEFT JOIN replay
+# from raw events), pulled from the registry at import time — the
+# plans/__init__ import order guarantees llm_queries registered first.
+from healthcare_aihw_etl_pipeline_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+
+_ASOF_ORACLE = _REG["asof_purchase_lag"].oracle
+
+
+@register(
+    "asof_purchase_lag_served",
+    oracle=_ASOF_ORACLE,
+    doc="asof_purchase_lag served from a materialized matched-pair "
+    "silver table: the (user_id, click ts, prior purchase ts) as-of "
+    "relation is horizon-independent, so it materializes once at "
+    "ingest (operators/silver.serve_silver, the survival-span "
+    "discipline) and the per-query cost drops from a fact scan + "
+    "full window shuffle to one slim columnar scan + a user-grain "
+    "aggregate. The round-14 curve pinned the from-scratch form's "
+    "residue on exactly that shuffle (marginal 3.3x DuckDB's native "
+    "ASOF at sf10, growing with data, while its floor-class siblings "
+    "flattened) — the attribution family's scale answer is the same "
+    "as survival's: compute the match once, serve it many times. "
+    "Oracle replays the full raw-events ASOF join, so the hash match "
+    "proves the silver faithful; the from-scratch form stays "
+    "registered as the oracle path.",
+)
+def asof_purchase_lag_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_aihw_etl_pipeline_spark.operators.asof import (
+        asof_self_join,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.silver import (
+        serve_silver,
+    )
+
+    def build() -> DataFrame:
+        events = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type"
+        )
+        return asof_self_join(
+            events,
+            on=["user_id"],
+            ts="ts",
+            left_pred=F.col("event_type") == "click",
+            right_pred=F.col("event_type") == "purchase",
+            value_cols=["ts"],
+        ).select("user_id", "ts", "ts_asof")
+
+    matched = serve_silver(
+        spark, sf_dir, "spark_graft_asof_pairs", "events", build
+    )
+    lag_us = F.expr("timestampdiff(MICROSECOND, ts_asof, ts)")
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("ts_asof").alias("n_matched"),
+        F.coalesce(F.sum(lag_us), F.lit(0)).cast("long").alias("total_lag_us"),
+    )
