@@ -371,11 +371,40 @@ def simhash_portable(text_col: Column | str) -> Column:
     mantissa would corrupt a 60-bit value), so Spark and DuckDB agree
     bit-for-bit. ~2x the cost of :func:`simhash64` (md5 + conv vs
     xxhash64 + getbit) — the price of cross-engine verifiability."""
+    return _md5_sign_fold(text_col, 1)
+
+
+def simhash_wide_portable(text_col: Column | str) -> Column:
+    """120-bit portable SimHash as a struct of two 60-bit halves
+    (`h0` = bits 0..59 from md5 hex chars 1-15 per token, `h1` = bits
+    60..119 from hex chars 16-30 — one md5 per token feeds both).
+
+    Motivated by the PLANTED_TRUTH_r14 measurement: the 60-bit
+    signature's 15-bit bands saturate past ~1M docs (every band bucket
+    holds ~n/32768 docs, so band-collision false pairs grow
+    quadratically and pair precision collapses to ~0 at 10M docs).
+    120 bits buy 30-bit bands (4.3e9 bucket space) AND enough
+    signature width for an exact Hamming verify step — see
+    :func:`simhash_wide_dedup`. Same integer-only discipline as
+    :func:`simhash_portable`, so both halves replay in DuckDB."""
+    return F.struct(
+        _md5_sign_fold(text_col, 1).alias("h0"),
+        _md5_sign_fold(text_col, 16).alias("h1"),
+    )
+
+
+def _md5_sign_fold(text_col: Column | str, hex_start: int) -> Column:
+    """60-bit SimHash fold over md5 hex chars [hex_start, hex_start+15)
+    of each distinct whitespace token — the shared kernel of
+    :func:`simhash_portable` (hex_start=1) and the 120-bit wide variant
+    (halves at hex_start 1 and 16)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.array_distinct(F.split(F.trim(c), r"\s+"))
     vals = F.transform(
         tokens,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        lambda t: F.conv(
+            F.substring(F.md5(t), hex_start, 15), 16, 10
+        ).cast("long"),
     )
     zeros = F.array_repeat(F.lit(0).cast("long"), 60)
     counters = F.aggregate(
@@ -527,6 +556,92 @@ def simhash_dedup_portable(
             F.first("simhash").alias("simhash"),
             F.min("bucket_min").alias("dup_of"),
         )
+    )
+
+
+def simhash_wide_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup on the 120-bit portable signature
+    (:func:`simhash_wide_portable`), with the candidate→VERIFY
+    discipline the 60-bit form lacks:
+
+    1. COLLAPSE signature-identical docs to their min-id
+       representative first (one groupBy on (h0, h1)): the hub case —
+       thousands of byte-identical docs landing in one bucket — costs
+       one aggregate, never a pairwise blowup;
+    2. BAND the distinct signatures: 4 bands of 30 bits (2^30 bucket
+       space per band, so band collisions against noise stop growing
+       quadratically with corpus size — the 15-bit saturation
+       PLANTED_TRUTH_r14 measured at 1M+ docs);
+    3. VERIFY in-bucket representative pairs by exact Hamming distance
+       over the full 120 bits (two XOR + bit_count integer exprs —
+       replays in DuckDB); each representative's dup_of is the
+       smallest VERIFIED partner across its bands, and members inherit
+       their representative's dup_of.
+
+    This makes the op honor its contract — dup_of links only pairs
+    actually within `max_hamming` — instead of "shared a band", the
+    superset that over-clusters (the 60-bit form measured pair
+    precision ~0 against 1M+ noise docs; this form holds 1.0). Recall:
+    Hamming <= 3 is GUARANTEED by the 4-band pigeonhole; 4..8 is
+    probabilistic banding recall, measured on the planted
+    near-identical corpus (PLANTED_TRUTH_r14). In-bucket pairing is
+    quadratic only in DISTINCT signatures per 30-bit bucket (tiny by
+    construction; identical docs collapsed in step 1). Returns
+    (id_col, h0, h1, dup_of)."""
+    sig = simhash_wide_portable(text_col)
+    with_sig = df.select(F.col(id_col), sig.alias("s")).select(
+        id_col, F.col("s.h0").alias("h0"), F.col("s.h1").alias("h1")
+    )
+    with_sig = with_sig.localCheckpoint(eager=True)
+    reps = with_sig.groupBy("h0", "h1").agg(F.min(id_col).alias("rep"))
+    mask30 = F.lit((1 << 30) - 1).cast("long")
+    bands = reps.select(
+        "rep",
+        "h0",
+        "h1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("h0" if b < 2 else "h1"),
+                            30 * (b % 2),
+                        )
+                        .bitwiseAND(mask30)
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("rep", "h0", "h1", "bb.band", "bb.band_val")
+    other = bands.select(
+        "band",
+        "band_val",
+        F.col("rep").alias("rep2"),
+        F.col("h0").alias("oh0"),
+        F.col("h1").alias("oh1"),
+    )
+    hamming = F.bit_count(
+        F.col("h0").bitwiseXOR(F.col("oh0"))
+    ) + F.bit_count(F.col("h1").bitwiseXOR(F.col("oh1")))
+    dup_rep = (
+        bands.join(other, ["band", "band_val"])
+        .where(hamming <= F.lit(max_hamming))
+        .groupBy("rep")
+        .agg(F.min("rep2").alias("dup_of"))
+    )
+    return (
+        with_sig.join(reps, ["h0", "h1"])
+        .join(dup_rep, ["rep"])
+        .select(id_col, "h0", "h1", "dup_of")
     )
 
 

@@ -53,6 +53,82 @@ REAL_DIRS = {
 }
 
 
+def gen_near_identical(path: str, scale: str) -> dict:
+    """Corpus at SIMHASH's operating point: 25 planted NEAR-IDENTICAL
+    pairs (300 shared tokens, d in {1,2,3} substituted tail tokens per
+    side — wide-signature Hamming stays single-digit) plus the same
+    unique-token noise floor as gen_jaccard. The jaccard corpus grades
+    minhash (pairs at j 0.72-0.88); this one grades simhash, whose
+    banding recalls only near-identical docs by design."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    noise = {"sf10": 10_000_000, "sf1": 1_000_000}.get(scale, 1_000)
+    os.makedirs(path, exist_ok=True)
+    f = os.path.join(path, "documents.parquet")
+    writer = pq.ParquetWriter(
+        f, pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    )
+    rows_id: list[int] = []
+    rows_tx: list[str] = []
+    pairs = []
+    did = 0
+    t0 = time.time()
+    for pi in range(25):
+        d = 1 + pi % 3
+        shared = " ".join(f"q{pi}s{t}" for t in range(300))
+        a = shared + " " + " ".join(f"q{pi}a{t}" for t in range(d))
+        b = shared + " " + " ".join(f"q{pi}b{t}" for t in range(d))
+        # 5-gram arithmetic: grams fully inside the shared prefix are
+        # common (296); each side adds d boundary/tail grams.
+        pairs.append(
+            {
+                "id_a": did,
+                "id_b": did + 1,
+                "d": d,
+                "n_inter": 296,
+                "n_union": 296 + 2 * d,
+                "jaccard": round(296 / (296 + 2 * d), 6),
+            }
+        )
+        rows_id += [did, did + 1]
+        rows_tx += [a, b]
+        did += 2
+    writer.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(rows_id, pa.int64()),
+                "text": pa.array(rows_tx, pa.string()),
+            }
+        )
+    )
+    base = 1_000_000
+    chunk = 1_000_000
+    for s0 in range(0, noise, chunk):
+        sn = min(chunk, noise - s0)
+        ids = np.arange(base + s0, base + s0 + sn)
+        u = ids.astype("U12")
+        text = np.char.add("m", u)
+        for suffix in (" ma", " mb", " mc", " md", " me"):
+            text = np.char.add(text, np.char.add(suffix, u))
+        writer.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(text.tolist(), pa.string()),
+                }
+            )
+        )
+    writer.close()
+    return {
+        "n_docs_total": did + noise,
+        "gen_sec": round(time.time() - t0, 1),
+        "truth": {"top20": pairs, "rest": []},
+        "decoys": 0,
+    }
+
+
 def _pair_quality(spark, path: str, truth: dict, op_name: str) -> dict:
     """Pair-level recall/precision of a (id, dup_of) clustering op on
     the planted-jaccard corpus."""
@@ -65,6 +141,8 @@ def _pair_quality(spark, path: str, truth: dict, op_name: str) -> dict:
     t0 = time.time()
     if op_name == "minhash":
         clustered = D.minhash_dedup(docs, "text", "doc_id")
+    elif op_name == "simhash_wide":
+        clustered = D.simhash_wide_dedup(docs, "text", "doc_id")
     else:
         clustered = D.simhash_dedup(docs, "text", "doc_id")
     # Planted + decoy ids live below 1e6 (noise starts at 1_000_000):
@@ -90,9 +168,10 @@ def _pair_quality(spark, path: str, truth: dict, op_name: str) -> dict:
         detected += int(hit)
         per_pair.append({"jaccard": p["jaccard"], "detected": bool(hit)})
     n_planted = len(per_pair)
+    n_decoys = truth.get("decoys", 30)
     decoy_hits = sum(
         1
-        for a in range(50, 110, 2)
+        for a in range(50, 50 + 2 * n_decoys, 2)
         if small.get(a) is not None and small.get(a) == small.get(a + 1)
     )
     false_pairs = int(mass) - detected
@@ -102,7 +181,7 @@ def _pair_quality(spark, path: str, truth: dict, op_name: str) -> dict:
         "detected": detected,
         "recall": round(detected / n_planted, 3) if n_planted else None,
         "per_pair": per_pair,
-        "decoy_pairs": 30,
+        "decoy_pairs": n_decoys,
         "decoy_hits": decoy_hits,
         "total_cluster_pairs": int(mass),
         "false_pairs": false_pairs,
@@ -156,9 +235,14 @@ def _ann_recall(spark, d: str) -> dict:
 
 def main() -> None:
     scale = "smoke"
+    ops = ["minhash", "simhash", "simhash_wide"]
+    run_ann = True
     for i, a in enumerate(sys.argv):
         if a == "--scale":
             scale = sys.argv[i + 1]
+        if a == "--ops":  # comma list; also disables the ANN section
+            ops = sys.argv[i + 1].split(",")
+            run_ann = False
 
     from healthcare_aihw_etl_pipeline_spark import get_spark
 
@@ -182,7 +266,7 @@ def main() -> None:
         with open(tpath, "w") as fh:
             json.dump(truth, fh)
     print(f"jaccard corpus: {truth['n_docs_total']} docs", file=sys.stderr)
-    for op in ("minhash", "simhash"):
+    for op in ops:
         section[f"{op}_pair_quality"] = _pair_quality(spark, path, truth, op)
         print(
             f"{op}: recall={section[f'{op}_pair_quality']['recall']} "
@@ -191,17 +275,45 @@ def main() -> None:
             flush=True,
         )
 
+    # 1b. near-identical corpus (simhash's operating point)
+    ni_path = os.path.join(OUT, f"nearid_{scale}")
+    ni_tpath = os.path.join(ni_path, "truth.json")
+    if os.path.exists(os.path.join(ni_path, "documents.parquet")) and (
+        os.path.exists(ni_tpath)
+    ):
+        with open(ni_tpath) as fh:
+            ni_truth = json.load(fh)
+    else:
+        ni_truth = gen_near_identical(ni_path, scale)
+        with open(ni_tpath, "w") as fh:
+            json.dump(ni_truth, fh)
+    print(
+        f"near-identical corpus: {ni_truth['n_docs_total']} docs",
+        file=sys.stderr,
+    )
+    for op in ops:
+        key = f"{op}_near_identical_quality"
+        section[key] = _pair_quality(spark, ni_path, ni_truth, op)
+        print(
+            f"{op} near-identical: recall={section[key]['recall']} "
+            f"precision={section[key]['pair_precision']}",
+            file=sys.stderr,
+            flush=True,
+        )
+
     # 2. ANN recall on the real corpus layout for this scale
-    section["ann_recall"] = {}
-    for d in REAL_DIRS.get(scale, []):
-        if os.path.isfile(f"{d}/embeddings.parquet"):
-            section["ann_recall"][d] = _ann_recall(spark, d)
+    if run_ann:
+        section["ann_recall"] = {}
+        for d in REAL_DIRS.get(scale, []):
+            if os.path.isfile(f"{d}/embeddings.parquet"):
+                section["ann_recall"][d] = _ann_recall(spark, d)
 
     art = {}
     if os.path.exists(ARTIFACT):
         with open(ARTIFACT) as fh:
             art = json.load(fh)
-    art[scale] = section
+    # merge (an --ops rerun updates only its keys)
+    art.setdefault(scale, {}).update(section)
     with open(ARTIFACT, "w") as fh:
         json.dump(art, fh, indent=1)
     print(json.dumps({k: v for k, v in section.items() if k != "scale"})[:2000])
