@@ -32,6 +32,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import round12_queries  # noqa: F4
 from healthcare_aihw_etl_pipeline_spark.plans import round13_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round13b_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round14_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import round14b_queries  # noqa: F401,E402
 
 # Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the
@@ -397,7 +398,12 @@ _DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R13
 _MUST_VERIFY_R14: list[str] = [
     # new this round
     "graph_ann_top10", "logrank_arm_test_served",
-    "asof_purchase_lag_served",
+    "asof_purchase_lag_served", "simhash_wide_dup_clusters",
+    # new in the round-14 continuation session (round14b_queries):
+    # duplicate-span stats, BH-FDR, regression discontinuity,
+    # association rules
+    "dup_span_stats", "bh_fdr_nation_tests", "rdd_order_value",
+    "assoc_rules_top20", "markov_attribution",
     # plan changed this round (self-as-of single scan)
     "asof_purchase_lag",
     # checkpoint bookkeeping changed (persistent-RDD-id diff release)
