@@ -687,11 +687,16 @@ _MK_ROUND_CTES = "".join(
       SELECT cur, 'null' FROM seq
       WHERE nxt IS NULL AND cur <> 'purchase'
     ),
-    trans AS (
+    -- MATERIALIZED: the unrolled rounds below reference t/base once per
+    -- level; without the hint DuckDB inlines the whole chain and
+    -- re-runs the corpus-sized window pass ~2x per round (measured
+    -- 222 s at sf1 inlined vs seconds materialized). The materialized
+    -- relations are bounded by the event-type domain squared.
+    trans AS MATERIALIZED (
       SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM edges GROUP BY 1, 2
     ),
-    t AS (
+    t AS MATERIALIZED (
       SELECT src, dst,
              CAST(cnt * 1000000000
                   // SUM(cnt) OVER (PARTITION BY src) AS BIGINT) AS p_ppb
@@ -705,13 +710,13 @@ _MK_ROUND_CTES = "".join(
     ),
     states AS (SELECT ch AS s FROM channels UNION ALL SELECT 'start'),
     pconv AS (SELECT src AS s, p_ppb AS pc FROM t WHERE dst = 'conv'),
-    base AS (
+    base AS MATERIALIZED (
       SELECT r.removed, st.s, COALESCE(pc.pc, 0) AS pconv
       FROM removals r CROSS JOIN states st
       LEFT JOIN pconv pc ON pc.s = st.s
       WHERE st.s <> r.removed
     ),
-    tch AS (
+    tch AS MATERIALIZED (
       SELECT src, dst, p_ppb FROM t WHERE dst NOT IN ('conv', 'null')
     ),
     a1 AS (SELECT removed, s, pconv AS a FROM base){_MK_ROUND_CTES},
