@@ -61,9 +61,11 @@ from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
 # Duplicate-span statistics (suffix-array-dedup measure, relationally)
 
 # Span unit: 8-token grams — the Lee et al. operating point scaled to
-# the whitespace-token grain used corpus-wide. 48-bit portable md5
-# prefix (the DSIR hash convention): collision odds stay negligible
-# well past 10^12 distinct grams.
+# the whitespace-token grain used corpus-wide. 60-bit portable md5
+# prefix (the simhash-half width): the first planted sf10 run at
+# 48 bits saw the expected ~(3e7)^2/2^49 birthday collisions flip the
+# top-20 — at 60 bits the same corpus expects ~4e-4 colliding pairs,
+# and ~4e5 in 1e12 grams (rate 4e-7) at the 100 TB grain.
 _DS_K = 8
 _DS_TOP = 20
 
@@ -81,7 +83,7 @@ _DS_GRAM_SQL = " || ' ' || ".join(f"t[i+{j + 1}]" for j in range(_DS_K))
       SELECT doc_id, len(t) AS n_tokens,
              list_transform(
                range(0, len(t) - {_DS_K - 1}),
-               i -> CAST('0x' || substr(md5({_DS_GRAM_SQL}), 1, 12)
+               i -> CAST('0x' || substr(md5({_DS_GRAM_SQL}), 1, 15)
                     AS BIGINT)) AS h
       FROM docs WHERE len(t) >= {_DS_K}
     ),
@@ -128,7 +130,7 @@ _DS_GRAM_SQL = " || ' ' || ".join(f"t[i+{j + 1}]" for j in range(_DS_K))
     doc="Duplicate-span statistics — the per-document duplicated-text "
     "measure of suffix-array training-data dedup (Lee et al. 2022), "
     f"relationally: every {_DS_K}-token gram hashes through a portable "
-    "48-bit md5 prefix; grams appearing in >= 2 DISTINCT documents "
+    "60-bit md5 prefix; grams appearing in >= 2 DISTINCT documents "
     "mark their start positions duplicated; per document the marked "
     f"positions merge into maximal spans (two marked starts <= {_DS_K} "
     "apart cover a contiguous token range, so the island's covered "
@@ -165,7 +167,7 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
                 *[F.element_at(t, i + F.lit(j + 1)) for j in range(_DS_K)],
             )
-            return F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast(
+            return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast(
                 "long"
             )
 

@@ -27,7 +27,7 @@ _DS_K = 8
 
 
 def _py_dup_spans(sf_dir: str) -> list[tuple]:
-    """Pure-Python duplicate-span replication: tokenize, 8-gram 48-bit
+    """Pure-Python duplicate-span replication: tokenize, 8-gram 60-bit
     md5, cross-document duplicated-gram set, per-doc maximal span
     merge. Independent of both engines."""
     rows = duckdb.sql(
@@ -46,7 +46,7 @@ def _py_dup_spans(sf_dir: str) -> list[tuple]:
         hs = []
         for i in range(len(t) - _DS_K + 1):
             g = " ".join(t[i : i + _DS_K])
-            h = int(hashlib.md5(g.encode()).hexdigest()[:12], 16)
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
             hs.append((i, h))
             docs_of[h].add(doc_id)
         grams[doc_id] = hs
