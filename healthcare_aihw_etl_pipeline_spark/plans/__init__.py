@@ -3,12 +3,15 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 14 pins the two new
-queries — graph-ANN beam search, the logrank served twin — then every
-plan changed this round — the single-scan self-as-of, k-center's
-checkpoint bookkeeping, every serve_silver consumer now reading
-versioned snapshot directories — then the round-5 cohort, the oldest
-window evidence since CORRECTNESS_r10); everything else
+verified cohort is due a regression sweep (round 14 pins the nine new
+queries — graph-ANN beam search, the logrank and as-of served twins,
+wide SimHash, and the five continuation families: dup-span stats,
+BH-FDR, regression discontinuity, association rules, Markov
+attribution — then every plan changed this round — the single-scan
+self-as-of, k-center's checkpoint bookkeeping, every serve_silver
+consumer now reading versioned snapshot directories — then the
+round-5 cohort, the oldest window evidence since CORRECTNESS_r10);
+everything else
 sits behind the window with its cumulative driver-side record standing.
 The full registry is additionally swept in-round by scripts/driver_sim.py
 and committed as CORRECTNESS_FULL_r{N}.json.
