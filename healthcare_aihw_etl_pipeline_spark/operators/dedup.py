@@ -595,8 +595,19 @@ def simhash_wide_dedup(
     construction; identical docs collapsed in step 1). Returns
     (id_col, h0, h1, dup_of)."""
     sig = simhash_wide_portable(text_col)
-    with_sig = df.select(F.col(id_col), sig.alias("s")).select(
-        id_col, F.col("s.h0").alias("h0"), F.col("s.h1").alias("h1")
+    # Round-robin before the row-local signature pass (the winnowing
+    # lesson): small-SF document files scan as 1-2 splits, which would
+    # serialize the 120-bit md5 fold on 2 of 32 cores — measured
+    # 14.5 s -> 1.5 s for the signature leg at sf1. On a real cluster
+    # the scan already arrives well-split and this is a no-op.
+    nparts = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    with_sig = (
+        df.repartition(nparts)
+        .select(F.col(id_col), sig.alias("s"))
+        .select(id_col, F.col("s.h0").alias("h0"), F.col("s.h1").alias("h1"))
     )
     with_sig = with_sig.localCheckpoint(eager=True)
     reps = with_sig.groupBy("h0", "h1").agg(F.min(id_col).alias("rep"))
