@@ -594,18 +594,20 @@ def simhash_wide_dedup(
     quadratic only in DISTINCT signatures per 30-bit bucket (tiny by
     construction; identical docs collapsed in step 1). Returns
     (id_col, h0, h1, dup_of)."""
-    sig = simhash_wide_portable(text_col)
-    # Round-robin before the row-local signature pass (the winnowing
-    # lesson): small-SF document files scan as 1-2 splits, which would
-    # serialize the 120-bit md5 fold on 2 of 32 cores — measured
-    # 14.5 s -> 1.5 s for the signature leg at sf1. On a real cluster
-    # the scan already arrives well-split and this is a no-op.
-    nparts = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+        ensure_min_splits,
     )
+
+    sig = simhash_wide_portable(text_col)
+    # Round-robin before the row-local signature pass ONLY when the
+    # scan arrives under-split (the winnowing lesson): small-SF
+    # document files scan as 1-2 splits, which would serialize the
+    # 120-bit md5 fold on 2 of 32 cores — measured 14.5 s -> 1.5 s for
+    # the signature leg at sf1. On a well-split real-cluster scan
+    # ensure_min_splits inserts NO exchange, keeping this pass
+    # zero-shuffle.
     with_sig = (
-        df.repartition(nparts)
+        ensure_min_splits(df)
         .select(F.col(id_col), sig.alias("s"))
         .select(id_col, F.col("s.h0").alias("h0"), F.col("s.h1").alias("h1"))
     )

@@ -26,6 +26,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_min_splits(df: DataFrame) -> DataFrame:
+    """Round-robin repartition `df` to the session's default
+    parallelism ONLY when the scan arrives under-split (fewer
+    partitions than cores) — the small-SF case where one or two
+    parquet splits would serialize a row-local expression pass on 2 of
+    32 cores. When the input already has >= defaultParallelism
+    partitions (every real-cluster scan), this is a true no-op: no
+    round-robin exchange is inserted, preserving the zero-shuffle
+    shape of row-local passes (an unconditional repartition() always
+    shuffles, even when the partition count is already sufficient)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def bucketize(col: Column, lo: Column | int, hi: Column | int, bits: int) -> Column:
     """Monotone fixed-width bucketing of an integer column into 2^bits
     buckets over [lo, hi], all in exact integer arithmetic:

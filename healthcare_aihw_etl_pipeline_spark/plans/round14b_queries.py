@@ -152,14 +152,11 @@ _DS_GRAM_SQL = " || ' ' || ".join(f"t[i+{j + 1}]" for j in range(_DS_K))
     "100 TB a checkpoint of it would dwarf the row-local recompute.",
 )
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # Round-robin before the row-local hashing pass (the winnowing
-    # lesson: small-SF document files arrive as 1-2 splits and would
-    # serialize the md5 work; on a real cluster this is a no-op).
-    nparts = max(
-        docs.sparkSession.sparkContext.defaultParallelism,
-        docs.rdd.getNumPartitions(),
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+        ensure_min_splits,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
 
     def _gram_hashes(t):
         def _h(i):
@@ -175,8 +172,11 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.size(t) - F.lit(_DS_K)), _h
         )
 
+    # Round-robin ONLY when the scan is under-split (small-SF files
+    # arrive as 1-2 splits and would serialize the md5 work; a
+    # well-split cluster scan passes through with no exchange).
     toks = (
-        docs.repartition(nparts)
+        ensure_min_splits(docs)
         .where(F.trim(F.col("text")) != "")
         .select("doc_id", tokens("text").alias("t"))
         .where(F.size("t") >= _DS_K)
@@ -241,16 +241,25 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derive from the exact sums through IDENTICALLY-WRITTEN expressions.
 _BH_ALPHA_X20 = 20  # alpha = 0.05 ⟺ p*m*20 <= rank*10^9 in ppb
 
+# Every n / nr / (n-1) / (nr-1) denominator is NULLIF-guarded: a
+# degenerate side (0 or 1 rows — smoke scales, shifted date ranges)
+# must yield NULL identically in both engines; unguarded, Spark's
+# non-ANSI division returns NULL/NaN where DuckDB's downstream
+# CAST(floor(NaN) AS BIGINT) raises — an engine divergence.
 _BH_Z = (
-    "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
-    " - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))"
+    "(CAST(s AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0)"
+    " - CAST(sr AS DOUBLE) / NULLIF(CAST(nr AS DOUBLE), 0.0))"
     " / sqrt("
     "(CAST(ss AS DOUBLE)"
-    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
-    " / (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / NULLIF(CAST(n AS DOUBLE), 0.0))"
+    " / NULLIF(CAST(n AS DOUBLE) - 1.0, 0.0)"
+    " / NULLIF(CAST(n AS DOUBLE), 0.0)"
     " + (CAST(ssr AS DOUBLE)"
-    " - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))"
-    " / (CAST(nr AS DOUBLE) - 1.0) / CAST(nr AS DOUBLE))"
+    " - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)"
+    " / NULLIF(CAST(nr AS DOUBLE), 0.0))"
+    " / NULLIF(CAST(nr AS DOUBLE) - 1.0, 0.0)"
+    " / NULLIF(CAST(nr AS DOUBLE), 0.0))"
 )
 # Abramowitz & Stegun 26.2.17 upper-tail approximation, two-sided.
 # One shared string: identical parse, identical double op order, in
@@ -412,7 +421,10 @@ def _rdd_ols(side: str) -> tuple[str, str]:
         f"(({n}) * ({sxy}) - ({sx}) * ({sy}))"
         f" / NULLIF(({n}) * ({sxx}) - ({sx}) * ({sx}), 0.0)"
     )
-    a = f"((({sy}) - ({b}) * ({sx})) / ({n}))"
+    # NULLIF on n too: an empty side (degenerate corpus / shifted date
+    # range) must yield NULL identically in both engines — Spark's
+    # non-ANSI 0/0 returns NULL while DuckDB's CAST(floor(NaN)) raises.
+    a = f"((({sy}) - ({b}) * ({sx})) / NULLIF({n}, 0.0))"
     return b, a
 
 
@@ -537,10 +549,15 @@ _AR_TOP = 20
       SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS supp
       FROM op GROUP BY l_partkey
     ),
+    opf AS (
+      SELECT o.l_orderkey, o.l_partkey
+      FROM op o JOIN item i ON i.part = o.l_partkey
+      WHERE i.supp >= {_AR_SUPPORT}
+    ),
     pairs AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v,
              CAST(COUNT(*) AS BIGINT) AS supp_ab
-      FROM op a JOIN op b
+      FROM opf a JOIN opf b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= {_AR_SUPPORT}
     ),
@@ -551,8 +568,10 @@ _AR_TOP = 20
     SELECT r.ante, r.cons, r.supp_ab,
            ia.supp AS supp_a, ib.supp AS supp_b,
            r.supp_ab * 1000000 // ia.supp AS conf_ppm,
-           r.supp_ab * (SELECT n_baskets FROM nb) * 1000000
-             // (ia.supp * ib.supp) AS lift_ppm
+           CAST(CAST(r.supp_ab AS HUGEINT)
+                  * (SELECT n_baskets FROM nb) * 1000000
+                // (CAST(ia.supp AS HUGEINT) * ib.supp) AS BIGINT)
+             AS lift_ppm
     FROM rules r
     JOIN item ia ON ia.part = r.ante
     JOIN item ib ON ib.part = r.cons
@@ -576,14 +595,43 @@ _AR_TOP = 20
 )
 def assoc_rules_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # One shuffle for the whole basket stage: hash-partition on
+    # l_orderkey, then the (orderkey, partkey) distinct satisfies its
+    # clustering requirement from that partitioning (subset rule), and
+    # the localCheckpoint pins both the bytes AND the partitioning —
+    # the pair self-join on l_orderkey is then co-located with ZERO
+    # further exchange on either side. (The previous form re-ran the
+    # scan + distinct shuffle on BOTH join branches: op was an
+    # unmaterialized subtree feeding four consumers.)
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.lit(1))
+        .select("l_orderkey", "l_partkey")
+        .localCheckpoint(eager=True)
+    )
     nb = op.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
     )
     item = op.groupBy(F.col("l_partkey").alias("part")).agg(
         F.count(F.lit(1)).cast("long").alias("supp")
     )
-    a, b = op.alias("a"), op.alias("b")
+    # Apriori prune (support monotonicity: supp(ab) <= supp(a) means a
+    # part below the pair-support floor cannot appear in any surviving
+    # pair), applied as a broadcast ANTI-join against the INFREQUENT
+    # parts: in basket data the frequent side is nearly the whole part
+    # domain (too big to broadcast at sf100) while the below-floor
+    # side is the small complement, and the anti-join preserves op's
+    # orderkey partitioning — the pair self-join stays exchange-free.
+    # Zero semantic cost, tested as the support-monotonicity law. (A
+    # singleton-dominated corpus — web baskets — would flip this to a
+    # partkey-bucketed semi-join on the frequent side instead.)
+    infrequent = item.where(F.col("supp") < _AR_SUPPORT).select(
+        F.col("part").alias("l_partkey")
+    )
+    opf = op.join(F.broadcast(infrequent), "l_partkey", "left_anti")
+    a, b = opf.alias("a"), opf.alias("b")
     pairs = (
         a.join(
             b,
@@ -620,8 +668,16 @@ def assoc_rules_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_a",
             "supp_b",
             F.expr("supp_ab * 1000000 div supp_a").alias("conf_ppm"),
+            # Lift numerator in DECIMAL(38,0) / HUGEINT (the
+            # customer_revenue_gini overflow discipline): a hot pair's
+            # supp_ab * n_baskets * 1e6 passes 2^63 near sf100, where
+            # Spark (non-ANSI) would wrap silently while DuckDB raises
+            # — the engines must agree bit-for-bit instead.
             F.expr(
-                "supp_ab * n_baskets * 1000000 div (supp_a * supp_b)"
+                "CAST(CAST(supp_ab AS DECIMAL(38,0))"
+                " * n_baskets * 1000000"
+                " div (CAST(supp_a AS DECIMAL(38,0)) * supp_b)"
+                " AS BIGINT)"
             ).alias("lift_ppm"),
         )
         .orderBy(
@@ -673,11 +729,23 @@ _MK_ROUND_CTES = "".join(
 @register(
     "markov_attribution",
     oracle=f"""
-    WITH seq AS (
+    WITH ev AS (
+      -- Sentinel-collision guard: the synthetic states below must not
+      -- occur as REAL event types, or they would silently merge with
+      -- the synthetic start/absorption states and corrupt the
+      -- transition matrix. Both engines raise loudly instead.
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('start', 'conv', 'null', '_none')
+                  THEN error('markov_attribution: event_type collides'
+                             || ' with a sentinel state')
+                  ELSE event_type END AS event_type
+      FROM events
+    ),
+    seq AS (
       SELECT event_type AS cur,
              lag(event_type) OVER w AS prev,
              lead(event_type) OVER w AS nxt
-      FROM events
+      FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     edges AS (
@@ -765,6 +833,21 @@ _MK_ROUND_CTES = "".join(
 )
 def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Sentinel-collision guard (mirrors the oracle's ev CTE): a real
+    # event_type equal to a synthetic state name would silently merge
+    # states and corrupt the transition matrix — raise loudly instead.
+    ev = ev.withColumn(
+        "event_type",
+        F.when(
+            F.col("event_type").isin("start", "conv", "null", "_none"),
+            F.raise_error(
+                F.lit(
+                    "markov_attribution: event_type collides"
+                    " with a sentinel state"
+                )
+            ),
+        ).otherwise(F.col("event_type")),
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("cur"),

@@ -74,10 +74,16 @@ def _time_duck_capped(d: str, sql: str, reps: int):
             best = min(best, time.perf_counter() - t0)
     except duckdb.OutOfMemoryException:
         verdict = f"oom{DUCK_MEM}"
-    except Exception:
+    except duckdb.InterruptException:
         verdict = f"timeout{DUCK_TIMEOUT}s"
+    except Exception as e:  # binder/SQL error — NOT a timeout: name it
+        verdict = f"error:{type(e).__name__}"
     finally:
         con.close()
+    # A failure after a successful rep is still reported (best time
+    # wins only when no verdict was recorded).
+    if verdict is not None and best != float("inf"):
+        return f"{round(best, 3)};{verdict}"
     if best != float("inf"):
         return round(best, 3)
     return verdict

@@ -402,3 +402,72 @@ def test_markov_laws(mk_rows):
         assert r.effect_ppb >= 0
     tot = sum(r.share_ppm for r in mk_rows)
     assert 10**6 - len(mk_rows) <= tot <= 10**6
+
+
+def test_assoc_rules_apriori_prune_lossless(spark, tmp_path):
+    """Support-monotonicity law: the broadcast anti-join prune of
+    below-floor parts cannot change the output. The TPC-H layouts have
+    ZERO singleton parts (the prune is a no-op there), so this corpus
+    plants singleton-heavy baskets — 40 parts appearing in exactly one
+    basket each — alongside genuine >=2-support pairs, and compares the
+    pruned pipeline against the unpruned pure-Python replication."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_o, rows_p = [], []
+    # 5 baskets sharing parts {1,2,3} pairwise (supp >= 2 pairs),
+    # each basket also carrying 8 singleton parts (supp == 1).
+    sid = 1000
+    for o in range(5):
+        parts = [1, 2, 3] if o % 2 == 0 else [1, 2]
+        for _ in range(8):
+            parts.append(sid)
+            sid += 1
+        for p in parts:
+            rows_o.append(o)
+            rows_p.append(p)
+    d = tmp_path / "ar_corpus"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rows_o, pa.int64()),
+                "l_partkey": pa.array(rows_p, pa.int64()),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    got = [
+        (r.ante, r.cons, r.supp_ab, r.supp_a, r.supp_b, r.conf_ppm,
+         r.lift_ppm)
+        for r in REGISTRY["assoc_rules_top20"].build(spark, str(d))
+        .collect()
+    ]
+    assert got == _py_assoc(str(d))
+    # the prune actually bit: singleton parts appear in no rule
+    assert got and all(r[0] < 1000 and r[1] < 1000 for r in got)
+
+
+def test_markov_sentinel_collision_raises(spark, tmp_path):
+    """A real event_type equal to a synthetic state name must raise
+    loudly (both engines), not silently merge states."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mk_corpus"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "user_id": pa.array([7, 7], pa.int64()),
+                "ts": pa.array(
+                    [1000000, 2000000], pa.timestamp("us")
+                ),
+                "event_type": pa.array(["click", "start"], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    with pytest.raises(Exception, match="sentinel"):
+        REGISTRY["markov_attribution"].build(spark, str(d)).collect()
