@@ -359,6 +359,301 @@ def minhash_dedup_portable(
     )
 
 
+def _verify_and_link(
+    ids: DataFrame,
+    reps: DataFrame,
+    rep_bands: DataFrame,
+    cand_grams: DataFrame,
+    id_col: str,
+    *,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Shared candidate→VERIFY→link core of the verified MinHash forms.
+
+    ids        : (id_col, _hx)           — every doc with its exact hash
+    reps       : (_hx, rep)              — exact-hash group representative
+    rep_bands  : (rep, band, band_hash)  — LSH bands of each rep
+    cand_grams : (id_col, gram)          — DISTINCT grams, at least for
+                 every rep that appears in a candidate pair
+
+    Candidate pairs = distinct in-bucket rep pairs (ia < ib); each is
+    VERIFIED by exact set Jaccard over the gram relation (inter via a
+    candidate-bounded equi join, union by inclusion-exclusion, the
+    threshold as an exact integer cross-multiplication — no floats, so
+    the decision replays bit-for-bit in any engine). dup_of(rep) = the
+    smallest VERIFIED partner (self when none); members inherit their
+    rep's dup_of. Returns (id_col, dup_of)."""
+    other = rep_bands.select(
+        "band", "band_hash", F.col("rep").alias("rep2")
+    )
+    cand = (
+        rep_bands.join(other, ["band", "band_hash"])
+        .where(F.col("rep") < F.col("rep2"))
+        .select(F.col("rep").alias("ia"), F.col("rep2").alias("ib"))
+        .distinct()
+        # feeds the id-set semi-join AND the intersection join
+        .localCheckpoint(eager=True)
+    )
+    ga = cand_grams.select(F.col(id_col).alias("ia"), "gram")
+    gb = cand_grams.select(F.col(id_col).alias("ib"), "gram")
+    sizes = cand_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    inter = (
+        cand.join(ga, "ia")
+        .join(gb, ["ib", "gram"])
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    )
+    za = sizes.select(F.col(id_col).alias("ia"), F.col("ns").alias("na"))
+    zb = sizes.select(F.col(id_col).alias("ib"), F.col("ns").alias("nb"))
+    verified = (
+        inter.join(za, "ia")
+        .join(zb, "ib")
+        .where(
+            F.col("ni") * F.lit(threshold_den)
+            >= F.lit(threshold_num)
+            * (F.col("na") + F.col("nb") - F.col("ni"))
+        )
+        .select("ia", "ib")
+    )
+    linked = verified.groupBy(F.col("ib").alias("rep")).agg(
+        F.min("ia").alias("dup_min")
+    )
+    dup_rep = reps.join(linked, "rep", "left").select(
+        "_hx", F.coalesce(F.col("dup_min"), F.col("rep")).alias("dup_of")
+    )
+    return ids.join(dup_rep, "_hx").select(id_col, "dup_of")
+
+
+def minhash_dedup_verified(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """MinHash+LSH near-dup detection with the candidate→VERIFY
+    discipline (the wide-SimHash lesson, simhash_wide_dedup): banding
+    proposes, exact n-gram Jaccard disposes.
+
+    PLANTED_TRUTH_r14 measured the unverified banding's pair precision
+    collapsing 0.96 → 0.12 → 0.0014 as unique-token noise grows 1k →
+    1M → 10M docs (recall 1.0): "shared an LSH bucket" is a superset
+    of "actually similar", and the superset is almost all noise at web
+    scale. Here dup_of links only pairs whose exact shingle-set
+    Jaccard >= threshold_num/threshold_den:
+
+    1. COLLAPSE byte-identical docs to their min-id representative
+       (one groupBy on xxhash64(text)) — the hub case costs one
+       aggregate, never a pairwise blowup, and exact dups skip the
+       verify entirely (Jaccard 1.0 by construction);
+    2. BAND the representatives' signatures (the minhash_dedup
+       machinery: integer rolling shingles, Arrow-batched permutation
+       minima, xxhash64 band hashes);
+    3. pair DISTINCT in-bucket representatives (ia < ib, deduped
+       across bands — one verify per unordered pair);
+    4. VERIFY by exact Jaccard over the int64 gram sets, computed
+       relationally (gram-equality equi join, candidate-bounded — the
+       jaccard_verify contract: only candidate pairs pay the set
+       math) with the threshold as an exact integer
+       cross-multiplication;
+    5. dup_of = smallest verified partner; members inherit their
+       representative's dup_of.
+
+    The gram relation is re-derived from the (small) candidate id set
+    via a semi-join rather than materialized corpus-wide — at 100 TB
+    the candidate set is banding-bounded while the full gram stream is
+    token-stream-sized. Returns (id_col, dup_of) like
+    :func:`minhash_dedup`."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): a ragged split would silently drop the "
+            "trailing minhash functions and weaken the LSH guarantee"
+        )
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+        ensure_min_splits,
+    )
+
+    rows_per_band = num_hashes // bands
+    src = ensure_min_splits(df)
+    shingles = token_shingle_hashes(F.col(text_col), shingle_k)
+    sig = minhash_signature_vectorized(shingles, num_hashes, seed)
+    ids = src.select(
+        F.col(id_col),
+        F.xxhash64(F.col(text_col)).alias("_hx"),
+        sig.alias("_sig"),
+    ).localCheckpoint(eager=True)
+    reps = ids.groupBy("_hx").agg(
+        F.min(id_col).alias("rep"),
+        # identical text ⇒ identical signature; min_by keeps the
+        # choice deterministic anyway
+        F.min_by("_sig", F.col(id_col)).alias("_sig"),
+    )
+    rep_bands = reps.select(
+        "rep",
+        F.explode(
+            minhash_bands(F.col("_sig"), bands, rows_per_band)
+        ).alias("bb"),
+    ).select("rep", "bb.band", "bb.band_hash")
+    # grams only for candidate ids: semi-join the corpus against the
+    # banding-bounded candidate set (AQE broadcasts it when small)
+    cand_ids = (
+        rep_bands.join(
+            rep_bands.select(
+                "band", "band_hash", F.col("rep").alias("rep2")
+            ),
+            ["band", "band_hash"],
+        )
+        .where(F.col("rep") != F.col("rep2"))
+        .select(F.col("rep").alias(id_col))
+        .distinct()
+    )
+    cand_grams = (
+        ensure_min_splits(df)
+        .join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                token_shingle_hashes(F.col(text_col), shingle_k)
+            ).alias("gram"),
+        )
+    )
+    return _verify_and_link(
+        ids.select(id_col, "_hx"),
+        reps.select("_hx", "rep"),
+        rep_bands,
+        cand_grams,
+        id_col,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+    )
+
+
+def _md5_minwise_signature(sh: Column, num_hashes: int) -> Column:
+    """num_hashes independent md5 minwise functions over a shingle
+    array (the minhash_dedup_portable family): sig_i = lexicographic
+    min over shingles of md5(i || ':' || shingle)."""
+
+    def _minwise(prefix: Column):
+        # one-parameter lambda: F.transform would bind a second
+        # parameter to the element index (see minhash_dedup_portable)
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, _minwise(F.lit(f"{i}:"))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_dedup_verified_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """ENGINE-PORTABLE verified MinHash dedup: the
+    :func:`minhash_dedup_verified` pipeline with every hash an md5 and
+    every gram the shingle STRING, so collapse, signatures, banding,
+    candidate pairing, the exact-Jaccard verify (integer
+    cross-multiplication) and the member inheritance ALL replay
+    bit-for-bit in DuckDB — the driver hash-checks the verified
+    operator itself. Same shuffle shape as the fast path; ~2x its hash
+    cost (the portable-sketch trade). Returns (id_col, dup_of)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): a ragged split would silently drop the "
+            "trailing minhash functions and weaken the LSH guarantee"
+        )
+    from healthcare_aihw_etl_pipeline_spark.functions.scalar import bind
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+        ensure_min_splits,
+    )
+
+    rows_per_band = num_hashes // bands
+    src = ensure_min_splits(df)
+    shingles = word_shingles(F.col(text_col), shingle_k)
+    ids = src.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_hx"),
+        bind(
+            shingles, lambda sh: _md5_minwise_signature(sh, num_hashes)
+        ).alias("_sig"),
+    ).localCheckpoint(eager=True)
+    reps = ids.groupBy("_hx").agg(
+        F.min(id_col).alias("rep"),
+        F.min_by("_sig", F.col(id_col)).alias("_sig"),
+    )
+    rep_bands = reps.select(
+        "rep",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    F.col("_sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                ",",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("rep", "bb.band", "bb.band_hash")
+    cand_ids = (
+        rep_bands.join(
+            rep_bands.select(
+                "band", "band_hash", F.col("rep").alias("rep2")
+            ),
+            ["band", "band_hash"],
+        )
+        .where(F.col("rep") != F.col("rep2"))
+        .select(F.col("rep").alias(id_col))
+        .distinct()
+    )
+    cand_grams = (
+        ensure_min_splits(df)
+        .join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias(
+                "gram"
+            ),
+        )
+    )
+    return _verify_and_link(
+        ids.select(id_col, "_hx"),
+        reps.select("_hx", "rep"),
+        rep_bands,
+        cand_grams,
+        id_col,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+    )
+
+
 def simhash_portable(text_col: Column | str) -> Column:
     """60-bit SimHash whose bits replay in any engine with md5.
 

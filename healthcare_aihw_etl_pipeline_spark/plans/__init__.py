@@ -3,15 +3,13 @@
 Registration order is curated: the driver's correctness harness samples a
 bounded window of the registry (first ~50 entries). Each round the window
 is rotated — new or newly-oracled queries lead, followed by whichever
-verified cohort is due a regression sweep (round 14 pins the nine new
-queries — graph-ANN beam search, the logrank and as-of served twins,
-wide SimHash, and the five continuation families: dup-span stats,
-BH-FDR, regression discontinuity, association rules, Markov
-attribution — then every plan changed this round — the single-scan
-self-as-of, k-center's checkpoint bookkeeping, every serve_silver
-consumer now reading versioned snapshot directories — then the
-round-5 cohort, the oldest window evidence since CORRECTNESS_r10);
-everything else
+verified cohort is due a regression sweep (round 15 pins the three new
+queries — the served t-closeness twin and the VERIFIED MinHash pair —
+then every plan or shared expression changed this round — graph-ANN
+edge symmetrization, assoc_rules apriori prune + checkpoint + decimal
+lift, the markov sentinel guard, rdd/bh_fdr NULLIF denominators, the
+conditional ensure_min_splits — then the round-7 and round-8 cohorts,
+the oldest window evidence since CORRECTNESS_r07/r08); everything else
 sits behind the window with its cumulative driver-side record standing.
 The full registry is additionally swept in-round by scripts/driver_sim.py
 and committed as CORRECTNESS_FULL_r{N}.json.
@@ -36,6 +34,7 @@ from healthcare_aihw_etl_pipeline_spark.plans import round13_queries  # noqa: F4
 from healthcare_aihw_etl_pipeline_spark.plans import round13b_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round14_queries  # noqa: F401,E402
 from healthcare_aihw_etl_pipeline_spark.plans import round14b_queries  # noqa: F401,E402
+from healthcare_aihw_etl_pipeline_spark.plans import round15_queries  # noqa: F401,E402
 
 # Names already green in a driver-side CORRECTNESS report. Everything
 # NOT in this list is promoted ahead of it so the driver's window reaches the
@@ -436,6 +435,54 @@ _MUST_VERIFY_R14: list[str] = [
 ]
 
 
+# CORRECTNESS_r14.json: the round-14 window, 45/45 green on all three
+# checks (rows + schema + hash); the five hash-seeded approximate fast
+# paths recorded their standing rows-only check (each has a hash-green
+# oracled twin). The whole window folds into the green ledger.
+_DRIVER_GREEN_R14 = list(_MUST_VERIFY_R14)
+_DRIVER_GREEN_R3 = _DRIVER_GREEN_R3 + _DRIVER_GREEN_R14
+
+# Round-15 window: new queries lead (the served t-closeness twin and
+# the VERIFIED MinHash pair), then every query whose PLAN or shared
+# expression changed this round (graph-ANN edge symmetrization +
+# hops 3→4; assoc_rules apriori prune + orderkey checkpoint + decimal
+# lift; markov sentinel guard; rdd/bh_fdr NULLIF denominators; the
+# conditional ensure_min_splits in dup_span/simhash_wide), then the
+# round-7 and round-8 cohorts, whose last driver-side evidence is
+# CORRECTNESS_r07/r08 and which are due their regression sweep (the
+# r14 verdict's rotation ask).
+_MUST_VERIFY_R15: list[str] = [
+    # new this round
+    "t_closeness_audit_served", "minhash_verified_dup_clusters_portable",
+    "minhash_verified_dup_clusters",
+    # plan / shared-expression changed this round
+    "graph_ann_top10", "assoc_rules_top20", "markov_attribution",
+    "rdd_order_value", "bh_fdr_nation_tests", "dup_span_stats",
+    "simhash_wide_dup_clusters",
+    # round-7 cohort (portable sketches; last evidence CORRECTNESS_r07)
+    "hll_rollup_distinct_users", "theta_sketch_audience_overlap",
+    "theta_retention_day7", "json_props_regexp_agg",
+    "minhash_dup_clusters_portable", "simhash_dup_clusters_portable",
+    "ann_qlsh_top10_portable",
+    # round-8 cohort (last evidence CORRECTNESS_r08)
+    "k_anonymity_audit", "cms_token_heavy_hitters", "token_shard_plan",
+    "daily_value_interpolated", "copurchase_2hop_reach",
+    "value_drift_psi", "priority_status_mutual_info",
+    "benford_first_digit_audit", "ivm_join_snapshot",
+    "daily_revenue_autocorr", "dow_revenue_seasonality",
+    "last_touch_attribution", "embedding_cluster_keep_best",
+    "cluster_aware_split", "session_pattern_match", "revenue_changepoint",
+    "linear_decay_attribution", "ab_value_t_statistic",
+    "quality_decile_lift", "priority_status_chi2",
+    "bm25_search_top10", "inverted_index_top20", "phrase_search_top10",
+    "weighted_sample_orders",
+    "scd2_user_tier_history", "scd2_temporal_join", "data_quality_audit",
+    "quantile_sketch_prices", "doc_bigram_nll_top20",
+    "supplier_balance_distribution", "copurchase_triangle_count",
+    "pivot_dynamic_priority", "bm25_eval_screen_top3",
+]
+
+
 def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     """Rebuild the registry dict with unverified queries first.
 
@@ -445,8 +492,8 @@ def _curate(registry: dict[str, Query]) -> dict[str, Query]:
     across processes.
     """
     green = set(_DRIVER_GREEN_R3)
-    pinned = [registry[n] for n in _MUST_VERIFY_R14 if n in registry]
-    placed = set(_MUST_VERIFY_R14)
+    pinned = [registry[n] for n in _MUST_VERIFY_R15 if n in registry]
+    placed = set(_MUST_VERIFY_R15)
     promoted_oracle = [
         q
         for n, q in registry.items()
