@@ -585,63 +585,79 @@ _AR_TOP = 20
     f"integer ppm via `div`; top-{_AR_TOP} by lift. Completes basket "
     "analysis beyond raw pair support: lift is the actual "
     "recommendation signal (support alone just ranks popular pairs). "
-    "Scale shape: the basket relation distincts once; item supports "
-    "are one map-side-combined groupBy; the pair build is the LPA "
-    "edge relation (per-order fan-out C(lines,2), bounded by the data "
-    "model, linear in orders); the rule scoring joins are "
-    "key-partitioned on part against the item-support relation and "
-    "N rides in as an F.broadcast 1-row aggregate. TakeOrdered "
-    "top-20, never a global sort.",
+    "Scale shape (apriori two-pass): item supports are one map-side-"
+    "combined partial-distinct groupBy (the k=1 pass, also the prune "
+    "relation — below-floor parts anti-join out BEFORE the basket "
+    "build by support monotonicity); baskets form in one groupBy via "
+    "collect_set (the per-order distinct rides inside the aggregate); "
+    "the C(lines,2) pair fan-out is a ROW-LOCAL sorted-array "
+    "expression (no self-join, no corpus-sized materialization), "
+    "bounded by the data model and linear in orders; one pair-stream "
+    "groupBy; the rule scoring joins run against the checkpointed "
+    "item relation and N rides in as an F.broadcast 1-row aggregate. "
+    "TakeOrdered top-20, never a global sort.",
 )
 def assoc_rules_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # One shuffle for the whole basket stage: hash-partition on
-    # l_orderkey, then the (orderkey, partkey) distinct satisfies its
-    # clustering requirement from that partitioning (subset rule), and
-    # the localCheckpoint pins both the bytes AND the partitioning —
-    # the pair self-join on l_orderkey is then co-located with ZERO
-    # further exchange on either side. (The previous form re-ran the
-    # scan + distinct shuffle on BOTH join branches: op was an
-    # unmaterialized subtree feeding four consumers.)
-    op = (
-        li.select("l_orderkey", "l_partkey")
-        .repartition("l_orderkey")
-        .groupBy("l_orderkey", "l_partkey")
-        .agg(F.lit(1))
-        .select("l_orderkey", "l_partkey")
+    base = li.select("l_orderkey", "l_partkey")
+    # Item supports FIRST (apriori's k=1 pass): one map-side-combined
+    # groupBy with a partial-distinct count — this is both a scoring
+    # input and the prune relation below.
+    item = (
+        base.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("supp"))
+        # feeds the prune broadcast AND both scoring joins
         .localCheckpoint(eager=True)
     )
-    nb = op.agg(
+    nb = base.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
-    )
-    item = op.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.count(F.lit(1)).cast("long").alias("supp")
     )
     # Apriori prune (support monotonicity: supp(ab) <= supp(a) means a
     # part below the pair-support floor cannot appear in any surviving
     # pair), applied as a broadcast ANTI-join against the INFREQUENT
-    # parts: in basket data the frequent side is nearly the whole part
-    # domain (too big to broadcast at sf100) while the below-floor
-    # side is the small complement, and the anti-join preserves op's
-    # orderkey partitioning — the pair self-join stays exchange-free.
-    # Zero semantic cost, tested as the support-monotonicity law. (A
-    # singleton-dominated corpus — web baskets — would flip this to a
-    # partkey-bucketed semi-join on the frequent side instead.)
+    # parts BEFORE the basket build — earlier than the classic
+    # before-the-pair-join placement, so pruned parts never even enter
+    # the basket arrays. In basket data the frequent side is nearly
+    # the whole part domain (too big to broadcast at sf100) while the
+    # below-floor side is the small complement. Zero semantic cost,
+    # tested as the support-monotonicity law. (A singleton-dominated
+    # corpus — web baskets — would flip this to a partkey-bucketed
+    # semi-join on the frequent side instead.)
     infrequent = item.where(F.col("supp") < _AR_SUPPORT).select(
         F.col("part").alias("l_partkey")
     )
-    opf = op.join(F.broadcast(infrequent), "l_partkey", "left_anti")
-    a, b = opf.alias("a"), opf.alias("b")
+    # Baskets via collect_set (the per-order DISTINCT rides inside the
+    # aggregate — no separate distinct pass), then the C(lines,2) pair
+    # fan-out is a ROW-LOCAL sorted-array expression: this replaces
+    # the previous self-join formulation, whose corpus-sized distinct
+    # relation had to be materialized (4.7 s of the 5.7 s sf1 wall,
+    # and an 8g-heap OOM at sf10 when held for the join) and re-read
+    # by both join branches. Total shuffle budget: item + one groupBy
+    # to the basket grain + one pair-stream groupBy.
+    baskets = (
+        base.join(F.broadcast(infrequent), "l_partkey", "left_anti")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    combos = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ps"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ps"),
+                        i + F.lit(2),
+                        F.size(F.col("ps")) - i - F.lit(1),
+                    ),
+                    lambda y: F.struct(x.alias("u"), y.alias("v")),
+                ),
+            )
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
+        baskets.select(combos.alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("supp_ab"))
         .where(F.col("supp_ab") >= _AR_SUPPORT)
         # feeds both union branches — checkpoint once (the LPA pair
