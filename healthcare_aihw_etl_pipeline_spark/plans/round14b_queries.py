@@ -585,81 +585,124 @@ _AR_TOP = 20
     f"integer ppm via `div`; top-{_AR_TOP} by lift. Completes basket "
     "analysis beyond raw pair support: lift is the actual "
     "recommendation signal (support alone just ranks popular pairs). "
-    "Scale shape (apriori two-pass): item supports are one map-side-"
-    "combined partial-distinct groupBy (the k=1 pass, also the prune "
-    "relation — below-floor parts anti-join out BEFORE the basket "
-    "build by support monotonicity); baskets form in one groupBy via "
-    "collect_set (the per-order distinct rides inside the aggregate); "
-    "the C(lines,2) pair fan-out is a ROW-LOCAL sorted-array "
-    "expression (no self-join, no corpus-sized materialization), "
-    "bounded by the data model and linear in orders; one pair-stream "
-    "groupBy; the rule scoring joins run against the checkpointed "
-    "item relation and N rides in as an F.broadcast 1-row aggregate. "
-    "TakeOrdered top-20, never a global sort.",
+    "Scale shape: ONE corpus shuffle — collect_set to the order grain "
+    "(the per-order distinct rides inside the aggregate, checkpointed "
+    "DISK_ONLY) — from which n_baskets (a count), item supports (one "
+    "slim explode + map-side count: apriori's k=1 relation) and the "
+    "C(lines,2) pair fan-out (a ROW-LOCAL double explode into "
+    "BIGINT-encoded pairs — no self-join, no corpus-sized pair "
+    "materialization) all derive; one pair-stream groupBy; scoring "
+    "joins against the checkpointed item relation with N as an "
+    "F.broadcast 1-row aggregate. The apriori prune (support "
+    "monotonicity) is ADAPTIVE: it costs a shuffle of the deduped "
+    "stream, so it runs only when below-floor parts exceed 10% of "
+    "the part domain (singleton-heavy corpora), broadcasting the "
+    "smaller of infrequent/frequent. TakeOrdered top-20, never a "
+    "global sort.",
 )
 def assoc_rules_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select("l_orderkey", "l_partkey")
-    # Item supports FIRST (apriori's k=1 pass): one map-side-combined
-    # groupBy with a partial-distinct count — this is both a scoring
-    # input and the prune relation below.
+    # ONE corpus shuffle for the whole basket stage: collect_set to
+    # the order grain (the per-order DISTINCT rides inside the
+    # aggregate). Everything else — n_baskets, item supports, the
+    # pair fan-out — derives from this checkpointed relation, so the
+    # corpus is scanned once and shuffled once. (The previous
+    # self-join formulation materialized the corpus-sized distinct
+    # PAIR relation — 4.7 s of the 5.7 s sf1 wall and an 8g-heap OOM
+    # at sf10; a rollup countDistinct variant re-paid the distinct
+    # machinery per consumer.) DISK_ONLY: order-grain arrays are
+    # corpus-sized at sf10+.
+    baskets_all = (
+        base.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    nb = baskets_all.agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    # Item supports from the DEDUPED basket stream (apriori's k=1
+    # relation): one slim explode + map-side-combined count — no
+    # second corpus distinct.
     item = (
-        base.groupBy(F.col("l_partkey").alias("part"))
-        .agg(F.countDistinct("l_orderkey").cast("long").alias("supp"))
-        # feeds the prune broadcast AND both scoring joins
+        baskets_all.select(F.explode("ps").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+        # feeds the prune decision and both scoring joins
         .localCheckpoint(eager=True)
     )
-    nb = base.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
-    )
-    # Apriori prune (support monotonicity: supp(ab) <= supp(a) means a
-    # part below the pair-support floor cannot appear in any surviving
-    # pair), applied as a broadcast ANTI-join against the INFREQUENT
-    # parts BEFORE the basket build — earlier than the classic
-    # before-the-pair-join placement, so pruned parts never even enter
-    # the basket arrays. In basket data the frequent side is nearly
-    # the whole part domain (too big to broadcast at sf100) while the
-    # below-floor side is the small complement. Zero semantic cost,
-    # tested as the support-monotonicity law. (A singleton-dominated
-    # corpus — web baskets — would flip this to a partkey-bucketed
-    # semi-join on the frequent side instead.)
-    infrequent = item.where(F.col("supp") < _AR_SUPPORT).select(
-        F.col("part").alias("l_partkey")
-    )
-    # Baskets via collect_set (the per-order DISTINCT rides inside the
-    # aggregate — no separate distinct pass), then the C(lines,2) pair
-    # fan-out is a ROW-LOCAL sorted-array expression: this replaces
-    # the previous self-join formulation, whose corpus-sized distinct
-    # relation had to be materialized (4.7 s of the 5.7 s sf1 wall,
-    # and an 8g-heap OOM at sf10 when held for the join) and re-read
-    # by both join branches. Total shuffle budget: item + one groupBy
-    # to the basket grain + one pair-stream groupBy.
-    baskets = (
-        base.join(F.broadcast(infrequent), "l_partkey", "left_anti")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .where(F.size("ps") >= 2)
-    )
-    combos = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ps"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("ps"),
-                        i + F.lit(2),
-                        F.size(F.col("ps")) - i - F.lit(1),
-                    ),
-                    lambda y: F.struct(x.alias("u"), y.alias("v")),
-                ),
-            )
+    # ADAPTIVE apriori prune (support monotonicity: supp(ab) <=
+    # supp(a), so below-floor parts cannot appear in any surviving
+    # pair). Pruning costs one extra shuffle of the deduped stream, so
+    # it runs ONLY when it can pay for itself — when below-floor parts
+    # are a nontrivial share of the part domain (singleton-heavy
+    # corpora: web baskets). The decision reads two bounded counts off
+    # the checkpointed item relation; the broadcast side is whichever
+    # of infrequent/frequent is smaller. TPC-H layouts have ZERO
+    # singleton parts, so the bench path never pays the pass; the
+    # support-monotonicity law test exercises the pruned branch on a
+    # planted singleton-heavy corpus.
+    cnts = item.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum((F.col("supp") < _AR_SUPPORT).cast("long")).alias("n_inf"),
+    ).collect()[0]
+    if cnts["n_inf"] * 10 > cnts["n_parts"]:
+        ex = baskets_all.select(
+            "l_orderkey", F.explode("ps").alias("part")
         )
+        if cnts["n_inf"] * 2 <= cnts["n_parts"]:
+            side = item.where(F.col("supp") < _AR_SUPPORT).select("part")
+            kept = ex.join(F.broadcast(side), "part", "left_anti")
+        else:
+            side = item.where(F.col("supp") >= _AR_SUPPORT).select("part")
+            kept = ex.join(F.broadcast(side), "part", "left_semi")
+        baskets = kept.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("part")).alias("ps")
+        )
+    else:
+        baskets = baskets_all
+    baskets = baskets.where(F.size("ps") >= 2)
+    # Each pair travels as ONE BIGINT (u << 32 | v) through the hash
+    # aggregate — measured ~1 s faster than struct keys on the 12M-row
+    # sf1 pair stream. Domain guard: v must fit 32 bits for the
+    # encoding to be injective (the part-key domain is ~2e5·SF — safe
+    # beyond sf10000); a violating corpus raises loudly per the
+    # sentinel-guard discipline, and u's shift overflow is caught by
+    # ANSI mode. The two explodes stay in one codegen stage (posexplode
+    # positions, then the strictly-after slice), measured 2x faster
+    # than flatten-of-nested-transforms (no per-element array copies
+    # from the sliced tails being re-built per outer element).
+    enc = F.lit(1 << 32).cast("long")
+    expl = baskets.select(
+        "ps", F.posexplode("ps").alias("i", "u")
+    ).select(
+        F.col("u"),
+        F.explode(
+            F.slice(
+                F.col("ps"),
+                F.col("i") + F.lit(2),
+                F.size("ps") - F.col("i") - F.lit(1),
+            )
+        ).alias("v"),
+    )
+    uv = F.when(F.col("v") < enc, F.col("u") * enc + F.col("v")).otherwise(
+        F.raise_error(
+            F.lit("assoc_rules_top20: l_partkey exceeds the 32-bit pair"
+                  " encoding domain")
+        ).cast("long")
     )
     pairs = (
-        baskets.select(combos.alias("p"))
-        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        expl.select(uv.alias("uv"))
+        .groupBy("uv")
         .agg(F.count(F.lit(1)).cast("long").alias("supp_ab"))
         .where(F.col("supp_ab") >= _AR_SUPPORT)
+        .select(
+            F.expr("uv div 4294967296").alias("u"),
+            F.pmod(F.col("uv"), enc).alias("v"),
+            "supp_ab",
+        )
         # feeds both union branches — checkpoint once (the LPA pair
         # discipline; slim 24-byte rows)
         .localCheckpoint(eager=True)
