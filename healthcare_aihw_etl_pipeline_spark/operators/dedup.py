@@ -427,6 +427,37 @@ def _verify_and_link(
     return ids.join(dup_rep, "_hx").select(id_col, "dup_of")
 
 
+def _rep_sig_source(
+    src: DataFrame,
+    ids: DataFrame,
+    reps: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """The documents whose (expensive) LSH signature is actually
+    needed: the exact-hash group REPRESENTATIVES. When the corpus is
+    duplicate-heavy and the rep set is broadcastable, filter `src`
+    down by a broadcast semi-join BEFORE the signature pass — on the
+    10x/100x-replicated bench layouts (and real web corpora, which
+    run 30-60% exact dups) this skips the signature work for every
+    member, the dominant cost (measured 37.5 s -> ~5 s at the 5M-doc
+    layout for the portable form, whose DuckDB oracle collapses first
+    for the same reason). Otherwise signatures compute for all docs
+    (row-local, zero shuffle) and the non-rep rows simply drop in the
+    rep join — the right trade when most docs ARE reps, where a
+    semi-join would shuffle the text corpus to save nothing. Both
+    paths produce identical output (a member's signature equals its
+    rep's)."""
+    n_docs = ids.count()
+    n_reps = reps.count()
+    if n_reps * 2 <= n_docs and n_reps <= 4_000_000:
+        return src.join(
+            F.broadcast(reps.select(F.col("rep").alias(id_col))),
+            id_col,
+            "left_semi",
+        )
+    return src
+
+
 def minhash_dedup_verified(
     df: DataFrame,
     text_col: str,
@@ -483,9 +514,15 @@ def minhash_dedup_verified(
     )
 
     rows_per_band = num_hashes // bands
-    src = ensure_min_splits(df)
+    src = ensure_min_splits(df).select(id_col, text_col)
     shingles = token_shingle_hashes(F.col(text_col), shingle_k)
     sig = minhash_signature_vectorized(shingles, num_hashes, seed)
+    # ONE corpus pass computes exact-hash + signature together: the
+    # xxhash64/Arrow signature is cheap enough that collapsing first
+    # (the portable form's _rep_sig_source path, right there where
+    # every minwise function is an md5) does NOT pay — the extra scan
+    # + rep join measured SLOWER than the wasted member signatures at
+    # the 10x-replicated layout.
     ids = src.select(
         F.col(id_col),
         F.xxhash64(F.col(text_col)).alias("_hx"),
@@ -497,12 +534,18 @@ def minhash_dedup_verified(
         # choice deterministic anyway
         F.min_by("_sig", F.col(id_col)).alias("_sig"),
     )
-    rep_bands = reps.select(
-        "rep",
-        F.explode(
-            minhash_bands(F.col("_sig"), bands, rows_per_band)
-        ).alias("bb"),
-    ).select("rep", "bb.band", "bb.band_hash")
+    rep_bands = (
+        reps.select(
+            "rep",
+            F.explode(
+                minhash_bands(F.col("_sig"), bands, rows_per_band)
+            ).alias("bb"),
+        )
+        .select("rep", "bb.band", "bb.band_hash")
+        # feeds the candidate-id semi-join AND the pairing self-join —
+        # materialize so the groupBy runs once, not per consumer
+        .localCheckpoint(eager=True)
+    )
     # grams only for candidate ids: semi-join the corpus against the
     # banding-bounded candidate set (AQE broadcasts it when small)
     cand_ids = (
@@ -586,42 +629,49 @@ def minhash_dedup_verified_portable(
     )
 
     rows_per_band = num_hashes // bands
-    src = ensure_min_splits(df)
+    src = ensure_min_splits(df).select(id_col, text_col)
     shingles = word_shingles(F.col(text_col), shingle_k)
     ids = src.select(
-        F.col(id_col),
-        F.md5(F.col(text_col)).alias("_hx"),
+        F.col(id_col), F.md5(F.col(text_col)).alias("_hx")
+    ).localCheckpoint(eager=True)
+    reps = ids.groupBy("_hx").agg(F.min(id_col).alias("rep"))
+    # Signatures for the rep set only when duplicate-heavy (the
+    # oracle's WHERE doc_id IN (SELECT rep ...) shape — DuckDB
+    # collapses first for the same reason).
+    sigs = _rep_sig_source(src, ids, reps, id_col).select(
+        F.col(id_col).alias("rep"),
         bind(
             shingles, lambda sh: _md5_minwise_signature(sh, num_hashes)
         ).alias("_sig"),
-    ).localCheckpoint(eager=True)
-    reps = ids.groupBy("_hx").agg(
-        F.min(id_col).alias("rep"),
-        F.min_by("_sig", F.col(id_col)).alias("_sig"),
     )
-    rep_bands = reps.select(
-        "rep",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(
-                                    F.col("_sig"),
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                ",",
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("rep", "bb.band", "bb.band_hash")
+    rep_sig = reps.join(sigs, "rep")
+    rep_bands = (
+        rep_sig.select(
+            "rep",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.array_join(
+                                    F.slice(
+                                        F.col("_sig"),
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    ",",
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("rep", "bb.band", "bb.band_hash")
+        .localCheckpoint(eager=True)
+    )
     cand_ids = (
         rep_bands.join(
             rep_bands.select(
