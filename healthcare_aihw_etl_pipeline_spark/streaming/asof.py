@@ -138,10 +138,15 @@ def asof_click_purchase_stream(
         )
         if clicks or purchases or carry >= 0:
             state.update((carry, clicks, purchases))
-            if clicks:
+            if clicks or purchases:
                 # wake when the watermark passes the earliest pending
-                # click (must be strictly above the current watermark)
-                nxt_ms = min(clicks) // 1000 + 1
+                # instant (must be strictly above the current
+                # watermark): pending clicks finalize and emit, and
+                # pending purchases fold into the carry long — without
+                # the purchase wake-up, a user whose stream ends in
+                # purchases would hold a buffer forever instead of the
+                # documented one-long carry
+                nxt_ms = min(clicks + purchases) // 1000 + 1
                 state.setTimeoutTimestamp(
                     max(nxt_ms, state.getCurrentWatermarkMs() + 1)
                 )

@@ -12,25 +12,30 @@ import json
 import re
 import sys
 
-LOG = sys.argv[1] if len(sys.argv) > 1 else "/tmp/window_sf10_r15_batched.log"
+LOGS = sys.argv[1:] or ["/tmp/window_sf10_r15_batched.log"]
 
-ok = []
-rows_only = []
-with open(LOG, "rb") as fh:
-    for raw in fh.read().decode("utf-8", "replace").splitlines():
-        line = raw.rsplit("\r", 1)[-1].strip()
-        m = re.match(r"^([a-z_0-9]+): OK$", line)
-        if m:
-            ok.append(m.group(1))
-        m = re.match(r"^([a-z_0-9]+): rows=(\d+) \(no oracle\)$", line)
-        if m and m.group(1) != "entry":
-            rows_only.append({"name": m.group(1), "rows": int(m.group(2))})
+ok_set = set()
+rows_only_map = {}
+for log in LOGS:
+    with open(log, "rb") as fh:
+        for raw in fh.read().decode("utf-8", "replace").splitlines():
+            line = raw.rsplit("\r", 1)[-1].strip()
+            m = re.match(r"^([a-z_0-9]+): OK$", line)
+            if m:
+                ok_set.add(m.group(1))
+            m = re.match(r"^([a-z_0-9]+): rows=(\d+) \(no oracle\)$", line)
+            if m and m.group(1) != "entry":
+                rows_only_map[m.group(1)] = int(m.group(2))
+ok = sorted(ok_set)
+rows_only = [
+    {"name": n, "rows": r} for n, r in sorted(rows_only_map.items())
+]
 
 art = {
     "sf_dir": "/tmp/sfbench/sf10",
     "driver_memory": "24g",
     "note": (
-        "Round-15 driver-window replay at sf10 (plain driver_sim sessions, batched with a 25-minute per-batch timeout — the r14 discipline). Window = the 50-name r15 window minus FIVE documented exclusions, each covered by an alternative rung: graph_ann_top10 (oracle shares the quadratic kNN ranked-CTE block — DuckDB times out at sf1/sf10 in SCALE_CURVE_R15 while Spark finishes; covered by PLANTED_TRUTH_r15 recall@10 = 1.0 at sf1/sf10 + the exact-score law), simhash_wide_dup_clusters (the oracle bit-replay crosses the token stream with range(60) — ~24e9 intermediate rows at the 5M-doc layout; covered by PLANTED_TRUTH_r14 precision 1.0 at 10M docs), dup_span_stats (oracle unnests the full 8-gram position stream; covered by the r14b planted rung — EXACT top-20 at smoke/sf1/sf10), and the two portable MinHash twins minhash_dup_clusters_portable / minhash_verified_dup_clusters_portable (their oracles replay the full 16-way md5-minwise pipeline over 5M docs inside DuckDB; both are hash-green at sf0.01 in the driver window, and the VERIFIED form is additionally planted-rung-verified at 10M docs with pair precision 1.0 — PLANTED_TRUTH_r15). Every other window query replayed hash-green at sf10; minhash_verified_dup_clusters (the xxhash64 fast path) recorded its standing rows-only check."
+        "Round-15 driver-window replay at sf10 (plain driver_sim sessions, batched with a 25-minute per-batch timeout — the r14 discipline). Window = the r15 window minus THREE documented exclusions, each covered by an alternative rung: graph_ann_top10 (oracle shares the quadratic kNN ranked-CTE block — DuckDB times out at sf1/sf10 in SCALE_CURVE_R15 while Spark finishes; covered by PLANTED_TRUTH_r15 recall@10 = 1.0 at sf1/sf10 + the exact-score law), simhash_wide_dup_clusters (the oracle bit-replay crosses the token stream with range(60) — ~24e9 intermediate rows at the 5M-doc layout; covered by PLANTED_TRUTH_r14 precision 1.0 at 10M docs), and dup_span_stats (oracle unnests the full 8-gram position stream; covered by the r14b planted rung — EXACT top-20 at smoke/sf1/sf10). The two portable MinHash twins, provisionally listed for exclusion in the runner, PASSED at sf10: their oracles replayed the full 16-way md5-minwise pipeline over 5M docs inside DuckDB and hash-matched — no exclusion needed. copurchase_triangle_count and embedding_cluster_keep_best are recorded oracle-environment-bound (the WINDOW_SF10_r11 class, unchanged): Spark completes at sf10 (542 s and 1134 s respectively, SCALE_CURVE_HEAVY_r10) while the DuckDB oracle times out from sf1 / exhausts temp disk single-node; both hash-green at sf0.01 in every driver window. Every other window query replayed hash-green at sf10; minhash_verified_dup_clusters (the xxhash64 fast path) recorded its standing rows-only check."
     ),
     "n_window": len(ok) + len(rows_only),
     "n_ok": len(ok),
@@ -40,8 +45,19 @@ art = {
         "graph_ann_top10",
         "simhash_wide_dup_clusters",
         "dup_span_stats",
-        "minhash_dup_clusters_portable",
-        "minhash_verified_dup_clusters_portable",
+    ],
+    # The r11 verdict class, unchanged: the SPARK side completes at
+    # sf10 (SCALE_CURVE_HEAVY_r10: triangle 542 s, keep_best 1134 s —
+    # genuine heavy enumerations) while the DuckDB oracle is
+    # infeasible single-node at this scale (timeout from sf1 in the
+    # same curve; triangle exhausted temp disk twice, reproducibly,
+    # in the r11 replay). Both are hash-green at sf0.01 in every
+    # driver window; this replay's 900 s caps land inside the
+    # documented Spark walls + infeasible-oracle tail, so the
+    # committed heavy curve stands as the sf10 evidence.
+    "oracle_environment_bound": [
+        "copurchase_triangle_count",
+        "embedding_cluster_keep_best",
     ],
 }
 with open("WINDOW_SF10_r15.json", "w") as fh:
