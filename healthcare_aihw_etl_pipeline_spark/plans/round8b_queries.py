@@ -1208,7 +1208,22 @@ _SEMDEDUP_COS = 0.3
     "run would execute. Every stage is the scale shape already "
     "proven on its standalone query: banding bounds the pair space, "
     "the closure runs on edges never the corpus, keep-best is an "
-    "aggregate argmax (no per-cluster window; ranking key q*2^32+id stays under 2^63 for micro-quantized norms and sub-2^32 ids — widen the key at larger id spaces).",
+    "aggregate argmax (no per-cluster window; ranking key q*2^32+id stays under 2^63 for micro-quantized norms and sub-2^32 ids — widen the key at larger id spaces). "
+    "COLLAPSE-FIRST (the verified-MinHash discipline): byte-identical "
+    "vectors collapse to their min-id representative via ONE exact "
+    "groupBy on the raw vector BEFORE the LSH pair stage. Identical "
+    "vectors share every band bucket, so on duplicate-heavy corpora "
+    "(the 10x/100x-replicated bench layouts; real web embeddings) the "
+    "uncollapsed pair space inflates by the replica count SQUARED — "
+    "measured 1134 s at the sf10 layout (200k rows, 2000 distinct "
+    "vectors) vs seconds collapsed. Members rejoin through the group "
+    "relation: each exact group is fully connected (cos(v,v)=1 >= "
+    "threshold), so a member's component is its rep's, a group with "
+    "cnt>=2 forms a cluster even without external edges, and the "
+    "keep-best argmax key q*2^32+node attains its group-max at the "
+    "group's max id — size/keeper/histogram are algebraically "
+    "identical to the uncollapsed form (equivalence-tested on a "
+    "replicated corpus; same oracle).",
 )
 def embedding_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
@@ -1221,12 +1236,37 @@ def embedding_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # ONE corpus shuffle: exact-collapse identical vectors (groupBy on
+    # the raw vector — no hash, no collision risk), carrying per-group
+    # min id (the rep), max id (where the keep-best key peaks) and
+    # count. Checkpointed: feeds the rep pair stage AND the member
+    # re-attachment.
+    grp = (
+        emb.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("rep"),
+            F.max("vec_id").alias("max_id"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
     pairs = embedding_near_dup_pairs(
-        emb, "embedding", "vec_id", n_bands=8, band_bits=8
+        grp.select(F.col("rep").alias("vec_id"), "embedding"),
+        "embedding",
+        "vec_id",
+        n_bands=8,
+        band_bits=8,
     ).where(F.col("cos") >= F.lit(_SEMDEDUP_COS))
     cc = connected_components(pairs, src="id_a", dst="id_b")
-    q = emb.select(
-        F.col("vec_id").alias("node"),
+    # Re-attach exact groups to the rep-level components. A rep with
+    # no external edge but cnt >= 2 is still a cluster (its members
+    # are pairwise identical); a unique vector with no edge is not —
+    # exactly the uncollapsed semantics, where only nodes with >= 1
+    # surviving pair appear.
+    attrs = grp.select(
+        "rep",
+        "max_id",
+        "cnt",
         F.floor(
             l2_norm(_as_double_array("embedding")) * F.lit(1_000_000)
             + F.lit(0.5)
@@ -1234,15 +1274,18 @@ def embedding_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q"),
     )
-    clusters = (
-        cc.join(q, "node")
-        .groupBy("component")
-        .agg(
-            F.count(F.lit(1)).alias("size"),
-            F.max_by(
-                "node", F.col("q") * F.lit(4294967296) + F.col("node")
-            ).alias("keeper"),
+    comp = (
+        attrs.join(
+            cc.withColumnRenamed("node", "rep"), "rep", "left"
         )
+        .where(F.col("component").isNotNull() | (F.col("cnt") >= 2))
+        .withColumn("component", F.coalesce("component", "rep"))
+    )
+    clusters = comp.groupBy("component").agg(
+        F.sum("cnt").alias("size"),
+        F.max_by(
+            "max_id", F.col("q") * F.lit(4294967296) + F.col("max_id")
+        ).alias("keeper"),
     )
     return (
         clusters.groupBy("size")

@@ -35,7 +35,7 @@ art = {
     "sf_dir": "/tmp/sfbench/sf10",
     "driver_memory": "24g",
     "note": (
-        "Round-15 driver-window replay at sf10 (plain driver_sim sessions, batched with a 25-minute per-batch timeout — the r14 discipline). Window = the r15 window minus THREE documented exclusions, each covered by an alternative rung: graph_ann_top10 (oracle shares the quadratic kNN ranked-CTE block — DuckDB times out at sf1/sf10 in SCALE_CURVE_R15 while Spark finishes; covered by PLANTED_TRUTH_r15 recall@10 = 1.0 at sf1/sf10 + the exact-score law), simhash_wide_dup_clusters (the oracle bit-replay crosses the token stream with range(60) — ~24e9 intermediate rows at the 5M-doc layout; covered by PLANTED_TRUTH_r14 precision 1.0 at 10M docs), and dup_span_stats (oracle unnests the full 8-gram position stream; covered by the r14b planted rung — EXACT top-20 at smoke/sf1/sf10). The two portable MinHash twins, provisionally listed for exclusion in the runner, PASSED at sf10: their oracles replayed the full 16-way md5-minwise pipeline over 5M docs inside DuckDB and hash-matched — no exclusion needed. copurchase_triangle_count and embedding_cluster_keep_best are recorded oracle-environment-bound (the WINDOW_SF10_r11 class, unchanged): Spark completes at sf10 (542 s and 1134 s respectively, SCALE_CURVE_HEAVY_r10) while the DuckDB oracle times out from sf1 / exhausts temp disk single-node; both hash-green at sf0.01 in every driver window. Every other window query replayed hash-green at sf10; minhash_verified_dup_clusters (the xxhash64 fast path) recorded its standing rows-only check."
+        "Round-15 driver-window replay at sf10 (plain driver_sim sessions, batched with a 25-minute per-batch timeout — the r14 discipline). Window = the r15 window minus THREE documented exclusions, each covered by an alternative rung: graph_ann_top10 (oracle shares the quadratic kNN ranked-CTE block — DuckDB times out at sf1/sf10 in SCALE_CURVE_R15 while Spark finishes; covered by PLANTED_TRUTH_r15 recall@10 = 1.0 at sf1/sf10 + the exact-score law), simhash_wide_dup_clusters (the oracle bit-replay crosses the token stream with range(60) — ~24e9 intermediate rows at the 5M-doc layout; covered by PLANTED_TRUTH_r14 precision 1.0 at 10M docs), and dup_span_stats (oracle unnests the full 8-gram position stream; covered by the r14b planted rung — EXACT top-20 at smoke/sf1/sf10). The two portable MinHash twins, provisionally listed for exclusion in the runner, PASSED at sf10: their oracles replayed the full 16-way md5-minwise pipeline over 5M docs inside DuckDB and hash-matched — no exclusion needed. copurchase_triangle_count and embedding_cluster_keep_best are recorded oracle-environment-bound (the WINDOW_SF10_r11 class): their DuckDB oracles time out from sf1 / exhaust temp disk single-node, while the Spark sides complete at sf10 — triangle at 542 s (SCALE_CURVE_HEAVY_r10), keep_best at 15.8 s AFTER the round-15 collapse-first rewrite (was 1134 s in SCALE_CURVE_HEAVY_r10; identical vectors now collapse to min-id reps before the LSH pair stage, so the replicated layout's quadratic in-bucket blow-up never materializes — equivalence-tested against the uncollapsed form on a replicated corpus, oracle hash-green at sf0.01). Both hash-green at sf0.01 in every driver window. Every other window query replayed hash-green at sf10; minhash_verified_dup_clusters (the xxhash64 fast path) recorded its standing rows-only check."
     ),
     "n_window": len(ok) + len(rows_only),
     "n_ok": len(ok),
@@ -46,15 +46,15 @@ art = {
         "simhash_wide_dup_clusters",
         "dup_span_stats",
     ],
-    # The r11 verdict class, unchanged: the SPARK side completes at
-    # sf10 (SCALE_CURVE_HEAVY_r10: triangle 542 s, keep_best 1134 s —
-    # genuine heavy enumerations) while the DuckDB oracle is
-    # infeasible single-node at this scale (timeout from sf1 in the
-    # same curve; triangle exhausted temp disk twice, reproducibly,
-    # in the r11 replay). Both are hash-green at sf0.01 in every
-    # driver window; this replay's 900 s caps land inside the
-    # documented Spark walls + infeasible-oracle tail, so the
-    # committed heavy curve stands as the sf10 evidence.
+    # The r11 verdict class: the SPARK sides complete at sf10
+    # (triangle 542 s per SCALE_CURVE_HEAVY_r10; keep_best 15.8 s
+    # after the round-15 collapse-first rewrite, down from 1134 s)
+    # while the DuckDB oracle is infeasible single-node at this scale
+    # (timeout from sf1 in the same curve; triangle exhausted temp
+    # disk twice, reproducibly, in the r11 replay). Both are
+    # hash-green at sf0.01 in every driver window; this replay's
+    # 900 s caps land inside the documented Spark walls +
+    # infeasible-oracle tail, so the committed evidence stands.
     "oracle_environment_bound": [
         "copurchase_triangle_count",
         "embedding_cluster_keep_best",

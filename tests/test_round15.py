@@ -336,3 +336,92 @@ def test_streaming_asof_late_purchase_still_matches(spark, tmp_path):
         (7, us("2024-01-10 12:00:00")): us("2024-01-10 11:00:00"),
         (8, us("2024-01-10 12:00:00")): us("2024-01-10 12:00:00"),
     }
+
+
+# ---------------------------------------------------------------------------
+# collapse-first embedding_cluster_keep_best: equivalence on a
+# replicated corpus (the path sf0.01's all-unique layout cannot reach)
+
+
+def test_embedding_keep_best_collapse_equals_uncollapsed(spark, sf_dir):
+    """The collapse-first form must produce the IDENTICAL cluster-size
+    histogram as the uncollapsed composition on a corpus where every
+    vector is replicated — exact groups are fully connected
+    (cos(v,v)=1), so rep-level components + member re-attachment is an
+    algebraic identity, and the keep-best key q*2^32+node peaks at
+    each group's max id."""
+    from pyspark.sql import functions as F
+
+    from healthcare_aihw_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        _as_double_array,
+        embedding_near_dup_pairs,
+        l2_norm,
+    )
+    from healthcare_aihw_etl_pipeline_spark.plans.round8b_queries import (
+        _SEMDEDUP_COS,
+        embedding_cluster_keep_best,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # 3-way replication with distinct ids — the bench-layout shape
+    rep = base
+    for shift in (1_000_000, 2_000_000):
+        rep = rep.unionByName(
+            base.select(
+                (F.col("vec_id") + F.lit(shift)).alias("vec_id"),
+                "embedding",
+            )
+        )
+    src = f"{sf_dir}/embeddings.parquet"
+    tmp = spark.createDataFrame(rep.collect(), rep.schema)
+    tmp_dir = f"/tmp/keepbest_eq_{abs(hash(src)) % 10**8}"
+    tmp.write.mode("overwrite").parquet(f"{tmp_dir}/embeddings.parquet")
+
+    got = {
+        tuple(r)
+        for r in embedding_cluster_keep_best(spark, tmp_dir).collect()
+    }
+
+    # the uncollapsed original, inline
+    emb = spark.read.parquet(f"{tmp_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", n_bands=8, band_bits=8
+    ).where(F.col("cos") >= F.lit(_SEMDEDUP_COS))
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    q = emb.select(
+        F.col("vec_id").alias("node"),
+        F.floor(
+            l2_norm(_as_double_array("embedding")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    clusters = (
+        cc.join(q, "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.max_by(
+                "node", F.col("q") * F.lit(4294967296) + F.col("node")
+            ).alias("keeper"),
+        )
+    )
+    want = {
+        tuple(r)
+        for r in clusters.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.sum("size") - F.count(F.lit(1))).alias("n_removed"),
+            F.min("keeper").alias("min_keeper"),
+        )
+        .collect()
+    }
+    assert got == want
+    # every replicated vector forms a cluster: total members accounted
+    assert sum(s * n for s, n, _, _ in got) == rep.count()
