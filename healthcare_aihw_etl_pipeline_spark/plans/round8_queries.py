@@ -719,29 +719,50 @@ def supplier_balance_distribution(
     "skewed graphs and the wedge join (E ⋈ E on source) cannot "
     "explode on hub vertices — the naive undirected wedge join is "
     "quadratic in the hub degree. Each triangle is counted exactly "
-    "once (its unique (deg,id)-minimal vertex roots it); the closing-"
-    "edge probe is a semi-join back to the oriented edge set. All "
-    "equi-joins on integer keys; edge building is per-order and "
-    "bounded by order size.",
+    "once (its unique (deg,id)-minimal vertex roots it) by the "
+    "EDGE-ITERATOR form: per oriented edge, a row-local intersection "
+    "of the two endpoints' out-adjacency arrays (each bounded by the "
+    "orientation's O(sqrt|E|) out-degree cap) — open wedges are never "
+    "materialized or shuffled (the wedge-join form moved 411M open "
+    "wedges at the current sf1 graph for a triangle count three "
+    "orders smaller). All equi-joins on integer keys; edge building "
+    "is per-order and bounded by order size — a row-local "
+    "basket-array fan-out (the assoc_rules discipline: one shuffle "
+    "to the order grain, pairs explode inside the row), never a "
+    "corpus self-join, with the pair and oriented relations "
+    "checkpointed once for their multiple consumers. The oracle "
+    "keeps the wedge+EXISTS formulation — same count, independently "
+    "derived.",
 )
 def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
+    # Row-local basket-array pair fan-out (the assoc_rules_top20
+    # discipline): ONE shuffle to the order grain, then C(lines,2)
+    # pairs explode inside the row — no corpus self-join, whose output
+    # inflates by the per-order line multiplicity before the distinct
+    # gets to collapse it. Checkpointed: the pair relation feeds deg,
+    # the orientation join AND the n_edges aggregate — uncheckpointed,
+    # the whole build re-ran once per consumer branch.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
     )
+    expl = baskets.select(
+        "ps", F.posexplode("ps").alias("i", "u")
+    ).select(
+        F.col("u"),
+        F.explode(
+            F.slice(
+                F.col("ps"),
+                F.col("i") + F.lit(2),
+                F.size("ps") - F.col("i") - F.lit(1),
+            )
+        ).alias("v"),
+    )
+    pairs = expl.distinct().localCheckpoint(eager=True)
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -753,6 +774,8 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # Oriented edges feed BOTH wedge sides and the closing-edge probe:
+    # materialize once (slim integer pairs).
     oriented = (
         pairs.join(du, "u")
         .join(dv, "v")
@@ -760,15 +783,38 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(forward, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(forward, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        .localCheckpoint(eager=True)
     )
-    e1 = oriented.select(F.col("s"), F.col("t").alias("v"))
-    e2 = oriented.select(F.col("s"), F.col("t").alias("w"))
-    wedges = e1.join(e2, "s").where(F.col("v") < F.col("w")).select("v", "w")
-    closing = oriented.select(
-        F.least("s", "t").alias("v"), F.greatest("s", "t").alias("w")
-    ).distinct()
-    tri = wedges.join(closing, ["v", "w"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    # Edge-iterator closing (replaces wedge materialization): per
+    # oriented edge (s, t), triangles rooted here = |N+(s) ∩ N+(t)| —
+    # a ROW-LOCAL array intersection of two out-adjacency arrays, each
+    # bounded by the orientation's O(sqrt|E|) out-degree cap. Each
+    # triangle a→b, a→c, b→c counts exactly once, at edge (a, b)
+    # (c is the unique shared out-neighbor; the other two edges fail
+    # the orientation test). The old wedge join materialized and
+    # shuffled every OPEN wedge before the closing probe — 411M rows
+    # at the current sf1 graph (12M edges, max out-degree 97) for a
+    # triangle count three orders smaller; this form shuffles only
+    # the 12M-edge relation joined twice against the 200k-row
+    # adjacency relation.
+    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
+    tri = (
+        oriented.join(
+            adj.select(F.col("s"), F.col("nbrs").alias("ns")), "s"
+        )
+        .join(
+            adj.select(
+                F.col("s").alias("t"), F.col("nbrs").alias("nt")
+            ),
+            "t",
+            "left",
+        )
+        .select(
+            F.when(F.col("nt").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("ns", "nt")))
+            .alias("c")
+        )
+        .agg(F.sum("c").cast("long").alias("n_triangles"))
     )
     edges_n = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes_n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -35,7 +35,7 @@ art = {
     "sf_dir": "/tmp/sfbench/sf10",
     "driver_memory": "24g",
     "note": (
-        "Round-15 driver-window replay at sf10 (plain driver_sim sessions, batched with a 25-minute per-batch timeout — the r14 discipline). Window = the r15 window minus THREE documented exclusions, each covered by an alternative rung: graph_ann_top10 (oracle shares the quadratic kNN ranked-CTE block — DuckDB times out at sf1/sf10 in SCALE_CURVE_R15 while Spark finishes; covered by PLANTED_TRUTH_r15 recall@10 = 1.0 at sf1/sf10 + the exact-score law), simhash_wide_dup_clusters (the oracle bit-replay crosses the token stream with range(60) — ~24e9 intermediate rows at the 5M-doc layout; covered by PLANTED_TRUTH_r14 precision 1.0 at 10M docs), and dup_span_stats (oracle unnests the full 8-gram position stream; covered by the r14b planted rung — EXACT top-20 at smoke/sf1/sf10). The two portable MinHash twins, provisionally listed for exclusion in the runner, PASSED at sf10: their oracles replayed the full 16-way md5-minwise pipeline over 5M docs inside DuckDB and hash-matched — no exclusion needed. copurchase_triangle_count and embedding_cluster_keep_best are recorded oracle-environment-bound (the WINDOW_SF10_r11 class): their DuckDB oracles time out from sf1 / exhaust temp disk single-node, while the Spark sides complete at sf10 — triangle at 542 s (SCALE_CURVE_HEAVY_r10), keep_best at 15.8 s AFTER the round-15 collapse-first rewrite (was 1134 s in SCALE_CURVE_HEAVY_r10; identical vectors now collapse to min-id reps before the LSH pair stage, so the replicated layout's quadratic in-bucket blow-up never materializes — equivalence-tested against the uncollapsed form on a replicated corpus, oracle hash-green at sf0.01). Both hash-green at sf0.01 in every driver window. Every other window query replayed hash-green at sf10; minhash_verified_dup_clusters (the xxhash64 fast path) recorded its standing rows-only check."
+        "Round-15 driver-window replay at sf10 (plain driver_sim sessions, batched with a 25-minute per-batch timeout — the r14 discipline). Window = the r15 window minus THREE documented exclusions, each covered by an alternative rung: graph_ann_top10 (oracle shares the quadratic kNN ranked-CTE block — DuckDB times out at sf1/sf10 in SCALE_CURVE_R15 while Spark finishes; covered by PLANTED_TRUTH_r15 recall@10 = 1.0 at sf1/sf10 + the exact-score law), simhash_wide_dup_clusters (the oracle bit-replay crosses the token stream with range(60) — ~24e9 intermediate rows at the 5M-doc layout; covered by PLANTED_TRUTH_r14 precision 1.0 at 10M docs), and dup_span_stats (oracle unnests the full 8-gram position stream; covered by the r14b planted rung — EXACT top-20 at smoke/sf1/sf10). The two portable MinHash twins, provisionally listed for exclusion in the runner, PASSED at sf10: their oracles replayed the full 16-way md5-minwise pipeline over 5M docs inside DuckDB and hash-matched — no exclusion needed. copurchase_triangle_count and embedding_cluster_keep_best are recorded oracle-environment-bound (the WINDOW_SF10_r11 class): their DuckDB oracles time out from sf1 / exhaust temp disk single-node, while the Spark sides complete at sf10 — both AFTER round-15 rewrites. keep_best: 15.8 s (was 1134 s in SCALE_CURVE_HEAVY_r10; identical vectors now collapse to min-id reps before the LSH pair stage, so the replicated layout's quadratic in-bucket blow-up never materializes — equivalence-tested against the uncollapsed form on a replicated corpus, oracle hash-green at sf0.01). triangle: 373.8 s at sf10 / 31.6 s at sf1 with the edge-iterator closing (row-local array_intersect of out-adjacency arrays); the old wedge-join form moved 411M open wedges at the current sf1 graph and exceeded this replay's caps even at sf1 (its r10-corpus 542 s sf10 figure predates the denser current layout). Both hash-green at sf0.01 in every driver window; triangle's sf1 n_edges/n_nodes additionally match independent DuckDB counts exactly, with the 10x-replicated sf10 structure consistent (every figure exactly 10x sf1). Every other window query replayed hash-green at sf10; minhash_verified_dup_clusters (the xxhash64 fast path) recorded its standing rows-only check."
     ),
     "n_window": len(ok) + len(rows_only),
     "n_ok": len(ok),
@@ -46,15 +46,15 @@ art = {
         "simhash_wide_dup_clusters",
         "dup_span_stats",
     ],
-    # The r11 verdict class: the SPARK sides complete at sf10
-    # (triangle 542 s per SCALE_CURVE_HEAVY_r10; keep_best 15.8 s
-    # after the round-15 collapse-first rewrite, down from 1134 s)
-    # while the DuckDB oracle is infeasible single-node at this scale
-    # (timeout from sf1 in the same curve; triangle exhausted temp
-    # disk twice, reproducibly, in the r11 replay). Both are
-    # hash-green at sf0.01 in every driver window; this replay's
-    # 900 s caps land inside the documented Spark walls +
-    # infeasible-oracle tail, so the committed evidence stands.
+    # The r11 verdict class: the SPARK sides complete at sf10 —
+    # keep_best 15.8 s after the round-15 collapse-first rewrite
+    # (was 1134 s), triangle 373.8 s after the round-15 edge-iterator
+    # rewrite (the wedge form couldn't finish at sf1 on the current,
+    # denser corpus) — while the DuckDB oracle is infeasible
+    # single-node at this scale (timeout from sf1; triangle exhausted
+    # temp disk twice, reproducibly, in the r11 replay; even a DuckDB
+    # edge-iterator with list_intersect exceeds 420 s at sf1). Both
+    # are hash-green at sf0.01 in every driver window.
     "oracle_environment_bound": [
         "copurchase_triangle_count",
         "embedding_cluster_keep_best",

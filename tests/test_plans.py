@@ -895,16 +895,20 @@ def test_round8_lm_and_graph_plans(spark, sf_dir):
     """doc_bigram_nll_top20: model aggregates must be map-side combined
     (partial_count below the exchanges) and the ranking a
     TakeOrderedAndProject; copurchase_triangle_count: every join is an
-    equi-join (degree orientation exists precisely so the wedge join
-    can hash-partition on the source vertex) — a CartesianProduct or
-    NestedLoop anywhere means the orientation broke."""
+    equi-join on an integer vertex key (degree orientation exists
+    precisely so adjacency joins hash-partition on the source vertex)
+    and the closing test is the row-local edge-iterator
+    array_intersect — open wedges must never appear as a join output,
+    and a CartesianProduct or NestedLoop anywhere means the
+    orientation broke."""
     p = fresh_plan(spark, sf_dir, "doc_bigram_nll_top20")
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p
 
     p2 = fresh_plan(spark, sf_dir, "copurchase_triangle_count")
     assert "CartesianProduct" not in p2, p2
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*LeftSemi", p2, re.DOTALL), p2
+    assert "array_intersect" in p2, p2
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p2), p2
 
 
 def test_round8b_plan_shapes(spark, sf_dir):
