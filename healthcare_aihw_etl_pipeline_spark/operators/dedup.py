@@ -359,10 +359,40 @@ def minhash_dedup_portable(
     )
 
 
+def _band_candidates(rep_bands: DataFrame) -> DataFrame:
+    """Distinct in-bucket representative pairs (ia < ib) from the band
+    relation — the quadratic-in-bucket work of the verified MinHash
+    forms, run ONCE and checkpointed: both the candidate-id set (for
+    the gram semi-join) and the verify stage derive from this single
+    relation, instead of each side re-running the band self-join."""
+    other = rep_bands.select(
+        "band", "band_hash", F.col("rep").alias("rep2")
+    )
+    return (
+        rep_bands.join(other, ["band", "band_hash"])
+        .where(F.col("rep") < F.col("rep2"))
+        .select(F.col("rep").alias("ia"), F.col("rep2").alias("ib"))
+        .distinct()
+        # feeds the id-set derivation AND the intersection join
+        .localCheckpoint(eager=True)
+    )
+
+
+def _candidate_ids(cand: DataFrame, id_col: str) -> DataFrame:
+    """The distinct doc ids appearing in any candidate pair — derived
+    from the already-checkpointed pair relation (no second band
+    self-join)."""
+    return (
+        cand.select(F.col("ia").alias(id_col))
+        .unionByName(cand.select(F.col("ib").alias(id_col)))
+        .distinct()
+    )
+
+
 def _verify_and_link(
     ids: DataFrame,
     reps: DataFrame,
-    rep_bands: DataFrame,
+    cand: DataFrame,
     cand_grams: DataFrame,
     id_col: str,
     *,
@@ -373,28 +403,18 @@ def _verify_and_link(
 
     ids        : (id_col, _hx)           — every doc with its exact hash
     reps       : (_hx, rep)              — exact-hash group representative
-    rep_bands  : (rep, band, band_hash)  — LSH bands of each rep
+    cand       : (ia, ib)                — distinct in-bucket rep pairs
+                 (ia < ib), from :func:`_band_candidates`
     cand_grams : (id_col, gram)          — DISTINCT grams, at least for
                  every rep that appears in a candidate pair
 
-    Candidate pairs = distinct in-bucket rep pairs (ia < ib); each is
-    VERIFIED by exact set Jaccard over the gram relation (inter via a
-    candidate-bounded equi join, union by inclusion-exclusion, the
-    threshold as an exact integer cross-multiplication — no floats, so
-    the decision replays bit-for-bit in any engine). dup_of(rep) = the
-    smallest VERIFIED partner (self when none); members inherit their
-    rep's dup_of. Returns (id_col, dup_of)."""
-    other = rep_bands.select(
-        "band", "band_hash", F.col("rep").alias("rep2")
-    )
-    cand = (
-        rep_bands.join(other, ["band", "band_hash"])
-        .where(F.col("rep") < F.col("rep2"))
-        .select(F.col("rep").alias("ia"), F.col("rep2").alias("ib"))
-        .distinct()
-        # feeds the id-set semi-join AND the intersection join
-        .localCheckpoint(eager=True)
-    )
+    Each candidate pair is VERIFIED by exact set Jaccard over the gram
+    relation (inter via a candidate-bounded equi join, union by
+    inclusion-exclusion, the threshold as an exact integer
+    cross-multiplication — no floats, so the decision replays
+    bit-for-bit in any engine). dup_of(rep) = the smallest VERIFIED
+    partner (self when none); members inherit their rep's dup_of.
+    Returns (id_col, dup_of)."""
     ga = cand_grams.select(F.col(id_col).alias("ia"), "gram")
     gb = cand_grams.select(F.col(id_col).alias("ib"), "gram")
     sizes = cand_grams.groupBy(id_col).agg(
@@ -542,23 +562,18 @@ def minhash_dedup_verified(
             ).alias("bb"),
         )
         .select("rep", "bb.band", "bb.band_hash")
-        # feeds the candidate-id semi-join AND the pairing self-join —
-        # materialize so the groupBy runs once, not per consumer
+        # the band groupBy feeds both sides of the pairing self-join —
+        # materialize so it runs once, not per join side
         .localCheckpoint(eager=True)
     )
+    # ONE band self-join builds the checkpointed (ia < ib) pair
+    # relation; the candidate-id set for the gram semi-join derives
+    # from it (the quadratic in-bucket pairing work runs once, not
+    # twice — the r15 ADVICE fix)
+    cand = _band_candidates(rep_bands)
+    cand_ids = _candidate_ids(cand, id_col)
     # grams only for candidate ids: semi-join the corpus against the
     # banding-bounded candidate set (AQE broadcasts it when small)
-    cand_ids = (
-        rep_bands.join(
-            rep_bands.select(
-                "band", "band_hash", F.col("rep").alias("rep2")
-            ),
-            ["band", "band_hash"],
-        )
-        .where(F.col("rep") != F.col("rep2"))
-        .select(F.col("rep").alias(id_col))
-        .distinct()
-    )
     cand_grams = (
         ensure_min_splits(df)
         .join(cand_ids, id_col, "left_semi")
@@ -572,7 +587,7 @@ def minhash_dedup_verified(
     return _verify_and_link(
         ids.select(id_col, "_hx"),
         reps.select("_hx", "rep"),
-        rep_bands,
+        cand,
         cand_grams,
         id_col,
         threshold_num=threshold_num,
@@ -672,17 +687,8 @@ def minhash_dedup_verified_portable(
         .select("rep", "bb.band", "bb.band_hash")
         .localCheckpoint(eager=True)
     )
-    cand_ids = (
-        rep_bands.join(
-            rep_bands.select(
-                "band", "band_hash", F.col("rep").alias("rep2")
-            ),
-            ["band", "band_hash"],
-        )
-        .where(F.col("rep") != F.col("rep2"))
-        .select(F.col("rep").alias(id_col))
-        .distinct()
-    )
+    cand = _band_candidates(rep_bands)
+    cand_ids = _candidate_ids(cand, id_col)
     cand_grams = (
         ensure_min_splits(df)
         .join(cand_ids, id_col, "left_semi")
@@ -696,7 +702,7 @@ def minhash_dedup_verified_portable(
     return _verify_and_link(
         ids.select(id_col, "_hx"),
         reps.select("_hx", "rep"),
-        rep_bands,
+        cand,
         cand_grams,
         id_col,
         threshold_num=threshold_num,

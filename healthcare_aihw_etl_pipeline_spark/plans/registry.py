@@ -69,6 +69,15 @@ class Query:
     # The uncached constructor (fn is the plan-cached wrapper). Use this
     # when a test or measurement specifically needs a fresh build.
     build: Callable[[SparkSession, str], DataFrame] | None = None
+    # Optional LARGE-SCALE oracle: a second, independently-written
+    # DuckDB formulation whose single-node cost profile stays feasible
+    # at sf10 where the primary oracle cannot finish (e.g. the primary
+    # deliberately keeps an uncollapsed / quadratic shape for
+    # independence at sf0.01). The driver contract always grades the
+    # PRIMARY oracle; the sf10 window replay may substitute this one
+    # (SIM_ALT_ORACLE=1 in scripts/driver_sim.py) so the replay can
+    # hash-check names that were previously environment-bound.
+    alt_oracle: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -155,7 +164,12 @@ def invalidate(name: str | None = None, sf_dir: str | None = None) -> int:
     return len(keys)
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    alt_oracle: str | None = None,
+):
     """Decorator: add a query to the registry (with a plan cache)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -180,6 +194,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
             oracle=oracle,
             doc=doc or (fn.__doc__ or ""),
             build=fn,
+            alt_oracle=alt_oracle,
         )
         return fn
 

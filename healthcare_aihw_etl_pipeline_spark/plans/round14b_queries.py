@@ -147,9 +147,14 @@ _DS_GRAM_SQL = " || ' ' || ".join(f"t[i+{j + 1}]" for j in range(_DS_K))
     "exactly the AQE skew-join case) and once on doc_id for the "
     "island window — both key-partitioned, never all-pairs, and the "
     "span/doc aggregates collapse ~K-fold before anything global. "
-    "The hashing pass is recomputed for the two branches rather than "
-    "materialized: the k-gram stream is token-stream-sized, and at "
-    "100 TB a checkpoint of it would dwarf the row-local recompute.",
+    "The hashing pass is shared ADAPTIVELY between the two branches "
+    "(footer row count, the ensure_min_splits discipline): bench-"
+    "scale corpora lazily persist the slim position stream so the "
+    "md5 scan — ~2/3 of the wall — runs once; at web scale the "
+    "k-gram stream is token-stream-sized and a checkpoint of it "
+    "would dwarf the row-local recompute, so the large path "
+    "recomputes per branch. Dup-gram detection is the map-side-"
+    "combinable min(doc_id) != max(doc_id) in both branches.",
 )
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_aihw_etl_pipeline_spark.operators.layout import (
@@ -186,10 +191,35 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").alias("n_tokens"),
         F.posexplode(_gram_hashes(F.col("t"))).alias("p", "h"),
     )
+    # The md5 gram-hash scan is ~2/3 of the wall (decomposed in
+    # scripts/dupspan_decompose_r16.py: sf10 scan 4.2 s warm of the
+    # 12.4 s total), and the two-branch plan (dup-gram groupBy + the
+    # position join-back) pays it TWICE. Adaptive single-pass: when
+    # the footer row count says the corpus is bench-scale, LAZILY
+    # persist the slim 32 B/row position stream so both branches read
+    # one hash pass (measured 12.4 -> 7.9 s at sf10, under DuckDB's
+    # 11.5 s same-run pair). At web scale the position stream is
+    # token-stream-sized and a persist of it would dwarf the row-local
+    # recompute — the large path keeps the recompute-both-branches
+    # shape. Duplicated-gram detection is min(doc_id) != max(doc_id)
+    # in BOTH branches (same predicate as the oracle's
+    # COUNT(DISTINCT doc_id) >= 2): unlike countDistinct it partial-
+    # aggregates map-side with no expand, so a boilerplate gram shared
+    # by millions of docs costs one partial row per map task, and the
+    # join-back stays the AQE-skew-handled probe.
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import (
+        table_rows,
+    )
+
+    n_docs = table_rows(sf_dir, "documents")
+    if n_docs is not None and n_docs <= 10_000_000:
+        from pyspark.storagelevel import StorageLevel
+
+        pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         pos.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
         .select("h")
     )
     dpos = pos.join(dup, "h").select("doc_id", "n_tokens", "p")
@@ -603,36 +633,62 @@ _AR_TOP = 20
 def assoc_rules_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import (
+        table_rows,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select("l_orderkey", "l_partkey")
     # ONE corpus shuffle for the whole basket stage: collect_set to
     # the order grain (the per-order DISTINCT rides inside the
     # aggregate). Everything else — n_baskets, item supports, the
-    # pair fan-out — derives from this checkpointed relation, so the
+    # pair fan-out — derives from this persisted relation, so the
     # corpus is scanned once and shuffled once. (The previous
     # self-join formulation materialized the corpus-sized distinct
     # PAIR relation — 4.7 s of the 5.7 s sf1 wall and an 8g-heap OOM
     # at sf10; a rollup countDistinct variant re-paid the distinct
-    # machinery per consumer.) DISK_ONLY: order-grain arrays are
-    # corpus-sized at sf10+.
-    baskets_all = (
-        base.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    # machinery per consumer.)
+    #
+    # Storage strategy keyed on the parquet footer row count (the
+    # ensure_min_splits discipline — a metastore statistic on a real
+    # cluster): up to ~20M lineitem rows (sf≤~3) the order-grain
+    # arrays fit executor memory, so a LAZY in-memory persist lets
+    # the first action pipeline basket build + item supports + prune
+    # stats in ONE pass instead of four serialized materializations
+    # (the r15 2.8×-at-sf1 residue was exactly this eager-checkpoint
+    # stage barrier). Beyond that — or when the footer is unreadable
+    # — the arrays are corpus-sized, and the scale-safe choice is the
+    # eager DISK_ONLY checkpoint that sf10 needs.
+    n_li = table_rows(sf_dir, "lineitem")
+    small = n_li is not None and n_li <= 20_000_000
+    baskets_all = base.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
+    if small:
+        baskets_all = baskets_all.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        baskets_all = baskets_all.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
     nb = baskets_all.agg(
         F.count(F.lit(1)).cast("long").alias("n_baskets")
     )
     # Item supports from the DEDUPED basket stream (apriori's k=1
     # relation): one slim explode + map-side-combined count — no
-    # second corpus distinct.
+    # second corpus distinct. Lazy persist on the small path (the
+    # prune-stats collect below materializes baskets + item + counts
+    # as one pipelined job); eager on the large path where the stage
+    # barrier is the safe shape.
     item = (
         baskets_all.select(F.explode("ps").alias("part"))
         .groupBy("part")
         .agg(F.count(F.lit(1)).cast("long").alias("supp"))
         # feeds the prune decision and both scoring joins
-        .localCheckpoint(eager=True)
     )
+    if small:
+        item = item.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        item = item.localCheckpoint(eager=True)
     # ADAPTIVE apriori prune (support monotonicity: supp(ab) <=
     # supp(a), so below-floor parts cannot appear in any surviving
     # pair). Pruning costs one extra shuffle of the deduped stream, so
@@ -666,11 +722,14 @@ def assoc_rules_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = baskets.where(F.size("ps") >= 2)
     # Each pair travels as ONE BIGINT (u << 32 | v) through the hash
     # aggregate — measured ~1 s faster than struct keys on the 12M-row
-    # sf1 pair stream. Domain guard: v must fit 32 bits for the
-    # encoding to be injective (the part-key domain is ~2e5·SF — safe
-    # beyond sf10000); a violating corpus raises loudly per the
-    # sentinel-guard discipline, and u's shift overflow is caught by
-    # ANSI mode. The two explodes stay in one codegen stage (posexplode
+    # sf1 pair stream. Domain guard: BOTH halves must fit 32 bits for
+    # the encoding to be injective (the part-key domain is ~2e5·SF —
+    # safe beyond sf10000); a violating corpus raises loudly per the
+    # sentinel-guard discipline on either side. u is guarded
+    # explicitly because the session does NOT run ANSI mode — a
+    # u >= 2^32 would otherwise wrap u * 2^32 silently into a wrong
+    # pair key instead of raising. The two explodes stay in one
+    # codegen stage (posexplode
     # positions, then the strictly-after slice), measured 2x faster
     # than flatten-of-nested-transforms (no per-element array copies
     # from the sliced tails being re-built per outer element).
@@ -687,7 +746,10 @@ def assoc_rules_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("v"),
     )
-    uv = F.when(F.col("v") < enc, F.col("u") * enc + F.col("v")).otherwise(
+    uv = F.when(
+        (F.col("v") < enc) & (F.col("u") < enc),
+        F.col("u") * enc + F.col("v"),
+    ).otherwise(
         F.raise_error(
             F.lit("assoc_rules_top20: l_partkey exceeds the 32-bit pair"
                   " encoding domain")

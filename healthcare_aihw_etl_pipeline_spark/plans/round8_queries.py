@@ -711,6 +711,57 @@ def supplier_balance_distribution(
     WHERE EXISTS (SELECT 1 FROM closing c
                   WHERE c.v = w.v AND c.w = w.w)
     """,
+    # Large-scale alternative oracle (WINDOW_SF10 replay; the primary
+    # above stays the independence check at sf0.01). Two re-shapes
+    # make DuckDB feasible where the r11 attempts failed: (1) pairs
+    # from a row-local basket-array fan-out instead of the lineitem
+    # self-join (whose output inflates by per-order line multiplicity
+    # before DISTINCT collapses it — the temp-disk exhaustion), and
+    # (2) the closing as a streaming JOIN-counted wedge probe (two
+    # pipelined hash joins feeding COUNT(*) — nothing materialized)
+    # instead of EXISTS over a DISTINCT closing set. Measured 365.7 s
+    # at sf1 (scripts/tri_alt_oracle_probe.py) where both prior
+    # DuckDB forms exceeded 420 s; still the wedge-space shape, so
+    # sf10 runs ~10x — a one-off uncapped rung, not the 25-min batch.
+    alt_oracle="""
+    WITH baskets AS (
+      SELECT list_sort(list(DISTINCT l_partkey)) AS ps
+      FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_partkey) >= 2
+    ),
+    expl AS (
+      SELECT ps[i] AS u, ps[j] AS v
+      FROM baskets,
+           LATERAL (SELECT UNNEST(range(1, len(ps))) AS i),
+           LATERAL (SELECT UNNEST(range(i + 1, len(ps) + 1)) AS j)
+    ),
+    pairs AS (SELECT DISTINCT u, v FROM expl),
+    deg AS (
+      SELECT x AS node, COUNT(*) AS d
+      FROM (SELECT u AS x FROM pairs UNION ALL SELECT v FROM pairs)
+      GROUP BY x
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS s,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS t
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v
+    ),
+    closing AS (
+      SELECT least(s, t) AS v, greatest(s, t) AS w FROM oriented
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM oriented e1
+      JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t
+      JOIN closing e3 ON e3.v = e1.t AND e3.w = e2.t
+    )
+    SELECT n_triangles,
+           (SELECT COUNT(*) FROM pairs) AS n_edges,
+           (SELECT COUNT(*) FROM deg) AS n_nodes
+    FROM tri
+    """,
     doc="Distributed triangle counting over the part co-purchase graph "
     "(parts sharing an order are adjacent), using the DEGREE-"
     "ORIENTATION trick that makes triangle counting feasible at "

@@ -1197,6 +1197,93 @@ _SEMDEDUP_COS = 0.3
     GROUP BY size
     ORDER BY size
     """,
+    # sf10-capable alternative oracle (WINDOW_SF10 replay only — the
+    # primary above stays the independence check at sf0.01): the SAME
+    # collapse-first algebra the Spark side uses. On the replicated
+    # bench layouts the primary's in-bucket pair space inflates by the
+    # replica count SQUARED (every identical vector shares every band
+    # bucket), which is why it cannot finish single-node from sf1;
+    # collapsing byte-identical vectors to min-id reps FIRST bounds
+    # the pair space by the distinct-vector count. Member re-attach is
+    # algebraic (groups are fully connected at cos 1.0; the keep-best
+    # key q*2^32+id peaks at the group's max id) — the equivalence the
+    # Spark rewrite's equivalence test pins.
+    alt_oracle=f"""
+    WITH grp AS (
+      SELECT embedding,
+             MIN(vec_id) AS rep,
+             MAX(vec_id) AS max_id,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM embeddings GROUP BY embedding
+    ),
+    v AS (
+      SELECT rep AS vec_id, max_id, cnt,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM grp
+    ),
+    sig AS (
+      SELECT vec_id, band,
+             list_sum(list_transform(generate_series(1, 8),
+               j -> CASE WHEN ev[band * 8 + j] >= 0
+                         THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)) AS bucket
+      FROM v, unnest(generate_series(0, 7)) AS g(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(list_sum(list_transform(list_zip(va.ev, vb.ev), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(va.ev, x -> x * x)))
+                * sqrt(list_sum(list_transform(vb.ev, x -> x * x)))), 6) AS cos
+      FROM cand c
+      JOIN v va ON va.vec_id = c.id_a
+      JOIN v vb ON vb.vec_id = c.id_b
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM scored WHERE cos >= {_SEMDEDUP_COS}
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst, src FROM edges
+    ),
+    cc AS (
+      WITH RECURSIVE reach(node, comp) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, reach.comp FROM sym s JOIN reach ON reach.node = s.b
+      )
+      SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+    ),
+    q AS (
+      SELECT vec_id, max_id, cnt,
+             CAST(floor(sqrt(list_sum(list_transform(ev, x -> x * x)))
+                        * 1000000 + 0.5) AS BIGINT) AS q
+      FROM v
+    ),
+    comp AS (
+      SELECT q.max_id, q.cnt, q.q,
+             COALESCE(cc.component, q.vec_id) AS component
+      FROM q LEFT JOIN cc ON cc.node = q.vec_id
+      WHERE cc.component IS NOT NULL OR q.cnt >= 2
+    ),
+    clusters AS (
+      SELECT component,
+             CAST(SUM(cnt) AS BIGINT) AS size,
+             arg_max(max_id, q * 4294967296 + max_id) AS keeper
+      FROM comp GROUP BY component
+    )
+    SELECT size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(size) - COUNT(*) AS BIGINT) AS n_removed,
+           MIN(keeper) AS min_keeper
+    FROM clusters
+    GROUP BY size
+    ORDER BY size
+    """,
     doc="The composed semantic-curation action, end to end in one "
     "query: sign-band LSH candidates over the embedding table, exact "
     "cosine filter at 0.3, transitive closure into clusters "

@@ -42,6 +42,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+def split_at_watermark(carry, clicks, purchases, wm_us):
+    """Pure state-transition kernel of the streaming as-of (module
+    level so the watermark boundary is unit-testable without a
+    streaming harness): split buffers at the watermark — clicks
+    STRICTLY behind it are decided, purchases strictly behind it fold
+    into the carry. Returns (emitted [(click_us, asof_us)], new
+    (carry, clicks, purchases)).
+
+    Strictly-below, not at-or-below, on both splits. Measured on this
+    Spark version the late filter actually drops input with
+    ts <= watermark (only strictly-newer rows are admitted — probed
+    with an offset ladder around an exact watermark), under which
+    at-or-below finalization would also be safe; strictly-below keeps
+    the operator correct under EITHER filter semantics (a version
+    admitting ts == wm would otherwise miss the inclusive
+    right.ts <= left.ts match at the knife edge). ``carry`` is None
+    when no purchase has folded yet — a real sentinel rather than -1,
+    so legitimate pre-epoch purchases (negative microseconds) survive
+    the fold exactly as the batch operator handles them."""
+    done = sorted(c for c in clicks if c < wm_us)
+    rest_clicks = [c for c in clicks if c >= wm_us]
+    behind = [p for p in purchases if p < wm_us]
+    rest_purch = [p for p in purchases if p >= wm_us]
+    out = []
+    for c in done:
+        cand = [p for p in behind if p <= c]
+        if carry is not None:
+            cand.append(carry)
+        out.append((c, max(cand) if cand else None))
+    if behind:
+        new_carry = max(behind) if carry is None else max([carry] + behind)
+    else:
+        new_carry = carry
+    return out, (new_carry, rest_clicks, rest_purch)
+
+
 OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -86,41 +122,34 @@ def asof_click_purchase_stream(
     )
 
     def _emit_closed(uid, carry, clicks, purchases, wm_us):
-        """Split buffers at the watermark: clicks at-or-behind it are
-        decided (their match set is complete), purchases at-or-behind
-        it fold into the carry. Returns (emission df, new state)."""
-        done = sorted(c for c in clicks if c <= wm_us)
-        rest_clicks = [c for c in clicks if c > wm_us]
-        behind = [p for p in purchases if p <= wm_us]
-        rest_purch = [p for p in purchases if p > wm_us]
-        out_rows = []
-        for c in done:
-            cand = [p for p in behind if p <= c]
-            if carry >= 0:
-                cand.append(carry)
-            out_rows.append(
-                (uid, c, max(cand) if cand else None)
-            )
-        new_carry = max([carry] + behind) if behind else carry
+        """Pandas wrapper over :func:`split_at_watermark` (which holds
+        the boundary semantics and their rationale)."""
+        out_rows, new_state = split_at_watermark(
+            carry, clicks, purchases, wm_us
+        )
         df = (
             pd.DataFrame(
                 {
-                    "user_id": [r[0] for r in out_rows],
-                    "ts_us": [r[1] for r in out_rows],
+                    "user_id": [uid for _ in out_rows],
+                    "ts_us": [r[0] for r in out_rows],
                     "asof_us": pd.array(
-                        [r[2] for r in out_rows], dtype="Int64"
+                        [r[1] for r in out_rows], dtype="Int64"
                     ),
                 }
             )
             if out_rows
             else empty
         )
-        return df, (new_carry, rest_clicks, rest_purch)
+        return df, new_state
 
     def update(key, pdfs, state: GroupState):
         (uid,) = key
+        # None = "no purchase folded yet": a real sentinel rather
+        # than -1, so legitimate pre-epoch purchases (negative
+        # microseconds) survive the carry — the batch operator
+        # handles negative timestamps, and so must the twin.
         carry, clicks, purchases = (
-            state.get if state.exists else (-1, [], [])
+            state.get if state.exists else (None, [], [])
         )
         clicks, purchases = list(clicks), list(purchases)
         if not state.hasTimedOut:
@@ -136,7 +165,7 @@ def asof_click_purchase_stream(
         out, (carry, clicks, purchases) = _emit_closed(
             uid, carry, clicks, purchases, wm_us
         )
-        if clicks or purchases or carry >= 0:
+        if clicks or purchases or carry is not None:
             state.update((carry, clicks, purchases))
             if clicks or purchases:
                 # wake when the watermark passes the earliest pending

@@ -226,21 +226,16 @@ def tws_available() -> bool:
         return False
 
 
-def user_running_totals_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Spark 4 `transformWithStateInPandas` twin of
-    :func:`user_running_totals` — same per-user (count, cents-total)
-    state and update-mode emissions, expressed with the newer
-    StatefulProcessor API (object lifecycle + named value state via the
-    handle, instead of a GroupState closure). The new API is where
-    multi-state/timers/TTL live; the GroupState form remains the
-    portable default.
-
-    Requires the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass`` →
-    ``...state.RocksDBStateStoreProvider``) and a working protobuf
-    (:func:`tws_available`); the equivalence test against the GroupState
-    twin runs wherever both hold.
-    """
+def _make_running_totals_processor():
+    """Build the StatefulProcessor class for
+    :func:`user_running_totals_tws`. Module-level (not a closure) so the
+    processor LOGIC is testable by driving it with a fake state handle
+    where the container's protobuf cannot run the TWS state server —
+    the documented-equivalence rung behind the env-gated skip: the
+    handle protocol (init → getValueState; exists/get/update per key)
+    is exercised against an in-memory ValueState stub and the emissions
+    compared to the GroupState twin, leaving only Spark's
+    protobuf-framed state-server WIRE as the untested seam."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
@@ -279,6 +274,28 @@ def user_running_totals_tws(events: DataFrame, watermark: str = "2 hours") -> Da
 
         def close(self) -> None:
             pass
+
+    return RunningTotals
+
+
+def user_running_totals_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Spark 4 `transformWithStateInPandas` twin of
+    :func:`user_running_totals` — same per-user (count, cents-total)
+    state and update-mode emissions, expressed with the newer
+    StatefulProcessor API (object lifecycle + named value state via the
+    handle, instead of a GroupState closure). The new API is where
+    multi-state/timers/TTL live; the GroupState form remains the
+    portable default.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) and a working protobuf
+    (:func:`tws_available`); the equivalence test against the GroupState
+    twin runs wherever both hold, and the processor LOGIC is
+    additionally pinned everywhere by the fake-handle replay
+    (tests/test_streaming.py) so the env-gated skip covers only the
+    state-server wire."""
+    RunningTotals = _make_running_totals_processor()
 
     return (
         events.withWatermark("ts", watermark)

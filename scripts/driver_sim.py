@@ -53,6 +53,19 @@ def norm(v):
     return v
 
 qs = e.queries(); osql = e.oracle_sql()
+# SIM_ALT_ORACLE=1: substitute each registered alt_oracle (a second,
+# independently-written DuckDB formulation whose single-node cost
+# stays feasible at sf10) for the primary. Used ONLY by the sf10
+# window replay — the driver contract and every sf0.01 sweep grade
+# the primary oracles.
+if os.environ.get("SIM_ALT_ORACLE") == "1":
+    from healthcare_aihw_etl_pipeline_spark.plans.registry import REGISTRY as _REG
+    n_alt = 0
+    for _n, _q in _REG.items():
+        if _q.alt_oracle is not None and _n in osql:
+            osql[_n] = _q.alt_oracle
+            n_alt += 1
+    print(f"SIM_ALT_ORACLE: substituted {n_alt} alternative oracle(s)")
 names = ONLY if ONLY else list(qs)[:N]
 # SIM_RELEASE=1 (default for full-registry sweeps): evict each query's
 # prepared-plan cache entry after comparing. The cache is a SERVING

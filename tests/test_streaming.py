@@ -191,6 +191,84 @@ def test_user_running_totals_stateful(spark, sf_dir, events_stream_dir, sink_nam
     assert got == want
 
 
+def test_tws_processor_logic_matches_batch_fake_handle(spark, sf_dir):
+    """Documented-equivalence rung behind the TWS env-gated skip (the
+    r15 verdict's #8): drive the StatefulProcessor LOGIC directly with
+    an in-memory fake of the named-value-state handle — the same
+    init → getValueState, exists/get/update per-key protocol the TWS
+    state server speaks — over the sf0.001 events split into 3
+    interleaved micro-batch slices, and compare the LAST update-mode
+    emission per user to the exact batch aggregate. This pins
+    everything the skipped test pins except Spark's protobuf-framed
+    state-server wire (the one seam that genuinely needs the
+    dependency)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from healthcare_aihw_etl_pipeline_spark.streaming.events import (
+        _make_running_totals_processor,
+    )
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class _FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _FakeValueState())
+
+    raw = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "value")
+        .collect()
+    )
+    slices = [raw[i::3] for i in range(3)]
+
+    last_emit: dict[int, tuple[int, float]] = {}
+    procs: dict[int, object] = {}
+    Running = _make_running_totals_processor()
+    for sl in slices:
+        by_user: dict[int, list] = {}
+        for r in sl:
+            by_user.setdefault(r.user_id, []).append(r.value)
+        for uid, vals in by_user.items():
+            if uid not in procs:
+                p = Running()
+                p.init(_FakeHandle())
+                procs[uid] = p
+            pdf = pd.DataFrame({"value": pd.Series(vals, dtype="float64")})
+            for out in procs[uid].handleInputRows((uid,), [pdf], None):
+                last_emit[int(out["user_id"][0])] = (
+                    int(out["n_events"][0]),
+                    float(out["total_value"][0]),
+                )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("tv"),
+        )
+    )
+    want = {r.user_id: (r.n, r.tv) for r in batch.collect()}
+    assert last_emit == want
+
+
 def test_user_running_totals_tws_matches_groupstate(
     spark, events_stream_dir, sink_name
 ):
