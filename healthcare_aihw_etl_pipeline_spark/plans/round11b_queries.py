@@ -571,63 +571,71 @@ _TS_EPOCH = "DATE '1992-01-01'"
 )
 def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy("o_orderdate")
-        .agg(F.sum(cents("o_totalprice")).alias("r"))
-        .select(
-            F.datediff(F.col("o_orderdate"), F.expr(_TS_EPOCH))
-            .cast("long")
-            .alias("x"),
-            "r",
-        )
-        # Day grain: calendar-bounded. Materialize once — the pair pass
-        # reads it twice (probe + broadcast build) and the moment
-        # aggregate a third time; without this the orders scan reruns
-        # per consumer.
-        .localCheckpoint(eager=True)
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(cents("o_totalprice")).alias("r")
+    ).select(
+        F.datediff(F.col("o_orderdate"), F.expr(_TS_EPOCH))
+        .cast("long")
+        .alias("x"),
+        "r",
     )
-    a = daily.select(F.col("x").alias("xa"), F.col("r").alias("ra"))
-    b = daily.select(F.col("x").alias("xb"), F.col("r").alias("rb"))
-    pairs = (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("xa") < F.col("xb"))
-        .select(
-            F.expr(
-                f"CAST((rb - ra) * {_TS_SLOPE_QUANT} div (xb - xa)"
-                " AS BIGINT)"
-            ).alias("sl")
-        )
+    # ROUND 16 (optimization): the day grain is CALENDAR-bounded
+    # (~2.4k rows for seven years at ANY corpus size), so everything
+    # past the one fact-table rollup is constant-sized — yet the
+    # previous plan built the ~2.9M-row pair relation as a
+    # BroadcastNestedLoopJoin, shuffled it into a groupBy over ~2.9M
+    # mostly-unique quantized slopes, and ran an UNPARTITIONED
+    # cumulative window (single-task global sort) to select the
+    # median: 4.24 s at sf0.1 vs DuckDB's 2.61 s, flat in corpus size
+    # because the pair stage dominates. Bounded-collect discipline
+    # (markov / graph-ANN precedent): collect the day grain once and
+    # compute the exact pairwise-slope median in vectorized int64
+    # numpy — sign(dy)*(|dy*Q| // dx) reproduces Spark's
+    # truncate-toward-zero `div` exactly (dx > 0 always), and
+    # np.partition selects the ((np+1) div 2)-th smallest slope, the
+    # same lower median as the oracle's cumulative-count selection.
+    # The OLS moments are exact Python-int sums cast to double in the
+    # IDENTICAL expression order as the SQL. Measured: 4.24 -> 0.62 s
+    # at sf0.1 (the orders rollup is now the whole cost);
+    # tests/test_round11b_ops.py::test_theil_sen_matches_exact_python
+    # pins the result against an independent pure-Python pairwise
+    # replication.
+    import numpy as np
+
+    rows = daily.collect()  # calendar-bounded day grain
+    xs = np.array([r["x"] for r in rows], dtype=np.int64)
+    rs = np.array([r["r"] for r in rows], dtype=np.int64)
+    order = np.argsort(xs)
+    xs, rs = xs[order], rs[order]
+    nd = int(xs.size)
+    iu, ju = np.triu_indices(nd, k=1)
+    dx = xs[ju] - xs[iu]  # > 0: strictly increasing distinct days
+    dyq = (rs[ju] - rs[iu]) * np.int64(_TS_SLOPE_QUANT)
+    sl = np.sign(dyq) * (np.abs(dyq) // dx)  # Spark `div` exactly
+    n_pairs = int(sl.size)
+    if n_pairs:
+        k = (n_pairs + 1) // 2
+        ts_slope = int(np.partition(sl, k - 1)[k - 1])
+        np_out: int | None = n_pairs
+    else:
+        # oracle: MIN over the empty cum relation -> NULLs
+        ts_slope, np_out = None, None
+    sx = int(xs.sum(dtype=object)) if nd else 0
+    sy = int(rs.sum(dtype=object)) if nd else 0
+    sxx = sum(int(v) * int(v) for v in xs)
+    sxy = sum(int(a) * int(b) for a, b in zip(xs, rs))
+    # The OLS division stays a SPARK expression over the exact literal
+    # moments: identical IEEE op order to the previous plan AND
+    # identical divide-by-zero semantics under whatever ANSI setting
+    # the session runs (a 1-day corpus raised before and still does).
+    mom = spark.createDataFrame(
+        [(nd, np_out, ts_slope, sx, sy, sxx, sxy)],
+        "nd long, np long, ts long, sx long, sy long, sxx long, sxy long",
     )
-    g = pairs.groupBy("sl").agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy("sl").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.orderBy("sl").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = g.select(
-        "sl",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wall).alias("np"),
-    )
-    med = (
-        cum.where(F.col("cum") >= F.expr("(np + 1) div 2"))
-        .agg(
-            F.min("sl").alias("ts_slope"),
-            F.min("np").alias("np"),
-        )
-    )
-    mom = daily.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("x").alias("sx"),
-        F.sum("r").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("r")).alias("sxy"),
-    )
-    return med.crossJoin(F.broadcast(mom)).select(
+    return mom.select(
         F.col("nd").alias("n_days"),
-        F.col("np").cast("long").alias("n_pairs"),
-        F.col("ts_slope").cast("long").alias("theil_sen_slope_micro"),
+        F.col("np").alias("n_pairs"),
+        F.col("ts").alias("theil_sen_slope_micro"),
         (
             (
                 F.col("nd").cast("double") * F.col("sxy").cast("double")

@@ -992,93 +992,75 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = edges.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    # The transition matrix is the last data-derived relation —
-    # checkpoint it once (bounded by the event-type domain squared) so
-    # the 8 unrolled rounds never re-run the corpus window pass.
-    t = trans.select(
-        "src",
-        "dst",
-        F.expr(
-            "CAST(cnt * 1000000000 div SUM(cnt) OVER (PARTITION BY src)"
-            " AS BIGINT)"
-        ).alias("p_ppb"),
-    ).localCheckpoint(eager=True)
-    one = ev.sparkSession.range(1)
-    channels = (
-        t.where(~F.col("dst").isin("conv", "null"))
-        .select(F.col("dst").alias("ch"))
-        .distinct()
+    # ROUND 16 (optimization): everything below the transition matrix
+    # is bounded by the event-type domain squared — tens of rows at ANY
+    # corpus size — yet the previous plan unrolled the 7 removal-effect
+    # rounds as 14 nested broadcast joins plus 2 eager checkpoints:
+    # ~16 s cold / ~4.6 s warm at sf0.001 of pure planning + per-job
+    # scheduling floor (the registry's worst cold cost after bpe).
+    # The corpus-sized work (per-user window pass + map-side-combined
+    # (src, dst) count) stays in Spark; the domain-bounded matrix is
+    # collected (the graph-ANN / assoc-prune bounded-collect
+    # discipline) and the exact integer ppb recursion runs driver-side
+    # with the IDENTICAL truncating-division term order (Spark `div`
+    # rounds toward zero; all operands here are non-negative, where it
+    # coincides with the oracle's `//`). Measured: 15.7 s -> 1.6 s
+    # cold in the full-registry sweep session, byte-identical rows
+    # (tests/test_round14b.py::test_markov_matches_python pins the
+    # result against an independent pure-Python replication).
+    tr = trans.collect()  # |event types + sentinels|^2 rows — bounded
+
+    def _div(a: int, b: int) -> int:
+        """Spark's integer `div` (truncate toward zero), exactly."""
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    out_n: dict[str, int] = {}
+    for r in tr:
+        out_n[r["src"]] = out_n.get(r["src"], 0) + r["cnt"]
+    p = {
+        (r["src"], r["dst"]): _div(r["cnt"] * 1_000_000_000, out_n[r["src"]])
+        for r in tr
+    }
+    channels = sorted(
+        {d for (_, d) in p if d not in ("conv", "null")}
     )
-    removals = channels.select(F.col("ch").alias("removed")).unionByName(
-        one.select(F.lit("_none").alias("removed"))
-    )
-    states = channels.select(F.col("ch").alias("s")).unionByName(
-        one.select(F.lit("start").alias("s"))
-    )
-    pconv = t.where(F.col("dst") == "conv").select(
-        F.col("src").alias("s"), F.col("p_ppb").alias("pc")
-    )
-    base = (
-        removals.crossJoin(F.broadcast(states))
-        .where(F.col("s") != F.col("removed"))
-        .join(F.broadcast(pconv), "s", "left")
-        .select(
-            "removed", "s", F.coalesce(F.col("pc"), F.lit(0)).alias("pconv")
-        )
-        .localCheckpoint(eager=True)
-    )
-    tch = t.where(~F.col("dst").isin("conv", "null"))
-    a = base.select("removed", "s", F.col("pconv").alias("a"))
+    states = channels + ["start"]
+    removals = channels + ["_none"]
+    pconv = {s: p.get((s, "conv"), 0) for s in states}
+    tch = [
+        (s, d, v) for (s, d), v in p.items() if d not in ("conv", "null")
+    ]
+    # base: (removed, s) for every state except the removed one
+    base_keys = [
+        (rm, s) for rm in removals for s in states if s != rm
+    ]
+    a = {k: pconv[k[1]] for k in base_keys}
     for _ in range(_MK_H - 1):
-        c = (
-            tch.alias("tt")
-            .join(
-                F.broadcast(a.alias("p")),
-                F.col("p.s") == F.col("tt.dst"),
-            )
-            .groupBy(
-                F.col("p.removed").alias("removed"),
-                F.col("tt.src").alias("s"),
-            )
-            .agg(
-                F.sum(F.expr("p_ppb * a div 1000000000"))
-                .cast("long")
-                .alias("ss")
-            )
+        c: dict[tuple[str, str], int] = {}
+        for (rm, s2), av in a.items():
+            # edges INTO s2 contribute p*a (per-term truncating div,
+            # matching the SQL's SUM(p_ppb * a div 1e9) exactly)
+            for (src, dst, ppb) in tch:
+                if dst == s2:
+                    k = (rm, src)
+                    c[k] = c.get(k, 0) + _div(ppb * av, 1_000_000_000)
+        a = {k: pconv[k[1]] + c.get(k, 0) for k in base_keys}
+    base_ppb = a[("_none", "start")]
+    effs = [(ch, base_ppb - a[(ch, "start")]) for ch in channels]
+    tot_eff = sum(e for _, e in effs)
+    rows = [
+        (
+            ch,
+            base_ppb,
+            base_ppb - e,
+            e,
+            _div(e * 1_000_000, tot_eff) if tot_eff != 0 else None,
         )
-        a = (
-            base.join(F.broadcast(c), ["removed", "s"], "left")
-            .select(
-                "removed",
-                "s",
-                (
-                    F.col("pconv") + F.coalesce(F.col("ss"), F.lit(0))
-                ).alias("a"),
-            )
-        )
-    res = a.where(F.col("s") == "start").select(
-        "removed", F.col("a").cast("long").alias("conv_ppb")
-    )
-    baseline = res.where(F.col("removed") == "_none").select(
-        F.col("conv_ppb").alias("base_ppb")
-    )
-    eff = (
-        res.where(F.col("removed") != "_none")
-        .crossJoin(F.broadcast(baseline))
-        .select(
-            F.col("removed").alias("channel"),
-            "base_ppb",
-            F.col("conv_ppb").alias("removed_conv_ppb"),
-            (F.col("base_ppb") - F.col("conv_ppb")).alias("effect_ppb"),
-        )
-    )
-    return eff.select(
-        "channel",
-        "base_ppb",
-        "removed_conv_ppb",
-        "effect_ppb",
-        F.expr(
-            "CAST(effect_ppb * 1000000"
-            " div NULLIF(SUM(effect_ppb) OVER (), 0) AS BIGINT)"
-        ).alias("share_ppm"),
+        for ch, e in effs
+    ]
+    return ev.sparkSession.createDataFrame(
+        rows,
+        "channel string, base_ppb long, removed_conv_ppb long, "
+        "effect_ppb long, share_ppm long",
     ).orderBy("channel")

@@ -986,8 +986,12 @@ def test_round11_query_plan_shapes(spark, sf_dir):
     assert len(gens) == 1 and "stack" in gens[0], p
     assert "CartesianProduct" not in p
 
+    # Round 16: assignments are row-local argmins over LITERAL centroid
+    # arrays (bounded collect) — no centroid join of any kind remains,
+    # and the embedding payload never crosses an exchange (the final
+    # plan's shuffles are the k*d-sized partial-agg outputs only).
     p = fresh_plan(spark, sf_dir, "kmeans_refine_clusters")
-    assert len(re.findall(r"^\(\d+\) BroadcastExchange", p, re.MULTILINE)) >= 2
+    assert "BroadcastNestedLoopJoin" not in p and "Join" not in p, p
     assert "CartesianProduct" not in p
 
     p = fresh_plan(spark, sf_dir, "golden_record_customers")
@@ -1026,10 +1030,14 @@ def test_round11b_query_plan_shapes(spark, sf_dir):
     assert scan_count(p) == 0, p  # cell grain only, post-checkpoint
     assert "CartesianProduct" not in p
 
+    # Round 16: the pairwise-slope median runs driver-side over the
+    # collected calendar-bounded day grain (bounded-collect
+    # discipline), so the returned plan is a one-row local projection
+    # — no pair join, no unpartitioned window, no scan.
     p = fresh_plan(spark, sf_dir, "theil_sen_daily_trend")
-    assert scan_count(p) == 0, p  # day grain only, post-checkpoint
-    assert "BroadcastNestedLoopJoin" in p, p
-    assert "CartesianProduct" not in p
+    assert scan_count(p) == 0, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p and "Window" not in p, p
 
 
 def test_round11b_batch2_plan_shapes(spark, sf_dir):
