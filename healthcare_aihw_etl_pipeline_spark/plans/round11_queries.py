@@ -602,9 +602,18 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _as_double_array,
     )
 
-    v = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double_array("embedding").alias("ev")
+    from healthcare_aihw_etl_pipeline_spark.operators.layout import (
+        ensure_min_splits,
     )
+
+    # ensure_min_splits: the interpreted zip_with distance pass is the
+    # per-row cost (HOFs are CodegenFallback), and an under-split
+    # embeddings scan (1-2 parquet splits at bench SFs) serialized the
+    # n*k*d lambda evals on 1-2 of 32 cores — a no-op on any
+    # well-split cluster scan.
+    v = ensure_min_splits(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", _as_double_array("embedding").alias("ev"))
 
     # ROUND 16 (optimization): the centroid relation is k rows (k=8) —
     # bounded — yet each assignment pass was a crossJoin (n*k rows,
@@ -621,22 +630,30 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exchanges (2 payload-carrying) -> 2 Exchanges (both k*d-sized
     # partial-agg outputs). Measured 1.35 -> 0.53 s at sf0.1, and the
     # shuffle no longer scales with vector count x k.
-    def _cv_lit(cv: list[float]):
-        return F.array(*[F.lit(float(x)) for x in cv])
-
     def assign_local(cents: list[tuple[int, list[float]]]) -> DataFrame:
-        """argmin cluster per vector, row-local over literal centroids."""
-        m = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _km_dist_q(F.col("ev"), _cv_lit(cv)).alias("dq"),
-                        F.lit(int(cl)).cast("long").alias("cluster"),
-                    )
-                    for cl, cv in cents
-                ]
+        """argmin cluster per vector, row-local over literal centroids.
+
+        The whole argmin is ONE F.expr SQL string: building k*d double
+        literals as nested py4j Column calls costs ~1.5 s of driver
+        round-trips PER construction (measured — it dominated the
+        fresh-build wall); one text parse is milliseconds. `{x!r}D`
+        double literals are shortest-round-trip decimals, so Catalyst
+        parses back the bit-identical double; the zip_with/aggregate
+        distance text is the SQL form of _km_dist_q (same functions,
+        same quantizer literal)."""
+        parts = []
+        for cl, cv in cents:
+            arr = ", ".join(f"{float(x)!r}D" for x in cv)
+            dist = (
+                f"aggregate(zip_with(ev, array({arr}), (x, c) -> "
+                f"CAST(floor((x - c) * (x - c) * {_KM_DQ} + 0.5) "
+                "AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
             )
-        )
+            parts.append(
+                f"struct({dist} AS dq, CAST({int(cl)} AS BIGINT)"
+                " AS cluster)"
+            )
+        m = F.expr(f"array_min(array({', '.join(parts)}))")
         return v.select(
             "vec_id",
             "ev",
