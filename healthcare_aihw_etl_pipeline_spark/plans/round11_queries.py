@@ -498,6 +498,22 @@ _KM_Q = 1_048_576  # 2^20 coordinate quantizer for centroid means
 _KM_DQ = "1000000000.0"  # per-term distance quantizer (1e9), literal text
 
 
+def _km_dlit(x: float) -> str:
+    """SQL double literal for a centroid coordinate. Finite values use
+    the shortest-round-trip `{x!r}D` form (Catalyst parses back the
+    bit-identical double); non-finite values (degenerate embedding
+    rows) have no `...D` literal form — repr would emit unparseable
+    'nanD'/'infD' — so they render as CAST literals, preserving the
+    numeric behavior of the join-based plan (r16 ADVICE)."""
+    import math
+
+    if math.isfinite(x):
+        return f"{x!r}D"
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+
+
 def _sql_dist_q(a: str, b: str) -> str:
     """Quantized squared L2 distance between two double lists — every
     per-dimension term is floored to an integer BEFORE the sum, so the
@@ -598,6 +614,8 @@ def _km_dist_q(a, b):
     "per cluster).",
 )
 def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
         _as_double_array,
     )
@@ -640,10 +658,15 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         double literals are shortest-round-trip decimals, so Catalyst
         parses back the bit-identical double; the zip_with/aggregate
         distance text is the SQL form of _km_dist_q (same functions,
-        same quantizer literal)."""
+        same quantizer literal). Non-finite centroid coordinates
+        (degenerate embedding rows) have no `...D` literal form —
+        repr would emit unparseable 'nanD'/'infD' — so they render as
+        the CAST('NaN'/'Infinity' AS DOUBLE) literals, preserving the
+        numeric behavior of the previous join-based plan (r16
+        ADVICE)."""
         parts = []
         for cl, cv in cents:
-            arr = ", ".join(f"{float(x)!r}D" for x in cv)
+            arr = ", ".join(_km_dlit(float(x)) for x in cv)
             dist = (
                 f"aggregate(zip_with(ev, array({arr}), (x, c) -> "
                 f"CAST(floor((x - c) * (x - c) * {_KM_DQ} + 0.5) "
@@ -701,8 +724,6 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroid norms replicate the previous Spark expression exactly:
     # sum over dims of floor(cm*cm*1e9 + 0.5) as long (IEEE mul order
     # (cm*cm)*Q, floor = math.floor on a Python float/double)
-    import math
-
     norm_q = {
         cl: sum(
             int(math.floor(cm * cm * float(_KM_DQ) + 0.5)) for cm in cv

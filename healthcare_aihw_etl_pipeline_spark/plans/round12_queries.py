@@ -370,6 +370,12 @@ _BPE_ROUNDS = 8
 # symbol is space-free (the spaced encoding depends on that).
 _BPE_WORD_RE = "^[a-z]{2,16}$"
 
+# Driver-side merge-loop gate (r17): max distinct-word vocab rows the
+# driver path may collect (~50 B/row of Python tuples -> ~100 MB at
+# the cap). Real [a-z]{2,16} vocabularies sit 1-3 orders below this;
+# past it the Spark merge loop runs instead.
+_BPE_MAX_VOCAB = 2_000_000
+
 
 def _bpe_stage_sql(i: int) -> str:
     """One unrolled merge round: pair counts -> argmax -> rewrite."""
@@ -503,11 +509,22 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
         table_rows,
     )
 
+    # ROUND 17 (r16 ADVICE): the doc-count footer gate is a proxy — the
+    # actual driver-memory risk is the DISTINCT-WORD vocab collected
+    # below, which a token-diverse corpus could inflate independently
+    # of doc count. Bound the collect itself: fetch at most
+    # _BPE_MAX_VOCAB + 1 rows of the same aggregate; if the vocab is
+    # larger, fall through to the scale-safe Spark loop.
     n_docs = table_rows(sf_dir, "documents")
+    collected: list | None = None
     if n_docs is not None and n_docs <= 10_000_000:
+        probe = words.limit(_BPE_MAX_VOCAB + 1).collect()
+        if len(probe) <= _BPE_MAX_VOCAB:
+            collected = probe
+    if collected is not None:
         vocab_rows = [
             ("  " + "".join(ch + "  " for ch in r["word"]), r["cnt"])
-            for r in words.collect()
+            for r in collected
         ]
         out: list[tuple] = []
         for rnd in range(1, _BPE_ROUNDS + 1):

@@ -451,6 +451,10 @@ _UNI_MAXP = 4  # max piece length
 _UNI_TOPM = 64  # multi-char vocab cap (rank by cnt desc, piece asc)
 _UNI_PRUNE = 20  # bottom-k pruned pieces reported
 _UNI_CHAR_CAP = 4096  # collected-model guard (alphabet size bound)
+# Driver-path gate (r17): max distinct-word vocab rows the driver loop
+# may collect. Real [token] vocabularies are language-bounded well
+# below this; past it the original Spark pipeline runs.
+_UNI_MAX_VOCAB = 2_000_000
 _UNI_SCORE_SQL = (
     "CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0"
     " + 0.5) AS BIGINT)"
@@ -652,6 +656,62 @@ def _uni_viterbi(score: dict, w: str, skip_whole: bool):
     return dp[L], pieces
 
 
+def _unigram_driver(spark: SparkSession, rows: list) -> DataFrame:
+    """Driver-side unigram-LM pruning over the collected (word, n)
+    vocab — semantics identical to the Spark pipeline stage by stage:
+    1-based substring seed == the SQL sequence/substring expansion,
+    top-M tie-break (cnt desc, piece asc) == the row_number window,
+    score_q = floor(ln(cnt/t) * 1e6 + 0.5) on the same doubles, usage
+    via the SAME _uni_viterbi the Arrow path calls, losses + final
+    (loss_q asc nulls-first, piece asc) LIMIT ordering unchanged."""
+    import math
+
+    schema = (
+        "piece string, cnt long, usage long, score_q long, "
+        "alt_q long, loss_q long"
+    )
+    wordlist = [(r["word"], int(r["n"])) for r in rows]
+    pcnt: dict[str, int] = {}
+    for w, n in wordlist:
+        L = len(w)
+        for i in range(L):
+            for ln in range(1, min(_UNI_MAXP, L - i) + 1):
+                p = w[i : i + ln]
+                pcnt[p] = pcnt.get(p, 0) + n
+    if not pcnt:
+        return spark.createDataFrame([], schema)
+    multi = sorted(
+        ((p, c) for p, c in pcnt.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:_UNI_TOPM]
+    vocab = [(p, c) for p, c in pcnt.items() if len(p) == 1] + multi
+    cap = _UNI_TOPM + _UNI_CHAR_CAP
+    if len(vocab) > cap:  # pragma: no cover - contract guard
+        raise ValueError(f"unigram model exceeded {cap} pieces")
+    tot = sum(c for _, c in vocab)
+    score = {
+        p: int(math.floor(math.log(c / tot) * 1000000.0 + 0.5))
+        for p, c in vocab
+    }
+    usage: dict[str, int] = {}
+    for w, n in wordlist:
+        _, pieces = _uni_viterbi(score, w, skip_whole=False)
+        for p in pieces:
+            usage[p] = usage.get(p, 0) + n
+    out = []
+    for p, c in vocab:
+        if len(p) <= 1:
+            continue
+        alt, _ = _uni_viterbi(score, p, skip_whole=True)
+        u = usage.get(p, 0)
+        loss = None if alt is None else u * (score[p] - alt)
+        out.append((p, c, u, score[p], alt, loss))
+    out.sort(
+        key=lambda r: (float("-inf") if r[5] is None else r[5], r[0])
+    )
+    return spark.createDataFrame(out[:_UNI_PRUNE], schema)
+
+
 @register(
     "unigram_lm_prune",
     oracle=_uni_oracle(),
@@ -687,13 +747,29 @@ def unigram_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint) so the corpus is scanned exactly once. Without
     # this the plan re-ran the token explode per consumer (10 parquet
     # scans of the 100 TB table in the first cut's explain).
-    words = (
+    words_plan = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .where((F.col("word") != "") & (F.length("word") <= _UNI_CAP))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint(eager=True)
     )
+    # ROUND 17 (optimization, r16 verdict item 5): the whole pipeline
+    # after the distinct-word aggregate runs on the LANGUAGE-bounded
+    # vocab, yet it unrolled into 16 Spark jobs per run (checkpoint,
+    # model collect, mapInPandas Viterbi usage + its shuffle, three
+    # joins) — 5.9 s cold at sf0.001, almost all per-job floor +
+    # Python-boundary traffic (guide §1.2/§4). The bpe/markov
+    # bounded-collect discipline applies verbatim: the limit probe
+    # collects at most _UNI_MAX_VOCAB + 1 rows of the SAME aggregate
+    # (the vocab itself is the gate — no footer proxy needed); under
+    # the gate the substring seed, top-M cap, quantized-ln scores,
+    # Viterbi usage (the IDENTICAL _uni_viterbi the Arrow path calls),
+    # alts and losses run driver-side: 16 jobs -> 2. The Spark path
+    # below is KEPT for a vocab past the gate.
+    probe = words_plan.limit(_UNI_MAX_VOCAB + 1).collect()
+    if len(probe) <= _UNI_MAX_VOCAB:
+        return _unigram_driver(spark, probe)
+    words = words_plan.localCheckpoint(eager=True)
     sub = words.select(
         F.explode(
             F.expr(

@@ -1679,6 +1679,10 @@ def ucb1_daily_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
 # greedy argmax is a 1-row TakeOrdered collect per round — the
 # bpe_merge_training bounded-collect policy (8 rounds, 1 row each).
 _KC_ROUNDS = 8
+# Driver-path gate: 64 int64 codes/row -> ~100 MB numpy at the cap
+# (the graph_ann gate), far past any bench corpus; beyond it the
+# carried-dmin Arrow path runs.
+_KC_MAX_DRIVER_ROWS = 200_000
 
 
 def _kcenter_oracle() -> str:
@@ -1751,6 +1755,7 @@ def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
         quantize_q127,
     )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import table_rows
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", quantize_q127("embedding").alias("q")
@@ -1761,6 +1766,42 @@ def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         if row is None or row[0] is None:
             raise ValueError(f"missing center row vec_id={vid}")
         return [int(v) for v in row[0]]
+
+    # ROUND 17 (optimization, r16 verdict item 5): at bench scale the
+    # round loop's cost was its JOB COUNT — 8 x (Arrow min-dist pass +
+    # eager localCheckpoint + 1-row TakeOrdered) = 20 Spark jobs per
+    # run, each paying the per-job floor plus the JVM<->Python Arrow
+    # round trip of the full (vec_id, q[64], dmin) relation (guide
+    # §1.2/§4). Footer-gated (the graph_ann/bpe bounded-collect
+    # discipline): below _KC_MAX_DRIVER_ROWS the quantized codes are
+    # collected ONCE (the same int7 codes the Arrow path carries) and
+    # the whole Gonzalez loop runs in numpy — exact integer squared-L2,
+    # argmax with the (dmin desc, vec_id asc) tie rule replicated as
+    # max-then-min-id — so the selected centers and radii are
+    # bit-identical: 20 jobs -> 1. The carried-dmin Arrow path below
+    # remains the large-corpus shape.
+    n_emb = table_rows(sf_dir, "embeddings")
+    if n_emb is not None and n_emb <= _KC_MAX_DRIVER_ROWS:
+        import numpy as np
+
+        rows = emb.collect()
+        if not any(int(r["vec_id"]) == 0 for r in rows):
+            raise ValueError("missing center row vec_id=0")
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        Q = np.array([list(r["q"]) for r in rows], dtype=np.int64)
+        seed = Q[np.nonzero(ids == 0)[0][0]]
+        dmin = ((Q - seed) ** 2).sum(axis=1)
+        out_rows = [(1, 0, 0)]
+        for t in range(2, _KC_ROUNDS + 2):
+            m = int(dmin.max())
+            ties = np.nonzero(dmin == m)[0]
+            sel = ties[np.argmin(ids[ties])]
+            out_rows.append((t, int(ids[sel]), m))
+            if t <= _KC_ROUNDS:
+                dmin = np.minimum(dmin, ((Q - Q[sel]) ** 2).sum(axis=1))
+        return spark.createDataFrame(
+            out_rows, "round int, vec_id long, sel_dist long"
+        ).orderBy("round")
 
     def min_dist_update(code: list[int], first: bool):
         import numpy as np

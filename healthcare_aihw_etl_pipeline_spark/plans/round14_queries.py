@@ -144,6 +144,20 @@ def graph_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_aihw_etl_pipeline_spark.sources.catalog import table_rows
 
     emb = load_table(spark, sf_dir, "embeddings")
+
+    # ROUND 17 (optimization, r16 verdict item 5): the distributed
+    # form pays 20+ Spark jobs per run — the kNN index build (Arrow
+    # signature pass + two applyInPandas band top-k passes + 2 eager
+    # checkpoints) plus 2 bounded collects per hop — 5.0 s cold at
+    # sf0.001, nearly all per-job floor (guide §1.2). Every kernel in
+    # that pipeline is ALREADY numpy inside mapInPandas/applyInPandas,
+    # so below the footer gate the identical arithmetic runs driver-
+    # side on the collected codes (1 job); the distributed index build
+    # below stays the large-corpus path.
+    n_gate = table_rows(sf_dir, "embeddings")
+    if n_gate is not None and n_gate <= _GA_MAX_DRIVER_ROWS:
+        return _graph_ann_driver(spark, emb, n_gate)
+
     qcodes = emb.select("vec_id", quantize_q127("embedding").alias("q"))
 
     probe_row = qcodes.where(F.col("vec_id") == 0).select("q").first()
@@ -222,6 +236,118 @@ def graph_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:_GA_K]
     return spark.createDataFrame(
         [(i + 1, v, d) for i, (v, d) in enumerate(top)],
+        "rank long, vec_id long, qdot long",
+    )
+
+
+# Driver-path gate: 64 int64 codes/row -> ~100 MB numpy at the cap,
+# and every per-bucket Gram matrix is LSH-bounded exactly as in the
+# distributed build.
+_GA_MAX_DRIVER_ROWS = 200_000
+
+
+def _graph_ann_driver(
+    spark: SparkSession, emb: DataFrame, n_rows: int
+) -> DataFrame:
+    """Beam search over a driver-built kNN index — the SAME arithmetic
+    as the distributed path kernel for kernel: round(x*127) replicated
+    as sign(x)*floor(|x*127|+0.5) (exact for float32 inputs), the
+    qlsh_signs band signatures, the per-bucket int64 Gram top-k with
+    the dot*2^32 - id composite key, cross-band max-dedup + per-src
+    rank<=k, symmetrized edges, and the identical stride/beam/hop
+    constants — so ranks, ids and dots are bit-identical."""
+    import numpy as np
+
+    from healthcare_aihw_etl_pipeline_spark.operators.similarity import (
+        qlsh_signs,
+    )
+    from healthcare_aihw_etl_pipeline_spark.plans.round13_queries import (
+        _knn_planes,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    E = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    X = E * 127.0
+    Q = (np.sign(X) * np.floor(np.abs(X) + 0.5)).astype(np.int64)
+    probe_pos = np.nonzero(ids == 0)[0]
+    if probe_pos.size == 0:
+        raise ValueError("probe vec_id=0 missing from embeddings")
+    pq = Q[probe_pos[0]]
+
+    # Band signatures (== _knn_graph.build_sig).
+    p = _knn_planes(n_rows)
+    S = np.array(qlsh_signs(2 * p, 64), dtype=np.int64).T
+    W = np.array([1 << (j % p) for j in range(2 * p)], dtype=np.int64)
+    bits = ((Q @ S) > 0).astype(np.int64)
+    sigs = [(bits[:, :p] * W[:p]).sum(axis=1),
+            (bits[:, p:] * W[p:]).sum(axis=1)]
+
+    # Per-bucket exact top-k (== _knn_graph.bucket_topk), max-deduped
+    # across bands (== the merged MAX(qdot) aggregate).
+    best: dict[tuple[int, int], int] = {}
+    for sig in sigs:
+        order = np.argsort(sig, kind="stable")
+        ssig = sig[order]
+        starts = np.flatnonzero(np.r_[True, ssig[1:] != ssig[:-1]])
+        bounds = np.r_[starts, ssig.size]
+        for b in range(starts.size):
+            idxb = order[bounds[b]:bounds[b + 1]]
+            nb = idxb.size
+            if nb < 2:
+                continue
+            bids = ids[idxb]
+            Qb = Q[idxb]
+            G = Qb @ Qb.T
+            key = G * (np.int64(1) << np.int64(32)) - bids[None, :]
+            np.fill_diagonal(key, np.iinfo(np.int64).min)
+            k = min(_KNN_K, nb - 1)
+            top = np.argsort(key, axis=1)[:, ::-1][:, :k]
+            for i in range(nb):
+                s = int(bids[i])
+                for j in top[i]:
+                    e = (s, int(bids[j]))
+                    d = int(G[i, j])
+                    if best.get(e, -(1 << 62)) < d:
+                        best[e] = d
+    # Per-src rank <= k on (qdot desc, nbr asc) (== the rank window),
+    # then symmetrize + dedup (== the UNION of reversed edges).
+    by_src: dict[int, list[tuple[int, int]]] = {}
+    for (s, nb), d in best.items():
+        by_src.setdefault(s, []).append((-d, nb))
+    adj: dict[int, set[int]] = {}
+    for s, lst in by_src.items():
+        lst.sort()
+        for _, nb in lst[:_KNN_K]:
+            adj.setdefault(s, set()).add(nb)
+            adj.setdefault(nb, set()).add(s)
+
+    # Entry points + beam search (== the distributed hop loop).
+    dots = Q @ pq
+    pos_of = {int(v): i for i, v in enumerate(ids)}
+    stride = max(1, n_rows // _GA_ENTRIES)
+    visited: dict[int, int] = {
+        int(v): int(dots[i])
+        for i, v in enumerate(ids)
+        if int(v) % stride == 0
+    }
+    for _ in range(_GA_HOPS):
+        beam = [
+            v for v, _ in sorted(
+                visited.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:_GA_BEAM]
+        ]
+        new_ids = {
+            nb
+            for s in beam
+            for nb in adj.get(s, ())
+            if nb not in visited
+        }
+        for nb in new_ids:
+            visited[nb] = int(dots[pos_of[nb]])
+    top10 = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:_GA_K]
+    return spark.createDataFrame(
+        [(i + 1, v, d) for i, (v, d) in enumerate(top10)],
         "rank long, vec_id long, qdot long",
     )
 

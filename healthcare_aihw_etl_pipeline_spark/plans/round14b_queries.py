@@ -830,6 +830,12 @@ def assoc_rules_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wide-integer behavior anywhere.
 _MK_H = 8
 
+# Driver-side recursion gate: the transition matrix is bounded by the
+# event-type domain squared, enum-like here (tens of cells), but the
+# collect must not be an article of faith — above this many cells the
+# distributed plan runs instead (r16 verdict item 4).
+_MK_MAX_CELLS = 4096
+
 _MK_ROUND_CTES = "".join(
     f""",
     c{h} AS (
@@ -1008,7 +1014,19 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cold in the full-registry sweep session, byte-identical rows
     # (tests/test_round14b.py::test_markov_matches_python pins the
     # result against an independent pure-Python replication).
-    tr = trans.collect()  # |event types + sentinels|^2 rows — bounded
+    #
+    # ROUND 17 (r16 verdict item 4): the collect is GATED. event_type
+    # is enum-like in this corpus, but a high-cardinality column would
+    # put domain² rows on the driver and spin the pure-Python
+    # recursion. The probe collects at most _MK_MAX_CELLS + 1 rows of
+    # the SAME aggregate (one extra CollectLimit over the already
+    # bounded matrix — no second corpus pass in the common case); if
+    # the matrix is larger, the distributed removal-effect plan
+    # (_markov_spark_rounds, the pre-r16 implementation) degrades
+    # gracefully instead.
+    tr = trans.limit(_MK_MAX_CELLS + 1).collect()
+    if len(tr) > _MK_MAX_CELLS:
+        return _markov_spark_rounds(ev, trans)
 
     def _div(a: int, b: int) -> int:
         """Spark's integer `div` (truncate toward zero), exactly."""
@@ -1035,16 +1053,22 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_keys = [
         (rm, s) for rm in removals for s in states if s != rm
     ]
+    # Index channel->channel edges by dst once: the round loop then
+    # costs O(|a| * in-degree) instead of O(|a| * |edges|). Integer
+    # addition is exact and commutative, so the per-key sum is
+    # unchanged by the traversal order.
+    by_dst: dict[str, list[tuple[str, int]]] = {}
+    for (src, dst, ppb) in tch:
+        by_dst.setdefault(dst, []).append((src, ppb))
     a = {k: pconv[k[1]] for k in base_keys}
     for _ in range(_MK_H - 1):
         c: dict[tuple[str, str], int] = {}
         for (rm, s2), av in a.items():
             # edges INTO s2 contribute p*a (per-term truncating div,
             # matching the SQL's SUM(p_ppb * a div 1e9) exactly)
-            for (src, dst, ppb) in tch:
-                if dst == s2:
-                    k = (rm, src)
-                    c[k] = c.get(k, 0) + _div(ppb * av, 1_000_000_000)
+            for (src, ppb) in by_dst.get(s2, ()):
+                k = (rm, src)
+                c[k] = c.get(k, 0) + _div(ppb * av, 1_000_000_000)
         a = {k: pconv[k[1]] + c.get(k, 0) for k in base_keys}
     base_ppb = a[("_none", "start")]
     effs = [(ch, base_ppb - a[(ch, "start")]) for ch in channels]
@@ -1063,4 +1087,98 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "channel string, base_ppb long, removed_conv_ppb long, "
         "effect_ppb long, share_ppm long",
+    ).orderBy("channel")
+
+
+def _markov_spark_rounds(ev: DataFrame, trans: DataFrame) -> DataFrame:
+    """Distributed removal-effect rounds — the pre-r16 plan, kept as
+    the graceful path for a transition matrix too large to collect
+    (high-cardinality event_type). Identical integer-ppb arithmetic:
+    Spark `div` per term, same round unrolling."""
+    t = trans.select(
+        "src",
+        "dst",
+        F.expr(
+            "CAST(cnt * 1000000000 div SUM(cnt) OVER (PARTITION BY src)"
+            " AS BIGINT)"
+        ).alias("p_ppb"),
+    ).localCheckpoint(eager=True)
+    one = ev.sparkSession.range(1)
+    channels = (
+        t.where(~F.col("dst").isin("conv", "null"))
+        .select(F.col("dst").alias("ch"))
+        .distinct()
+    )
+    removals = channels.select(F.col("ch").alias("removed")).unionByName(
+        one.select(F.lit("_none").alias("removed"))
+    )
+    states = channels.select(F.col("ch").alias("s")).unionByName(
+        one.select(F.lit("start").alias("s"))
+    )
+    pconv = t.where(F.col("dst") == "conv").select(
+        F.col("src").alias("s"), F.col("p_ppb").alias("pc")
+    )
+    base = (
+        removals.crossJoin(F.broadcast(states))
+        .where(F.col("s") != F.col("removed"))
+        .join(F.broadcast(pconv), "s", "left")
+        .select(
+            "removed", "s", F.coalesce(F.col("pc"), F.lit(0)).alias("pconv")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tch = t.where(~F.col("dst").isin("conv", "null"))
+    a = base.select("removed", "s", F.col("pconv").alias("a"))
+    for _ in range(_MK_H - 1):
+        c = (
+            tch.alias("tt")
+            .join(
+                F.broadcast(a.alias("p")),
+                F.col("p.s") == F.col("tt.dst"),
+            )
+            .groupBy(
+                F.col("p.removed").alias("removed"),
+                F.col("tt.src").alias("s"),
+            )
+            .agg(
+                F.sum(F.expr("p_ppb * a div 1000000000"))
+                .cast("long")
+                .alias("ss")
+            )
+        )
+        a = (
+            base.join(F.broadcast(c), ["removed", "s"], "left")
+            .select(
+                "removed",
+                "s",
+                (
+                    F.col("pconv") + F.coalesce(F.col("ss"), F.lit(0))
+                ).alias("a"),
+            )
+        )
+    res = a.where(F.col("s") == "start").select(
+        "removed", F.col("a").cast("long").alias("conv_ppb")
+    )
+    baseline = res.where(F.col("removed") == "_none").select(
+        F.col("conv_ppb").alias("base_ppb")
+    )
+    eff = (
+        res.where(F.col("removed") != "_none")
+        .crossJoin(F.broadcast(baseline))
+        .select(
+            F.col("removed").alias("channel"),
+            "base_ppb",
+            F.col("conv_ppb").alias("removed_conv_ppb"),
+            (F.col("base_ppb") - F.col("conv_ppb")).alias("effect_ppb"),
+        )
+    )
+    return eff.select(
+        "channel",
+        "base_ppb",
+        "removed_conv_ppb",
+        "effect_ppb",
+        F.expr(
+            "CAST(effect_ppb * 1000000"
+            " div NULLIF(SUM(effect_ppb) OVER (), 0) AS BIGINT)"
+        ).alias("share_ppm"),
     ).orderBy("channel")

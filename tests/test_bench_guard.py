@@ -7,6 +7,8 @@ import json
 import sys
 import os
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import stdout_line  # noqa: E402
@@ -132,17 +134,17 @@ _SWEEP_ALLOWLIST = {
 }
 
 
-def test_registry_sweep_cost_guard(spark, sf_dir):
-    """No registry query may exceed its cold-cost ceiling at the test
-    SF: builds every query FROM SCRATCH (cache bypassed), times
-    build+collect, and fails with the offender list. Keeps the
-    full-registry correctness sweep affordable forever."""
+def _sweep_cost_guard(spark, sf_dir, names):
+    """Shared body of the sweep-cost guards: build each named query
+    FROM SCRATCH (cache bypassed), time build+collect, apply the
+    noise-normalized ceiling, fail with the offender list."""
     import time
 
     from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
 
     took_by_name = {}
-    for name, q in REGISTRY.items():
+    for name in names:
+        q = REGISTRY[name]
         t0 = time.perf_counter()
         (q.build or q.fn)(spark, sf_dir).collect()
         took_by_name[name] = time.perf_counter() - t0
@@ -153,7 +155,11 @@ def test_registry_sweep_cost_guard(spark, sf_dir):
     base = max(_COLD_CEILING_SEC, _MEDIAN_MULT * med)
     slow = {}
     for name, took in took_by_name.items():
-        ceiling = _SWEEP_ALLOWLIST.get(name, base)
+        # Allowlist entries are FLOORS on top of the noise-scaled base,
+        # not fixed caps: on a host noisy enough that the base exceeds
+        # an allowlist value, the storage workloads get the same noise
+        # headroom as everything else (r16 ADVICE).
+        ceiling = max(_SWEEP_ALLOWLIST.get(name, 0.0), base)
         if took > ceiling:
             # Two retries, take the min: an over-ceiling reading in a
             # 200+-query sequential sweep is routinely host noise
@@ -172,3 +178,39 @@ def test_registry_sweep_cost_guard(spark, sf_dir):
         "the documented allowlist only for deliberate storage-engine "
         "workloads, never for plan regressions)"
     )
+
+
+@pytest.mark.slow
+def test_registry_sweep_cost_guard(spark, sf_dir):
+    """FULL-registry sweep-cost guard (~4-10 min at sf0.001): every
+    query under its cold-cost ceiling. Slow-marked (r16 verdict item
+    2) — the driver-window default runs the stratified sample below;
+    builder scripts / CI opt in with SPARK_GRAFT_SLOW_TESTS=1."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    _sweep_cost_guard(spark, sf_dir, list(REGISTRY))
+
+
+def test_registry_sweep_cost_guard_sampled(spark, sf_dir):
+    """Fast default-path sweep guard: a DETERMINISTIC stratified
+    sample — every 6th registry query (registration order, so every
+    family is hit) plus the historical worst-cold-cost offenders —
+    under the same noise-normalized ceiling. Keeps the cost guard's
+    bite inside the driver's pytest window; the full sweep runs under
+    the slow marker."""
+    from healthcare_aihw_etl_pipeline_spark.plans import REGISTRY
+
+    names = list(REGISTRY)
+    sample = names[::6]
+    # The registry's historical cold-cost tail: the r16/r17 rewrites
+    # (a regression in any of these is exactly what the guard exists
+    # to catch) plus the storage-engine allowlist entries.
+    watch = [
+        "markov_attribution", "bpe_merge_training", "bpe_encode_stats",
+        "theil_sen_daily_trend", "kmeans_refine_clusters",
+        "unigram_lm_prune", "kcenter_coreset_seeds", "graph_ann_top10",
+        "hybrid_rrf_fusion_top10", "minhash_verified_dup_clusters",
+        "session_pattern_match", "golden_record_customers",
+    ]
+    sample += [n for n in watch if n in REGISTRY and n not in sample]
+    _sweep_cost_guard(spark, sf_dir, sample)

@@ -655,6 +655,7 @@ def test_late_rows_below_watermark_are_dropped_from_closed_windows(spark, tmp_pa
     assert "2024-01-01 12:00:00" not in out, out
 
 
+@pytest.mark.slow
 def test_dedup_state_eviction_reemits_after_horizon(spark, tmp_path):
     """dropDuplicatesWithinWatermark drops replays only while the key's
     state lives inside the watermark horizon. A duplicate arriving after
@@ -937,6 +938,7 @@ def test_drift_monitor_restart_is_idempotent(spark, sf_dir, events_stream_dir, t
     assert len(keys) == len(set(keys))
 
 
+@pytest.mark.slow
 def test_drift_monitor_late_data_accounting_matches_batch(spark, tmp_path):
     """Out-of-order replay for the PSI monitor: micro-batches arrive
     SHUFFLED in time, one late row lands below the watermark after its
@@ -1162,6 +1164,7 @@ def _replay_lineitem_batches(spark, tmp_path, batches, transform):
         return []
 
 
+@pytest.mark.slow
 def test_streaming_fifo_closes_part_once_with_out_of_order_lines(
     spark, tmp_path
 ):
@@ -1210,6 +1213,7 @@ def test_streaming_fifo_closes_part_once_with_out_of_order_lines(
     assert got == [(100, 4, 13, 0, 76)], got
 
 
+@pytest.mark.slow
 def test_streaming_fifo_replay_equals_batch_alloc_on_corpus(
     spark, tmp_path
 ):
@@ -1336,6 +1340,7 @@ def test_daily_sweep_profile_matches_batch_on_closed_day(spark, tmp_path):
     assert n == 3 and peak == 2  # closed-interval tie rule at 12:30
 
 
+@pytest.mark.slow
 def test_streaming_fifo_late_older_line_does_not_regress_timeout(
     spark, tmp_path
 ):
@@ -1428,6 +1433,7 @@ def _replay_doc_batches(spark, tmp_path, batches, transform):
         return []
 
 
+@pytest.mark.slow
 def test_streaming_dedup_base_after_new_flips_and_emits_once(
     spark, tmp_path
 ):
