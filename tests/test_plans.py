@@ -971,10 +971,24 @@ def test_round11_query_plan_shapes(spark, sf_dir):
 
     for name in ("max_concurrent_sessions", "interval_union_coverage"):
         p = fresh_plan(spark, sf_dir, name)
-        assert scan_count(p) == 1, name
-        # two data shuffles (interval groupBy, day window) + the
-        # ordered-output range exchange
-        assert shuffle_count(p) <= 3, name
+        # Round 17 two-level sweep: the user-day span relation is
+        # materialized ONCE at build (eager localCheckpoint), so the
+        # final plan holds NO parquet re-scan — both the boundary
+        # stream and the tiny bucket summary read the checkpointed
+        # RDD. The boundary stream crosses exactly one data exchange
+        # (the (day, bucket) window — |days| x |buckets| partitions,
+        # no |days|-bounded window remains) and the bucket-offset
+        # summary attaches via BROADCAST join, never a shuffle of the
+        # boundary rows.
+        assert scan_count(p) == 0, name
+        assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", p,
+                              re.MULTILINE)) == 2, name
+        # boundary window exchange + summary partial-agg/day-window
+        # exchanges (bucket-grain, tiny) + consumer day agg + ordered
+        # output
+        assert shuffle_count(p) <= 6, name
+        assert "BroadcastHashJoin" in p, name
+        assert "bkt" in p, name  # the sub-bucketed window key
         assert "Generate" in p, name  # the boundary-delta explode
 
     p = fresh_plan(spark, sf_dir, "poisson_bootstrap_order_value")
