@@ -48,10 +48,23 @@ def _sweep_buckets(spark: SparkSession) -> int:
     return min(256, max(8, spark.sparkContext.defaultParallelism))
 
 
-def daily_boundary_segments(events: DataFrame) -> DataFrame:
+# Two-level gate: below this many event rows the one-window plan wins
+# (the r17 bucketed form pays a build-time span checkpoint + broadcast
+# join worth ~0.3-0.4 s that only amortizes once day partitions carry
+# real volume; measured crossover between sf0.1 (100k events, legacy
+# faster) and sf1 (1M events, bucketed 2-4x faster). An unreadable
+# footer (None) takes the bucketed path — the scale-safe default.
+_SWEEP_TWO_LEVEL_ROWS = 500_000
+
+
+def daily_boundary_segments(
+    events: DataFrame, n_rows: int | None = None
+) -> DataFrame:
     """Boundary-delta sweep segments of per-(user, day) activity spans.
 
-    Input: an events relation with ``user_id`` and ``ts`` columns.
+    Input: an events relation with ``user_id`` and ``ts`` columns, and
+    optionally the relation's (footer) row count driving the
+    small-corpus gate.
     Output columns (grain: one row per interval boundary):
 
     - ``day``      the event date (intervals never cross days)
@@ -75,6 +88,45 @@ def daily_boundary_segments(events: DataFrame) -> DataFrame:
     iv = events.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(F.min(us).alias("s"), F.max(us).alias("e"))
+    one = F.lit(1).cast("long")
+    if n_rows is not None and n_rows <= _SWEEP_TWO_LEVEL_ROWS:
+        # Small corpus: the original single-(day)-window plan — no
+        # checkpoint, no summary join; |days| partitions are plenty
+        # when each carries little volume.
+        deltas = iv.select(
+            "day",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("t"),
+                        one.alias("d"),
+                        (F.col("e") - F.col("s")).alias("dur"),
+                    ),
+                    F.struct(
+                        F.col("e").alias("t"),
+                        (-one).alias("d"),
+                        F.lit(0).cast("long").alias("dur"),
+                    ),
+                )
+            ).alias("x"),
+        ).select("day", "x.t", "x.d", "x.dur")
+        w = Window.partitionBy("day").orderBy(
+            F.col("t").asc(), F.col("d").desc()
+        )
+        return deltas.select(
+            "day",
+            "t",
+            "d",
+            "dur",
+            F.sum("d")
+            .over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("running"),
+            F.coalesce(
+                F.lead("t").over(w) - F.col("t"), F.lit(0).cast("long")
+            ).alias("gap_us"),
+        )
     # ROUND 17 (optimization, r16 verdict item 6 — guide §2.5): the
     # single (day)-partitioned window capped the sweep's parallelism
     # at |distinct days| (~30 here at ANY corpus size: each day's full
@@ -95,7 +147,6 @@ def daily_boundary_segments(events: DataFrame) -> DataFrame:
     iv = iv.localCheckpoint(eager=True)
     nb = _sweep_buckets(iv.sparkSession)
     width = max(1, _DAY_US // nb)
-    one = F.lit(1).cast("long")
     deltas = iv.select(
         "day",
         F.explode(
@@ -187,18 +238,26 @@ def served_boundary_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization preserved the sweep's semantics.
     """
     from healthcare_aihw_etl_pipeline_spark.operators.silver import serve_silver
-    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import (
+        load_table,
+        table_rows,
+    )
 
     return serve_silver(
         spark,
         sf_dir,
         "spark_graft_sweep_segments",
         "events",
-        lambda: daily_boundary_segments(load_table(spark, sf_dir, "events")),
+        lambda: daily_boundary_segments(
+            load_table(spark, sf_dir, "events"),
+            table_rows(sf_dir, "events"),
+        ),
     )
 
 
-def sweep_day_profile(events: DataFrame) -> DataFrame:
+def sweep_day_profile(
+    events: DataFrame, n_rows: int | None = None
+) -> DataFrame:
     """Per-day concurrency profile — every sweep-derived measure from
     ONE pass over :func:`daily_boundary_segments`:
 
@@ -214,7 +273,7 @@ def sweep_day_profile(events: DataFrame) -> DataFrame:
     scan→agg→window pipeline now cost one pipeline when both are
     needed.
     """
-    return profile_from_segments(daily_boundary_segments(events))
+    return profile_from_segments(daily_boundary_segments(events, n_rows))
 
 
 def profile_from_segments(seg: DataFrame) -> DataFrame:

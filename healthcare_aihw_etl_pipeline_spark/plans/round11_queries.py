@@ -192,8 +192,12 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_concurrent_from_segments,
     )
 
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import table_rows
+
     ev = load_table(spark, sf_dir, "events")
-    return max_concurrent_from_segments(daily_boundary_segments(ev))
+    return max_concurrent_from_segments(
+        daily_boundary_segments(ev, table_rows(sf_dir, "events"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1055,8 +1059,12 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         union_coverage_from_segments,
     )
 
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import table_rows
+
     ev = load_table(spark, sf_dir, "events")
-    return union_coverage_from_segments(daily_boundary_segments(ev))
+    return union_coverage_from_segments(
+        daily_boundary_segments(ev, table_rows(sf_dir, "events"))
+    )
 
 
 # ---------------------------------------------------------------------------

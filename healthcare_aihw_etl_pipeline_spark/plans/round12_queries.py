@@ -97,7 +97,11 @@ def interval_sweep_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         sweep_day_profile,
     )
 
-    return sweep_day_profile(load_table(spark, sf_dir, "events"))
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import table_rows
+
+    return sweep_day_profile(
+        load_table(spark, sf_dir, "events"), table_rows(sf_dir, "events")
+    )
 
 
 # ---------------------------------------------------------------------------

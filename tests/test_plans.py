@@ -970,26 +970,43 @@ def test_round11_query_plan_shapes(spark, sf_dir):
     assert scan_count(p) == 1 and shuffle_count(p) == 2, p
 
     for name in ("max_concurrent_sessions", "interval_union_coverage"):
+        # At the (footer-gated) test SF the sweep keeps its original
+        # small-corpus plan: one scan, two data shuffles + the ordered
+        # output range exchange, no sub-bucketing.
         p = fresh_plan(spark, sf_dir, name)
-        # Round 17 two-level sweep: the user-day span relation is
-        # materialized ONCE at build (eager localCheckpoint), so the
-        # final plan holds NO parquet re-scan — both the boundary
-        # stream and the tiny bucket summary read the checkpointed
-        # RDD. The boundary stream crosses exactly one data exchange
-        # (the (day, bucket) window — |days| x |buckets| partitions,
-        # no |days|-bounded window remains) and the bucket-offset
-        # summary attaches via BROADCAST join, never a shuffle of the
-        # boundary rows.
-        assert scan_count(p) == 0, name
-        assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", p,
-                              re.MULTILINE)) == 2, name
-        # boundary window exchange + summary partial-agg/day-window
-        # exchanges (bucket-grain, tiny) + consumer day agg + ordered
-        # output
-        assert shuffle_count(p) <= 6, name
-        assert "BroadcastHashJoin" in p, name
-        assert "bkt" in p, name  # the sub-bucketed window key
+        assert scan_count(p) == 1, name
+        assert shuffle_count(p) <= 3, name
         assert "Generate" in p, name  # the boundary-delta explode
+        assert "bkt" not in p, name  # gate: legacy path below the gate
+
+    # Round 17 two-level sweep (the over-gate path, forced via
+    # n_rows=None): the user-day span relation is materialized ONCE at
+    # build (eager localCheckpoint), so the plan holds NO parquet
+    # re-scan — both the boundary stream and the tiny bucket summary
+    # read the checkpointed RDD. The boundary stream crosses exactly
+    # one data exchange (the (day, bucket) window — |days|x|buckets|
+    # partitions, no |days|-bounded window remains) and the
+    # bucket-offset summary attaches via BROADCAST join, never a
+    # shuffle of the boundary rows.
+    from healthcare_aihw_etl_pipeline_spark.operators.sweep import (
+        daily_boundary_segments,
+        union_coverage_from_segments,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = plan_of(
+        union_coverage_from_segments(daily_boundary_segments(ev, None))
+    )
+    assert scan_count(p) == 0, p
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", p,
+                          re.MULTILINE)) == 2, p
+    # boundary window exchange + summary partial-agg/day-window
+    # exchanges (bucket-grain, tiny) + consumer day agg + ordered output
+    assert shuffle_count(p) <= 6, p
+    assert "BroadcastHashJoin" in p, p
+    assert "bkt" in p, p  # the sub-bucketed window key
+    assert "Generate" in p, p  # the boundary-delta explode
 
     p = fresh_plan(spark, sf_dir, "poisson_bootstrap_order_value")
     # the only generator is the 1-row stack() reshape of the wide

@@ -99,6 +99,33 @@ def test_unigram_gate_fallback_matches(spark, sf_dir, monkeypatch):
     assert slow == fast
 
 
+def test_sweep_bucketed_equals_legacy(spark, sf_dir):
+    """The r17 two-level (sub-bucketed) sweep must produce the exact
+    segment relation of the single-window plan — running counts, gaps,
+    durations, all of it — on every consumer."""
+    from healthcare_aihw_etl_pipeline_spark.operators.sweep import (
+        daily_boundary_segments,
+        max_concurrent_from_segments,
+        profile_from_segments,
+        union_coverage_from_segments,
+    )
+    from healthcare_aihw_etl_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    legacy = daily_boundary_segments(ev, 1)  # under the gate
+    bucketed = daily_boundary_segments(ev, None)  # over (scale-safe)
+    cols = ["day", "t", "d", "dur", "running", "gap_us"]
+    a = sorted(map(tuple, legacy.select(cols).collect()))
+    b = sorted(map(tuple, bucketed.select(cols).collect()))
+    assert a == b
+    for agg in (
+        union_coverage_from_segments,
+        max_concurrent_from_segments,
+        profile_from_segments,
+    ):
+        assert _rows(agg(legacy)) == _rows(agg(bucketed)), agg.__name__
+
+
 def test_km_dlit_literals(spark):
     from healthcare_aihw_etl_pipeline_spark.plans.round11_queries import (
         _km_dlit,
