@@ -230,6 +230,9 @@ def _replay_event_batches(spark, tmp_path, batches, transform):
         return []
 
 
+@pytest.mark.slow  # ~35 s; default siblings:
+# test_streaming_asof_late_purchase_still_matches + the watermark
+# knife-edge unit tests (same as-of kernel).
 def test_streaming_asof_replay_equals_batch(spark, tmp_path, sf_dir):
     """Full-corpus replay equivalence: sf0.001 events split into 3
     ROUND-ROBIN slices (clicks and purchases interleave across batches

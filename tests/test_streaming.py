@@ -436,6 +436,9 @@ def test_stream_upsert_partitions_idempotent(spark, sf_dir, events_stream_dir, t
     assert got2 == want
 
 
+@pytest.mark.slow  # ~27 s; default siblings:
+# test_stream_upsert_partitions_idempotent +
+# test_stream_upsert_partition_replace_guard (same upsert sink).
 def test_stream_upsert_keyed_merge_across_batches(spark, tmp_path):
     """key_cols MERGE mode: a partition whose rows span several
     micro-batches keeps earlier batches' rows (keyless partition-replace
@@ -682,6 +685,8 @@ def test_dedup_state_eviction_reemits_after_horizon(spark, tmp_path):
     assert sorted(ids) == [100, 100, 101], ids
 
 
+@pytest.mark.slow  # ~72 s; default sibling:
+# test_session_windows_gap_semantics (same session-gap kernel).
 def test_out_of_order_event_bridges_sessions_within_watermark(spark, tmp_path):
     """An out-of-order (but in-watermark) event landing in the gap
     between two provisional sessions must MERGE them into one — the
@@ -845,6 +850,9 @@ def test_write_stream_scd2_end_to_end(spark, events_stream_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # ~73 s; default sibling: the restart-idempotency
+# test below replays the same monitor end-to-end against its own
+# first-pass state (covers the kernel + sink contract).
 def test_drift_monitor_matches_batch(spark, sf_dir, events_stream_dir, tmp_path):
     """Streaming PSI drift monitor == batch twin on closed windows: the
     reference is the first half of the timeline, the stream's per-day
@@ -1279,6 +1287,9 @@ def test_streaming_fifo_replay_equals_batch_alloc_on_corpus(
 # Streaming fused sweep profile (round-12 twin of interval_sweep_profile)
 
 
+@pytest.mark.slow  # ~90 s; default siblings: daily_peak_concurrency
+# tie-rule test (same streaming sweep kernel) + the batch
+# test_sweep_bucketed_equals_legacy equality over all consumers.
 def test_daily_sweep_profile_matches_batch_on_closed_day(spark, tmp_path):
     """The streaming fused sweep must emit, for the watermark-closed
     day, EXACTLY the row the batch interval_sweep_profile computes for
@@ -1480,6 +1491,8 @@ def test_streaming_dedup_base_after_new_flips_and_emits_once(
     ], got
 
 
+@pytest.mark.slow  # ~63 s; default sibling: test_dedup_within_watermark
+# (same keyed-dedup kernel, synthetic stream).
 def test_streaming_dedup_replay_equals_batch_on_corpus(spark, tmp_path):
     """Full-corpus replay equivalence: sf0.001 documents split into 3
     ROUND-ROBIN slices with synthetic ingest times (epoch + doc_id

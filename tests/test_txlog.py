@@ -2181,6 +2181,8 @@ def test_incremental_join_full_outer_null_extension_churn(spark, tmp_path):
     check()
 
 
+@pytest.mark.slow  # ~42 s; default siblings: the left/full-outer
+# null-extension churn tests + exactly-once merge (same IVM kernel).
 def test_incremental_join_full_outer_randomized_model(spark, tmp_path):
     """Randomized delete/merge/append on both sides with interleaved
     syncs: the full-outer maintained table must equal the direct full
